@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query catalogs live in graft.queries.*; this object just merges them.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_agg_sum")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RelQueries.defs ++
+      graft.queries.GraphQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    graft.queries.RelQueries.oracles ++
+      graft.queries.GraphQueries.oracles
+
+  /** Headline subset timed by Bench (kept fast enough to run per-round
+    * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */
+  def benchQueries: Seq[String] = Seq(
+    "q_agg_count", "q_agg_sum", "q_agg_sse", "q_explode",
+    "q_join_inner", "q_join_broadcast", "q_join_composite",
+    "q_union_merge", "q_topk", "q_window_rank",
+    "q_events_window", "q_events_sessionize",
+    "q_graph_degree", "q_graph_triangles", "q_graph_sssp",
+    "q_graph_pagerank", "q_graph_kmeans",
+  ).filter(queries.contains)
 }

@@ -1,0 +1,46 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph construction. The reference treats every graph relationally — a
+  * table of (src, dst) pairs (SURVEY §1.1) — and so do we.
+  */
+object Graphs {
+
+  /** Deterministic directed graph derived from the lineitem table:
+    * src = l_orderkey % modulus, dst = l_partkey % modulus, distinct,
+    * no self-loops. Vertex-id space is bounded by `modulus` regardless of
+    * scale factor, so graph-algorithm cost is stable while the derivation
+    * scan still exercises the full table.
+    */
+  def lineitemEdges(spark: SparkSession, sfDir: String, modulus: Int = 300): DataFrame = {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    li.select(
+        (col("l_orderkey") % modulus).cast("long").as("src"),
+        (col("l_partkey") % modulus).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** The reference PageRank's synthetic graph: k linear chains of k
+    * vertices (1→2→…→k), each chain's last vertex pointing at dangling
+    * dummy vertex 0 — PageRankRDD/src/main/scala/wc/FollowerCount.scala:33-46.
+    * Built distributed with spark.range (not a driver Map) so it scales to
+    * arbitrary k.
+    */
+  def kChain(spark: SparkSession, k: Int): DataFrame = {
+    // vertex ids 1..k*k; vertex v links to v+1 unless it is a chain tail
+    // (v % k == 0), in which case it links to dummy 0.
+    spark.range(1, k.toLong * k + 1)
+      .select(
+        col("id").as("src"),
+        when(col("id") % k === 0, lit(0L)).otherwise(col("id") + 1).as("dst"))
+  }
+
+  /** All vertex ids appearing on either side of the edge relation. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+}

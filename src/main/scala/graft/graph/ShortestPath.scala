@@ -1,0 +1,96 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.iterate.Fixpoint
+
+/** Single-source shortest path, unit edge weights (BFS relaxation to a
+  * fixpoint), with `Double.PositiveInfinity` as the "unreached" sentinel —
+  * reference semantics from
+  * SingleSourceShortestPathRDD/src/main/scala/wc/FollowerCount.scala:23-51 and
+  * SingleSourceShortestPathDataSet/src/main/scala/wc/FollowerCount.scala:29-59.
+  *
+  * Scale design beyond the reference:
+  *  - frontier-based relaxation: only vertices whose distance improved in the
+  *    previous round generate candidates (the reference re-relaxes every
+  *    vertex every round — quadratic total work on long-diameter graphs);
+  *  - edges repartitioned by src and cached once, reused every iteration;
+  *  - the union+min merge keeps every vertex (right-outer-join semantics of
+  *    SingleSourceShortestPathRDD/...:38-39);
+  *  - convergence = empty frontier, checked on the already-materialized
+  *    state (no extra diff-join job like the reference's :42-44).
+  */
+object ShortestPath {
+
+  /** @param edges (src LONG, dst LONG)
+    * @return (vertex LONG, dist DOUBLE), Infinity for unreached
+    */
+  def run(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+    val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // state carries (vertex, dist, changed): `changed` marks the frontier
+    val init = Graphs.vertices(e)
+      .select(col("vertex"), lit(source).as("s"))
+      .select(col("vertex"),
+        when(col("vertex") === col("s"), lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
+        (col("vertex") === col("s")).as("changed"))
+
+    var frontierEmpty = false
+    val result = Fixpoint.iterate(init, maxIter,
+      converged = (_, next) => {
+        frontierEmpty = next.filter(col("changed")).isEmpty
+        frontierEmpty
+      }) { (state, _) =>
+      val frontier = state.filter(col("changed"))
+      val candidates = frontier
+        .join(e, frontier("vertex") === e("src"))
+        .select(col("dst").as("vertex"), (col("dist") + 1.0).as("cand"))
+        .groupBy("vertex").agg(min("cand").as("cand"))
+      state.select(col("vertex"), col("dist"))
+        .join(candidates, Seq("vertex"), "left_outer")
+        .select(
+          col("vertex"),
+          least(col("dist"), coalesce(col("cand"), lit(Double.PositiveInfinity))).as("dist"),
+          (coalesce(col("cand"), lit(Double.PositiveInfinity)) < col("dist")).as("changed"))
+    }
+    e.unpersist(false)
+    result.select("vertex", "dist")
+  }
+
+  /** Distance + one shortest path per vertex (the MR variant's payload —
+    * ShortestPathMR/src/main/java/wc/CountFollowers.java:106-112,133-165).
+    * Argmin-with-payload via min(struct(dist, path)): struct ordering
+    * compares dist first, then the path lexicographically — deterministic
+    * tie-break (the reference keeps "first min encountered", which is
+    * partition-order-dependent; ours is stable).
+    */
+  def runWithPath(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+    val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val init = Graphs.vertices(e)
+      .select(col("vertex"),
+        when(col("vertex") === source, lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
+        when(col("vertex") === source, array(lit(source))).otherwise(lit(null).cast("array<bigint>")).as("path"),
+        (col("vertex") === source).as("changed"))
+
+    val result = Fixpoint.iterate(init, maxIter,
+      converged = (_, next) => next.filter(col("changed")).isEmpty) { (state, _) =>
+      val frontier = state.filter(col("changed"))
+      val candidates = frontier
+        .join(e, frontier("vertex") === e("src"))
+        .select(col("dst").as("vertex"),
+          struct((col("dist") + 1.0).as("dist"), concat(col("path"), array(col("dst"))).as("path")).as("cand"))
+        .groupBy("vertex").agg(min("cand").as("cand"))
+      state.select(col("vertex"), struct(col("dist"), col("path")).as("cur"))
+        .join(candidates, Seq("vertex"), "left_outer")
+        .select(
+          col("vertex"),
+          when(col("cand").isNotNull && col("cand")("dist") < col("cur")("dist"), col("cand"))
+            .otherwise(col("cur")).as("best"),
+          (col("cand").isNotNull && col("cand")("dist") < col("cur")("dist")).as("changed"))
+        .select(col("vertex"), col("best")("dist").as("dist"), col("best")("path").as("path"), col("changed"))
+    }
+    e.unpersist(false)
+    result.select("vertex", "dist", "path")
+  }
+}

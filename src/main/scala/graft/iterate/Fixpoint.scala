@@ -1,0 +1,63 @@
+package graft.iterate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Driver-loop utilities for iterative (fixpoint) algorithms.
+  *
+  * The reference's iterative programs either let lineage grow unboundedly
+  * (PageRankDataSet/src/main/scala/wc/FollowerCount.scala:63-73 rebinds
+  * `ranks` to an ever-deeper plan) or sidestep it by round-tripping state
+  * through HDFS between MR jobs (ShortestPathMR/src/main/java/wc/
+  * CountFollowers.java:202-207). Here state stays in memory and lineage is
+  * cut with `localCheckpoint` on a fixed cadence — the single biggest
+  * perf trap of driver-loop algorithms at scale (plan analysis time and
+  * task serialization grow superlinearly otherwise).
+  */
+object Fixpoint {
+
+  /** Iterate `step` from `init` until `maxIter` or `converged(prev, next)`.
+    *
+    * Each iteration's state is persisted and materialized (checkpoint
+    * eagerly), and the previous state is unpersisted — so executor memory
+    * holds at most two state generations regardless of iteration count.
+    *
+    * @param checkpointEvery cut lineage with localCheckpoint every N
+    *   iterations (persist-only in between). 1 = every iteration, which is
+    *   right for anything beyond a handful of iterations.
+    */
+  def iterate(
+      init: DataFrame,
+      maxIter: Int,
+      checkpointEvery: Int = 1,
+      converged: (DataFrame, DataFrame) => Boolean = (_, _) => false)(
+      step: (DataFrame, Int) => DataFrame): DataFrame = {
+    var state = init.persist(StorageLevel.MEMORY_AND_DISK)
+    state.count() // materialize so unpersist of inputs is safe
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      var next = step(state, i)
+      next =
+        if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
+        else { val p = next.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
+      done = converged(state, next)
+      state.unpersist(blocking = false)
+      state = next
+      i += 1
+    }
+    state
+  }
+
+  /** Convergence test used by the reference's SSSP variants
+    * (SingleSourceShortestPathRDD/src/main/scala/wc/FollowerCount.scala:42-44):
+    * no row changed its value between iterations. `keyCol` must be unique.
+    * Implemented as a co-partitioned self-join + count of differing rows.
+    */
+  def unchanged(keyCol: String, valCol: String)(prev: DataFrame, next: DataFrame): Boolean = {
+    val p = prev.select(keyCol, valCol).withColumnRenamed(valCol, "__prev")
+    next.select(keyCol, valCol).join(p, keyCol)
+      .filter(org.apache.spark.sql.functions.col(valCol) =!= org.apache.spark.sql.functions.col("__prev"))
+      .isEmpty
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.graph.{Graphs, KMeans, PageRank, ShortestPath, Triangles}
+
+/** Graph-algorithm coverage (SURVEY §2 + §7.2 steps 3-6) as named queries.
+  *
+  * Even the iterative algorithms are oracle-checked: the DuckDB SQL unrolls
+  * the fixed iteration count as chained CTEs (PageRank, k-means) or uses a
+  * recursive CTE (SSSP). All arithmetic is arranged to be bit-deterministic
+  * across engines (single-element sums, exact integral moments); PageRank's
+  * dangling delta is a genuine multi-element double sum, so ranks are
+  * rounded to 9 decimals on both sides.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** shared derivation of the test graph (bounded vertex space — see
+    * Graphs.lineitemEdges) and its SQL twin */
+  private val Mod = 300
+  private val edgesSql =
+    s"""edges AS (
+       |  SELECT DISTINCT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst
+       |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod)""".stripMargin
+
+  // PageRank workload: reference default shape at k=20 (400 real vertices),
+  // 10 iterations — PageRankRDD/Makefile:12, .../FollowerCount.scala:58
+  private val PrK = 20
+  private val PrIters = 10
+  // K-means workload: k=4 centroids, 5 fixed iterations over the
+  // follower-count distribution (K-means/Makefile:9)
+  private val KmInit = Seq(2.0, 6.0, 10.0, 18.0)
+  private val KmIters = 5
+
+  val defs: Map[String, Q] = Map(
+    // the reference headline: follower count on the edge relation
+    // (ReduceByKey/.../FollowersCount.scala:25-29)
+    "q_graph_degree" -> ((s, d) =>
+      Graphs.lineitemEdges(s, d, Mod)
+        .groupBy("dst").agg(count(lit(1)).as("followers"))
+        .orderBy("dst")),
+
+    // ReduceSideJoin semantics: shuffle-join triangle count with max filter
+    "q_graph_triangles" -> ((s, d) =>
+      Triangles.countShuffle(Graphs.lineitemEdges(s, d, Mod), maxId = 200)),
+
+    // RepJoin semantics: broadcast-join triangle count, tighter bound
+    "q_graph_triangles_bc" -> ((s, d) =>
+      Triangles.countBroadcast(Graphs.lineitemEdges(s, d, Mod), maxId = 150)),
+
+    "q_graph_sssp" -> ((s, d) =>
+      ShortestPath.run(Graphs.lineitemEdges(s, d, Mod), source = 1L)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("vertex"), col("dist").cast("long").as("dist"))
+        .orderBy("vertex")),
+
+    "q_graph_pagerank" -> ((s, d) =>
+      PageRank.run(Graphs.kChain(s, PrK), PrIters, dummy = 0L,
+          realVertexCount = PrK.toLong * PrK)
+        .select(col("vertex"), round(col("rank"), 9).as("pr"))
+        .orderBy("vertex")),
+
+    "q_graph_kmeans" -> ((s, d) => {
+      val pts = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).cast("double").as("x"))
+      val res = KMeans.run(pts, "x", KmInit, maxIter = KmIters, fixedIter = true)
+      val spark = s
+      import spark.implicits._
+      val cents = res.centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("i", "centroid")
+      val sizes = res.assignments.groupBy(col("cluster").cast("long").as("i"))
+        .agg(count(lit(1)).as("n"))
+      cents.join(sizes, Seq("i"), "left_outer")
+        .select(col("i"), col("centroid"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("i")
+    }),
+  )
+
+  // ---- oracle SQL ----
+
+  private val degreeSql =
+    s"""WITH $edgesSql
+       |SELECT dst, count(*) AS followers FROM edges GROUP BY dst ORDER BY dst""".stripMargin
+
+  private def trianglesSql(maxId: Int) =
+    s"""WITH $edgesSql,
+       |b AS (SELECT * FROM edges WHERE src <= $maxId AND dst <= $maxId)
+       |SELECT count(*)/3 AS triangles
+       |FROM b e1 JOIN b e2 ON e1.dst = e2.src
+       |JOIN b e3 ON e2.dst = e3.src AND e3.dst = e1.src""".stripMargin
+
+  private val ssspSql =
+    s"""WITH RECURSIVE $edgesSql,
+       |walk(vertex, dist) AS (
+       |  SELECT CAST(1 AS BIGINT) AS vertex, 0 AS dist
+       |  UNION
+       |  SELECT e.dst AS vertex, w.dist + 1 AS dist
+       |  FROM walk w JOIN edges e ON e.src = w.vertex
+       |  WHERE w.dist < 30)
+       |SELECT vertex, CAST(min(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin
+
+  /** Unrolled mass-push PageRank over the k-chain graph — one CTE block per
+    * iteration, mirroring PageRank.run step for step. */
+  private def pagerankSql(k: Int, iters: Int): String = {
+    val n = k * k
+    val sb = new StringBuilder
+    sb ++= s"""WITH g AS MATERIALIZED (
+      |  SELECT CAST(id AS BIGINT) AS src,
+      |         CAST(CASE WHEN id % $k = 0 THEN 0 ELSE id + 1 END AS BIGINT) AS dst
+      |  FROM range(1, ${n + 1}) t(id)),
+      |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
+      |v AS MATERIALIZED (SELECT src AS vertex FROM g UNION SELECT dst FROM g),
+      |r0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = 0 THEN 0.0 ELSE 1.0/$n END AS pr FROM v)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+        |c$i AS MATERIALIZED (SELECT g.dst AS vertex, sum(r.pr / od.outdeg) AS c
+        |        FROM g JOIN od ON g.src = od.src JOIN r$p r ON g.src = r.vertex
+        |        GROUP BY g.dst),
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(c), 0) AS delta FROM c$i WHERE vertex = 0),
+        |r$i AS MATERIALIZED (SELECT m.vertex,
+        |               CASE WHEN m.vertex = 0 THEN 0.0
+        |                    ELSE m.pr + (SELECT delta FROM d$i)/$n END AS pr
+        |        FROM (SELECT vertex, sum(c) AS pr FROM (
+        |                SELECT vertex, 0.0 AS c FROM r$p
+        |                UNION ALL SELECT vertex, c FROM c$i)
+        |              GROUP BY vertex) m)""".stripMargin
+    }
+    sb ++= s"\nSELECT vertex, round(pr, 9) AS pr FROM r$iters ORDER BY vertex"
+    sb.toString
+  }
+
+  /** Unrolled 1-D Lloyd's iterations; argmin with first-min tie-break as a
+    * CASE chain, matching KMeans.assign's array_position semantics. */
+  private def kmeansSql(init: Seq[Double], iters: Int): String = {
+    val k = init.size
+    def argmin(cent: String): String = {
+      val ds = (0 until k).map(i =>
+        s"abs(x - (SELECT c FROM $cent WHERE i = $i))")
+      val cases = (0 until k - 1).map { i =>
+        val conds = (i + 1 until k).map(j => s"${ds(i)} <= ${ds(j)}").mkString(" AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString(" ")
+      s"CASE $cases ELSE ${k - 1} END"
+    }
+    val initVals = init.zipWithIndex
+      .map { case (c, i) => s"($i, ${c}::DOUBLE)" }.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH pts AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY o_custkey),
+      |cent0(i, c) AS (VALUES $initVals)""".stripMargin
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb ++= s""",
+        |a$t AS MATERIALIZED (SELECT x, ${argmin(s"cent$p")} AS cluster FROM pts),
+        |s$t AS MATERIALIZED (SELECT cluster, sum(x) AS s, count(*) AS n FROM a$t GROUP BY cluster),
+        |cent$t AS MATERIALIZED (SELECT c.i, coalesce(s.s / s.n, c.c) AS c
+        |           FROM cent$p c LEFT JOIN s$t s ON s.cluster = c.i)""".stripMargin
+    }
+    sb ++= s""",
+      |af AS MATERIALIZED (SELECT x, ${argmin(s"cent$iters")} AS cluster FROM pts)
+      |SELECT CAST(c.i AS BIGINT) AS i, c.c AS centroid,
+      |       coalesce(f.n, 0) AS n
+      |FROM cent$iters c LEFT JOIN (SELECT cluster, count(*) AS n FROM af GROUP BY cluster) f
+      |  ON f.cluster = c.i
+      |ORDER BY i""".stripMargin
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_graph_degree" -> degreeSql,
+    "q_graph_triangles" -> trianglesSql(200),
+    "q_graph_triangles_bc" -> trianglesSql(150),
+    "q_graph_sssp" -> ssspSql,
+    "q_graph_pagerank" -> pagerankSql(PrK, PrIters),
+    "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
+  )
+}

@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Relational operator coverage (SURVEY §2.1–2.8) as named queries over the
+  * driver testdata, each with a DuckDB oracle.
+  *
+  * Float-determinism policy (so Spark and DuckDB hash-match bit-for-bit):
+  *  - sums of non-integral doubles go through DECIMAL(18,2) (exact,
+  *    order-independent) and are cast back to DOUBLE at the end;
+  *  - sums/averages of integral-valued doubles (l_quantity, counts) are
+  *    exact in IEEE double regardless of partition order, so plain sum/avg
+  *    is safe;
+  *  - min/max/comparisons on doubles are always exact;
+  *  - every query ends in a deterministic total ORDER BY (unique key).
+  */
+object RelQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** exact, order-independent sum of a money-like double column */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast(DecimalType(18, 2))).cast("double")
+
+  val defs: Map[String, Q] = Map(
+    // ---- aggregations (SURVEY §2.4: A1-A5 grouped count) ----
+    // the reference headline query: follower count == grouped count
+    // (ReduceByKey/src/main/scala/wc/FollowersCount.scala:25-29)
+    "q_agg_count" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_custkey")),
+
+    // A9/A10 grouped sums (TPC-H Q1 shape) with exact decimal money sums
+    "q_agg_sum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A6-A8/A13 min/max
+    "q_agg_minmax" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag")),
+
+    // A14 average (integral-valued column -> exact)
+    "q_agg_avg" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_linestatus")
+        .agg(avg("l_quantity").as("avg_qty"), count(lit(1)).as("n"))
+        .orderBy("l_linestatus")),
+
+    // A13: aggregation over aggregation output (reference needed Hadoop
+    // counters for this — K-means/src/main/java/wc/CountFollowers.java:56-63)
+    "q_agg_of_agg" -> ((s, d) => {
+      val cnts = Tables.orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      cnts.agg(min("cnt").as("min_cnt"), max("cnt").as("max_cnt"),
+        count(lit(1)).as("n_groups"), sum("cnt").as("total"))
+    }),
+
+    // A10 global (ungrouped) aggregate
+    "q_agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_price"))),
+
+    // A15 SSE per group, computed from exact integral moments:
+    // sse = (n*Σx² − (Σx)²)/n  — one deterministic double division
+    "q_agg_sse" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sx"),
+          sum(col("l_quantity") * col("l_quantity")).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")) / col("n")).as("sse"))
+        .orderBy("l_returnflag")),
+
+    // A12 collect_list — canonicalized to a sorted comma-joined string so
+    // the compare is order- and type-robust
+    "q_agg_collect_list" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(array_join(sort_array(collect_list(col("l_partkey"))), ",").as("parts"))
+        .orderBy("l_orderkey")),
+
+    // ---- filters / projections (SURVEY §2.2) ----
+    // P5/P6 range predicates + column pruning
+    "q_filter_range" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey") <= 1000 && col("l_suppkey") <= 50 && col("l_quantity") > 10)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P4/F9 conditional projection (when/otherwise)
+    "q_conditional" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(when(col("o_totalprice") > 200000, lit("big"))
+          .when(col("o_totalprice") > 50000, lit("mid"))
+          .otherwise(lit("small")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // P10/P11 explode (the reference's only UDTF shape —
+    // SingleSourceShortestPathRDD/.../FollowerCount.scala:62-76)
+    "q_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")),
+
+    // ---- scalar functions (SURVEY §2.8: F1-F11) ----
+    "q_scalar_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("tagged"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        abs(col("p_retailprice") - 1000.0).as("price_dev"),
+        (col("p_size") * col("p_size")).as("size_sq"),
+        least(col("p_size"), lit(25)).as("size_lo"),
+        greatest(col("p_size"), lit(25)).as("size_hi"),
+        floor(col("p_retailprice")).cast("double").as("price_fl"),
+        ceil(col("p_retailprice")).cast("double").as("price_ce"),
+        col("p_size").cast("string").as("size_str"),
+        coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or"))
+        .orderBy("p_partkey")),
+
+    // ---- joins (SURVEY §2.3) ----
+    // J1/J2 inner equi-join (shuffle side)
+    "q_join_inner" -> ((s, d) =>
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("o_totalprice") > 150000)
+        .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // J3/J4 right-outer join: every customer keeps a row even with no
+    // orders (SingleSourceShortestPathRDD/.../FollowerCount.scala:38-39)
+    "q_join_outer" -> ((s, d) => {
+      val cnt = Tables.orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      cnt.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // J8 replicated/broadcast join (RepJoin/src/main/java/wc/
+    // CountFollowers.java:31-77) — dims are broadcast, fact side never moves
+    "q_join_broadcast" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_cust"))
+        .orderBy("r_name")),
+
+    // J7 composite-key self-join (ReduceSideJoin job 2's "dst,src" string
+    // key — ReduceSideJoin/.../CountFollowers.java:92-164 — as native
+    // multi-column equi-join)
+    "q_join_composite" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"), col("l_partkey").as("pk_a"))
+      val b = li.select(col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("pk_b"))
+      a.join(b, Seq("ok", "ln"))
+        .select(col("ok"), col("ln"), col("pk_a"), col("pk_b"))
+        .orderBy("ok", "ln")
+    }),
+
+    // left-semi join (beyond reference: rounds out the join family)
+    "q_join_semi" -> ((s, d) =>
+      Tables.customer(s, d).join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // left-anti join (customers with no orders)
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d).join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // J9 point lookup
+    "q_point_lookup" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") === 7)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // ---- set ops (SURVEY §2.7) ----
+    // U1/U2 union + merge-agg (the PageRank rank-merge pattern,
+    // PageRankRDD/.../FollowerCount.scala:64-66)
+    "q_union_merge" -> ((s, d) => {
+      val zeroed = Tables.customer(s, d).select(col("c_custkey").as("k"), lit(0L).as("v"))
+      val counted = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("v"))
+      zeroed.unionByName(counted).groupBy("k").agg(sum("v").as("v")).orderBy("k")
+    }),
+
+    // except/intersect (beyond reference)
+    "q_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")),
+    "q_set_intersect" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey").as("k"))
+        .intersect(Tables.lineitem(s, d).select(col("l_partkey").as("k")))
+        .orderBy("k")),
+
+    // ---- sort / top-k (SURVEY §2.6: O1) ----
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    // ---- windows (SURVEY §2.5 — absent in reference; argmin/topk-per-group
+    // is the idiomatic replacement for K-means/...:101-107's manual loop) ----
+    "q_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "rn")
+    }),
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum("l_quantity").over(w).as("run_qty"),
+          count(lit(1)).over(w).as("run_n"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- time / events ----
+    // events.ts is TIMESTAMP(NANOS) parquet, beyond Spark's micros range —
+    // read as raw nanosecond longs (spark.sql.legacy.parquet.nanosAsLong in
+    // the session) and use integer arithmetic, which also sidesteps
+    // cross-engine timestamp-formatting differences.
+    "q_events_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("string").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+        .orderBy("bucket", "event_type")),
+
+    "q_events_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(sess))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          // µs, not ns: DuckDB truncates TIMESTAMP(NANOS) parquet to its
+          // native µs precision on read, so the oracle can't see nanos
+          min(expr("ts div 1000")).as("t_start_us"),
+          max(expr("ts div 1000")).as("t_end_us"))
+        .orderBy("user_id", "session_idx")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_count" ->
+      "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+
+    "q_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_minmax" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_avg" ->
+      """SELECT l_linestatus, avg(l_quantity) AS avg_qty, count(*) AS n
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_agg_of_agg" ->
+      """SELECT min(cnt) AS min_cnt, max(cnt) AS max_cnt, count(*) AS n_groups, sum(cnt) AS total
+         FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)""",
+
+    "q_agg_global" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem""",
+
+    "q_agg_sse" ->
+      """SELECT l_returnflag, n, (n*sxx - sx*sx)/n AS sse
+         FROM (SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sx,
+               sum(l_quantity*l_quantity) AS sxx FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+
+    "q_agg_collect_list" ->
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
+         FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+         WHERE l_partkey <= 1000 AND l_suppkey <= 50 AND l_quantity > 10
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_conditional" ->
+      """SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+                     WHEN o_totalprice > 50000 THEN 'mid'
+                     ELSE 'small' END AS bucket, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q_explode" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+         WHERE length(word) > 0 GROUP BY word ORDER BY word""",
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+         upper(p_brand) AS brand_u,
+         concat_ws('-', p_brand, p_type) AS tagged,
+         length(p_name) AS name_len,
+         substring(p_name, 1, 8) AS name_pfx,
+         string_split(p_type, ' ')[1] AS type_head,
+         abs(p_retailprice - 1000.0) AS price_dev,
+         p_size * p_size AS size_sq,
+         least(p_size, 25) AS size_lo,
+         greatest(p_size, 25) AS size_hi,
+         CAST(floor(p_retailprice) AS DOUBLE) AS price_fl,
+         CAST(ceil(p_retailprice) AS DOUBLE) AS price_ce,
+         CAST(p_size AS VARCHAR) AS size_str,
+         coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or
+         FROM part ORDER BY p_partkey""",
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 150000 ORDER BY o_orderkey""",
+
+    "q_join_outer" ->
+      """SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+         FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+         RIGHT JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey""",
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q_join_composite" ->
+      """SELECT a.l_orderkey AS ok, a.l_linenumber AS ln, a.l_partkey AS pk_a, b.l_partkey AS pk_b
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+         ORDER BY ok, ln""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+
+    "q_point_lookup" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 7",
+
+    "q_union_merge" ->
+      """SELECT k, sum(v) AS v FROM (
+           SELECT c_custkey AS k, 0 AS v FROM customer
+           UNION ALL
+           SELECT o_custkey AS k, count(*) AS v FROM orders GROUP BY o_custkey
+         ) GROUP BY k ORDER BY k""",
+
+    "q_set_except" ->
+      """SELECT k FROM (SELECT c_custkey AS k FROM customer
+         EXCEPT SELECT o_custkey AS k FROM orders) ORDER BY k""",
+
+    "q_set_intersect" ->
+      """SELECT k FROM (SELECT p_partkey AS k FROM part
+         INTERSECT SELECT l_partkey AS k FROM lineitem) ORDER BY k""",
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q_window_rank" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 3 ORDER BY c_nationkey, rn""",
+
+    "q_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+         sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty,
+         count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
+         FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber""",
+
+    "q_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q_events_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         f AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT user_id, ts,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM f)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
+         FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+  )
+}

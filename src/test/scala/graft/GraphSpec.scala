@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph._
+
+/** Unit fixtures per FIXTURES.md: hand-computed answers on tiny graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toDF("src", "dst")
+
+  test("triangles: single directed 3-cycle counts once") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val n = Triangles.countShuffle(e, maxId = 100).first().getDouble(0)
+    assert(n == 1.0)
+  }
+
+  test("triangles: complete bidirectional K4 has 8 directed 3-cycles; broadcast agrees") {
+    val vs = (1L to 4L)
+    val e = edges(vs.flatMap(a => vs.filter(_ != a).map(b => a -> b)): _*)
+    val s = Triangles.countShuffle(e, 100).first().getDouble(0)
+    val b = Triangles.countBroadcast(e, 100).first().getDouble(0)
+    assert(s == 8.0 && b == 8.0) // C(4,3) triples x 2 orientations
+  }
+
+  test("triangles: max filter drops high ids (reference max-filter semantics)") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 200L, 200L -> 3L)
+    assert(Triangles.countShuffle(e, 100).first().getDouble(0) == 1.0)
+  }
+
+  test("sssp: diamond ties, cycle, unreachable component") {
+    // 1->2->4, 1->3->4 (diamond), 4->1 (cycle), 5->6 unreachable from 1
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 1L, 5L -> 6L)
+    val d = ShortestPath.run(e, source = 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(1L) == 0.0 && d(2L) == 1.0 && d(3L) == 1.0 && d(4L) == 2.0)
+    assert(d(5L).isPosInfinity && d(6L).isPosInfinity)
+  }
+
+  test("sssp with path: tracks one shortest path, lexicographic tie-break") {
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val rows = ShortestPath.runWithPath(e, 1L).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](2)).map(_.toList)).toMap
+    assert(rows(4L).contains(List(1L, 2L, 4L))) // (2.0,[1,2,4]) < (2.0,[1,3,4])
+    assert(rows(1L).contains(List(1L)))
+  }
+
+  test("pagerank: chain-graph ranks match a driver-side reimplementation; mass conserved") {
+    val k = 4
+    val n = k * k
+    val result = PageRank.run(Graphs.kChain(spark, k), iterations = 10, dummy = 0L,
+        realVertexCount = n.toLong)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent plain-Scala reimplementation of the reference semantics
+    // (PageRankRDD/src/main/scala/wc/FollowerCount.scala:58-70)
+    val g = (1 to n).map(v => v.toLong -> (if (v % k == 0) 0L else v + 1L))
+    var ranks = ((0L -> 0.0) +: (1 to n).map(_.toLong -> 1.0 / n)).toMap
+    for (_ <- 1 to 10) {
+      val contrib = g.groupBy(_._2).map { case (dst, es) => dst -> es.map(e => ranks(e._1)).sum }
+      val delta = contrib.getOrElse(0L, 0.0)
+      ranks = ranks.map { case (v, _) =>
+        if (v == 0L) v -> 0.0
+        else v -> (contrib.getOrElse(v, 0.0) + delta / n)
+      }
+    }
+    ranks.foreach { case (v, r) => assert(math.abs(result(v) - r) < 1e-12, s"vertex $v") }
+    val mass = result.values.sum
+    assert(math.abs(mass - 1.0) < 1e-9) // dangling mass fully redistributed
+  }
+
+  test("kmeans: two well-separated clusters converge to their means") {
+    val pts = (Seq(1.0, 2.0, 3.0, 4.0, 5.0) ++ Seq(100.0, 101.0, 102.0, 103.0, 104.0))
+      .toDF("x")
+    val res = KMeans.run(pts, "x", init = Seq(0.0, 50.0), maxIter = 10)
+    assert(res.centroids == Seq(3.0, 102.0))
+    // SSE non-increasing across iterations (K-means/...:133-141 computes
+    // but never asserts this; we do)
+    assert(res.sse.zip(res.sse.tail).forall { case (a, b) => b <= a + 1e-9 })
+    val sizes = res.assignments.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0 -> 5L, 1 -> 5L))
+  }
+
+  test("kmeans: empty cluster keeps its centroid") {
+    val pts = Seq(1.0, 1.5, 2.0).toDF("x")
+    val res = KMeans.run(pts, "x", init = Seq(1.0, 500.0), maxIter = 3, fixedIter = true)
+    assert(res.centroids(1) == 500.0)
+    assert(res.centroids(0) == 1.5)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+/** Smoke + shape checks for the query catalog on sf0.001. Full value-level
+  * correctness is the DuckDB oracle gate (tools/check_oracle.py locally,
+  * the driver's CORRECTNESS_r{N}.json per round).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every query has either an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("every oracle key has a query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("bench queries exist") {
+    assert(SparkEntry.benchQueries.nonEmpty)
+    assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run and are non-degenerate on sf0.001") {
+    val allowedEmpty = Set("q_join_anti", "q_set_except") // genuinely empty at tiny sf
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, sf("sf0.001")).count()
+        if (n == 0 && !allowedEmpty(name)) Some(s"$name: 0 rows") else None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
