@@ -15,13 +15,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelQueries.defs ++
-      graft.queries.GraphQueries.defs
+      graft.queries.GraphQueries.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.RelQueries.oracles ++
-      graft.queries.GraphQueries.oracles
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 
   /** Headline subset timed by Bench (kept fast enough to run per-round
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */
@@ -32,5 +34,8 @@ object SparkEntry {
     "q_events_window", "q_events_sessionize",
     "q_graph_degree", "q_graph_triangles", "q_graph_sssp",
     "q_graph_pagerank", "q_graph_kmeans",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_embedding", "q_sim_topk",
+    "q_text_quality", "q_text_fingerprint",
   ).filter(queries.contains)
 }

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Document deduplication for training-data pipelines, at four fidelity
+  * levels. All hashing is the deterministic integer arithmetic of TextHash
+  * (no engine-native hashes), so results are reproducible across engines
+  * and cluster sizes.
+  *
+  * Scale design: exact dedup is one hash-partitioned groupBy. MinHash/LSH
+  * and SimHash avoid the quadratic pair space entirely — candidates come
+  * from equi-joins on band keys (shuffle on small keys, heavily partial-
+  * aggregated), and only candidates pay the verification cost. At 100 TB
+  * the band join is the only shuffle whose width matters, and its key
+  * cardinality (bands x key-space) keeps partitions balanced; a hot band
+  * (many identical docs) is exactly the AQE skew-join case.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the surviving doc_id
+    * (lowest) and the duplicate count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+
+  /** (doc_id, hs) — distinct 3-word-shingle poly-hashes per document.
+    * Documents with fewer than 3 words have no shingles and are dropped. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(shingleHashesSpark("ws")).as("hs"))
+
+  /** (doc_id, hs, mh) — minhash signatures over the shingle-hash sets. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleHashes(docs).withColumn("mh", expr(minhashSpark("hs")))
+
+  /** Candidate pairs from LSH banding: docs sharing any band of the
+    * signature. Output (doc_a < doc_b), distinct. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map(b =>
+      struct(lit(b).as("band"), expr(bandKeySpark("mh", b)).as("key")))
+    val bands = signatures
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.toDF("doc_a", "band", "key")
+    val b = bands.toDF("doc_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard on the
+    * shingle sets. Output (doc_a, doc_b, jacc) with jacc >= threshold. */
+  def minhashDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs).persist()
+    val pairs = lshCandidates(sigs)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jacc", expr(jaccardSpark("hs_a", "hs_b")))
+      .filter(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "jacc")
+    pairs
+  }
+
+  /** (doc_id, sim) — 16-bit simhash over the word multiset (order- and
+    * permutation-insensitive). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
+      .select(col("doc_id"), expr(wordHashesSpark("ws")).as("wh"))
+      .select(col("doc_id"), expr(simhashSpark("wh")).as("sim"))
+
+  /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
+    * generation via band equi-join is *exact* for maxHamming <= 3 with the
+    * 4x4-bit layout (pigeonhole: one band must match). */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val bandStructs = (0 until SimBands).map(b =>
+      struct(lit(b).as("band"), expr(simBandSpark("sim", b)).as("key")))
+    val bands = sigs
+      .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.toDF("doc_a", "sim_a", "band", "key")
+    val b = bands.toDF("doc_b", "sim_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the
+    * didactic quadratic baseline the LSH path replaces at scale. `sampleMod`
+    * bounds the pair space (docs with doc_id % sampleMod == 0). */
+  def ngramJaccard(docs: DataFrame, threshold: Double, sampleMod: Int): DataFrame = {
+    val hs = shingleHashes(docs.filter(col("doc_id") % sampleMod === 0))
+    val a = hs.toDF("doc_a", "hs_a")
+    val b = hs.toDF("doc_b", "hs_b")
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jacc", expr(jaccardSpark("hs_a", "hs_b")))
+      .filter(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "jacc")
+  }
+}

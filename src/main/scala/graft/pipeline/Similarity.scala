@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an Array[Float] column.
+  *
+  * Numeric policy: every dot product is a strictly sequential left fold in
+  * double precision (aggregate over zip_with), so Spark and the DuckDB
+  * oracle produce bit-identical sums; scores are rounded to 6 decimals to
+  * absorb any residual formatting-level difference.
+  *
+  * Scale design: brute-force is a broadcast nested loop (tiny query side x
+  * full corpus scan) — linear in the corpus, embarrassingly parallel, the
+  * right baseline even at 100 TB when the query set is small. The LSH path
+  * (random signed hyperplanes, banded) turns all-pairs search into an
+  * equi-join on bucket keys — the candidate set shrinks by the bucket
+  * occupancy factor while recall is tunable via bands.
+  */
+object Similarity {
+  /** hyperplane count = HpBands bands x HpBandBits bits */
+  val HpBands = 4
+  val HpBandBits = 4
+  val NumHyperplanes: Int = HpBands * HpBandBits
+
+  /** Deterministic integer hyperplane coefficient for (hyperplane t, dim d):
+    * pseudo-random in [-14, 14], computable in SQL on both engines. */
+  def coef(t: Int, d: Int): Int = (t * 131 + d * 137) % 29 - 14
+
+  /** sequential-fold dot product of two array columns (Spark SQL expr) */
+  def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"
+
+  /** signed projection onto hyperplane t (dims indexed 1..dim) */
+  def hyperplaneDotSpark(v: String, t: Int, dim: Int): String =
+    s"aggregate(transform(sequence(1, $dim), i -> CAST(element_at($v, i) AS DOUBLE) * ((($t * 131 + (i - 1) * 137) % 29) - 14)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** LSH band key b of vector expr `v`: 4 sign bits packed into an int */
+  def bucketKeySpark(v: String, b: Int, dim: Int): String =
+    (0 until HpBandBits).map { r =>
+      val t = b * HpBandBits + r
+      s"IF(${hyperplaneDotSpark(v, t, dim)} >= 0.0, ${1 << r}, 0)"
+    }.mkString(" + ")
+
+  // --- DuckDB-dialect twins (same sequential-fold arithmetic) ---
+  def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+  def normDuck(a: String): String = s"sqrt(${dotDuck(a, a)})"
+  def hyperplaneDotDuck(v: String, t: Int, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dim + 1}), i -> CAST($v[i] AS DOUBLE) * ((($t * 131 + (i - 1) * 137) % 29) - 14))), (acc, x) -> acc + x)"
+  def bucketKeyDuck(v: String, b: Int, dim: Int): String =
+    (0 until HpBandBits).map { r =>
+      val t = b * HpBandBits + r
+      s"CASE WHEN ${hyperplaneDotDuck(v, t, dim)} >= 0.0 THEN ${1 << r} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * Output (qid, rn, nid, score). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("nq", expr(normSpark("qv")))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nn", expr(normSpark("nv")))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", round(expr(dotSpark("qv", "nv")) / (col("nq") * col("nn")), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "nid", "score")
+  }
+
+  /** (vec_id, band, key, embedding, norm) — LSH bucket assignment. */
+  def lshBuckets(emb: DataFrame, dim: Int): DataFrame = {
+    val bandStructs = (0 until HpBands).map(b =>
+      struct(lit(b).as("band"), expr(bucketKeySpark("embedding", b, dim)).as("key")))
+    emb.select(col("vec_id"), col("embedding"),
+        expr(normSpark("embedding")).as("norm"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Near-duplicate vector pairs: banded-LSH candidates verified by cosine
+    * >= threshold. Output (id_a, id_b, score). Pairs are deduped on ids
+    * *before* re-joining vectors, so the distinct never shuffles embeddings. */
+  def lshNearDup(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val buckets = lshBuckets(emb, dim).select("vec_id", "band", "key")
+    val cand = buckets.toDF("id_a", "band", "key")
+      .join(buckets.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      expr(normSpark("embedding")).as("norm"))
+    cand
+      .join(vecs.toDF("id_a", "va", "na"), "id_a")
+      .join(vecs.toDF("id_b", "vb", "nb"), "id_b")
+      .withColumn("score", round(expr(dotSpark("va", "vb")) / (col("na") * col("nb")), 6))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}

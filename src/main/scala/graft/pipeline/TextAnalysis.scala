@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Text-quality operators for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting. Pure per-row codegen'd
+  * expressions — no shuffle, no UDF, trivially scalable.
+  */
+object TextAnalysis {
+
+  /** tiny per-language stopword lists for the heuristic language scorer;
+    * shared verbatim with the DuckDB oracle */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+  )
+
+  private def hitCondition(words: Seq[String]): String =
+    words.map(w => s"w = '$w'").mkString(" OR ")
+
+  /** stopword-hit count for one language over a words-array expr (Spark) */
+  def langScoreSpark(ws: String, lang: String): String = {
+    val words = Stopwords.toMap.apply(lang)
+    s"size(filter($ws, w -> ${hitCondition(words)}))"
+  }
+  def langScoreDuck(ws: String, lang: String): String = {
+    val words = Stopwords.toMap.apply(lang)
+    s"len(list_filter($ws, w -> ${hitCondition(words)}))"
+  }
+
+  /** first-max argmax over the language scores (score cols s_<lang>) —
+    * identical CASE chain on both engines */
+  def argmaxLangSql: String = {
+    val langs = Stopwords.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val conds = rest.map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  /** (doc_id, lang_pred, s_en, s_es, s_fr, s_de) */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = Stopwords.foldLeft(
+      docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))) {
+      case (df, (lang, _)) => df.withColumn(s"s_$lang", expr(langScoreSpark("ws", lang)))
+    }
+    val cols = Seq("doc_id", "lang_pred") ++ Stopwords.map(s => s"s_${s._1}")
+    scored.withColumn("lang_pred", expr(argmaxLangSql))
+      .select(cols.head, cols.tail: _*)
+  }
+
+  /** quality metrics: lengths, lexical diversity, stopword ratio. All
+    * ratios are int/int double divisions (deterministic). */
+  def quality(docs: DataFrame): DataFrame = {
+    val allStops = Stopwords.flatMap(_._2)
+    docs.select(col("doc_id"), col("text"), expr(wordsSpark("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_uniq"),
+        (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("uniq_ratio"),
+        (expr(s"size(filter(ws, w -> ${hitCondition(allStops)}))").cast("double")
+          / size(col("ws"))).as("stop_ratio"),
+        (expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))").cast("double")
+          / size(col("ws"))).as("avg_word_len"))
+  }
+
+  /** token counts: whitespace tokens + a BPE-ish estimate of
+    * ceil(len(word)/4) subword units per word */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_ws_tokens"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) div 4)")
+          .as("n_bpe_tokens"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .as("n_word_chars"))
+
+  /** (doc_id, fp) — rolling polynomial fingerprint of the whole text */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(polyHashSpark("trim(text)")).as("fp"))
+
+  // DuckDB twins for the query layer
+  def qualityHitCondition: String = hitCondition(Stopwords.flatMap(_._2))
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+/** Deterministic hashing primitives shared between the Spark engine and the
+  * DuckDB oracle. Everything is expressed in 64-bit integer arithmetic that
+  * both engines evaluate identically (no engine-native hash functions, which
+  * differ), from the same coefficient constants.
+  *
+  * Two dialect generators per primitive: `*Spark` (Spark SQL expression
+  * string, used via expr()) and `*Duck` (DuckDB SQL). Structurally the same
+  * computation; only function names differ (aggregate/list_reduce,
+  * element_at/[], size/len, sequence/range).
+  */
+object TextHash {
+  /** modulus for polynomial string hashes (prime, < 2^30 so a*h fits i64) */
+  val P = 1000000007L
+  /** multiplier spreading poly-hashes across 32 bits (Knuth) */
+  val Spread = 2654435761L
+
+  // MinHash configuration: 16 signatures in 4 bands of 4 rows.
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  /** affine minhash coefficients h_j(x) = (A_j x + B_j) mod P */
+  val As: IndexedSeq[Long] = (1 to NumHashes).map(j => (BigInt(Spread) * j % P).toLong)
+  val Bs: IndexedSeq[Long] = (1 to NumHashes).map(j => ((BigInt(972663749L) * j + 12345) % P).toLong)
+
+  // SimHash configuration: 32-bit signatures, 4 bands of 8 bits; hamming
+  // distance <= 3 guarantees at least one identical band (pigeonhole), so
+  // band-join candidate generation is exact for that radius. (16 bits is
+  // measurably too coarse: ~20% of random doc pairs collide within 3 bits.)
+  val SimBits = 32
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands
+
+  // --- polynomial hash of a string expression: fold (acc*31 + code) % P ---
+  // Spark's split(s, '') can emit empty strings (regex-split artifacts);
+  // DuckDB's string_split(s, '') never does — filter them so folds agree.
+  def polyHashSpark(s: String): String =
+    s"aggregate(filter(split($s, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $P)"
+  def polyHashDuck(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  // --- word arrays (whitespace tokenization; identical on both engines) ---
+  def wordsSpark(text: String): String = s"split(trim($text), ' ')"
+  def wordsDuck(text: String): String = s"string_split(trim($text), ' ')"
+
+  // --- n-word shingles of a words-array expression `ws` (n=3) ---
+  def shinglesSpark(ws: String): String =
+    s"transform(sequence(1, size($ws) - 2), i -> concat_ws(' ', element_at($ws, i), element_at($ws, i + 1), element_at($ws, i + 2)))"
+  def shinglesDuck(ws: String): String =
+    s"list_transform(range(1, len($ws) - 1), i -> concat_ws(' ', $ws[i], $ws[i+1], $ws[i+2]))"
+
+  /** distinct poly-hashes of the 3-shingle set of `ws` */
+  def shingleHashesSpark(ws: String): String =
+    s"array_distinct(transform(${shinglesSpark(ws)}, sh -> ${polyHashSpark("sh")}))"
+  def shingleHashesDuck(ws: String): String =
+    s"list_distinct(list_transform(${shinglesDuck(ws)}, sh -> ${polyHashDuck("sh")}))"
+
+  /** minhash signature array (NumHashes entries) over a hash-array expr `hs` */
+  def minhashSpark(hs: String): String =
+    (0 until NumHashes).map { j =>
+      s"array_min(transform($hs, h -> (${As(j)} * h + ${Bs(j)}) % $P))"
+    }.mkString("array(", ", ", ")")
+  def minhashDuck(hs: String): String =
+    (0 until NumHashes).map { j =>
+      s"list_min(list_transform($hs, h -> (CAST(${As(j)} AS BIGINT) * h + ${Bs(j)}) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** LSH band key b (0-based) of a minhash-array expr `mh`: the band's
+    * signature values joined as a string */
+  def bandKeySpark(mh: String, b: Int): String =
+    s"concat_ws('-', transform(slice($mh, ${b * RowsPerBand + 1}, $RowsPerBand), x -> CAST(x AS STRING)))"
+  def bandKeyDuck(mh: String, b: Int): String =
+    s"array_to_string($mh[${b * RowsPerBand + 1}:${(b + 1) * RowsPerBand}], '-')"
+
+  /** Jaccard similarity of two distinct-hash arrays (int arithmetic + one
+    * double division — bit-identical across engines) */
+  def jaccardSpark(a: String, b: String): String =
+    s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / (size($a) + size($b) - size(array_intersect($a, $b)))"
+  def jaccardDuck(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b)))"
+
+  /** word-multiset hashes (order-insensitive input to simhash) of `ws` */
+  def wordHashesSpark(ws: String): String =
+    s"transform($ws, w -> (${polyHashSpark("w")} * $Spread) % 4294967296)"
+  def wordHashesDuck(ws: String): String =
+    s"list_transform($ws, w -> (${polyHashDuck("w")} * $Spread) % 4294967296)"
+
+  /** 16-bit simhash of a word-hash array expr `wh`: per bit, sum +/-1 over
+    * words; set the bit when the sum is positive */
+  def simhashSpark(wh: String): String =
+    (0 until SimBits).map { j =>
+      val d = 1L << j
+      s"IF(aggregate($wh, CAST(0 AS BIGINT), (acc, h) -> acc + 2 * ((h div $d) % 2) - 1) > 0, $d, 0)"
+    }.mkString(" + ")
+  def simhashDuck(wh: String): String =
+    (0 until SimBits).map { j =>
+      val d = 1L << j
+      s"CASE WHEN list_sum(list_transform($wh, h -> 2 * ((h // $d) % 2) - 1)) > 0 THEN $d ELSE 0 END"
+    }.mkString(" + ")
+
+  /** simhash band value b: SimBandBits-wide slice of the signature */
+  def simBandSpark(sim: String, b: Int): String =
+    s"(($sim) div ${1L << (b * SimBandBits)}) % ${1 << SimBandBits}"
+  def simBandDuck(sim: String, b: Int): String =
+    s"(($sim) // ${1L << (b * SimBandBits)}) % ${1 << SimBandBits}"
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.TextHash._
+import graft.pipeline.Similarity._
+import graft.pipeline.TextAnalysis._
+
+/** Training-data-pipeline coverage: dedup at four fidelity levels,
+  * embedding similarity search, text analysis, multimodal plumbing. Every
+  * query has a DuckDB oracle generated from the same TextHash/Similarity
+  * constants — the hashes are engine-independent integer arithmetic, so
+  * both engines agree bit-for-bit.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MinhashThreshold = 0.8
+  private val SimhashMaxHamming = 3
+  private val NgramThreshold = 0.02
+  private val NgramSampleMod = 5
+  private val EmbThreshold = 0.40
+  private val EmbDim = 64
+  private val TopK = 5
+  private val NumQueryVecs = 8
+
+  val defs: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy("keeper")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashDedup(Tables.documents(s, d), SimhashMaxHamming)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), NgramThreshold, NgramSampleMod)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.lshNearDup(Tables.embeddings(s, d), EmbDim, EmbThreshold)
+        .orderBy("id_a", "id_b")),
+
+    "q_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NumQueryVecs), TopK)
+        .orderBy("qid", "rn")
+    }),
+
+    "q_text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "q_text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(Multimodal.binarize(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.binarize(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")),
+  )
+
+  // ---- oracle SQL (generated from the same constants) ----
+
+  private val docsCte =
+    s"""docs AS MATERIALIZED (SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents)"""
+
+  private val minhashSql = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeyDuck("mh", b)} AS bkey FROM mh")
+      .mkString("\nUNION ALL ")
+    s"""WITH $docsCte,
+       |sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM docs WHERE len(ws) >= 3),
+       |mh AS MATERIALIZED (SELECT doc_id, ${minhashDuck("hs")} AS mh FROM sh),
+       |bands AS MATERIALIZED ($bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jacc FROM (
+       |  SELECT doc_a, doc_b, ${jaccardDuck("x.hs", "y.hs")} AS jacc
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+       |WHERE jacc >= $MinhashThreshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashSql = {
+    val bandSelects = (0 until SimBands).map(b =>
+      s"SELECT doc_id, sim, $b AS band, ${simBandDuck("sim", b)} AS bkey FROM sg")
+      .mkString("\nUNION ALL ")
+    s"""WITH $docsCte,
+       |wh AS MATERIALIZED (SELECT doc_id, ${wordHashesDuck("ws")} AS wh FROM docs),
+       |sg AS MATERIALIZED (SELECT doc_id, ${simhashDuck("wh")} AS sim FROM wh),
+       |bands AS MATERIALIZED ($bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming FROM cand)
+       |WHERE hamming <= $SimhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val ngramSql =
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents WHERE doc_id % $NgramSampleMod = 0),
+       |sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM docs WHERE len(ws) >= 3)
+       |SELECT doc_a, doc_b, jacc FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jaccardDuck("a.hs", "b.hs")} AS jacc
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jacc >= $NgramThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  private val embDedupSql = {
+    val bucketSelects = (0 until HpBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bucketKeyDuck("embedding", b, EmbDim)} AS bkey FROM embeddings")
+      .mkString("\nUNION ALL ")
+    s"""WITH buckets AS MATERIALIZED ($bucketSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |vecs AS MATERIALIZED (SELECT vec_id, embedding, ${normDuck("embedding")} AS norm FROM embeddings)
+       |SELECT id_a, id_b, score FROM (
+       |  SELECT id_a, id_b, round(${dotDuck("x.embedding", "y.embedding")} / (x.norm * y.norm), 6) AS score
+       |  FROM cand JOIN vecs x ON x.vec_id = id_a JOIN vecs y ON y.vec_id = id_b)
+       |WHERE score >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val simTopkSql =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv, ${normDuck("embedding")} AS nq
+       |  FROM embeddings WHERE vec_id < $NumQueryVecs),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id AS nid, embedding AS nv, ${normDuck("embedding")} AS nn FROM embeddings),
+       |p AS (
+       |  SELECT qid, nid, round(${dotDuck("qv", "nv")} / (nq * nn), 6) AS score
+       |  FROM q, c WHERE nid <> qid)
+       |SELECT qid, rn, nid, score FROM (
+       |  SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+       |  FROM p)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+
+  private val langidSql = {
+    val scores = Stopwords.map { case (l, _) => s"${langScoreDuck("ws", l)} AS s_$l" }.mkString(", ")
+    val cols = Stopwords.map(s => s"s_${s._1}").mkString(", ")
+    s"""WITH $docsCte,
+       |s AS (SELECT doc_id, $scores FROM docs)
+       |SELECT doc_id, $argmaxLangSql AS lang_pred, $cols FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualitySql =
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, text, ${wordsDuck("text")} AS ws FROM documents)
+       |SELECT doc_id,
+       |  length(text) AS n_chars_raw,
+       |  len(ws) AS n_words,
+       |  len(list_distinct(ws)) AS n_uniq,
+       |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+       |  CAST(len(list_filter(ws, w -> $qualityHitCondition)) AS DOUBLE) / len(ws) AS stop_ratio,
+       |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_word_len
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  private val tokensSql =
+    s"""WITH d AS (SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents)
+       |SELECT doc_id,
+       |  len(ws) AS n_ws_tokens,
+       |  CAST(list_sum(list_transform(ws, w -> (length(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS n_word_chars
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, ${polyHashDuck("trim(text)")} AS fp FROM documents ORDER BY doc_id"""
+
+  private val multimodalMetaSql =
+    s"""SELECT doc_id, 'application/octet-stream' AS mime,
+       |  octet_length(CAST(text AS BLOB)) AS n_bytes, source AS origin
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // feature oracle is exact because the corpus is ASCII (verified: byte
+  // length == char length for every row), so ascii(char) == byte value
+  private val multimodalFeaturesSql =
+    s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+       |SELECT doc_id, 'application/octet-stream' AS mime, nb AS n_bytes,
+       |  CAST(32 + (CASE WHEN nb > 0 THEN ascii(substring(text, 1, 1)) ELSE 0 END) % 97 AS INTEGER) AS width,
+       |  CAST(32 + nb % 89 AS INTEGER) AS height,
+       |  CASE WHEN nb = 0 THEN 0.0
+       |       ELSE CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE) / nb
+       |  END AS mean_byte
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper""",
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_simhash" -> simhashSql,
+    "q_dedup_ngram" -> ngramSql,
+    "q_dedup_embedding" -> embDedupSql,
+    "q_sim_topk" -> simTopkSql,
+    "q_text_langid" -> langidSql,
+    "q_text_quality" -> qualitySql,
+    "q_text_tokens" -> tokensSql,
+    "q_text_fingerprint" -> fingerprintSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_multimodal_features" -> multimodalFeaturesSql,
+  )
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table. The reference is
+  * batch-only (SURVEY §2.9) — its iterative driver loops are fixpoint
+  * recomputation, not streams — so this module is a capability extension:
+  * the same event analytics as the batch queries (q_events_window /
+  * q_events_sessionize), expressed incrementally with watermarked state.
+  *
+  * Scale design: windowed aggregation state is bounded by the watermark
+  * horizon; per-key session state lives in the state store keyed by
+  * user_id (hash-partitioned, incremental checkpoints). The parquet file
+  * source is the test harness stand-in for Kafka — transforms are
+  * source-agnostic.
+  */
+object EventStreams {
+
+  /** events.parquet schema with ts as raw nanosecond longs (the session
+    * reads TIMESTAMP(NANOS) via nanosAsLong; see Tables/Verify) */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory, with a proper
+    * microsecond timestamp column for event-time ops. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+
+  /** Hourly tumbling-window counts per event type with a 2-hour watermark —
+    * the streaming twin of q_events_window. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState (Update mode) — custom
+    * keyed state beyond what windowed aggregation expresses. */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

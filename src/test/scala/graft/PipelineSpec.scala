@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest doc_id and counts copies") {
+    val d = docs(1L -> "a b c", 5L -> "a b c", 3L -> "x y z")
+    val m = Dedup.exact(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds a near-duplicate pair and skips unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashDedup(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("identical word multisets in different order share a simhash") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "delta gamma beta alpha",
+      3L -> "epsilon zeta eta theta iota kappa")
+    val sigs = Dedup.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.simhashDedup(d, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.head._2 == 1L && top.head._3 == 1.0)
+    assert(top(1)._2 == 2L && top(1)._3 > 0.99)
+    assert(top(2)._3 == 0.0)
+  }
+
+  test("lsh near-dup finds identical vectors") {
+    val emb = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDup(emb, dim = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val d = docs(1L -> "the cat and the dog", 2L -> "el gato y la casa que")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es")
+  }
+
+  test("token counts: whitespace and BPE-ish estimates") {
+    val d = docs(1L -> "abcd efghijkl x")
+    val r = TextAnalysis.tokenCounts(d).collect().head
+    assert(r.getLong(1) == 3L)            // ws tokens
+    assert(r.getLong(2) == 1 + 2 + 1)     // ceil(4/4)+ceil(8/4)+ceil(1/4)
+    assert(r.getLong(3) == 13L)           // chars in words
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val d = docs(1L -> "a b", 2L -> "b a", 3L -> "a b")
+    val fp = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
+  }
+
+  test("multimodal: stub features are deterministic; metadata path prunes payload") {
+    val d = Seq((1L, "hello", "en", "src1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.binarize(d)
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 5L)
+    assert(f.width == 32 + 'h'.toInt % 97)
+    assert(f.mean_byte == "hello".map(_.toInt).sum.toDouble / 5)
+    // metadata-only plan must not reference the binary column
+    val plan = Multimodal.metadata(media).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("content"))
+  }
+}

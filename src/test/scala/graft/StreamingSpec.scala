@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.EventStreams
+
+/** Streaming transforms verified against their batch twins: a parquet
+  * directory drives the stream synchronously (processAllAvailable), and
+  * results in the memory sink must equal the batch computation.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events")
+    Files.copy(
+      Paths.get(sf("sf0.001"), "events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("hourly windowed counts: streaming result equals batch result") {
+    val q = EventStreams.hourlyCounts(EventStreams.fromParquetDir(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // append mode only emits windows the watermark has passed; compare on
+    // the emitted subset
+    val streamed = spark.table("hourly")
+      .select(col("bucket").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+
+    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("string").as("b"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
+  }
+
+  test("stateful running totals equal batch aggregation after one pass") {
+    val evs = EventStreams.fromParquetDir(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[EventStreams.Ev]
+    val q = EventStreams.runningUserTotals(evs)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("totals")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // last update per user is the final state
+    val streamed = spark.table("totals")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
