@@ -1,0 +1,161 @@
+package graft.functions
+
+import graft.pipeline.TextHash
+
+/** JVM kernels behind the custom Catalyst expressions. Each computes
+  * exactly the arithmetic of the TextHash/Similarity SQL formulations
+  * (verified by equivalence tests in FunctionsSpec), in tight primitive
+  * loops with zero intermediate allocation — the generated code is a single
+  * static call, so whole-stage codegen stays small and Janino-fast while
+  * the hot loop is JIT-compiled once.
+  */
+object TextHashImpl {
+  import TextHash.{P, Spread}
+
+  /** polynomial codepoint hash: fold (acc*31 + cp) % P — the kernel of
+    * polyHashSpark/polyHashDuck */
+  def polyHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** polyHash of words i..i+2 joined with ' ' — without building the
+    * joined string */
+  private def shingleHash(words: Array[String], i: Int): Long = {
+    var acc = 0L
+    var w = i
+    while (w < i + 3) {
+      if (w > i) acc = (acc * 31 + ' '.toInt) % P
+      val s = words(w)
+      var j = 0
+      val n = s.length
+      while (j < n) {
+        val cp = s.codePointAt(j)
+        acc = (acc * 31 + cp) % P
+        j += Character.charCount(cp)
+      }
+      w += 1
+    }
+    acc
+  }
+
+  /** whitespace tokenization identical to split(trim(s), ' ') — single
+    * spaces delimit; consecutive spaces yield empty tokens */
+  def tokenize(s: String): Array[String] = s.trim.split(" ", -1)
+
+  /** distinct 3-word-shingle hashes, order of first occurrence (set
+    * semantics match array_distinct/list_distinct) */
+  def shingleHashes(s: String): Array[Long] = {
+    val words = tokenize(s)
+    if (words.length < 3) return Array.emptyLongArray
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= words.length - 3) {
+      out.add(shingleHash(words, i))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    arr
+  }
+
+  /** per-word spread hashes (multiset, order kept):
+    * (polyHash(w) * Spread) mod 2^SimBits */
+  def wordHashes(s: String): Array[Long] = {
+    val words = tokenize(s)
+    val mod = 1L << TextHash.SimBits
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      out(i) = polyHash(words(i)) * Spread % mod
+      i += 1
+    }
+    out
+  }
+
+  /** SimBits-bit simhash over a word-hash multiset: majority vote per bit */
+  def simHash(wh: Array[Long]): Long = {
+    val bits = TextHash.SimBits
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < wh.length) {
+      val h = wh(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+
+  /** minhash signature (NumHashes affine permutations) over a hash set */
+  def minHash(hs: Array[Long]): Array[Long] = {
+    val k = TextHash.NumHashes
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = TextHash.As(j)
+      val b = TextHash.Bs(j)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (a * hs(i) + b) % P
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    out
+  }
+}
+
+/** Vector kernels for the embedding operators — strictly sequential folds
+  * in double precision, matching Similarity.dotSpark/dotDuck bit for bit.
+  */
+object VecImpl {
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  /** packed sign bits of the NumHyperplanes deterministic hyperplanes
+    * (Similarity.coef); bit t set when the signed projection is >= 0 */
+  def hyperplaneBits(v: Array[Float]): Long = {
+    var bits = 0L
+    var t = 0
+    while (t < graft.pipeline.Similarity.NumHyperplanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        acc += v(i).toDouble * ((t * 131 + i * 137) % 29 - 14)
+        i += 1
+      }
+      if (acc >= 0.0) bits |= 1L << t
+      t += 1
+    }
+    bits
+  }
+}

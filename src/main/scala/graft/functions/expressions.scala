@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot hash/vector kernels.
+  *
+  * Why expressions and not SQL higher-order functions: the HOF
+  * formulations (aggregate/transform lambdas) allocate intermediate arrays
+  * per row and explode whole-stage-codegen size (48 folds for simhash);
+  * why expressions and not UDFs: these stay inside codegen — each compiles
+  * to a single static JVM call, no Scala-function SerDe, null handling via
+  * nullSafeCodeGen. Semantics are identical to the HOF/DuckDB versions
+  * (FunctionsSpec proves equivalence), so the oracle contract is unchanged.
+  */
+
+/** string -> long: polynomial codepoint hash mod TextHash.P */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.polyHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.polyHash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_polyhash"
+}
+
+/** string -> array<long>: distinct 3-word-shingle hashes */
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashImpl.shingleHashes(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextHashImpl.shingleHashes($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** string -> long: SimBits-bit simhash of the word multiset */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.simHash(TextHashImpl.wordHashes(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashImpl.simHash(graft.functions.TextHashImpl.wordHashes($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** array<long> -> array<long>: minhash signature */
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashImpl.minHash(input.asInstanceOf[ArrayData].toLongArray()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextHashImpl.minHash($c.toLongArray()))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** (array<float>, array<float>) -> double: sequential-fold dot product */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<FLOAT> args, got $l, $r")
+  }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecImpl.dot(a.asInstanceOf[ArrayData].toFloatArray(), b.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecImpl.dot($a.toFloatArray(), $b.toFloatArray())")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
+/** array<float> -> long: packed hyperplane sign bits (LSH bucket source) */
+case class HyperplaneBitsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    VecImpl.hyperplaneBits(input.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecImpl.hyperplaneBits($c.toFloatArray())")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_bits"
+}
+
+/** Column-API entry points (the library surface). */
+object GraftFunctions {
+  private def c(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
+  private def ex(col: Column): Expression = org.apache.spark.sql.GraftBridge.expression(col)
+
+  def polyHash(col: Column): Column = c(PolyHashExpr(ex(col)))
+  def shingleHashes(col: Column): Column = c(ShingleHashesExpr(ex(col)))
+  def simHash(col: Column): Column = c(SimHashExpr(ex(col)))
+  def minHashSig(col: Column): Column = c(MinHashSigExpr(ex(col)))
+  def dotProduct(a: Column, b: Column): Column = c(DotProductExpr(ex(a), ex(b)))
+  def vecNorm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotProduct(a, a))
+  def hyperplaneBits(col: Column): Column = c(HyperplaneBitsExpr(ex(col)))
+}

@@ -14,18 +14,25 @@ import graft.iterate.Fixpoint
   *    graph has out-degree 1 everywhere, so it never divides; we divide so
   *    general graphs conserve mass too);
   *  - mass arriving at the dangling dummy vertex is the "delta",
-  *    redistributed equally to all real vertices *in the same iteration*,
-  *    after which the dummy is zeroed (the RDD variant's semantics — the
-  *    DataFrame variant at PageRankDataSet/.../FollowerCount.scala:70 leaks
-  *    delta back into the dummy, a reference bug we do not reproduce);
+  *    redistributed equally to all real vertices, after which the dummy is
+  *    zeroed (the RDD variant's semantics — the DataFrame variant at
+  *    PageRankDataSet/.../FollowerCount.scala:70 leaks delta back into the
+  *    dummy, a reference bug we do not reproduce);
   *  - vertices with no in-links still receive the redistributed delta
   *    (the union-merge at PageRankRDD/.../FollowerCount.scala:64-66).
   *
-  * Scale design: the edge relation is repartitioned by src and cached once;
-  * each iteration's join then reuses that partitioning (no re-shuffle of the
-  * big side). The delta scalar is extracted with a broadcast single-row
-  * cross join, not a driver collect, so one iteration = one job. Lineage is
-  * cut every iteration via Fixpoint (localCheckpoint).
+  * Scale/plan design:
+  *  - **Deferred delta**: the loop state stores ranks *without* the
+  *    delta/V term; the dummy row itself carries the delta. Each iteration
+  *    applies the previous delta inside the push (`(base + delta/V)` — the
+  *    same float expression the reference evaluates, so values are
+  *    bit-identical), and the final delta is applied once after the loop.
+  *    This halves per-iteration jobs: the delta scalar is a broadcast of
+  *    one cached row, never a recomputation of the contribution subtree.
+  *  - Edge relation pre-partitioned by src with cardinality-sized width and
+  *    cached once; every iteration's join reuses it.
+  *  - Lineage cut per iteration via Fixpoint (localCheckpoint), which also
+  *    sizes the loop's shuffles to the vertex count.
   */
 object PageRank {
 
@@ -36,42 +43,47 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int, dummy: Long, realVertexCount: Long): DataFrame = {
     val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val width = Fixpoint.sizedPartitions(spark, nEdges)
 
-    val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // initial ranks: every real vertex 1/N, dummy 0 — PageRankRDD/...:49-51
+    // base state: every real vertex 1/N, dummy 0 (PageRankRDD/...:49-51).
+    // base(dummy) always equals the previous iteration's delta (0 initially).
     val init = Graphs.vertices(e)
       .withColumn("rank",
         when(col("vertex") === dummy, lit(0.0))
           .otherwise(lit(1.0 / realVertexCount)))
 
-    val result = Fixpoint.iterate(init, iterations) { (ranks, _) =>
+    def applyDelta(state: DataFrame): DataFrame = {
+      val delta = state.filter(col("vertex") === dummy)
+        .select((col("rank") / realVertexCount).as("d"))
+      state.crossJoin(broadcast(delta))
+        .select(col("vertex"),
+          when(col("vertex") === dummy, lit(0.0))
+            .otherwise(col("rank") + col("d")).as("rank"))
+    }
+
+    val result = Fixpoint.iterate(init, iterations) { (state, _) =>
+      // effective ranks = base + deferred delta (dummy reads as 0)
+      val eff = applyDelta(state)
       // push: each edge carries rank(src)/outdeg(src) to dst, summed per dst
       val contrib = e
         .join(outDeg, "src")
-        .join(ranks, e("src") === ranks("vertex"))
+        .join(eff, e("src") === eff("vertex"))
         .select(col("dst").as("vertex"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("vertex").agg(sum("c").as("c"))
-
-      // dangling delta as a broadcast scalar (no driver round-trip)
-      val delta = contrib.filter(col("vertex") === dummy)
-        .agg(coalesce(sum("c"), lit(0.0)).as("delta"))
-
-      // union-merge keeps vertices with no in-links (rank would otherwise drop)
-      ranks.select(col("vertex"), lit(0.0).as("c"))
+      // union-merge keeps vertices with no in-links at rank 0; the dummy
+      // row accumulates this iteration's delta
+      state.select(col("vertex"), lit(0.0).as("c"))
         .unionByName(contrib)
         .groupBy("vertex").agg(sum("c").as("rank"))
-        .crossJoin(broadcast(delta))
-        .select(
-          col("vertex"),
-          when(col("vertex") === dummy, lit(0.0))
-            .otherwise(col("rank") + col("delta") / realVertexCount)
-            .as("rank"))
     }
+    val finalRanks = applyDelta(result)
     e.unpersist(false); outDeg.unpersist(false)
-    result
+    finalRanks
   }
 
   /** Top-k by rank, deterministic tie-break on vertex id

@@ -27,7 +27,8 @@ object ShortestPath {
     * @return (vertex LONG, dist DOUBLE), Infinity for unreached
     */
   def run(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
-    val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val width = Fixpoint.sizedPartitions(edges.sparkSession, edges.count())
+    val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
 
     // state carries (vertex, dist, changed): `changed` marks the frontier
     val init = Graphs.vertices(e)
@@ -66,7 +67,8 @@ object ShortestPath {
     * partition-order-dependent; ours is stable).
     */
   def runWithPath(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
-    val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val width = Fixpoint.sizedPartitions(edges.sparkSession, edges.count())
+    val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val init = Graphs.vertices(e)
       .select(col("vertex"),
         when(col("vertex") === source, lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),

@@ -26,6 +26,17 @@ object Fixpoint {
     *   iterations (persist-only in between). 1 = every iteration, which is
     *   right for anything beyond a handful of iterations.
     */
+  /** rows per shuffle partition targeted while sizing the loop's shuffles */
+  private val RowsPerPartition = 500000L
+
+  /** partition count proportional to a measured cardinality, capped at the
+    * session's configured shuffle width — poor-man's CBO stats for the
+    * iterative operators */
+  def sizedPartitions(spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    math.max(1L, math.min(configured, rows / RowsPerPartition + 1)).toInt
+  }
+
   def iterate(
       init: DataFrame,
       maxIter: Int,
@@ -33,18 +44,40 @@ object Fixpoint {
       converged: (DataFrame, DataFrame) => Boolean = (_, _) => false)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     var state = init.persist(StorageLevel.MEMORY_AND_DISK)
-    state.count() // materialize so unpersist of inputs is safe
+    val n = state.count() // materialize so unpersist of inputs is safe
+
+    // Size the loop's shuffle width to the state, not the session default:
+    // a fixpoint over a bounded vertex set should not pay hundreds of
+    // near-empty tasks per iteration (the dominant cost of small iterative
+    // jobs), while a billion-row state keeps the configured width. Restored
+    // after the loop.
+    val spark = init.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val configured = spark.conf.get(key)
+    val aqeConfigured = spark.conf.get(aqeKey)
+    val width = math.max(1L, math.min(configured.toLong, n / RowsPerPartition + 1))
+
     var i = 0
     var done = false
-    while (i < maxIter && !done) {
-      var next = step(state, i)
-      next =
-        if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
-        else { val p = next.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
-      done = converged(state, next)
-      state.unpersist(blocking = false)
-      state = next
-      i += 1
+    try {
+      spark.conf.set(key, width.toString)
+      // AQE's per-stage replanning is pure driver latency once the state is
+      // small and plans are stable; keep it for wide states (skew joins).
+      if (width <= 4) spark.conf.set(aqeKey, "false")
+      while (i < maxIter && !done) {
+        var next = step(state, i)
+        next =
+          if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
+          else { val p = next.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
+        done = converged(state, next)
+        state.unpersist(blocking = false)
+        state = next
+        i += 1
+      }
+    } finally {
+      spark.conf.set(key, configured)
+      spark.conf.set(aqeKey, aqeConfigured)
     }
     state
   }

@@ -27,15 +27,17 @@ object Dedup {
       .select("keeper", "n_copies")
 
   /** (doc_id, hs) — distinct 3-word-shingle poly-hashes per document.
-    * Documents with fewer than 3 words have no shingles and are dropped. */
+    * Documents with fewer than 3 words have no shingles and are dropped.
+    * Uses the codegen'd ShingleHashesExpr kernel (graft.functions); the
+    * HOF-expression formulation it replaces is kept in TextHash for the
+    * oracle and equivalence tests. */
   def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), expr(shingleHashesSpark("ws")).as("hs"))
+    docs.select(col("doc_id"), graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
 
   /** (doc_id, hs, mh) — minhash signatures over the shingle-hash sets. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleHashes(docs).withColumn("mh", expr(minhashSpark("hs")))
+    shingleHashes(docs).withColumn("mh", graft.functions.GraftFunctions.minHashSig(col("hs")))
 
   /** Candidate pairs from LSH banding: docs sharing any band of the
     * signature. Output (doc_a < doc_b), distinct. */
@@ -65,16 +67,14 @@ object Dedup {
     pairs
   }
 
-  /** (doc_id, sim) — 16-bit simhash over the word multiset (order- and
-    * permutation-insensitive). */
+  /** (doc_id, sim) — SimBits-bit simhash over the word multiset (order-
+    * and permutation-insensitive), via the codegen'd SimHashExpr kernel. */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
-      .select(col("doc_id"), expr(wordHashesSpark("ws")).as("wh"))
-      .select(col("doc_id"), expr(simhashSpark("wh")).as("sim"))
+    docs.select(col("doc_id"), graft.functions.GraftFunctions.simHash(col("text")).as("sim"))
 
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
-    * generation via band equi-join is *exact* for maxHamming <= 3 with the
-    * 4x4-bit layout (pigeonhole: one band must match). */
+    * generation via band equi-join is *exact* for maxHamming < SimBands
+    * (pigeonhole: fewer differing bits than bands leaves one band intact). */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs)
     val bandStructs = (0 until SimBands).map(b =>

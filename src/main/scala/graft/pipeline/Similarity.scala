@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search over an Array[Float] column.
   *
   * Numeric policy: every dot product is a strictly sequential left fold in
-  * double precision (aggregate over zip_with), so Spark and the DuckDB
-  * oracle produce bit-identical sums; scores are rounded to 6 decimals to
-  * absorb any residual formatting-level difference.
+  * double precision (the codegen'd DotProductExpr kernel; the DuckDB oracle
+  * uses the same fold via list_reduce), so both engines produce
+  * bit-identical sums; scores are rounded to 6 decimals to absorb any
+  * residual formatting-level difference.
   *
   * Scale design: brute-force is a broadcast nested loop (tiny query side x
   * full corpus scan) — linear in the corpus, embarrassingly parallel, the
@@ -61,44 +62,48 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("nq", expr(normSpark("qv")))
+      .withColumn("nq", graft.functions.GraftFunctions.vecNorm(col("qv")))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("nn", expr(normSpark("nv")))
+      .withColumn("nn", graft.functions.GraftFunctions.vecNorm(col("nv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("nid") =!= col("qid"))
-      .withColumn("score", round(expr(dotSpark("qv", "nv")) / (col("nq") * col("nn")), 6))
+      .withColumn("score", round(graft.functions.GraftFunctions.dotProduct(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "rn", "nid", "score")
   }
 
-  /** (vec_id, band, key, embedding, norm) — LSH bucket assignment. */
+  /** (vec_id, band, key) — LSH bucket assignment. One codegen'd
+    * HyperplaneBitsExpr evaluation packs all sign bits; band keys are bit
+    * slices of it (identical packing to bucketKeyDuck). */
   def lshBuckets(emb: DataFrame, dim: Int): DataFrame = {
-    val bandStructs = (0 until HpBands).map(b =>
-      struct(lit(b).as("band"), expr(bucketKeySpark("embedding", b, dim)).as("key")))
-    emb.select(col("vec_id"), col("embedding"),
-        expr(normSpark("embedding")).as("norm"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bandStructs = (0 until HpBands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("__hp"), b * HpBandBits) % (1 << HpBandBits)).as("key"))
+    }
+    emb.select(col("vec_id"),
+        graft.functions.GraftFunctions.hyperplaneBits(col("embedding")).as("__hp"),
+        col("embedding"))
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Near-duplicate vector pairs: banded-LSH candidates verified by cosine
     * >= threshold. Output (id_a, id_b, score). Pairs are deduped on ids
     * *before* re-joining vectors, so the distinct never shuffles embeddings. */
   def lshNearDup(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
-    val buckets = lshBuckets(emb, dim).select("vec_id", "band", "key")
+    val buckets = lshBuckets(emb, dim)
     val cand = buckets.toDF("id_a", "band", "key")
       .join(buckets.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"),
-      expr(normSpark("embedding")).as("norm"))
+      graft.functions.GraftFunctions.vecNorm(col("embedding")).as("norm"))
     cand
       .join(vecs.toDF("id_a", "va", "na"), "id_a")
       .join(vecs.toDF("id_b", "vb", "nb"), "id_b")
-      .withColumn("score", round(expr(dotSpark("va", "vb")) / (col("na") * col("nb")), 6))
+      .withColumn("score", round(graft.functions.GraftFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }

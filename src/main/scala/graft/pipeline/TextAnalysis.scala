@@ -86,7 +86,8 @@ object TextAnalysis {
 
   /** (doc_id, fp) — rolling polynomial fingerprint of the whole text */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(polyHashSpark("trim(text)")).as("fp"))
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.polyHash(trim(col("text"))).as("fp"))
 
   // DuckDB twins for the query layer
   def qualityHitCondition: String = hitCondition(Stopwords.flatMap(_._2))

@@ -24,12 +24,13 @@ object TextHash {
   val As: IndexedSeq[Long] = (1 to NumHashes).map(j => (BigInt(Spread) * j % P).toLong)
   val Bs: IndexedSeq[Long] = (1 to NumHashes).map(j => ((BigInt(972663749L) * j + 12345) % P).toLong)
 
-  // SimHash configuration: 32-bit signatures, 4 bands of 8 bits; hamming
-  // distance <= 3 guarantees at least one identical band (pigeonhole), so
-  // band-join candidate generation is exact for that radius. (16 bits is
-  // measurably too coarse: ~20% of random doc pairs collide within 3 bits.)
-  val SimBits = 32
-  val SimBands = 4
+  // SimHash configuration: 48-bit signatures, 6 bands of 8 bits; hamming
+  // distance <= 5 guarantees at least one identical band (pigeonhole), so
+  // band-join candidate generation is exact for radius <= 5. (16/32 bits
+  // are measurably too coarse on word-distribution-similar corpora; 48 is
+  // the widest that still fits signed-int64 arithmetic in both engines.)
+  val SimBits = 48
+  val SimBands = 6
   val SimBandBits: Int = SimBits / SimBands
 
   // --- polynomial hash of a string expression: fold (acc*31 + code) % P ---
@@ -82,9 +83,9 @@ object TextHash {
 
   /** word-multiset hashes (order-insensitive input to simhash) of `ws` */
   def wordHashesSpark(ws: String): String =
-    s"transform($ws, w -> (${polyHashSpark("w")} * $Spread) % 4294967296)"
+    s"transform($ws, w -> (${polyHashSpark("w")} * $Spread) % ${1L << SimBits})"
   def wordHashesDuck(ws: String): String =
-    s"list_transform($ws, w -> (${polyHashDuck("w")} * $Spread) % 4294967296)"
+    s"list_transform($ws, w -> (${polyHashDuck("w")} * $Spread) % ${1L << SimBits})"
 
   /** 16-bit simhash of a word-hash array expr `wh`: per bit, sum +/-1 over
     * words; set the bit when the sum is positive */

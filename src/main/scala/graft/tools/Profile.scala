@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+import graft.pipeline.Dedup
+
+/** Dev-only stage profiler (not part of the driver contract). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    if (args.contains("--coalesce"))
+      b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    if (args.contains("--noaqe")) b.config("spark.sql.adaptive.enabled", "false")
+    if (args.contains("--p8")) b.config("spark.sql.shuffle.partitions", "8")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$n")
+    }
+    val docs = Tables.documents(spark, sfDir)
+    docs.count()
+    if (args.contains("--iter")) {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+        }
+      })
+      def report(label: String): Unit = {
+        println(s"[profile] $label: jobs=${jobs.getAndSet(0)} stages=${stages.getAndSet(0)} tasks=${tasks.getAndSet(0)}")
+      }
+      t("pagerank k=20 x10")(graft.graph.PageRank.run(
+        graft.graph.Graphs.kChain(spark, 20), 10, 0L, 400L).count())
+      report("pagerank cold")
+      t("pagerank again")(graft.graph.PageRank.run(
+        graft.graph.Graphs.kChain(spark, 20), 10, 0L, 400L).count())
+      report("pagerank warm")
+      t("sssp")(graft.graph.ShortestPath.run(
+        graft.graph.Graphs.lineitemEdges(spark, sfDir, 300), 1L).count())
+      report("sssp")
+    } else if (args.contains("--cold")) {
+      t("full minhashDedup (cold)")(Dedup.minhashDedup(docs, 0.8).count())
+    } else if (args.contains("--hot")) {
+      val emb = Tables.embeddings(spark, sfDir)
+      emb.count()
+      t("simhashDedup run1")(Dedup.simhashDedup(docs, 3).count())
+      t("simhashDedup run2")(Dedup.simhashDedup(docs, 3).count())
+      t("embNearDup run1")(graft.pipeline.Similarity.lshNearDup(emb, 64, 0.4).count())
+      t("embNearDup run2")(graft.pipeline.Similarity.lshNearDup(emb, 64, 0.4).count())
+      t("minhash run1")(Dedup.minhashDedup(docs, 0.8).count())
+      t("minhash run2")(Dedup.minhashDedup(docs, 0.8).count())
+    } else {
+      t("shingleHashes")(Dedup.shingleHashes(docs).count())
+      t("minhashSignatures")(Dedup.minhashSignatures(docs).count())
+      val sigs = Dedup.minhashSignatures(docs).persist()
+      t("sigs persist+count")(sigs.count())
+      t("lshCandidates (on cached)")(Dedup.lshCandidates(sigs).count())
+      t("full minhashDedup")(Dedup.minhashDedup(docs, 0.8).count())
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.pipeline.{Similarity, TextHash}
+
+/** Equivalence proofs: each custom Catalyst expression must produce exactly
+  * the values of the HOF-expression formulation it replaced (which is what
+  * the DuckDB oracle mirrors). Run over real testdata so the corpus edge
+  * cases (empty-ish docs, repeated words) are covered.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+  private lazy val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  private def assertNoDiff(dfPair: org.apache.spark.sql.DataFrame): Unit = {
+    val d = dfPair.filter(col("a") =!= col("b") ||
+      (col("a").isNull && col("b").isNotNull) || (col("a").isNotNull && col("b").isNull))
+    assert(d.isEmpty, d.limit(3).collect().mkString("; "))
+  }
+
+  test("PolyHashExpr == HOF polyhash on the corpus") {
+    assertNoDiff(docs.select(
+      GraftFunctions.polyHash(trim(col("text"))).as("a"),
+      expr(TextHash.polyHashSpark("trim(text)")).as("b")))
+  }
+
+  test("ShingleHashesExpr == HOF shingle hashes") {
+    assertNoDiff(docs
+      .withColumn("ws", expr(TextHash.wordsSpark("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(
+        GraftFunctions.shingleHashes(col("text")).as("a"),
+        expr(TextHash.shingleHashesSpark("ws")).as("b")))
+  }
+
+  test("MinHashSigExpr == HOF minhash") {
+    assertNoDiff(docs
+      .withColumn("ws", expr(TextHash.wordsSpark("text")))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("hs", expr(TextHash.shingleHashesSpark("ws")))
+      .select(
+        GraftFunctions.minHashSig(col("hs")).as("a"),
+        expr(TextHash.minhashSpark("hs")).as("b")))
+  }
+
+  test("SimHashExpr == HOF simhash") {
+    assertNoDiff(docs
+      .withColumn("ws", expr(TextHash.wordsSpark("text")))
+      .withColumn("wh", expr(TextHash.wordHashesSpark("ws")))
+      .select(
+        GraftFunctions.simHash(col("text")).as("a"),
+        expr(TextHash.simhashSpark("wh")).as("b")))
+  }
+
+  test("DotProductExpr == HOF sequential fold (bitwise)") {
+    assertNoDiff(emb.limit(200).select(col("embedding").as("v"))
+      .crossJoin(emb.limit(5).select(col("embedding").as("w")))
+      .select(
+        GraftFunctions.dotProduct(col("v"), col("w")).as("a"),
+        expr(Similarity.dotSpark("v", "w")).as("b")))
+  }
+
+  test("HyperplaneBitsExpr band slices == HOF bucket keys") {
+    val withBits = emb.select(col("embedding"),
+      GraftFunctions.hyperplaneBits(col("embedding")).as("bits"))
+    for (b <- 0 until Similarity.HpBands) {
+      assertNoDiff(withBits.select(
+        (shiftright(col("bits"), b * Similarity.HpBandBits) % (1 << Similarity.HpBandBits))
+          .cast("long").as("a"),
+        expr(Similarity.bucketKeySpark("embedding", b, 64)).cast("long").as("b")))
+    }
+  }
+
+  test("SQL registration via GraftExtensions") {
+    graft.functions.GraftExtensions.installInto(spark)
+    val r = spark.sql("SELECT graft_polyhash('abc') AS h, graft_simhash('a b c') AS s").first()
+    assert(r.getLong(0) == graft.functions.TextHashImpl.polyHash("abc"))
+    assert(r.getLong(1) == graft.functions.TextHashImpl.simHash(
+      graft.functions.TextHashImpl.wordHashes("a b c")))
+  }
+}
