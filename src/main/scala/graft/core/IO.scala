@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Edge-list I/O matching the reference's file contract (FIXTURES.md F1):
+  * headerless CSV, one `follower,followee` pair per line, parsed
+  * positionally — ReduceByKey/src/main/scala/wc/FollowersCount.scala:26-27.
+  *
+  * Schema-on-read replaces the reference's split-and-index (SURVEY P1): the
+  * declared schema reaches the CSV reader, malformed lines drop via
+  * DROPMALFORMED instead of throwing in a closure (P9 null/arity guard).
+  */
+object IO {
+
+  final case class Edge(src: Long, dst: Long)
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
+
+  /** S1/S2: CSV edge-list scan with declared schema. */
+  def readEdgesCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(edgeSchema)
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+      .na.drop(Seq("src", "dst"))
+
+  /** typed view (SURVEY §1.4: Dataset[Edge] at API edges) */
+  def readEdges(spark: SparkSession, path: String): Dataset[Edge] = {
+    import spark.implicits._
+    readEdgesCsv(spark, path).as[Edge]
+  }
+
+  /** S9-S11: CSV sink, comma-separated like the reference's
+    * TextOutputFormat (ReduceSideJoin/...:173). The reference's RDD text
+    * sinks emit `(k,v)` Tuple2.toString lines — we write declared-format
+    * CSV instead (SURVEY §7.3 exact-output-parity note). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", ",").csv(path)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.apps._
+import graft.core.IO
+
+/** End-to-end tests of the reference-program equivalents over the F1 edge
+  * fixture (FIXTURES.md): CSV in, CSV out, values hand-computed.
+  */
+class AppsSpec extends SparkSpec {
+
+  // F1 fixture: triangle 1->2->3->1, a zero-follower vertex (5 only follows),
+  // a dangling vertex (4: followed, no out-edges), a duplicate edge, and one
+  // id above the RepJoin bound
+  private lazy val edgeDir: String = {
+    val dir = Files.createTempDirectory("graft-edges")
+    Files.writeString(dir.resolve("edges.csv"),
+      """1,2
+        |2,3
+        |3,1
+        |1,3
+        |5,1
+        |5,1
+        |2,4
+        |1,2000
+        |2000,3
+        |not,a,number
+        |""".stripMargin)
+    dir.toString
+  }
+
+  test("CSV edge source: schema-on-read, malformed lines dropped") {
+    val e = IO.readEdgesCsv(spark, edgeDir)
+    assert(e.schema.fieldNames.toSeq == Seq("src", "dst"))
+    assert(e.count() == 9) // 10 lines - 1 malformed
+  }
+
+  test("FollowersCountApp matches hand count and CSV round-trips") {
+    val out = FollowersCountApp.run(spark, edgeDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dst counts: 2<-1, 3<-(2,1,2000), 1<-(3,5,5), 4<-2, 2000<-1
+    assert(out == Map(2L -> 1L, 3L -> 3L, 1L -> 3L, 4L -> 1L, 2000L -> 1L))
+
+    val outDir = Files.createTempDirectory("graft-out").toString
+    IO.writeCsv(FollowersCountApp.run(spark, edgeDir), outDir)
+    val back = spark.read.schema("user LONG, followers LONG").csv(outDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == out)
+  }
+
+  test("TriangleCountApp: shuffle and broadcast variants agree; bound excludes 2000") {
+    // duplicate edges are NOT deduped by the reference join either — with
+    // bound 1000 only triangle 1->2->3->1 counts (duplicate 5,1 edges don't
+    // form cycles); high-id path 1->2000->3 excluded by the max filter
+    val s = TriangleCountApp.runShuffle(spark, edgeDir, maxId = 1000).first().getDouble(0)
+    val b = TriangleCountApp.runBroadcast(spark, edgeDir, maxId = 1000).first().getDouble(0)
+    assert(s == 1.0 && b == 1.0)
+    // raising the bound admits the 1->2000->3->1 cycle
+    val s2 = TriangleCountApp.runShuffle(spark, edgeDir, maxId = 100000).first().getDouble(0)
+    assert(s2 == 2.0)
+  }
+
+  test("ShortestPathApp: distances and MR-style path string") {
+    val d = ShortestPathApp.run(spark, edgeDir, source = 5L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(5L) == 0.0 && d(1L) == 1.0 && d(2L) == 2.0 && d(3L) == 2.0 && d(4L) == 3.0)
+    val p = ShortestPathApp.runWithPath(spark, edgeDir, source = 5L).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(p(4L) == "5 1 2 4")
+  }
+
+  test("PageRankApp: both reference output modes; mass conserved") {
+    val ranks = PageRankApp.run(spark, k = 5)
+    val mass = ranks.agg(sum("rank")).first().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9)
+    assert(PageRankApp.first100ByKey(ranks).count() == 25) // k^2 = 25 vertices
+    assert(PageRankApp.top100ByRank(ranks).count() == 26)  // all vertices incl dummy
+  }
+
+  test("KMeansApp clusters follower counts") {
+    val res = KMeansApp.run(spark, edgeDir, init = Seq(1.0, 3.0))
+    // follower counts: [1,1,1,3,3] -> clusters {1,1,1} and {3,3}
+    assert(res.centroids == Seq(1.0, 3.0))
+    assert(res.sse.last == 0.0)
+  }
+}
