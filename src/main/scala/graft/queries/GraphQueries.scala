@@ -56,6 +56,17 @@ object GraphQueries {
         .select(col("vertex"), col("dist").cast("long").as("dist"))
         .orderBy("vertex")),
 
+    // SSSP with path payload (ShortestPathMR semantics). No SQL oracle:
+    // path enumeration in a recursive CTE explodes on dense cyclic graphs,
+    // so the driver records the weaker rows-only check; GraphSpec covers
+    // the semantics on hand-computed fixtures.
+    "q_graph_sssp_path" -> ((s, d) =>
+      ShortestPath.runWithPath(Graphs.lineitemEdges(s, d, Mod), source = 1L)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("vertex"), col("dist").cast("long").as("dist"),
+          concat_ws(" ", col("path")).as("path"))
+        .orderBy("vertex")),
+
     "q_graph_pagerank" -> ((s, d) =>
       PageRank.run(Graphs.kChain(s, PrK), PrIters, dummy = 0L,
           realVertexCount = PrK.toLong * PrK)

@@ -89,6 +89,21 @@ object RelQueries {
         .agg(array_join(sort_array(collect_list(col("l_partkey"))), ",").as("parts"))
         .orderBy("l_orderkey")),
 
+    // distinct aggregation (absent in reference — §2.4 "not present";
+    // library completeness)
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // rollup (grouping-set family; absent in reference)
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // ---- filters / projections (SURVEY §2.2) ----
     // P5/P6 range predicates + column pruning
     "q_filter_range" -> ((s, d) =>
@@ -242,6 +257,17 @@ object RelQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // lead/lag analytics (window family beyond running totals)
+    "q_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_orderkey", 1).over(w).as("next_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- time / events ----
     // events.ts is TIMESTAMP(NANOS) parquet, beyond Spark's micros range —
     // read as raw nanosecond longs (spark.sql.legacy.parquet.nanosAsLong in
@@ -316,6 +342,22 @@ object RelQueries {
     "q_agg_collect_list" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
          FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+         lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+         FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

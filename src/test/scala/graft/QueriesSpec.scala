@@ -7,7 +7,9 @@ package graft
 class QueriesSpec extends SparkSpec {
 
   test("every query has either an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only: semantics not tractable in DuckDB SQL (documented per query)
+    val rowsOnly = Set("q_graph_sssp_path")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
