@@ -26,6 +26,19 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** Exact dedup that never shuffles payloads: group by (fingerprint,
+    * length) instead of the full text — at 100 TB the shuffle carries 16
+    * bytes per row instead of documents. Collision risk is 1/P per pair
+    * within a length class (P = 1e9+7); a production variant would widen
+    * to 128 bits before trusting it blindly. */
+  def exactByFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.polyHash(col("text")).as("fp"),
+        length(col("text")).as("len"))
+      .groupBy("fp", "len")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select("fp", "keeper", "n_copies")
+
   /** (doc_id, hs) — distinct 3-word-shingle poly-hashes per document.
     * Documents with fewer than 3 words have no shingles and are dropped.
     * Uses the codegen'd ShingleHashesExpr kernel (graft.functions); the

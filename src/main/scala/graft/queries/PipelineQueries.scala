@@ -30,6 +30,9 @@ object PipelineQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("keeper")),
 
+    "q_dedup_exact_fp" -> ((s, d) =>
+      Dedup.exactByFingerprint(Tables.documents(s, d)).orderBy("keeper")),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold)
         .orderBy("doc_a", "doc_b")),
@@ -203,6 +206,10 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper""",
+    "q_dedup_exact_fp" ->
+      s"""SELECT fp, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM (SELECT doc_id, ${polyHashDuck("text")} AS fp, length(text) AS len FROM documents)
+         GROUP BY fp, len ORDER BY keeper""",
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_ngram" -> ngramSql,

@@ -89,6 +89,14 @@ object RelQueries {
         .agg(array_join(sort_array(collect_list(col("l_partkey"))), ",").as("parts"))
         .orderBy("l_orderkey")),
 
+    // salted two-phase aggregation: identical result to q_agg_count, plan
+    // spreads hot keys (ops.Skew) — the oracle equality IS the equivalence
+    // proof
+    "q_agg_count_salted" -> ((s, d) =>
+      graft.ops.Skew.saltedCount(Tables.orders(s, d), "o_custkey")
+        .withColumnRenamed("o_custkey", "k")
+        .orderBy("k")),
+
     // distinct aggregation (absent in reference — §2.4 "not present";
     // library completeness)
     "q_agg_distinct" -> ((s, d) =>
@@ -342,6 +350,9 @@ object RelQueries {
     "q_agg_collect_list" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
          FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q_agg_count_salted" ->
+      "SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY o_custkey ORDER BY k",
 
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
