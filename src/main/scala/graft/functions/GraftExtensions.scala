@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * already-running session with `GraftExtensions.installInto(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter)
+  }
 }
 
 object GraftExtensions {

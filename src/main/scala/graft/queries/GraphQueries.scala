@@ -73,6 +73,17 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 9).as("pr"))
         .orderBy("vertex")),
 
+    // mass-push PageRank on a general derived graph: exercises the
+    // out-degree division (every reference vertex has outdeg 1) and
+    // vertex-0-as-dangling-sink semantics on a cyclic multigraph
+    "q_graph_pagerank_general" -> ((s, d) => {
+      val edges = Graphs.lineitemEdges(s, d, Mod)
+      val nReal = Graphs.vertices(edges).filter(col("vertex") =!= 0).count()
+      PageRank.run(edges, PrIters, dummy = 0L, realVertexCount = nReal)
+        .select(col("vertex"), round(col("rank"), 9).as("pr"))
+        .orderBy("vertex")
+    }),
+
     "q_graph_kmeans" -> ((s, d) => {
       val pts = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).cast("double").as("x"))
@@ -113,18 +124,17 @@ object GraphQueries {
        |SELECT vertex, CAST(min(dist) AS BIGINT) AS dist
        |FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin
 
-  /** Unrolled mass-push PageRank over the k-chain graph — one CTE block per
-    * iteration, mirroring PageRank.run step for step. */
-  private def pagerankSql(k: Int, iters: Int): String = {
-    val n = k * k
+  /** Unrolled mass-push PageRank — one CTE block per iteration, mirroring
+    * PageRank.run step for step. `graphCte` must define `g(src, dst)`;
+    * `nExpr` is the real-vertex-count expression (a literal for the chain
+    * graph, a scalar subquery for derived graphs). */
+  private def pagerankSql(graphCte: String, nExpr: String, iters: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH g AS MATERIALIZED (
-      |  SELECT CAST(id AS BIGINT) AS src,
-      |         CAST(CASE WHEN id % $k = 0 THEN 0 ELSE id + 1 END AS BIGINT) AS dst
-      |  FROM range(1, ${n + 1}) t(id)),
+    sb ++= s"""WITH $graphCte,
       |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
       |v AS MATERIALIZED (SELECT src AS vertex FROM g UNION SELECT dst FROM g),
-      |r0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = 0 THEN 0.0 ELSE 1.0/$n END AS pr FROM v)""".stripMargin
+      |nr AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v WHERE vertex <> 0),
+      |r0 AS MATERIALIZED (SELECT vertex, CASE WHEN vertex = 0 THEN 0.0 ELSE 1.0/($nExpr) END AS pr FROM v)""".stripMargin
     for (i <- 1 to iters) {
       val p = i - 1
       sb ++= s""",
@@ -134,7 +144,7 @@ object GraphQueries {
         |d$i AS MATERIALIZED (SELECT coalesce(sum(c), 0) AS delta FROM c$i WHERE vertex = 0),
         |r$i AS MATERIALIZED (SELECT m.vertex,
         |               CASE WHEN m.vertex = 0 THEN 0.0
-        |                    ELSE m.pr + (SELECT delta FROM d$i)/$n END AS pr
+        |                    ELSE m.pr + (SELECT delta FROM d$i)/($nExpr) END AS pr
         |        FROM (SELECT vertex, sum(c) AS pr FROM (
         |                SELECT vertex, 0.0 AS c FROM r$p
         |                UNION ALL SELECT vertex, c FROM c$i)
@@ -143,6 +153,17 @@ object GraphQueries {
     sb ++= s"\nSELECT vertex, round(pr, 9) AS pr FROM r$iters ORDER BY vertex"
     sb.toString
   }
+
+  private def chainGraphCte(k: Int): String =
+    s"""g AS MATERIALIZED (
+       |  SELECT CAST(id AS BIGINT) AS src,
+       |         CAST(CASE WHEN id % $k = 0 THEN 0 ELSE id + 1 END AS BIGINT) AS dst
+       |  FROM range(1, ${k * k + 1}) t(id))""".stripMargin
+
+  private val derivedGraphCte =
+    s"""g AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst
+       |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod)""".stripMargin
 
   /** Unrolled 1-D Lloyd's iterations; argmin with first-min tie-break as a
     * CASE chain, matching KMeans.assign's array_position semantics. */
@@ -185,7 +206,8 @@ object GraphQueries {
     "q_graph_triangles" -> trianglesSql(200),
     "q_graph_triangles_bc" -> trianglesSql(150),
     "q_graph_sssp" -> ssspSql,
-    "q_graph_pagerank" -> pagerankSql(PrK, PrIters),
+    "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
+    "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
   )
 }

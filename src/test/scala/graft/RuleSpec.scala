@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextHash}
+import graft.plans.JaccardPrefilter
+
+/** The Jaccard size-ratio prefilter rule: fires on the canonical predicate,
+  * changes the plan, never changes results.
+  */
+class RuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(JaccardPrefilter)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  // parquet-backed input so the optimizer cannot constant-fold the whole
+  // pipeline into a LocalRelation (which would hide the Filter)
+  private lazy val pairsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rule").toString
+    Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), 2L, Seq(1L, 2L, 3L, 5L)),   // jacc 3/5 = 0.6
+      (3L, Seq(1L, 2L), 4L, Seq(1L, 2L, 3L, 4L, 5L, 6L)),   // sizes 2 vs 6: guard kills
+      (5L, Seq(7L, 8L), 6L, Seq(9L, 10L)),                  // jacc 0
+    ).toDF("doc_a", "hs_a", "doc_b", "hs_b").write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def pairs = spark.read.parquet(pairsPath)
+
+  private def jaccFiltered = pairs
+    .withColumn("jacc", expr(TextHash.jaccardSpark("hs_a", "hs_b")))
+    .filter(col("jacc") >= 0.5)
+    .select("doc_a", "doc_b", "jacc")
+
+  test("rule injects the size-ratio guard into the optimized plan") {
+    def sizeRefs(p: String) = p.split("size\\(hs_a").length
+    val without = jaccFiltered.queryExecution.optimizedPlan.toString
+    val withPlan = withRule(jaccFiltered.queryExecution.optimizedPlan.toString)
+    // the guard multiplies the threshold by the array sizes — a shape the
+    // unoptimized plan does not contain
+    assert(!without.contains("* cast(size("), without)
+    assert(withPlan.contains("* cast(size("), withPlan)
+    assert(sizeRefs(withPlan) > sizeRefs(without))
+  }
+
+  test("results identical with and without the rule") {
+    val plain = jaccFiltered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ruled = withRule(jaccFiltered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(plain == ruled)
+    assert(ruled == Set((1L, 2L)))
+  }
+
+  test("rule leaves minhashDedup results unchanged on the corpus") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val plain = Dedup.minhashDedup(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ruled = withRule(Dedup.minhashDedup(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(plain == ruled && plain.nonEmpty)
+  }
+}
