@@ -58,8 +58,11 @@ object PageRank {
           .otherwise(lit(1.0 / realVertexCount)))
 
     def applyDelta(state: DataFrame): DataFrame = {
-      val delta = state.filter(col("vertex") === dummy)
-        .select((col("rank") / realVertexCount).as("d"))
+      // aggregate (never filter+crossJoin): always exactly one row, so a
+      // graph without the dummy vertex gets d=0 instead of a wiped result
+      val delta = state.agg(
+        (coalesce(sum(when(col("vertex") === dummy, col("rank"))), lit(0.0))
+          / realVertexCount).as("d"))
       state.crossJoin(broadcast(delta))
         .select(col("vertex"),
           when(col("vertex") === dummy, lit(0.0))

@@ -30,8 +30,13 @@ object ShortestPath {
     val width = Fixpoint.sizedPartitions(edges.sparkSession, edges.count())
     val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // state carries (vertex, dist, changed): `changed` marks the frontier
+    // state carries (vertex, dist, changed): `changed` marks the frontier.
+    // The source is unioned in explicitly — it must appear with dist 0 even
+    // when it has no incident edges (the oracle seeds it unconditionally).
+    val spark = edges.sparkSession
+    import spark.implicits._
     val init = Graphs.vertices(e)
+      .union(Seq(source).toDF("vertex")).distinct()
       .select(col("vertex"), lit(source).as("s"))
       .select(col("vertex"),
         when(col("vertex") === col("s"), lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
@@ -69,7 +74,10 @@ object ShortestPath {
   def runWithPath(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
     val width = Fixpoint.sizedPartitions(edges.sparkSession, edges.count())
     val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
     val init = Graphs.vertices(e)
+      .union(Seq(source).toDF("vertex")).distinct()
       .select(col("vertex"),
         when(col("vertex") === source, lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
         when(col("vertex") === source, array(lit(source))).otherwise(lit(null).cast("array<bigint>")).as("path"),

@@ -16,16 +16,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object Fixpoint {
 
-  /** Iterate `step` from `init` until `maxIter` or `converged(prev, next)`.
-    *
-    * Each iteration's state is persisted and materialized (checkpoint
-    * eagerly), and the previous state is unpersisted — so executor memory
-    * holds at most two state generations regardless of iteration count.
-    *
-    * @param checkpointEvery cut lineage with localCheckpoint every N
-    *   iterations (persist-only in between). 1 = every iteration, which is
-    *   right for anything beyond a handful of iterations.
-    */
   /** rows per shuffle partition targeted while sizing the loop's shuffles */
   private val RowsPerPartition = 500000L
 
@@ -37,6 +27,16 @@ object Fixpoint {
     math.max(1L, math.min(configured, rows / RowsPerPartition + 1)).toInt
   }
 
+  /** Iterate `step` from `init` until `maxIter` or `converged(prev, next)`.
+    *
+    * Each iteration's state is persisted and materialized (checkpoint
+    * eagerly), and the previous state is unpersisted — so executor memory
+    * holds at most two state generations regardless of iteration count.
+    *
+    * @param checkpointEvery cut lineage with localCheckpoint every N
+    *   iterations (persist-only in between). 1 = every iteration, which is
+    *   right for anything beyond a handful of iterations.
+    */
   def iterate(
       init: DataFrame,
       maxIter: Int,
@@ -56,7 +56,7 @@ object Fixpoint {
     val aqeKey = "spark.sql.adaptive.enabled"
     val configured = spark.conf.get(key)
     val aqeConfigured = spark.conf.get(aqeKey)
-    val width = math.max(1L, math.min(configured.toLong, n / RowsPerPartition + 1))
+    val width = sizedPartitions(spark, n)
 
     var i = 0
     var done = false

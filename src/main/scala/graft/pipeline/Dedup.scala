@@ -77,7 +77,12 @@ object Dedup {
       .withColumn("jacc", expr(jaccardSpark("hs_a", "hs_b")))
       .filter(col("jacc") >= threshold)
       .select("doc_a", "doc_b", "jacc")
-    pairs
+    // the result (near-dup pairs) is tiny; materialize it eagerly so the
+    // heavyweight signature cache can be released instead of leaking into
+    // the session for the caller's lifetime
+    val out = pairs.localCheckpoint(eager = true)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** (doc_id, sim) — SimBits-bit simhash over the word multiset (order-

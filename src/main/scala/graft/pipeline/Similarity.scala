@@ -49,12 +49,12 @@ object Similarity {
   def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
   def normDuck(a: String): String = s"sqrt(${dotDuck(a, a)})"
-  def hyperplaneDotDuck(v: String, t: Int, dim: Int): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dim + 1}), i -> CAST($v[i] AS DOUBLE) * ((($t * 131 + (i - 1) * 137) % 29) - 14))), (acc, x) -> acc + x)"
-  def bucketKeyDuck(v: String, b: Int, dim: Int): String =
+  def hyperplaneDotDuck(v: String, t: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), i -> CAST($v[i] AS DOUBLE) * ((($t * 131 + (i - 1) * 137) % 29) - 14))), (acc, x) -> acc + x)"
+  def bucketKeyDuck(v: String, b: Int): String =
     (0 until HpBandBits).map { r =>
       val t = b * HpBandBits + r
-      s"CASE WHEN ${hyperplaneDotDuck(v, t, dim)} >= 0.0 THEN ${1 << r} ELSE 0 END"
+      s"CASE WHEN ${hyperplaneDotDuck(v, t)} >= 0.0 THEN ${1 << r} ELSE 0 END"
     }.mkString(" + ")
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
@@ -75,9 +75,10 @@ object Similarity {
   }
 
   /** (vec_id, band, key) — LSH bucket assignment. One codegen'd
-    * HyperplaneBitsExpr evaluation packs all sign bits; band keys are bit
-    * slices of it (identical packing to bucketKeyDuck). */
-  def lshBuckets(emb: DataFrame, dim: Int): DataFrame = {
+    * HyperplaneBitsExpr evaluation packs all sign bits (over the vector's
+    * actual length, matching the Duck twin's len(v) iteration); band keys
+    * are bit slices of it. */
+  def lshBuckets(emb: DataFrame): DataFrame = {
     val bandStructs = (0 until HpBands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("__hp"), b * HpBandBits) % (1 << HpBandBits)).as("key"))
@@ -92,8 +93,8 @@ object Similarity {
   /** Near-duplicate vector pairs: banded-LSH candidates verified by cosine
     * >= threshold. Output (id_a, id_b, score). Pairs are deduped on ids
     * *before* re-joining vectors, so the distinct never shuffles embeddings. */
-  def lshNearDup(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
-    val buckets = lshBuckets(emb, dim)
+  def lshNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val buckets = lshBuckets(emb)
     val cand = buckets.toDF("id_a", "band", "key")
       .join(buckets.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))

@@ -46,8 +46,11 @@ object TextHash {
   def wordsDuck(text: String): String = s"string_split(trim($text), ' ')"
 
   // --- n-word shingles of a words-array expression `ws` (n=3) ---
+  // guarded: sequence(1, 0) in Spark is the DESCENDING [1, 0], whose
+  // element_at(ws, 0) throws — short docs must yield an empty shingle set
+  // (DuckDB's range(1, n) is simply empty for n <= 1)
   def shinglesSpark(ws: String): String =
-    s"transform(sequence(1, size($ws) - 2), i -> concat_ws(' ', element_at($ws, i), element_at($ws, i + 1), element_at($ws, i + 2)))"
+    s"IF(size($ws) >= 3, transform(sequence(1, size($ws) - 2), i -> concat_ws(' ', element_at($ws, i), element_at($ws, i + 1), element_at($ws, i + 2))), CAST(array() AS ARRAY<STRING>))"
   def shinglesDuck(ws: String): String =
     s"list_transform(range(1, len($ws) - 1), i -> concat_ws(' ', $ws[i], $ws[i+1], $ws[i+2]))"
 

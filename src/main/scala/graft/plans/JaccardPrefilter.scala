@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.DoubleType
   * verify stage's dominant cost.
   *
   * Soundness: the guard is a *necessary* condition of the original
-  * predicate (never drops a qualifying row); on null arrays both guard and
-  * original evaluate null, so filter semantics are unchanged. The rewrite
+  * predicate (never drops a qualifying row); on null arrays the combined
+  * predicate still rejects the row exactly as the original does (whether
+  * size(null) is null or the legacy -1). The rewrite
   * only fires on an exact top-level match and produces a shape that no
   * longer matches, so it is idempotent under the optimizer's fixed point.
   *

@@ -25,6 +25,8 @@ object GraphQueries {
        |  SELECT DISTINCT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst
        |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod)""".stripMargin
 
+  // SSSP: engine iteration bound and oracle recursion cap must agree
+  private val SsspMaxHops = 30
   // PageRank workload: reference default shape at k=20 (400 real vertices),
   // 10 iterations — PageRankRDD/Makefile:12, .../FollowerCount.scala:58
   private val PrK = 20
@@ -51,7 +53,7 @@ object GraphQueries {
       Triangles.countBroadcast(Graphs.lineitemEdges(s, d, Mod), maxId = 150)),
 
     "q_graph_sssp" -> ((s, d) =>
-      ShortestPath.run(Graphs.lineitemEdges(s, d, Mod), source = 1L)
+      ShortestPath.run(Graphs.lineitemEdges(s, d, Mod), source = 1L, maxIter = SsspMaxHops)
         .filter(col("dist") =!= Double.PositiveInfinity)
         .select(col("vertex"), col("dist").cast("long").as("dist"))
         .orderBy("vertex")),
@@ -61,7 +63,7 @@ object GraphQueries {
     // so the driver records the weaker rows-only check; GraphSpec covers
     // the semantics on hand-computed fixtures.
     "q_graph_sssp_path" -> ((s, d) =>
-      ShortestPath.runWithPath(Graphs.lineitemEdges(s, d, Mod), source = 1L)
+      ShortestPath.runWithPath(Graphs.lineitemEdges(s, d, Mod), source = 1L, maxIter = SsspMaxHops)
         .filter(col("dist") =!= Double.PositiveInfinity)
         .select(col("vertex"), col("dist").cast("long").as("dist"),
           concat_ws(" ", col("path")).as("path"))
@@ -113,14 +115,14 @@ object GraphQueries {
        |FROM b e1 JOIN b e2 ON e1.dst = e2.src
        |JOIN b e3 ON e2.dst = e3.src AND e3.dst = e1.src""".stripMargin
 
-  private val ssspSql =
+  private def ssspSql =
     s"""WITH RECURSIVE $edgesSql,
        |walk(vertex, dist) AS (
        |  SELECT CAST(1 AS BIGINT) AS vertex, 0 AS dist
        |  UNION
        |  SELECT e.dst AS vertex, w.dist + 1 AS dist
        |  FROM walk w JOIN edges e ON e.src = w.vertex
-       |  WHERE w.dist < 30)
+       |  WHERE w.dist < $SsspMaxHops)
        |SELECT vertex, CAST(min(dist) AS BIGINT) AS dist
        |FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin
 

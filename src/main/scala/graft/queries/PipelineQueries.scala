@@ -22,7 +22,6 @@ object PipelineQueries {
   private val NgramThreshold = 0.02
   private val NgramSampleMod = 5
   private val EmbThreshold = 0.40
-  private val EmbDim = 64
   private val TopK = 5
   private val NumQueryVecs = 8
 
@@ -46,7 +45,7 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")),
 
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.lshNearDup(Tables.embeddings(s, d), EmbDim, EmbThreshold)
+      Similarity.lshNearDup(Tables.embeddings(s, d), EmbThreshold)
         .orderBy("id_a", "id_b")),
 
     "q_sim_topk" -> ((s, d) => {
@@ -127,7 +126,7 @@ object PipelineQueries {
 
   private val embDedupSql = {
     val bucketSelects = (0 until HpBands).map(b =>
-      s"SELECT vec_id, $b AS band, ${bucketKeyDuck("embedding", b, EmbDim)} AS bkey FROM embeddings")
+      s"SELECT vec_id, $b AS band, ${bucketKeyDuck("embedding", b)} AS bkey FROM embeddings")
       .mkString("\nUNION ALL ")
     s"""WITH buckets AS MATERIALIZED ($bucketSelects),
        |cand AS MATERIALIZED (

@@ -55,8 +55,8 @@ object Profile {
       emb.count()
       t("simhashDedup run1")(Dedup.simhashDedup(docs, 3).count())
       t("simhashDedup run2")(Dedup.simhashDedup(docs, 3).count())
-      t("embNearDup run1")(graft.pipeline.Similarity.lshNearDup(emb, 64, 0.4).count())
-      t("embNearDup run2")(graft.pipeline.Similarity.lshNearDup(emb, 64, 0.4).count())
+      t("embNearDup run1")(graft.pipeline.Similarity.lshNearDup(emb, 0.4).count())
+      t("embNearDup run2")(graft.pipeline.Similarity.lshNearDup(emb, 0.4).count())
       t("minhash run1")(Dedup.minhashDedup(docs, 0.8).count())
       t("minhash run2")(Dedup.minhashDedup(docs, 0.8).count())
     } else {

@@ -69,6 +69,20 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-9) // dangling mass fully redistributed
   }
 
+  test("pagerank: graph without the dummy vertex keeps its ranks (delta = 0)") {
+    val e = edges(1L -> 2L, 2L -> 1L)
+    val r = PageRank.run(e, iterations = 3, dummy = 0L, realVertexCount = 2L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 0.5, 2L -> 0.5)) // pure cycle, mass conserved, no sink
+  }
+
+  test("sssp: isolated source vertex still reports dist 0") {
+    val e = edges(1L -> 2L)
+    val d = ShortestPath.run(e, source = 9L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(9L) == 0.0 && d(1L).isPosInfinity && d(2L).isPosInfinity)
+  }
+
   test("kmeans: two well-separated clusters converge to their means") {
     val pts = (Seq(1.0, 2.0, 3.0, 4.0, 5.0) ++ Seq(100.0, 101.0, 102.0, 103.0, 104.0))
       .toDF("x")

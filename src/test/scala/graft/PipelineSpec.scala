@@ -57,7 +57,7 @@ class PipelineSpec extends SparkSpec {
       (1L, Array.fill(8)(1.0f)),
       (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)),
     ).toDF("vec_id", "embedding")
-    val pairs = Similarity.lshNearDup(emb, dim = 8, threshold = 0.9)
+    val pairs = Similarity.lshNearDup(emb, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
   }

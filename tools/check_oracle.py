@@ -35,7 +35,13 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         files = glob.glob(f"{d}/*.parquet")
-        tbl = pq.read_table(files[0]) if files else None
+        if not files:
+            print(f"FAIL     {name}: output dir exists but holds no parquet")
+            n_fail += 1
+            continue
+        # read every part file (Verify coalesces to 1 today, but don't rely on it)
+        import pyarrow as pa
+        tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
         try:
             res = con.execute(sql)
             duck_cols = [c[0] for c in res.description]
