@@ -44,6 +44,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("v"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
 
+  /** Streaming exact dedup on event_id with watermark-bounded state — the
+    * streaming face of the batch dedup operators: duplicates arriving
+    * within the watermark horizon are dropped, state for old keys is
+    * reclaimed (unbounded dropDuplicates state is the classic streaming
+    * OOM at scale). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -42,6 +42,23 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    // duplicate the whole input by writing it twice into one stream dir
+    val dir = Files.createTempDirectory("graft-dup")
+    Files.copy(Paths.get(sf("sf0.001"), "events.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(sf("sf0.001"), "events.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStreams.dedupedEvents(EventStreams.fromParquetDir(spark, dir.toString))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("deduped").count()
+    val distinct = spark.read.parquet(s"$eventsDir/events.parquet").count()
+    assert(n == distinct) // 2x input, each event_id exactly once
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
