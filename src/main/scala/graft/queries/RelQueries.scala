@@ -276,6 +276,20 @@ object RelQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // as-of (snapshot) join — ops.AsOfJoin composed union+window operator;
+    // DuckDB validates with its native ASOF LEFT JOIN. Checkpoints are the
+    // event_id%10==0 subsample, deduped per (user, µs) for determinism.
+    "q_asof_join" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val leftSide = base.filter(col("event_id") % 10 =!= 0)
+      val ckpts = base.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("ckpt_id"))
+      graft.ops.AsOfJoin.asOf(leftSide, ckpts, "user_id", "ts_us")
+        .select("event_id", "user_id", "ts_us", "ckpt_id")
+        .orderBy("event_id")
+    }),
+
     // ---- time / events ----
     // events.ts is TIMESTAMP(NANOS) parquet, beyond Spark's micros range —
     // read as raw nanosecond longs (spark.sql.legacy.parquet.nanosAsLong in
@@ -470,6 +484,15 @@ object RelQueries {
          count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
          FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber""",
+
+    "q_asof_join" ->
+      """WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         l AS (SELECT * FROM base WHERE event_id % 10 <> 0),
+         r AS (SELECT user_id, ts_us, max(event_id) AS ckpt_id FROM base
+               WHERE event_id % 10 = 0 GROUP BY user_id, ts_us)
+         SELECT l.event_id, l.user_id, l.ts_us, r.ckpt_id
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+         ORDER BY l.event_id""",
 
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
