@@ -28,7 +28,8 @@ object SparkEntry {
   /** Headline subset timed by Bench (kept fast enough to run per-round
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */
   def benchQueries: Seq[String] = Seq(
-    "q_agg_count", "q_agg_sum", "q_agg_sse", "q_explode",
+    "q_agg_count", "q_agg_sum", "q_agg_sse", "q_agg_rollup", "q_explode",
+    "q_asof_join",
     "q_join_inner", "q_join_broadcast", "q_join_composite",
     "q_union_merge", "q_topk", "q_window_rank",
     "q_events_window", "q_events_sessionize",

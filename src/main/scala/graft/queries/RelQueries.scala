@@ -112,6 +112,15 @@ object RelQueries {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // approximate distinct (HLL++) — rows-only check: sketch estimates are
+    // engine-specific, so no cross-engine oracle is possible; QueriesSpec
+    // asserts <5% relative error vs the exact count instead
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("apx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // ---- filters / projections (SURVEY §2.2) ----
     // P5/P6 range predicates + column pruning
     "q_filter_range" -> ((s, d) =>

@@ -8,7 +8,7 @@ class QueriesSpec extends SparkSpec {
 
   test("every query has either an oracle or is explicitly rows-only") {
     // rows-only: semantics not tractable in DuckDB SQL (documented per query)
-    val rowsOnly = Set("q_graph_sssp_path")
+    val rowsOnly = Set("q_graph_sssp_path", "q_agg_approx_distinct")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
@@ -25,6 +25,18 @@ class QueriesSpec extends SparkSpec {
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val apx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, x) =>
+      assert(math.abs(apx(k) - x).toDouble / x < 0.05, s"$k: apx=${apx(k)} exact=$x")
+    }
   }
 
   test("all queries run and are non-degenerate on sf0.001") {
