@@ -112,6 +112,25 @@ object RelQueries {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // exact interpolated percentiles (both engines use linear interpolation
+    // at p*(n-1); integral inputs make the interpolated values exact)
+    "q_agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.75)").as("q3"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // pivot: one column per l_linestatus value (fixed value list so the
+    // output schema is static on both engines)
+    "q_agg_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .sum("l_quantity")
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
     // approximate distinct (HLL++) — rows-only check: sketch estimates are
     // engine-specific, so no cross-engine oracle is possible; QueriesSpec
     // asserts <5% relative error vs the exact count instead
@@ -239,6 +258,18 @@ object RelQueries {
     "q_set_except" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_custkey").as("k"))
         .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")),
+    // multiset (bag) semantics: keeps duplicates minus matched occurrences
+    "q_set_except_all" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .exceptAll(Tables.customer(s, d).select(col("c_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+    "q_set_intersect_all" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+        .intersectAll(Tables.lineitem(s, d).filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_partkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
     "q_set_intersect" -> ((s, d) =>
       Tables.part(s, d).select(col("p_partkey").as("k"))
@@ -493,6 +524,30 @@ object RelQueries {
          count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
          FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber""",
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q1,
+         quantile_cont(l_quantity, 0.5) AS med, quantile_cont(l_quantity, 0.75) AS q3,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_pivot" ->
+      """SELECT l_returnflag,
+         sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+         sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_set_except_all" ->
+      """SELECT k, count(*) AS n FROM (
+           SELECT o_custkey AS k FROM orders
+           EXCEPT ALL SELECT c_custkey AS k FROM customer)
+         GROUP BY k ORDER BY k""",
+
+    "q_set_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+           SELECT l_partkey AS k FROM lineitem
+           INTERSECT ALL SELECT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 0)
+         GROUP BY k ORDER BY k""",
 
     "q_asof_join" ->
       """WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
