@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** k-means over an Array[Float] embedding column, and IVF (inverted-file)
+  * approximate nearest-neighbor search built on it — the coarse-quantizer
+  * scale path for similarity search: at 100 TB the corpus is partitioned by
+  * nearest centroid once, and each query only scans its `nprobe` nearest
+  * cells instead of the whole corpus.
+  *
+  * Design notes:
+  *  - assignment is a typed mapPartitions over a broadcast centroid matrix
+  *    (centroids are iteration-varying state — a literal-expression
+  *    formulation would rebuild/recompile the plan per iteration);
+  *  - the per-cluster mean uses a custom Aggregator summing vectors into a
+  *    mergeable double buffer — one partial-aggregated shuffle of k rows,
+  *    no dimension explosion;
+  *  - deterministic seeding (first k distinct vec_ids) — no RNG, so runs
+  *    and engines reproduce. Not oracle-checked: float vector sums are
+  *    partition-order dependent; VecKMeansSpec asserts quality instead
+  *    (monotone SSE, IVF recall vs brute force).
+  */
+object VecKMeans {
+
+  /** elementwise vector sum + count, mergeable (the partial aggregate) */
+  final case class VecSum(n: Long, sum: Array[Double])
+
+  class VecSumAgg(dim: Int) extends Aggregator[Array[Float], VecSum, VecSum] {
+    override def zero: VecSum = VecSum(0L, new Array[Double](dim))
+    override def reduce(b: VecSum, v: Array[Float]): VecSum = {
+      var i = 0
+      while (i < dim) { b.sum(i) += v(i); i += 1 }
+      VecSum(b.n + 1, b.sum)
+    }
+    override def merge(a: VecSum, b: VecSum): VecSum = {
+      var i = 0
+      while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
+      VecSum(a.n + b.n, a.sum)
+    }
+    override def finish(b: VecSum): VecSum = b
+    override def bufferEncoder: Encoder[VecSum] = Encoders.product[VecSum]
+    override def outputEncoder: Encoder[VecSum] = Encoders.product[VecSum]
+  }
+
+  private def sqDist(v: Array[Float], c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  private def nearest(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = sqDist(v, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** (vec_id, cluster) assignment for a fixed centroid matrix */
+  def assign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, nearest(v, cs)) }
+      }.toDF("vec_id", "cluster")
+  }
+
+  /** Lloyd's iterations; returns the final centroid matrix. */
+  def train(emb: DataFrame, k: Int, iterations: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb.select(col("vec_id"), col("embedding")).persist()
+    val dim = data.select(size(col("embedding"))).first().getInt(0)
+
+    // deterministic seeds: the k lowest vec_ids
+    var cents: Array[Array[Double]] = data.orderBy("vec_id").limit(k)
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+
+    val agg = new VecSumAgg(dim).toColumn
+    for (_ <- 1 to iterations) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = data.as[(Long, Array[Float])]
+        .groupByKey { case (_, v) => nearest(v, bc.value) }
+        .mapValues(_._2)
+        .agg(agg)
+        .collect()
+      val next = cents.clone()
+      sums.foreach { case (c, vs) =>
+        if (vs.n > 0) next(c) = vs.sum.map(_ / vs.n)
+      }
+      cents = next
+    }
+    data.unpersist(false)
+    cents
+  }
+
+  /** mean squared distance to assigned centroid (training objective) */
+  def sse(emb: DataFrame, cents: Array[Array[Double]]): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map(v => sqDist(v, cs(nearest(v, cs))))
+      }.reduce(_ + _)
+  }
+
+  /** IVF top-k: corpus pre-assigned to cells; each query scans only its
+    * `nprobe` nearest cells. Output (qid, rn, nid, score) like
+    * Similarity.bruteForceTopK — recall < 1 by design, measured in spec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: Array[Array[Double]],
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val assigned = assign(corpus, cents)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        cs.indices.sortBy(c => sqDist(v, cs(c))).take(nprobe).map(c => (id, c))
+      }.toDF("qid", "cluster")
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+
+    val scored = probes
+      .join(assigned.toDF("nid", "cluster", "nv"), "cluster")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", round(
+        graft.functions.GraftFunctions.dotProduct(col("qv"), col("nv"))
+          / (graft.functions.GraftFunctions.vecNorm(col("qv"))
+            * graft.functions.GraftFunctions.vecNorm(col("nv"))), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "nid", "score")
+  }
+}

@@ -54,6 +54,18 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
+    // IVF ANN (k-means coarse quantizer, nprobe cells scanned per query) —
+    // rows-only: float centroid training is partition-order dependent so a
+    // bit-exact SQL oracle is impossible; VecKMeansSpec asserts recall vs
+    // brute force instead
+    "q_sim_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.pipeline.VecKMeans.train(emb, k = 8, iterations = 3)
+      graft.pipeline.VecKMeans.ivfTopK(emb, emb.filter(col("vec_id") < NumQueryVecs),
+          cents, TopK, nprobe = 3)
+        .orderBy("qid", "rn")
+    }),
+
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")),
 

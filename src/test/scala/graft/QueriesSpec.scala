@@ -8,7 +8,7 @@ class QueriesSpec extends SparkSpec {
 
   test("every query has either an oracle or is explicitly rows-only") {
     // rows-only: semantics not tractable in DuckDB SQL (documented per query)
-    val rowsOnly = Set("q_graph_sssp_path", "q_agg_approx_distinct")
+    val rowsOnly = Set("q_graph_sssp_path", "q_agg_approx_distinct", "q_sim_ivf")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }

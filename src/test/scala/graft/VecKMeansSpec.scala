@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Similarity, VecKMeans}
+
+class VecKMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+
+  test("vector k-means: SSE decreases from seed to trained centroids") {
+    val seeds = emb.orderBy("vec_id").limit(8)
+      .select("embedding").as[Array[Float]].collect().map(_.map(_.toDouble))
+    val trained = VecKMeans.train(emb, k = 8, iterations = 5)
+    assert(VecKMeans.sse(emb, trained) < VecKMeans.sse(emb, seeds))
+  }
+
+  test("assignment is deterministic and total") {
+    val cents = VecKMeans.train(emb, k = 4, iterations = 2)
+    val a1 = VecKMeans.assign(emb, cents).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = VecKMeans.assign(emb, cents).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+    assert(a1.size == emb.count())
+    assert(a1.values.toSet.subsetOf((0 until 4).toSet))
+  }
+
+  test("IVF top-k achieves reasonable recall vs brute force at a fraction of the scan") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = VecKMeans.train(emb, k = 8, iterations = 3)
+    val ivf = VecKMeans.ivfTopK(emb, queries, cents, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@5 with nprobe=3/8 cells: $recall%.2f")
+    assert(recall >= 0.5, s"recall $recall too low")
+    // scanning 3 of 8 cells must not return more than k rows per query
+    assert(ivf.size <= 8 * 5)
+  }
+}
