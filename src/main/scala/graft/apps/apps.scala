@@ -31,7 +31,7 @@ object FollowersCountApp {
 
   def main(args: Array[String]): Unit = {
     Args.require(args, 2, "FollowersCountApp <edge-csv-dir> <out-dir>")
-    val spark = graft.apps.Sessions.local()
+    val spark = graft.core.Sessions.local()
     IO.writeCsv(run(spark, args(0)), args(1))
   }
 }
@@ -54,7 +54,7 @@ object PageRankApp {
 
   def main(args: Array[String]): Unit = {
     Args.require(args, 2, "PageRankApp <k> <out-dir>")
-    val spark = graft.apps.Sessions.local()
+    val spark = graft.core.Sessions.local()
     IO.writeCsv(top100ByRank(run(spark, args(0).toInt)), args(1))
   }
 }
@@ -73,7 +73,7 @@ object ShortestPathApp {
 
   def main(args: Array[String]): Unit = {
     Args.require(args, 3, "ShortestPathApp <edge-csv-dir> <out-dir> <source-vertex>")
-    val spark = graft.apps.Sessions.local()
+    val spark = graft.core.Sessions.local()
     IO.writeCsv(run(spark, args(0), args(2).toLong), args(1))
   }
 }
@@ -89,7 +89,7 @@ object TriangleCountApp {
 
   def main(args: Array[String]): Unit = {
     Args.require(args, 2, "TriangleCountApp <edge-csv-dir> <out-dir> [maxId]")
-    val spark = graft.apps.Sessions.local()
+    val spark = graft.core.Sessions.local()
     val maxId = if (args.length > 2) args(2).toLong else 80000L
     IO.writeCsv(runShuffle(spark, args(0), maxId), args(1))
   }
@@ -108,7 +108,7 @@ object KMeansApp {
 
   def main(args: Array[String]): Unit = {
     Args.require(args, 2, "KMeansApp <edge-csv-dir> <out-dir>")
-    val spark = graft.apps.Sessions.local()
+    val spark = graft.core.Sessions.local()
     val res = run(spark, args(0), init = Seq(1.0, 10.0, 100.0, 1000.0))
     import spark.implicits._
     IO.writeCsv(res.centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -116,16 +116,3 @@ object KMeansApp {
   }
 }
 
-private[apps] object Sessions {
-  def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
-}

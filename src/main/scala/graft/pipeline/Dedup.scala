@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import TextHash._
+import graft.functions.GraftFunctions
 
 /** Document deduplication for training-data pipelines, at four fidelity
   * levels. All hashing is the deterministic integer arithmetic of TextHash
@@ -33,7 +34,7 @@ object Dedup {
     * to 128 bits before trusting it blindly. */
   def exactByFingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        graft.functions.GraftFunctions.polyHash(col("text")).as("fp"),
+        GraftFunctions.polyHash(col("text")).as("fp"),
         length(col("text")).as("len"))
       .groupBy("fp", "len")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
@@ -45,12 +46,12 @@ object Dedup {
     * HOF-expression formulation it replaces is kept in TextHash for the
     * oracle and equivalence tests. */
   def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+    docs.select(col("doc_id"), GraftFunctions.shingleHashes(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
 
   /** (doc_id, hs, mh) — minhash signatures over the shingle-hash sets. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleHashes(docs).withColumn("mh", graft.functions.GraftFunctions.minHashSig(col("hs")))
+    shingleHashes(docs).withColumn("mh", GraftFunctions.minHashSig(col("hs")))
 
   /** Candidate pairs from LSH banding: docs sharing any band of the
     * signature. Output (doc_a < doc_b), distinct. */
@@ -88,7 +89,7 @@ object Dedup {
   /** (doc_id, sim) — SimBits-bit simhash over the word multiset (order-
     * and permutation-insensitive), via the codegen'd SimHashExpr kernel. */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), graft.functions.GraftFunctions.simHash(col("text")).as("sim"))
+    docs.select(col("doc_id"), GraftFunctions.simHash(col("text")).as("sim"))
 
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
     * generation via band equi-join is *exact* for maxHamming < SimBands

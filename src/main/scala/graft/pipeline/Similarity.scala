@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Embedding similarity search over an Array[Float] column.
   *
@@ -57,22 +58,31 @@ object Similarity {
       s"CASE WHEN ${hyperplaneDotDuck(v, t)} >= 0.0 THEN ${1 << r} ELSE 0 END"
     }.mkString(" + ")
 
-  /** Exact top-k cosine neighbors for each query vector (brute force).
-    * Output (qid, rn, nid, score). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** rank candidate pairs (qid, qv, nq, nid, nv, nn) by cosine and keep
+    * the top k per query — shared by the brute-force and IVF paths */
+  private[pipeline] def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("nq", graft.functions.GraftFunctions.vecNorm(col("qv")))
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("nn", graft.functions.GraftFunctions.vecNorm(col("nv")))
-    val scored = broadcast(q).crossJoin(c)
+    val scored = pairs
       .filter(col("nid") =!= col("qid"))
-      .withColumn("score", round(graft.functions.GraftFunctions.dotProduct(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+      .withColumn("score", round(GraftFunctions.dotProduct(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "rn", "nid", "score")
   }
+
+  /** query/corpus sides with norms computed once per vector */
+  private[pipeline] def queriesWithNorm(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("nq", GraftFunctions.vecNorm(col("qv")))
+  private[pipeline] def corpusWithNorm(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nn", GraftFunctions.vecNorm(col("nv")))
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * Output (qid, rn, nid, score). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(broadcast(queriesWithNorm(queries)).crossJoin(corpusWithNorm(corpus)), k)
 
   /** (vec_id, band, key) — LSH bucket assignment. One codegen'd
     * HyperplaneBitsExpr evaluation packs all sign bits (over the vector's
@@ -84,7 +94,7 @@ object Similarity {
         (shiftright(col("__hp"), b * HpBandBits) % (1 << HpBandBits)).as("key"))
     }
     emb.select(col("vec_id"),
-        graft.functions.GraftFunctions.hyperplaneBits(col("embedding")).as("__hp"),
+        GraftFunctions.hyperplaneBits(col("embedding")).as("__hp"),
         col("embedding"))
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -100,11 +110,11 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"),
-      graft.functions.GraftFunctions.vecNorm(col("embedding")).as("norm"))
+      GraftFunctions.vecNorm(col("embedding")).as("norm"))
     cand
       .join(vecs.toDF("id_a", "va", "na"), "id_a")
       .join(vecs.toDF("id_b", "vb", "nb"), "id_b")
-      .withColumn("score", round(graft.functions.GraftFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("score", round(GraftFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import TextHash._
+import graft.functions.GraftFunctions
 
 /** Text-quality operators for training-data curation: language ID, quality
   * scoring, token counting, document fingerprinting. Pure per-row codegen'd
@@ -87,7 +88,7 @@ object TextAnalysis {
   /** (doc_id, fp) — rolling polynomial fingerprint of the whole text */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.polyHash(trim(col("text"))).as("fp"))
+      GraftFunctions.polyHash(trim(col("text"))).as("fp"))
 
   // DuckDB twins for the query layer
   def qualityHitCondition: String = hitCondition(Stopwords.flatMap(_._2))

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** k-means over an Array[Float] embedding column, and IVF (inverted-file)
   * approximate nearest-neighbor search built on it — the coarse-quantizer
@@ -124,28 +125,19 @@ object VecKMeans {
       k: Int, nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
 
+    // norms computed once per vector, not per candidate pair
     val assigned = assign(corpus, cents)
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumnRenamed("vec_id", "nid")
+      .join(Similarity.corpusWithNorm(corpus), "nid")
     val bc = spark.sparkContext.broadcast(cents)
     val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val cs = bc.value
         cs.indices.sortBy(c => sqDist(v, cs(c))).take(nprobe).map(c => (id, c))
       }.toDF("qid", "cluster")
-      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(Similarity.queriesWithNorm(queries), "qid")
 
-    val scored = probes
-      .join(assigned.toDF("nid", "cluster", "nv"), "cluster")
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("score", round(
-        graft.functions.GraftFunctions.dotProduct(col("qv"), col("nv"))
-          / (graft.functions.GraftFunctions.vecNorm(col("qv"))
-            * graft.functions.GraftFunctions.vecNorm(col("nv"))), 6))
-    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "rn", "nid", "score")
+    Similarity.rankTopK(probes.join(assigned, "cluster"), k)
   }
 }

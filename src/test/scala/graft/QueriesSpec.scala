@@ -7,10 +7,13 @@ package graft
 class QueriesSpec extends SparkSpec {
 
   test("every query has either an oracle or is explicitly rows-only") {
-    // rows-only: semantics not tractable in DuckDB SQL (documented per query)
-    val rowsOnly = Set("q_graph_sssp_path", "q_agg_approx_distinct", "q_sim_ivf")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      SparkEntry.rowsOnlyQueries
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val stale = SparkEntry.rowsOnlyQueries -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only entries without a query: $stale")
+    val both = SparkEntry.rowsOnlyQueries.intersect(SparkEntry.oracleSql.keySet)
+    assert(both.isEmpty, s"rows-only entries that have an oracle: $both")
   }
 
   test("every oracle key has a query") {
