@@ -35,7 +35,11 @@ object Triangles {
   def countBroadcast(edges: DataFrame, maxId: Long): DataFrame =
     cycleCount(bounded(edges, maxId), broadcast)
 
-  private def cycleCount(e: DataFrame, hint: DataFrame => DataFrame): DataFrame = {
+  private def cycleCount(edges: DataFrame, hint: DataFrame => DataFrame): DataFrame = {
+    // materialize the (filtered, deduped) edge set once — the three-way
+    // self-join would otherwise re-derive it per join input (the planner
+    // does not reuse the scan+distinct subtree across self-join aliases)
+    val e = edges.localCheckpoint(eager = true)
     val e1 = e.as("e1")
     val e2 = hint(e.as("e2"))
     val e3 = hint(e.as("e3"))
