@@ -96,6 +96,14 @@ class GraphSpec extends SparkSpec {
     assert(sizes == Map(0 -> 5L, 1 -> 5L))
   }
 
+  test("fixpoint unchanged-predicate detects stability (reference diff-join semantics)") {
+    import graft.iterate.Fixpoint
+    val a = Seq((1L, 1.0), (2L, 5.0)).toDF("vertex", "dist")
+    val b = Seq((1L, 1.0), (2L, 4.0)).toDF("vertex", "dist")
+    assert(Fixpoint.unchanged("vertex", "dist")(a, a))
+    assert(!Fixpoint.unchanged("vertex", "dist")(a, b))
+  }
+
   test("kmeans: empty cluster keeps its centroid") {
     val pts = Seq(1.0, 1.5, 2.0).toDF("x")
     val res = KMeans.run(pts, "x", init = Seq(1.0, 500.0), maxIter = 3, fixedIter = true)
