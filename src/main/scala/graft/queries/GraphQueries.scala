@@ -69,6 +69,24 @@ object GraphQueries {
           concat_ws(" ", col("path")).as("path"))
         .orderBy("vertex")),
 
+    // path-SSSP with a full oracle: on a tree-shaped derived graph
+    // (parent v div 2 -> child v) every vertex has a unique path, so the
+    // recursive CTE enumerates without explosion — unlike the dense-graph
+    // variant above, which stays rows-only
+    "q_graph_sssp_path_tree" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.select(
+          ((col("l_orderkey") % 1000) / 2).cast("long").as("src"),
+          (col("l_orderkey") % 1000).cast("long").as("dst"))
+        .filter(col("dst") >= 2)
+        .distinct()
+      ShortestPath.runWithPath(edges, source = 1L, maxIter = 15)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("vertex"), col("dist").cast("long").as("dist"),
+          concat_ws(" ", col("path")).as("path"))
+        .orderBy("vertex")
+    }),
+
     "q_graph_pagerank" -> ((s, d) =>
       PageRank.run(Graphs.kChain(s, PrK), PrIters, dummy = 0L,
           realVertexCount = PrK.toLong * PrK)
@@ -203,7 +221,21 @@ object GraphQueries {
     sb.toString
   }
 
+  private val ssspPathTreeSql =
+    s"""WITH RECURSIVE tedges AS (
+       |  SELECT DISTINCT CAST((l_orderkey % 1000) // 2 AS BIGINT) AS src,
+       |                  CAST(l_orderkey % 1000 AS BIGINT) AS dst
+       |  FROM lineitem WHERE l_orderkey % 1000 >= 2),
+       |walk(vertex, dist, path) AS (
+       |  SELECT CAST(1 AS BIGINT) AS vertex, 0 AS dist, '1' AS path
+       |  UNION ALL
+       |  SELECT e.dst, w.dist + 1, w.path || ' ' || CAST(e.dst AS VARCHAR)
+       |  FROM walk w JOIN tedges e ON e.src = w.vertex)
+       |SELECT vertex, CAST(dist AS BIGINT) AS dist, path
+       |FROM walk ORDER BY vertex""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_graph_sssp_path_tree" -> ssspPathTreeSql,
     "q_graph_degree" -> degreeSql,
     "q_graph_triangles" -> trianglesSql(200),
     "q_graph_triangles_bc" -> trianglesSql(150),
