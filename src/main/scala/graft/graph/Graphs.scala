@@ -43,4 +43,29 @@ object Graphs {
     edges.select(col("src").as("vertex"))
       .union(edges.select(col("dst").as("vertex")))
       .distinct()
+
+  /** Connected components by min-label propagation (HashMin): every vertex
+    * converges to the smallest id in its component. Edges are treated as
+    * undirected. Integer mins are order-independent, so results are exact
+    * and engine-reproducible. Converges in O(component diameter) rounds —
+    * the right algorithm when components are small (duplicate clusters);
+    * use pointer-doubling variants for giant-diameter graphs.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = vertices(undirected).withColumn("label", col("vertex"))
+    val result = graft.iterate.Fixpoint.iterate(init, maxIter,
+      converged = graft.iterate.Fixpoint.unchanged("vertex", "label")) { (state, _) =>
+      val nbr = state.join(undirected, state("vertex") === undirected("src"))
+        .select(col("dst").as("vertex"), col("label"))
+      state.select(col("vertex"), col("label"))
+        .unionByName(nbr)
+        .groupBy("vertex").agg(min("label").as("label"))
+    }
+    undirected.unpersist(false)
+    result.select("vertex", "label")
+  }
 }

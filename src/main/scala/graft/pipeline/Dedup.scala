@@ -111,6 +111,16 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Group near-duplicate *pairs* into duplicate *clusters* via connected
+    * components: each document maps to the smallest doc_id in its duplicate
+    * group (the surviving representative). The full dedup story:
+    * minhashDedup finds pairs, this picks one keeper per transitive group.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    graft.graph.Graphs.connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("vertex").as("doc_id"), col("label").as("keeper"))
+
   /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the
     * didactic quadratic baseline the LSH path replaces at scale. `sampleMod`
     * bounds the pair space (docs with doc_id % sampleMod == 0). */

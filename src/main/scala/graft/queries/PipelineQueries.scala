@@ -36,6 +36,11 @@ object PipelineQueries {
       Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold)
         .orderBy("doc_a", "doc_b")),
 
+    // pairs -> transitive duplicate clusters (keeper = min doc_id)
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold))
+        .orderBy("doc_id")),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(Tables.documents(s, d), SimhashMaxHamming)
         .orderBy("doc_a", "doc_b")),
@@ -92,22 +97,55 @@ object PipelineQueries {
   private val docsCte =
     s"""docs AS MATERIALIZED (SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents)"""
 
-  private val minhashSql = {
+  /** shared CTE chain ending in `pairs(doc_a, doc_b, jacc)` — the verified
+    * minhash near-duplicate pairs */
+  private val minhashPipelineCtes: String = {
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeyDuck("mh", b)} AS bkey FROM mh")
       .mkString("\nUNION ALL ")
-    s"""WITH $docsCte,
+    s"""$docsCte,
        |sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM docs WHERE len(ws) >= 3),
        |mh AS MATERIALIZED (SELECT doc_id, ${minhashDuck("hs")} AS mh FROM sh),
        |bands AS MATERIALIZED ($bandSelects),
        |cand AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, jacc FROM (
-       |  SELECT doc_a, doc_b, ${jaccardDuck("x.hs", "y.hs")} AS jacc
-       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
-       |WHERE jacc >= $MinhashThreshold ORDER BY doc_a, doc_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, jacc FROM (
+       |    SELECT doc_a, doc_b, ${jaccardDuck("x.hs", "y.hs")} AS jacc
+       |    FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+       |  WHERE jacc >= $MinhashThreshold)""".stripMargin
+  }
+
+  private val minhashSql =
+    s"""WITH $minhashPipelineCtes
+       |SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** unrolled min-label propagation over the undirected pair graph —
+    * integer mins are exact, and 8 rounds exceed any duplicate-cluster
+    * diameter (the Spark side iterates to its unique fixpoint) */
+  private val clustersSql = {
+    val iters = 8
+    val sb = new StringBuilder
+    sb ++= s"""WITH $minhashPipelineCtes,
+      |und AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |l0 AS MATERIALIZED (
+      |  SELECT vertex, vertex AS label FROM (
+      |    SELECT src AS vertex FROM und UNION SELECT dst FROM und))""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+        |l$i AS MATERIALIZED (SELECT vertex, min(label) AS label FROM (
+        |  SELECT vertex, label FROM l$p
+        |  UNION ALL SELECT u.dst AS vertex, l.label FROM l$p l JOIN und u ON u.src = l.vertex)
+        |GROUP BY vertex)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT vertex AS doc_id, label AS keeper FROM l$iters ORDER BY doc_id""".stripMargin
+    sb.toString
   }
 
   private val simhashSql = {
@@ -222,6 +260,7 @@ object PipelineQueries {
          FROM (SELECT doc_id, ${polyHashDuck("text")} AS fp, length(text) AS len FROM documents)
          GROUP BY fp, len ORDER BY keeper""",
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_clusters" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,

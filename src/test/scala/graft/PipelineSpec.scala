@@ -37,6 +37,15 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("dedup clusters: transitive pairs collapse to one keeper") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.95))
+      .toDF("doc_a", "doc_b", "jacc")
+    val m = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2 and 2-3 chain into one cluster even though 1-3 was never a pair
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("brute-force cosine top-k ranks an identical vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
