@@ -23,4 +23,20 @@ object Bucketing {
     * assertion that a bucketed join actually stayed co-located */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partCol`. At 100 TB this is what makes time/type-sliced queries read
+    * a sliver of the data — partition pruning removes whole directories
+    * before any I/O (verify with prunedPartitionFilters). */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** the PartitionFilters the scan will prune directories with (empty =
+    * full scan). Extracts only the bracket content — the surrounding scan
+    * line also names data/pushed filters. */
+  def partitionFilters(df: DataFrame): String = {
+    val plan = df.queryExecution.executedPlan.toString
+    "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("")
+  }
 }

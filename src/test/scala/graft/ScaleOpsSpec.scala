@@ -33,6 +33,23 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("partitioned layout prunes directories for partition-key filters") {
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Bucketing.writePartitioned(events, dir, "event_type")
+
+    val part = spark.read.parquet(dir).filter(col("event_type") === "click")
+    part.count()
+    val filters = Bucketing.partitionFilters(part)
+    assert(filters.contains("event_type"), filters) // pruned at the directory level
+    // a non-partition filter must NOT appear as a partition filter
+    val noPrune = spark.read.parquet(dir).filter(col("user_id") === 1)
+    noPrune.count()
+    assert(!Bucketing.partitionFilters(noPrune).contains("user_id"))
+    // correctness: partitioned read equals unpartitioned filter
+    assert(part.count() == events.filter(col("event_type") === "click").count())
+  }
+
   test("salted collect_list equals unsalted (holistic agg under skew)") {
     // skewed: key 1 holds 80% of rows
     val df = ((1 to 800).map(i => (1L, i.toLong)) ++ (1 to 200).map(i => (2L + i % 5, i.toLong)))
