@@ -57,6 +57,58 @@ object EventStreams {
   final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class Session(user_id: Long, t_start_us: Long, t_end_us: Long, n_events: Long)
+
+  /** Streaming gap-based sessionization — the incremental twin of the
+    * oracle-checked batch q_events_sessionize (same 30-minute gap, same µs
+    * arithmetic). Sessions close when a later event arrives past the gap
+    * (emitted immediately) or when event time advances `gapMs` past the
+    * last event (timeout). State per user is one open session — bounded.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 1800000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start_us, s.last_us, s.n))
+          } else {
+            // events within a micro-batch are not ordered; sort by event time
+            val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val tsUs = e.ts / 1000
+              // batch parity: gap compares ms-truncated stamps (ts div 1e6)
+              open match {
+                case Some(s) if tsUs / 1000 - s.last_us / 1000 > gapMs =>
+                  closed += Session(uid, s.start_us, s.last_us, s.n)
+                  open = Some(SessionState(tsUs, tsUs, 1))
+                case Some(s) =>
+                  open = Some(SessionState(s.start_us, tsUs, s.n + 1))
+                case None =>
+                  open = Some(SessionState(tsUs, tsUs, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000 + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Running per-user totals via mapGroupsWithState (Update mode) — custom
     * keyed state beyond what windowed aggregation expresses. */
   def runningUserTotals(events: Dataset[Ev]): Dataset[UserTotal] = {

@@ -59,6 +59,30 @@ class StreamingSpec extends SparkSpec {
     assert(n == distinct) // 2x input, each event_id exactly once
   }
 
+  test("streaming sessionization: closed sessions match the batch sessionize query") {
+    val evs = EventStreams.fromParquetDir(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[EventStreams.Ev]
+    val q = EventStreams.sessionize(evs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // append mode emits only sessions closed by a later event or by the
+    // advancing watermark; every emitted session must exist identically in
+    // the batch result (same gap, same µs arithmetic)
+    val streamed = spark.table("sessions")
+      .select("user_id", "t_start_us", "t_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    val batch = SparkEntry.queries("q_events_sessionize")(spark, sf("sf0.001"))
+      .select("user_id", "t_start_us", "t_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val missing = streamed -- batch
+    assert(missing.isEmpty, s"streamed sessions absent from batch: ${missing.take(3)}")
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
