@@ -22,32 +22,30 @@ object WelfordAgg {
     def sse: Double = m2
   }
 
-  final case class Buf(n: Long, mean: Double, m2: Double)
+  val of: Aggregator[Double, Stats, Stats] = new Aggregator[Double, Stats, Stats] {
+    override def zero: Stats = Stats(0L, 0.0, 0.0)
 
-  val of: Aggregator[Double, Buf, Stats] = new Aggregator[Double, Buf, Stats] {
-    override def zero: Buf = Buf(0L, 0.0, 0.0)
-
-    override def reduce(b: Buf, x: Double): Buf = {
+    override def reduce(b: Stats, x: Double): Stats = {
       val n = b.n + 1
       val d = x - b.mean
       val mean = b.mean + d / n
-      Buf(n, mean, b.m2 + d * (x - mean))
+      Stats(n, mean, b.m2 + d * (x - mean))
     }
 
     // Chan's parallel merge — what makes this a valid partial aggregate
-    override def merge(a: Buf, b: Buf): Buf =
+    override def merge(a: Stats, b: Stats): Stats =
       if (a.n == 0) b
       else if (b.n == 0) a
       else {
         val n = a.n + b.n
         val d = b.mean - a.mean
-        Buf(n,
+        Stats(n,
           a.mean + d * b.n / n,
           a.m2 + b.m2 + d * d * a.n.toDouble * b.n / n)
       }
 
-    override def finish(b: Buf): Stats = Stats(b.n, b.mean, b.m2)
-    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def finish(b: Stats): Stats = b
+    override def bufferEncoder: Encoder[Stats] = Encoders.product[Stats]
     override def outputEncoder: Encoder[Stats] = Encoders.product[Stats]
   }
 

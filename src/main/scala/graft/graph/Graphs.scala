@@ -51,7 +51,12 @@ object Graphs {
     * the right algorithm when components are small (duplicate clusters);
     * use pointer-doubling variants for giant-diameter graphs.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+  /** default propagation rounds — bounds cluster diameter; oracle SQL
+    * unrolls exactly this many, so engine and oracle agree even on inputs
+    * that have not converged */
+  val DefaultCcRounds = 15
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = DefaultCcRounds): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

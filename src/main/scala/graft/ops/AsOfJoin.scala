@@ -33,10 +33,17 @@ object AsOfJoin {
     require(payload.intersect(leftExtra).isEmpty,
       s"right payload columns collide with left: ${payload.intersect(leftExtra).mkString(",")}")
 
-    val leftTagged = payload.foldLeft(left.withColumn("__tag", lit(1))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val rightTagged = leftExtra.foldLeft(right.withColumn("__tag", lit(0))) { (df, c) =>
+    // the payload travels as ONE struct (non-null for every right row, null
+    // for left rows): last(ignoreNulls) then picks the latest right ROW
+    // atomically — a right row whose payload *values* are null still wins,
+    // and columns can never mix across right rows
+    val payloadStruct = struct(payload.map(col): _*)
+    val leftTagged = left.withColumn("__tag", lit(1))
+      .withColumn("__asof", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c)))))
+    val rightTagged = leftExtra.foldLeft(
+        right.withColumn("__tag", lit(0)).withColumn("__asof", payloadStruct)
+          .drop(payload: _*)) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = leftTagged.unionByName(rightTagged)
@@ -44,9 +51,10 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    val out = payload.foldLeft(filled.filter(col("__tag") === 1)) { (df, c) =>
+      df.withColumn(c, col("__asof")(c))
     }
-    filled.filter(col("__tag") === 1).drop("__tag")
+    out.drop("__tag", "__asof")
   }
 }

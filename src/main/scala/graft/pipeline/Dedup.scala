@@ -116,9 +116,10 @@ object Dedup {
     * group (the surviving representative). The full dedup story:
     * minhashDedup finds pairs, this picks one keeper per transitive group.
     */
-  def dedupClusters(pairs: DataFrame): DataFrame =
+  def dedupClusters(pairs: DataFrame,
+      maxIter: Int = graft.graph.Graphs.DefaultCcRounds): DataFrame =
     graft.graph.Graphs.connectedComponents(
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), maxIter)
       .select(col("vertex").as("doc_id"), col("label").as("keeper"))
 
   /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the

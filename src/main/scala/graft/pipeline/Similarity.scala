@@ -94,8 +94,7 @@ object Similarity {
         (shiftright(col("__hp"), b * HpBandBits) % (1 << HpBandBits)).as("key"))
     }
     emb.select(col("vec_id"),
-        GraftFunctions.hyperplaneBits(col("embedding")).as("__hp"),
-        col("embedding"))
+        GraftFunctions.hyperplaneBits(col("embedding")).as("__hp"))
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }

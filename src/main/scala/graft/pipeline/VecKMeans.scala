@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, VecImpl}
 
 /** k-means over an Array[Float] embedding column, and IVF (inverted-file)
   * approximate nearest-neighbor search built on it — the coarse-quantizer
@@ -126,11 +126,16 @@ object VecKMeans {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // norms computed once per vector, not per candidate pair
-    val assigned = assign(corpus, cents)
-      .withColumnRenamed("vec_id", "nid")
-      .join(Similarity.corpusWithNorm(corpus), "nid")
+    // one pass over the corpus computes cluster AND norm — no second scan
+    // or full-embedding shuffle to re-attach them
     val bc = spark.sparkContext.broadcast(cents)
+    val assigned = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          (id, nearest(v, cs), v, math.sqrt(VecImpl.dot(v, v)))
+        }
+      }.toDF("nid", "cluster", "nv", "nn")
     val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val cs = bc.value

@@ -123,10 +123,12 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   /** unrolled min-label propagation over the undirected pair graph —
-    * integer mins are exact, and 8 rounds exceed any duplicate-cluster
-    * diameter (the Spark side iterates to its unique fixpoint) */
+    * integer mins are exact. Unrolls exactly Graphs.DefaultCcRounds, the
+    * same bound the engine iterates under (early convergence reaches the
+    * identical fixpoint), so engine and oracle agree on ANY input, even a
+    * pathological chain that has not converged at the bound. */
   private val clustersSql = {
-    val iters = 8
+    val iters = graft.graph.Graphs.DefaultCcRounds
     val sb = new StringBuilder
     sb ++= s"""WITH $minhashPipelineCtes,
       |und AS MATERIALIZED (

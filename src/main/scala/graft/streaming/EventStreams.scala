@@ -95,7 +95,10 @@ object EventStreams {
                   closed += Session(uid, s.start_us, s.last_us, s.n)
                   open = Some(SessionState(tsUs, tsUs, 1))
                 case Some(s) =>
-                  open = Some(SessionState(s.start_us, tsUs, s.n + 1))
+                  // late (out-of-order) events across micro-batches merge
+                  // conservatively: extend the span, never regress it
+                  open = Some(SessionState(math.min(s.start_us, tsUs),
+                    math.max(s.last_us, tsUs), s.n + 1))
                 case None =>
                   open = Some(SessionState(tsUs, tsUs, 1))
               }

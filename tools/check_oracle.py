@@ -7,6 +7,7 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -40,7 +41,6 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         # read every part file (Verify coalesces to 1 today, but don't rely on it)
-        import pyarrow as pa
         tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
         try:
             res = con.execute(sql)
