@@ -122,6 +122,17 @@ object Dedup {
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), maxIter)
       .select(col("vertex").as("doc_id"), col("label").as("keeper"))
 
+  /** The end-to-end dedup operation: remove every document that is a
+    * non-keeper member of a near-duplicate cluster. Keeps cluster keepers
+    * and all documents with no near-duplicate. The anti-join ships only
+    * loser ids — the document payloads never shuffle. */
+  def deduplicate(docs: DataFrame, threshold: Double): DataFrame = {
+    val losers = dedupClusters(minhashDedup(docs, threshold))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the
     * didactic quadratic baseline the LSH path replaces at scale. `sampleMod`
     * bounds the pair space (docs with doc_id % sampleMod == 0). */

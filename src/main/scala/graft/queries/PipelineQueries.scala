@@ -41,6 +41,12 @@ object PipelineQueries {
       Dedup.dedupClusters(Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold))
         .orderBy("doc_id")),
 
+    // the deduplicated corpus itself (keepers + singletons)
+    "q_dedup_final" -> ((s, d) =>
+      Dedup.deduplicate(Tables.documents(s, d), MinhashThreshold)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(Tables.documents(s, d), SimhashMaxHamming)
         .orderBy("doc_a", "doc_b")),
@@ -148,6 +154,16 @@ object PipelineQueries {
     sb ++= s"""
       |SELECT vertex AS doc_id, label AS keeper FROM l$iters ORDER BY doc_id""".stripMargin
     sb.toString
+  }
+
+  /** clustersSql's CTE chain with the final select swapped: keep every
+    * document that is not a cluster loser */
+  private val dedupFinalSql = {
+    val iters = graft.graph.Graphs.DefaultCcRounds
+    clustersSql.substring(0, clustersSql.lastIndexOf("SELECT vertex AS doc_id")) +
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT vertex FROM l$iters WHERE vertex <> label)
+         |ORDER BY d.doc_id""".stripMargin
   }
 
   private val simhashSql = {
@@ -263,6 +279,7 @@ object PipelineQueries {
          GROUP BY fp, len ORDER BY keeper""",
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_clusters" -> clustersSql,
+    "q_dedup_final" -> dedupFinalSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
