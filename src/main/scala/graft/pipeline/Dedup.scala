@@ -106,7 +106,7 @@ object Dedup {
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

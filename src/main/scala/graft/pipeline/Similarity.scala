@@ -66,7 +66,7 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", round(GraftFunctions.dotProduct(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
-    scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("qid", "rn", "nid", "score")
   }

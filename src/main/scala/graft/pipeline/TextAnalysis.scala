@@ -49,7 +49,8 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     val scored = Stopwords.foldLeft(
       docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))) {
-      case (df, (lang, _)) => df.withColumn(s"s_$lang", expr(langScoreSpark("ws", lang)))
+      case (df, (lang, _)) =>
+        df.withColumn(s"s_$lang", expr(langScoreSpark("ws", lang)).cast("long"))
     }
     val cols = Seq("doc_id", "lang_pred") ++ Stopwords.map(s => s"s_${s._1}")
     scored.withColumn("lang_pred", expr(argmaxLangSql))
@@ -63,9 +64,9 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text"), expr(wordsSpark("text")).as("ws"))
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars_raw"),
-        size(col("ws")).as("n_words"),
-        size(array_distinct(col("ws"))).as("n_uniq"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
         (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("uniq_ratio"),
         (expr(s"size(filter(ws, w -> ${hitCondition(allStops)}))").cast("double")
           / size(col("ws"))).as("stop_ratio"),

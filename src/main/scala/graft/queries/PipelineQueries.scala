@@ -179,7 +179,7 @@ object PipelineQueries {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b, hamming FROM (
-       |  SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming FROM cand)
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming FROM cand)
        |WHERE hamming <= $SimhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 

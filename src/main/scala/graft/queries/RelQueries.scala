@@ -15,7 +15,11 @@ import graft.core.Tables
   *    exact in IEEE double regardless of partition order, so plain sum/avg
   *    is safe;
   *  - min/max/comparisons on doubles are always exact;
-  *  - every query ends in a deterministic total ORDER BY (unique key).
+  *  - every query ends in a deterministic total ORDER BY (unique key);
+  *  - DuckDB widens sum(BIGINT) to HUGEINT (plain and window form) while
+  *    count/min/max stay BIGINT — every integer sum in oracle SQL must be
+  *    wrapped in CAST(sum(...) AS BIGINT) or the driver's type-sensitive
+  *    hash mismatches even when values agree (round-1 failure class).
   */
 object RelQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -172,13 +176,13 @@ object RelQueries {
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
         concat_ws("-", col("p_brand"), col("p_type")).as("tagged"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 8).as("name_pfx"),
         element_at(split(col("p_type"), " "), 1).as("type_head"),
         abs(col("p_retailprice") - 1000.0).as("price_dev"),
-        (col("p_size") * col("p_size")).as("size_sq"),
-        least(col("p_size"), lit(25)).as("size_lo"),
-        greatest(col("p_size"), lit(25)).as("size_hi"),
+        (col("p_size") * col("p_size")).cast("long").as("size_sq"),
+        least(col("p_size"), lit(25)).cast("long").as("size_lo"),
+        greatest(col("p_size"), lit(25)).cast("long").as("size_hi"),
         floor(col("p_retailprice")).cast("double").as("price_fl"),
         ceil(col("p_retailprice")).cast("double").as("price_ce"),
         col("p_size").cast("string").as("size_str"),
@@ -289,7 +293,7 @@ object RelQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
       Tables.customer(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
         .orderBy("c_nationkey", "rn")
@@ -387,7 +391,8 @@ object RelQueries {
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
 
     "q_agg_of_agg" ->
-      """SELECT min(cnt) AS min_cnt, max(cnt) AS max_cnt, count(*) AS n_groups, sum(cnt) AS total
+      """SELECT min(cnt) AS min_cnt, max(cnt) AS max_cnt, count(*) AS n_groups,
+         CAST(sum(cnt) AS BIGINT) AS total
          FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)""",
 
     "q_agg_global" ->
@@ -448,9 +453,9 @@ object RelQueries {
          substring(p_name, 1, 8) AS name_pfx,
          string_split(p_type, ' ')[1] AS type_head,
          abs(p_retailprice - 1000.0) AS price_dev,
-         p_size * p_size AS size_sq,
-         least(p_size, 25) AS size_lo,
-         greatest(p_size, 25) AS size_hi,
+         CAST(p_size * p_size AS BIGINT) AS size_sq,
+         CAST(least(p_size, 25) AS BIGINT) AS size_lo,
+         CAST(greatest(p_size, 25) AS BIGINT) AS size_hi,
          CAST(floor(p_retailprice) AS DOUBLE) AS price_fl,
          CAST(ceil(p_retailprice) AS DOUBLE) AS price_ce,
          CAST(p_size AS VARCHAR) AS size_str,
@@ -492,7 +497,7 @@ object RelQueries {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 7",
 
     "q_union_merge" ->
-      """SELECT k, sum(v) AS v FROM (
+      """SELECT k, CAST(sum(v) AS BIGINT) AS v FROM (
            SELECT c_custkey AS k, 0 AS v FROM customer
            UNION ALL
            SELECT o_custkey AS k, count(*) AS v FROM orders GROUP BY o_custkey
@@ -574,8 +579,8 @@ object RelQueries {
            FROM e),
          g AS (
            SELECT user_id, ts,
-                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
            FROM f)
          SELECT user_id, session_idx, count(*) AS n_events,
                 epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us

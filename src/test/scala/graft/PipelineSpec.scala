@@ -54,7 +54,7 @@ class PipelineSpec extends SparkSpec {
       (3L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal
     ).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
-      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(top.head._2 == 1L && top.head._3 == 1.0)
     assert(top(1)._2 == 2L && top(1)._3 > 0.99)
     assert(top(2)._3 == 0.0)
