@@ -38,6 +38,15 @@ object Graphs {
         when(col("id") % k === 0, lit(0L)).otherwise(col("id") + 1).as("dst"))
   }
 
+  /** `chains` disjoint linear paths of `k` vertices each (no shared dummy
+    * vertex, unlike kChain): vertex v links to v+1 unless it is a chain
+    * tail (v % k == 0). Diameter k-1 per component — the adversarial
+    * fixture for label-propagation algorithms. */
+  def chainPaths(spark: SparkSession, k: Int, chains: Int): DataFrame =
+    spark.range(1, k.toLong * chains + 1)
+      .filter(col("id") % k =!= 0)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+
   /** All vertex ids appearing on either side of the edge relation. */
   def vertices(edges: DataFrame): DataFrame =
     edges.select(col("src").as("vertex"))
@@ -69,6 +78,45 @@ object Graphs {
       state.select(col("vertex"), col("label"))
         .unionByName(nbr)
         .groupBy("vertex").agg(min("label").as("label"))
+    }
+    undirected.unpersist(false)
+    result.select("vertex", "label")
+  }
+
+  /** default rounds for the doubling variant: reach grows as
+    * d_t >= 2*d_{t-1} + 2, so 8 rounds cover component diameters past 500 */
+  val DefaultDoublingRounds = 8
+
+  /** Connected components by min-label propagation with pointer jumping:
+    * each round does the HashMin neighbor step, then shortcuts every label
+    * through the label table (label <- label(label)). Known-min distance
+    * at least doubles per round, so convergence is O(log diameter) instead
+    * of O(diameter) — the variant that stays correct on long duplicate
+    * chains at 100 TB, where a fixed linear round bound would split
+    * components. Same label monotonicity (integer min) as
+    * connectedComponents, so results are exact and engine-reproducible.
+    */
+  def connectedComponentsDoubling(
+      edges: DataFrame, maxIter: Int = DefaultDoublingRounds): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = vertices(undirected).withColumn("label", col("vertex"))
+    val result = graft.iterate.Fixpoint.iterate(init, maxIter,
+      converged = graft.iterate.Fixpoint.unchanged("vertex", "label")) { (state, _) =>
+      // HashMin step: min label over self + in-neighbors
+      val nbr = state.join(undirected, state("vertex") === undirected("src"))
+        .select(col("dst").as("vertex"), col("label"))
+      val m = state.select(col("vertex"), col("label"))
+        .unionByName(nbr)
+        .groupBy("vertex").agg(min("label").as("label"))
+      // pointer jump: label <- label(label). Labels are always existing
+      // vertex ids (mins of the initial id assignment), so the inner join
+      // never drops a vertex; least() keeps monotonicity explicit.
+      val jump = m.select(col("vertex").as("jv"), col("label").as("jl"))
+      m.join(jump, m("label") === jump("jv"))
+        .select(m("vertex"), least(m("label"), col("jl")).as("label"))
     }
     undirected.unpersist(false)
     result.select("vertex", "label")

@@ -35,6 +35,12 @@ object GraphQueries {
   // follower-count distribution (K-means/Makefile:9)
   private val KmInit = Seq(2.0, 6.0, 10.0, 18.0)
   private val KmIters = 5
+  // CC chain fixture: 5 disjoint paths of 60 vertices (diameter 59 —
+  // far past the linear HashMin bound) resolved by pointer doubling;
+  // engine iteration bound and oracle unroll count must agree
+  private val CcChainLen = 60
+  private val CcChains = 5
+  private val CcRounds = Graphs.DefaultDoublingRounds
 
   val defs: Map[String, Q] = Map(
     // the reference headline: follower count on the edge relation
@@ -103,6 +109,18 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 9).as("pr"))
         .orderBy("vertex")
     }),
+
+    // pointer-doubling CC on the adversarial long-chain fixture: each
+    // component's diameter (59) exceeds the linear HashMin round bound,
+    // so only the O(log d) doubling variant labels it correctly
+    "q_graph_cc_chain" -> ((s, d) =>
+      Graphs.connectedComponentsDoubling(Graphs.chainPaths(s, CcChainLen, CcChains), CcRounds)
+        .orderBy("vertex")),
+
+    // doubling CC on the derived lineitem graph (real-scan input)
+    "q_graph_cc" -> ((s, d) =>
+      Graphs.connectedComponentsDoubling(Graphs.lineitemEdges(s, d, Mod), CcRounds)
+        .orderBy("vertex")),
 
     "q_graph_kmeans" -> ((s, d) => {
       val pts = Tables.orders(s, d).groupBy("o_custkey")
@@ -221,6 +239,38 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Unrolled pointer-doubling CC — per round: HashMin CTE m{i}, then the
+    * shortcut join r{i} = label(label(v)), mirroring
+    * Graphs.connectedComponentsDoubling step for step. `graphCte` must
+    * define `g(src, dst)`. Integer mins are exact, so engine and oracle
+    * agree on ANY input at the same round count, converged or not. */
+  private def ccDoublingSql(graphCte: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |und AS MATERIALIZED (
+      |  SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+      |r0 AS MATERIALIZED (
+      |  SELECT vertex, vertex AS label FROM (
+      |    SELECT src AS vertex FROM und UNION SELECT dst FROM und))""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+        |m$i AS MATERIALIZED (SELECT vertex, min(label) AS label FROM (
+        |  SELECT vertex, label FROM r$p
+        |  UNION ALL SELECT u.dst AS vertex, l.label FROM r$p l JOIN und u ON u.src = l.vertex)
+        |GROUP BY vertex),
+        |r$i AS MATERIALIZED (SELECT a.vertex, least(a.label, b.label) AS label
+        |  FROM m$i a JOIN m$i b ON a.label = b.vertex)""".stripMargin
+    }
+    sb ++= s"\nSELECT vertex, label FROM r$iters ORDER BY vertex"
+    sb.toString
+  }
+
+  private def chainPathsCte(k: Int, chains: Int): String =
+    s"""g AS MATERIALIZED (
+       |  SELECT CAST(id AS BIGINT) AS src, CAST(id + 1 AS BIGINT) AS dst
+       |  FROM range(1, ${k.toLong * chains + 1}) t(id) WHERE id % $k <> 0)""".stripMargin
+
   private val ssspPathTreeSql =
     s"""WITH RECURSIVE tedges AS (
        |  SELECT DISTINCT CAST((l_orderkey % 1000) // 2 AS BIGINT) AS src,
@@ -243,5 +293,7 @@ object GraphQueries {
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
+    "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
+    "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),
   )
 }

@@ -110,4 +110,35 @@ class GraphSpec extends SparkSpec {
     assert(res.centroids(1) == 500.0)
     assert(res.centroids(0) == 1.5)
   }
+
+  test("cc doubling: diameter-99 chain converges within the log-round bound") {
+    // 2 disjoint 100-vertex paths: diameter 99, far beyond any linear
+    // round bound an engine could afford per-component at scale
+    val e = Graphs.chainPaths(spark, k = 100, chains = 2)
+    val labels = Graphs.connectedComponentsDoubling(e, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert((1L to 100L).forall(labels(_) == 1L))
+    assert((101L to 200L).forall(labels(_) == 101L))
+  }
+
+  test("cc doubling: matches linear HashMin on a small multi-component graph") {
+    val e = edges(1L -> 2L, 2L -> 3L, 5L -> 4L, 7L -> 8L, 8L -> 7L, 10L -> 10L)
+    val lin = Graphs.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dbl = Graphs.connectedComponentsDoubling(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(dbl == lin)
+    assert(dbl == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      7L -> 7L, 8L -> 7L, 10L -> 10L))
+  }
+
+  test("cc doubling: linear HashMin at the same round count splits the long chain") {
+    // negative control — shows why doubling matters: 15 linear rounds
+    // cannot label a diameter-99 chain
+    val e = Graphs.chainPaths(spark, k = 100, chains = 1)
+    val lin = Graphs.connectedComponents(e, maxIter = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lin(100L) != 1L)
+  }
 }
