@@ -43,41 +43,46 @@ object Fixpoint {
       checkpointEvery: Int = 1,
       converged: (DataFrame, DataFrame) => Boolean = (_, _) => false)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
-    var state = init.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = state.count() // materialize so unpersist of inputs is safe
+    val seeded = init.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = seeded.count() // materialize so unpersist of inputs is safe
 
     // Size the loop's shuffle width to the state, not the session default:
     // a fixpoint over a bounded vertex set should not pay hundreds of
     // near-empty tasks per iteration (the dominant cost of small iterative
-    // jobs), while a billion-row state keeps the configured width. Restored
-    // after the loop.
-    val spark = init.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val configured = spark.conf.get(key)
-    val aqeConfigured = spark.conf.get(aqeKey)
-    val width = sizedPartitions(spark, n)
+    // jobs), while a billion-row state keeps the configured width.
+    //
+    // The width (and the AQE toggle below) is set on a LOOP-PRIVATE session
+    // cloned from the caller's: newSession() shares the SparkContext, cache
+    // manager, and catalog but owns its SQLConf, so concurrent queries on
+    // the caller's session never inherit the loop's sizing. Every step
+    // function returns a plan rooted at the loop-bound state, so each
+    // iteration plans and executes under the private conf.
+    val orig = init.sparkSession
+    val width = sizedPartitions(orig, n)
+    val loop = orig.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // AQE's per-stage replanning is pure driver latency once the state is
+    // small and plans are stable; keep it for wide states (skew joins).
+    if (width <= 4) loop.conf.set("spark.sql.adaptive.enabled", "false")
+
+    // Re-bind the materialized seed to the loop session. Rows stream out of
+    // the cached partitions, and the checkpoint makes the switch permanent,
+    // so this is a one-time state-sized copy, not a recompute.
+    var state = loop.createDataFrame(seeded.rdd, seeded.schema)
+      .localCheckpoint(eager = true)
+    seeded.unpersist(blocking = false)
 
     var i = 0
     var done = false
-    try {
-      spark.conf.set(key, width.toString)
-      // AQE's per-stage replanning is pure driver latency once the state is
-      // small and plans are stable; keep it for wide states (skew joins).
-      if (width <= 4) spark.conf.set(aqeKey, "false")
-      while (i < maxIter && !done) {
-        var next = step(state, i)
-        next =
-          if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
-          else { val p = next.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
-        done = converged(state, next)
-        state.unpersist(blocking = false)
-        state = next
-        i += 1
-      }
-    } finally {
-      spark.conf.set(key, configured)
-      spark.conf.set(aqeKey, aqeConfigured)
+    while (i < maxIter && !done) {
+      var next = step(state, i)
+      next =
+        if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
+        else { val p = next.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
+      done = converged(state, next)
+      state.unpersist(blocking = false)
+      state = next
+      i += 1
     }
     state
   }
