@@ -93,22 +93,31 @@ object Dedup {
 
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
     * generation via band equi-join is *exact* for maxHamming < SimBands
-    * (pigeonhole: fewer differing bits than bands leaves one band intact). */
+    * (pigeonhole: fewer differing bits than bands leaves one band intact).
+    * Like the minhash path, the candidate distinct shuffles id pairs only;
+    * signatures re-join afterward from the cached (doc_id, sim) relation. */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    val sigs = simhashSignatures(docs).persist()
     val bandStructs = (0 until SimBands).map(b =>
       struct(lit(b).as("band"), expr(simBandSpark("sim", b)).as("key")))
     val bands = sigs
-      .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.toDF("doc_a", "sim_a", "band", "key")
-    val b = bands.toDF("doc_b", "sim_b", "band", "key")
-    a.join(b, Seq("band", "key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.toDF("doc_a", "band", "key")
+    val b = bands.toDF("doc_b", "band", "key")
+    val cand = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .select("doc_a", "doc_b").distinct()
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    // near-dup pairs are tiny; materialize so the signature cache releases
+    val out = pairs.localCheckpoint(eager = true)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** Group near-duplicate *pairs* into duplicate *clusters* via connected

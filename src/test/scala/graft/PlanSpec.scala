@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guards for the headline queries: these properties
+  * (pushdown, pruning, broadcast, top-k short-circuit, shared window sort)
+  * are what make the queries scale, and the bench is too noisy to catch a
+  * silent plan regression at sf0.1 — so assert the plans directly.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  private def countOp(p: String, op: String): Int =
+    s"(?m)^\\s*\\(\\d+\\) $op\\b".r.findAllIn(p).length
+
+  test("q_filter_range pushes its range predicate into the parquet scan") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters:"), p)
+    assert("PushedFilters:[^\\n]*l_quantity".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q_agg_count prunes the orders scan to the grouping column") {
+    val p = plan("q_agg_count")
+    val read = "ReadSchema:[^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("o_custkey"), p)
+    assert(!read.contains("o_totalprice") && !read.contains("o_orderdate"), read)
+  }
+
+  test("q_join_broadcast broadcasts the dim side") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"), plan("q_join_broadcast"))
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countOp(p, "Sort") == 0, p)
+  }
+
+  test("sessionize plans exactly one sort for both window functions") {
+    // lag() and the running sum share partition+order, so Catalyst must
+    // plan a single Sort for the two Window operators (plus the final
+    // ORDER BY contract sort) — 2 sorts total
+    val p = plan("q_events_sessionize")
+    assert(countOp(p, "Window") >= 1, p)
+    assert(countOp(p, "Sort") <= 2, p)
+  }
+
+  test("dedup band joins are equi-joins, never cartesian") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+}
