@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextHash._
+import graft.functions.GraftFunctions
+
+/** Corpus-level statistics and curation operators for training-data
+  * pipelines: vocabulary building, TF-IDF term ranking, deterministic
+  * train/val/test splitting, and stratified sampling.
+  *
+  * Scale design: vocabulary and TF-IDF shuffle (id, word) pairs with full
+  * map-side partial aggregation — the word-explode never re-shuffles
+  * document payloads. Splits and samples are pure per-row hash arithmetic
+  * (the codegen'd PolyHashExpr kernel), so they are reproducible across
+  * engines, cluster sizes, and runs — the property a training pipeline
+  * needs so that train/test membership never silently shifts.
+  *
+  * Float determinism: TF-IDF scores are tf * N / df — products and
+  * quotients of exact small integers in IEEE double, bit-identical across
+  * engines (no logarithm, whose libm rounding may differ).
+  */
+object Corpus {
+
+  /** Top-`topN` corpus vocabulary: (word, n, df) by total occurrences,
+    * ties broken by word. df = number of distinct documents containing
+    * the word, computed via the distinct (doc, word) relation (a partial-
+    * aggregated shuffle, not a countDistinct over raw occurrences). */
+  def vocabulary(docs: DataFrame, topN: Int): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.groupBy("word")
+      .agg(sum("tf").as("n"), count(lit(1)).as("df"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(topN)
+  }
+
+  /** Top-`topPerDoc` TF-IDF terms per document:
+    * (doc_id, rn, word, tf, df, score) with score = tf * nDocs / df. */
+  def tfidf(docs: DataFrame, topPerDoc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val words = docs.select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topPerDoc)
+      .select("doc_id", "rn", "word", "tf", "df", "score")
+  }
+
+  /** Deterministic train/val/test assignment from the content hash:
+    * polyHash(text) % 10 -> 0-7 train, 8 val, 9 test. Membership depends
+    * only on the document text, so re-runs, engine swaps, and corpus
+    * growth never move an existing document across splits. */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        (GraftFunctions.polyHash(col("text")) % 10).as("slot"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("split",
+        when(col("slot") < 8, "train").when(col("slot") === 8, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("n_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+
+  /** Deterministic stratified sample: `perGroup` documents per value of
+    * `groupCol`, ordered by content hash (ties by doc_id) — an unbiased,
+    * reproducible per-stratum pick with no driver-side randomness. */
+  def stratifiedSample(docs: DataFrame, groupCol: String, perGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(asc("h"), asc("doc_id"))
+    docs.select(col(groupCol), col("doc_id"),
+        GraftFunctions.polyHash(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perGroup)
+      .select(groupCol, "rn", "doc_id", "h")
+  }
+}

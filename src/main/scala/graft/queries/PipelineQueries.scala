@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.TextHash._
 import graft.pipeline.Similarity._
 import graft.pipeline.TextAnalysis._
@@ -24,6 +24,12 @@ object PipelineQueries {
   private val EmbThreshold = 0.40
   private val TopK = 5
   private val NumQueryVecs = 8
+  private val VocabTopN = 100
+  private val TfidfTopK = 3
+  private val StratPerGroup = 20
+  // curation thresholds (quality gate for the end-to-end pipeline)
+  private val MinWords = 10
+  private val MinUniqRatio = 0.3
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -88,6 +94,37 @@ object PipelineQueries {
 
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // corpus statistics: vocabulary with doc frequencies, TF-IDF top terms
+    "q_text_vocab" -> ((s, d) =>
+      Corpus.vocabulary(Tables.documents(s, d), VocabTopN)),
+
+    "q_text_tfidf" -> ((s, d) =>
+      Corpus.tfidf(Tables.documents(s, d), TfidfTopK).orderBy("doc_id", "rn")),
+
+    // deterministic content-hash train/val/test split
+    "q_split_hash" -> ((s, d) =>
+      Corpus.hashSplit(Tables.documents(s, d)).orderBy("split")),
+
+    // deterministic per-language stratified sample
+    "q_sample_stratified" -> ((s, d) =>
+      Corpus.stratifiedSample(Tables.documents(s, d), "lang", StratPerGroup)
+        .orderBy("lang", "rn")),
+
+    // end-to-end curation: quality gate + language ID + near-dup removal
+    "q_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.quality(docs)
+        .filter(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
+        .select("doc_id", "n_words")
+      val l = TextAnalysis.langId(docs).select("doc_id", "lang_pred")
+      val losers = Dedup.dedupClusters(Dedup.minhashDedup(docs, MinhashThreshold))
+        .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+      docs.select("doc_id").join(q, "doc_id").join(l, "doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang_pred", "n_words")
+        .orderBy("doc_id")
+    }),
 
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.binarize(Tables.documents(s, d)))
@@ -252,6 +289,63 @@ object PipelineQueries {
   private val fingerprintSql =
     s"""SELECT doc_id, ${polyHashDuck("trim(text)")} AS fp FROM documents ORDER BY doc_id"""
 
+  /** shared CTEs for vocabulary/TF-IDF: per-(doc, word) term frequencies */
+  private val tfCtes =
+    s"""w AS MATERIALIZED (SELECT doc_id, unnest(${wordsDuck("text")}) AS word FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word)""".stripMargin
+
+  private val vocabSql =
+    s"""WITH $tfCtes
+       |SELECT word, CAST(sum(tf) AS BIGINT) AS n, count(*) AS df
+       |FROM tf GROUP BY word ORDER BY n DESC, word LIMIT $VocabTopN""".stripMargin
+
+  private val tfidfSql =
+    s"""WITH $tfCtes,
+       |df AS MATERIALIZED (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |s AS MATERIALIZED (
+       |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       |         tf.tf * (SELECT n_docs FROM n) / df.df AS score
+       |  FROM tf JOIN df USING (word))
+       |SELECT doc_id, rn, word, tf, df, score FROM (
+       |  SELECT doc_id, word, tf, df, score,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rn
+       |  FROM s)
+       |WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin
+
+  private val splitHashSql =
+    s"""WITH d AS (SELECT doc_id, ${polyHashDuck("text")} % 10 AS slot, length(text) AS len
+       |           FROM documents)
+       |SELECT CASE WHEN slot < 8 THEN 'train' WHEN slot = 8 THEN 'val' ELSE 'test' END AS split,
+       |       count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars,
+       |       min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM d GROUP BY 1 ORDER BY split""".stripMargin
+
+  private val stratifiedSql =
+    s"""SELECT lang, rn, doc_id, h FROM (
+       |  SELECT lang, doc_id, h,
+       |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn
+       |  FROM (SELECT lang, doc_id, ${polyHashDuck("text")} AS h FROM documents))
+       |WHERE rn <= $StratPerGroup ORDER BY lang, rn""".stripMargin
+
+  /** clustersSql's CC chain + a quality/langid CTE: the curated corpus is
+    * quality-passing docs that are not near-dup cluster losers */
+  private val curateSql = {
+    val iters = graft.graph.Graphs.DefaultCcRounds
+    val scores = Stopwords.map { case (l, _) => s"${langScoreDuck("ws", l)} AS s_$l" }.mkString(", ")
+    clustersSql.substring(0, clustersSql.lastIndexOf("SELECT vertex AS doc_id")) +
+      s""",
+         |f AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ur, $scores
+         |  FROM docs)
+         |SELECT doc_id, $argmaxLangSql AS lang_pred, n_words
+         |FROM f
+         |WHERE n_words >= $MinWords AND ur >= $MinUniqRatio
+         |  AND doc_id NOT IN (SELECT vertex FROM l$iters WHERE vertex <> label)
+         |ORDER BY doc_id""".stripMargin
+  }
+
   private val multimodalMetaSql =
     s"""SELECT doc_id, 'application/octet-stream' AS mime,
        |  octet_length(CAST(text AS BLOB)) AS n_bytes, source AS origin
@@ -288,6 +382,11 @@ object PipelineQueries {
     "q_text_quality" -> qualitySql,
     "q_text_tokens" -> tokensSql,
     "q_text_fingerprint" -> fingerprintSql,
+    "q_text_vocab" -> vocabSql,
+    "q_text_tfidf" -> tfidfSql,
+    "q_split_hash" -> splitHashSql,
+    "q_sample_stratified" -> stratifiedSql,
+    "q_curate" -> curateSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
   )

@@ -347,6 +347,18 @@ object RelQueries {
         .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
         .orderBy("bucket", "event_type")),
 
+    // interval self-join via ops.RangeJoin's bucketized band join: event
+    // pairs per user within one hour, aggregated. The oracle validates
+    // with a direct inequality join — same result, quadratic plan.
+    "q_events_pairs" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ms"))
+      graft.ops.RangeJoin.pairsWithin(e, "user_id", "event_id", "ms", 3600000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ts_b") - col("ts_a")).as("sum_gap_ms"))
+        .orderBy("user_id")
+    }),
+
     "q_events_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -567,6 +579,13 @@ object RelQueries {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q_events_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)
+         SELECT a.user_id, count(*) AS n_pairs, CAST(sum(b.ms - a.ms) AS BIGINT) AS sum_gap_ms
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id AND b.ms > a.ms AND b.ms <= a.ms + 3600000
+         GROUP BY a.user_id ORDER BY a.user_id""",
 
     "q_events_sessionize" ->
       """WITH e AS (

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Corpus
+import graft.ops.RangeJoin
+
+/** Hand-computed fixtures for corpus statistics, deterministic splits,
+  * and the bucketized range join. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabulary counts occurrences and doc frequencies") {
+    val d = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = Corpus.vocabulary(d, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.head == (("a", 3L, 2L)))
+    assert(v.toSet == Set(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("tfidf: rare term outranks corpus-wide term") {
+    val d = Seq((1L, "x x shared"), (2L, "y shared")).toDF("doc_id", "text")
+    val t = Corpus.tfidf(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+      .sortBy(r => (r._1, r._2))
+    // doc1: x tf=2 df=1 -> 2*2/1=4; shared tf=1 df=2 -> 1*2/2=1
+    assert(t.filter(_._1 == 1L).map(r => (r._3, r._4)).toList ==
+      List(("x", 4.0), ("shared", 1.0)))
+    assert(t.filter(_._1 == 2L).map(r => (r._3, r._4)).toList ==
+      List(("y", 2.0), ("shared", 1.0)))
+  }
+
+  test("hash split is partition-invariant and covers every document") {
+    val d = (1L to 200L).map(i => (i, s"document number $i with text")).toDF("doc_id", "text")
+    val s1 = Corpus.hashSplit(d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Corpus.hashSplit(d.repartition(7)).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    assert(s1.values.sum == 200L)
+    assert(s1.keySet.subsetOf(Set("train", "val", "test")))
+    assert(s1("train") > s1.getOrElse("val", 0L)) // 80/10/10 expectation, roughly
+  }
+
+  test("stratified sample is per-stratum bounded and partition-invariant") {
+    val d = (1L to 50L).map(i => (i, s"text number $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val s1 = Corpus.stratifiedSample(d, "lang", 5).collect().map(_.toString).sorted
+    assert(s1.length == 10)
+    val s2 = Corpus.stratifiedSample(d.repartition(9), "lang", 5).collect().map(_.toString).sorted
+    assert(s1.sameElements(s2))
+  }
+
+  test("range join: pairs within delta exactly once, bucket boundaries included") {
+    // delta=10; ts 9 and 19 straddle a bucket boundary with gap exactly 10
+    val e = Seq((1L, 10L, 9L), (1L, 11L, 11L), (1L, 12L, 19L), (1L, 13L, 30L), (2L, 20L, 9L))
+      .toDF("user_id", "event_id", "ms")
+    val p = RangeJoin.pairsWithin(e, "user_id", "event_id", "ms", 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(p.length == p.toSet.size, "a pair was produced twice")
+    assert(p.toSet == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+}
