@@ -41,10 +41,11 @@ object SparkEntry {
     "q_join_inner", "q_join_broadcast", "q_join_composite",
     "q_union_merge", "q_topk", "q_window_rank",
     "q_events_window", "q_events_sessionize",
+    "q_events_pairs",
     "q_graph_degree", "q_graph_triangles", "q_graph_sssp",
-    "q_graph_pagerank", "q_graph_kmeans",
+    "q_graph_pagerank", "q_graph_kmeans", "q_graph_cc",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embedding", "q_sim_topk",
-    "q_text_quality", "q_text_fingerprint",
+    "q_text_quality", "q_text_fingerprint", "q_text_tfidf", "q_curate",
   ).filter(queries.contains)
 }

@@ -72,6 +72,7 @@ object Dedup {
     * shingle sets. Output (doc_a, doc_b, jacc) with jacc >= threshold. */
   def minhashDedup(docs: DataFrame, threshold: Double): DataFrame = {
     val sigs = minhashSignatures(docs).persist()
+    sigs.count() // pin the cache before the band and verify stages race it
     val pairs = lshCandidates(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -94,26 +95,32 @@ object Dedup {
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
     * generation via band equi-join is *exact* for maxHamming < SimBands
     * (pigeonhole: fewer differing bits than bands leaves one band intact).
-    * Like the minhash path, the candidate distinct shuffles id pairs only;
-    * signatures re-join afterward from the cached (doc_id, sim) relation. */
+    *
+    * Shape note (measured, sf0.1): the band join emits ~5M raw candidate
+    * rows of which only ~5k survive the hamming test, so the verify filter
+    * runs BEFORE the dedup shuffle — the signature rides the band rows at
+    * 8 B and hamming is two instructions, so verification is free at the
+    * join site and the distinct shuffles only survivors (1000x fewer
+    * rows). The opposite shape (distinct ids first, re-join signatures
+    * after — right for minhash, whose verify needs the full shingle sets)
+    * shuffles every raw pair and measures 4-5x slower. */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // eager count pins the cache before both join sides race it — one
+    // simhash kernel pass over the corpus
     val sigs = simhashSignatures(docs).persist()
+    sigs.count()
     val bandStructs = (0 until SimBands).map(b =>
       struct(lit(b).as("band"), expr(simBandSpark("sim", b)).as("key")))
     val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.toDF("doc_a", "band", "key")
-    val b = bands.toDF("doc_b", "band", "key")
-    val cand = a.join(b, Seq("band", "key"))
+      .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.toDF("doc_a", "sim_a", "band", "key")
+    val b = bands.toDF("doc_b", "sim_b", "band", "key")
+    val pairs = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val pairs = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .filter(col("hamming") <= maxHamming) // verify BEFORE the dedup shuffle
+      .select("doc_a", "doc_b", "hamming").distinct()
     // near-dup pairs are tiny; materialize so the signature cache releases
     val out = pairs.localCheckpoint(eager = true)
     sigs.unpersist(blocking = false)

@@ -103,7 +103,9 @@ object Similarity {
     * >= threshold. Output (id_a, id_b, score). Pairs are deduped on ids
     * *before* re-joining vectors, so the distinct never shuffles embeddings. */
   def lshNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val buckets = lshBuckets(emb)
+    // eager: both sides of the band self-join consume the buckets; the
+    // barrier guarantees one hyperplaneBits pass over the corpus
+    val buckets = lshBuckets(emb).localCheckpoint(eager = true)
     val cand = buckets.toDF("id_a", "band", "key")
       .join(buckets.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))

@@ -59,6 +59,30 @@ object Profile {
       t("embNearDup run2")(graft.pipeline.Similarity.lshNearDup(emb, 0.4).count())
       t("minhash run1")(Dedup.minhashDedup(docs, 0.8).count())
       t("minhash run2")(Dedup.minhashDedup(docs, 0.8).count())
+    } else if (args.contains("--simhash")) {
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.TextHash._
+      val sigs = Dedup.simhashSignatures(docs).persist()
+      t("sigs persist+count")(sigs.count())
+      val bandStructs = (0 until SimBands).map(b =>
+        struct(lit(b).as("band"), expr(simBandSpark("sim", b)).as("key")))
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      t("bands")(bands.count())
+      val a = bands.toDF("doc_a", "band", "key")
+      val b = bands.toDF("doc_b", "band", "key")
+      val rawCand = a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      t("raw candidates")(rawCand.count())
+      val cand = rawCand.select("doc_a", "doc_b").distinct()
+      t("distinct cand")(cand.count())
+      val cc = cand.persist(); cc.count()
+      t("rejoin+hamming (on cached)")(cc
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(col("hamming") <= 3).count())
+      t("full simhashDedup")(Dedup.simhashDedup(docs, 3).count())
     } else {
       t("shingleHashes")(Dedup.shingleHashes(docs).count())
       t("minhashSignatures")(Dedup.minhashSignatures(docs).count())
