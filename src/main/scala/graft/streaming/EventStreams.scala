@@ -54,6 +54,31 @@ object EventStreams {
       .withWatermark("ts_utc", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join (self-join of the event
+    * stream): each non-checkpoint event is paired with same-user
+    * checkpoint events (event_id % 10 == 0) from its trailing hour.
+    * The time-range predicate plus the two watermarks bound both sides'
+    * join state — the engine evicts checkpoint rows once the event-side
+    * watermark passes their ts + 1 hour. */
+  def withRecentCheckpoints(events: DataFrame): DataFrame = {
+    val e = events.filter(col("event_id") % 10 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ts_utc"))
+      .withWatermark("ts_utc", "2 hours")
+    val c = events.filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("ckpt_id"), col("user_id").as("c_user"),
+        col("ts_utc").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    e.join(c, expr(
+        "user_id = c_user AND c_ts >= ts_utc - INTERVAL 1 HOUR AND c_ts <= ts_utc"))
+      .select(col("event_id"), col("user_id"), col("ckpt_id"))
+  }
+
+  /** Stream-static enrichment: the static dimension is broadcast per
+    * micro-batch; no streaming state at all. */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"))
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -83,6 +83,45 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"streamed sessions absent from batch: ${missing.take(3)}")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = EventStreams.withRecentCheckpoints(EventStreams.fromParquetDir(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ckptjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ckptjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val base = spark.read.parquet(s"$eventsDir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val e = base.filter(col("event_id") % 10 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ts_utc"))
+    val c = base.filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("ckpt_id"), col("user_id").as("c_user"), col("ts_utc").as("c_ts"))
+    val batch = e.join(c, expr(
+        "user_id = c_user AND c_ts >= ts_utc - INTERVAL 1 HOUR AND c_ts <= ts_utc"))
+      .select("event_id", "user_id", "ckpt_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("stream-static broadcast enrichment equals the batch join") {
+    val dim = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val q = EventStreams.enriched(EventStreams.fromParquetDir(spark, eventsDir), dim)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
