@@ -39,4 +39,16 @@ object IO {
     * CSV instead (SURVEY §7.3 exact-output-parity note). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("sep", ",").csv(path)
+
+  /** JSONL (newline-delimited JSON) — the training-data interchange
+    * format. Reads with a DECLARED schema: schema inference would scan the
+    * whole corpus once before the real read, which is two passes at 100 TB
+    * and a silent type lottery besides. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

@@ -72,7 +72,7 @@ object Graphs {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val init = vertices(undirected).withColumn("label", col("vertex"))
     val result = graft.iterate.Fixpoint.iterate(init, maxIter,
-      converged = graft.iterate.Fixpoint.unchanged("vertex", "label")) { (state, _) =>
+      converged = graft.iterate.Fixpoint.monotoneSumUnchanged("label")) { (state, _) =>
       val nbr = state.join(undirected, state("vertex") === undirected("src"))
         .select(col("dst").as("vertex"), col("label"))
       state.select(col("vertex"), col("label"))
@@ -104,7 +104,7 @@ object Graphs {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val init = vertices(undirected).withColumn("label", col("vertex"))
     val result = graft.iterate.Fixpoint.iterate(init, maxIter,
-      converged = graft.iterate.Fixpoint.unchanged("vertex", "label")) { (state, _) =>
+      converged = graft.iterate.Fixpoint.monotoneSumUnchanged("label")) { (state, _) =>
       // HashMin step: min label over self + in-neighbors
       val nbr = state.join(undirected, state("vertex") === undirected("src"))
         .select(col("dst").as("vertex"), col("label"))

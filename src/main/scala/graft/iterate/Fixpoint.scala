@@ -92,6 +92,24 @@ object Fixpoint {
     * no row changed its value between iterations. `keyCol` must be unique.
     * Implemented as a co-partitioned self-join + count of differing rows.
     */
+  /** Convergence for monotonically non-increasing integer state (min-label
+    * propagation): per-row values only ever decrease over a constant key
+    * set, so equality of consecutive exact column sums implies no row
+    * changed. One single-stage aggregation per round on the cached state —
+    * replaces `unchanged`'s diff join (a shuffle join per round).
+    * DECIMAL(38,0) keeps the sum exact at any vertex count. */
+  def monotoneSumUnchanged(valCol: String): (DataFrame, DataFrame) => Boolean = {
+    import org.apache.spark.sql.functions.{col, sum}
+    var prev: Option[java.math.BigDecimal] = None
+    (_: DataFrame, next: DataFrame) => {
+      val s = next.agg(sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first().getDecimal(0)
+      val same = prev.exists(_.compareTo(s) == 0)
+      prev = Some(s)
+      same
+    }
+  }
+
   def unchanged(keyCol: String, valCol: String)(prev: DataFrame, next: DataFrame): Boolean = {
     val p = prev.select(keyCol, valCol).withColumnRenamed(valCol, "__prev")
     next.select(keyCol, valCol).join(p, keyCol)

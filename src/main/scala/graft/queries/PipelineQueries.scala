@@ -95,6 +95,15 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // pure-SQL surface: the registered graft_* functions driven entirely
+    // through spark.sql — a SQL-only user gets the same engine
+    "q_sql_textstats" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT doc_id, graft_polyhash(trim(text)) AS fp,
+                      graft_simhash(text) AS sim
+               FROM graft_documents ORDER BY doc_id""")
+    }),
+
     // corpus statistics: vocabulary with doc frequencies, TF-IDF top terms
     "q_text_vocab" -> ((s, d) =>
       Corpus.vocabulary(Tables.documents(s, d), VocabTopN)),
@@ -289,6 +298,13 @@ object PipelineQueries {
   private val fingerprintSql =
     s"""SELECT doc_id, ${polyHashDuck("trim(text)")} AS fp FROM documents ORDER BY doc_id"""
 
+  private val sqlTextstatsSql =
+    s"""WITH $docsCte,
+       |wh AS MATERIALIZED (SELECT doc_id, ${wordHashesDuck("ws")} AS wh FROM docs)
+       |SELECT d.doc_id, ${polyHashDuck("trim(d.text)")} AS fp, ${simhashDuck("w.wh")} AS sim
+       |FROM documents d JOIN wh w ON d.doc_id = w.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** shared CTEs for vocabulary/TF-IDF: per-(doc, word) term frequencies */
   private val tfCtes =
     s"""w AS MATERIALIZED (SELECT doc_id, unnest(${wordsDuck("text")}) AS word FROM documents),
@@ -382,6 +398,7 @@ object PipelineQueries {
     "q_text_quality" -> qualitySql,
     "q_text_tokens" -> tokensSql,
     "q_text_fingerprint" -> fingerprintSql,
+    "q_sql_textstats" -> sqlTextstatsSql,
     "q_text_vocab" -> vocabSql,
     "q_text_tfidf" -> tfidfSql,
     "q_split_hash" -> splitHashSql,

@@ -84,4 +84,20 @@ class AppsSpec extends SparkSpec {
     assert(res.centroids == Seq(1.0, 3.0))
     assert(res.sse.last == 0.0)
   }
+
+  test("JSONL round-trip preserves the documents table; malformed lines drop") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    graft.core.IO.writeJsonl(docs, dir)
+    val back = graft.core.IO.readJsonl(spark, dir, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+
+    // declared schema + DROPMALFORMED: a garbage line must not poison the read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "garbage.json"),
+      "{not json at all\n".getBytes)
+    assert(graft.core.IO.readJsonl(spark, dir, docs.schema)
+      .na.drop(Seq("doc_id")).count() == docs.count())
+  }
 }
