@@ -70,4 +70,26 @@ object Multimodal {
   def metadata(media: DataFrame): DataFrame =
     media.select(col("doc_id"), col("meta.mime").as("mime"),
       col("meta.n_bytes").as("n_bytes"), col("meta.origin").as("origin"))
+
+  /** Video-shaped payload: the document chunked into fixed-size "frames"
+    * as ARRAY<BINARY> (a real pipeline holds one encoded frame per
+    * element; the chunking here is the deterministic stand-in). */
+  def framize(docs: DataFrame, frameChars: Int): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"""IF(length(text) < 1, CAST(array() AS ARRAY<BINARY>),
+            transform(sequence(0, CAST(ceil(length(text) / $frameChars.0) AS INT) - 1),
+                      i -> encode(substring(text, i * $frameChars + 1, $frameChars), 'UTF-8')))""")
+        .as("frames"))
+
+  /** Frame sampling: keep every `every`-th frame with its index — the
+    * posexplode never copies unsampled frames downstream, and the payload
+    * per output row is one frame, not the whole video. */
+  def frameSample(media: DataFrame, every: Int): DataFrame = {
+    import graft.functions.GraftFunctions
+    media.select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("n_bytes"),
+        GraftFunctions.polyHash(decode(col("frame"), "UTF-8")).as("fp"))
+  }
 }

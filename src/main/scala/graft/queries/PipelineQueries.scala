@@ -30,6 +30,9 @@ object PipelineQueries {
   // curation thresholds (quality gate for the end-to-end pipeline)
   private val MinWords = 10
   private val MinUniqRatio = 0.3
+  // frame sampling: 16-char "frames", keep every 4th
+  private val FrameChars = 16
+  private val FrameEvery = 4
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -98,6 +101,8 @@ object PipelineQueries {
     // pure-SQL surface: the registered graft_* functions driven entirely
     // through spark.sql — a SQL-only user gets the same engine
     "q_sql_textstats" -> ((s, d) => {
+      // self-sufficient on any session (idempotent function registration)
+      graft.functions.GraftExtensions.installInto(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_documents")
       s.sql("""SELECT doc_id, graft_polyhash(trim(text)) AS fp,
                       graft_simhash(text) AS sim
@@ -142,6 +147,11 @@ object PipelineQueries {
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.binarize(Tables.documents(s, d)))
         .toDF().orderBy("doc_id")),
+
+    // frame sampling over a video-shaped ARRAY<BINARY> column
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.framize(Tables.documents(s, d), FrameChars), FrameEvery)
+        .orderBy("doc_id", "frame_idx")),
   )
 
   // ---- oracle SQL (generated from the same constants) ----
@@ -379,6 +389,18 @@ object PipelineQueries {
        |  END AS mean_byte
        |FROM d ORDER BY doc_id""".stripMargin
 
+  private val multimodalFramesSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(0, CAST(ceil(length(text) / $FrameChars.0) AS BIGINT))) AS frame_idx
+       |  FROM documents),
+       |c AS (SELECT doc_id, frame_idx,
+       |             substring(text, CAST(frame_idx * $FrameChars + 1 AS INT), $FrameChars) AS chunk
+       |      FROM f WHERE frame_idx % $FrameEvery = 0)
+       |SELECT doc_id, frame_idx, octet_length(CAST(chunk AS BLOB)) AS n_bytes,
+       |       ${polyHashDuck("chunk")} AS fp
+       |FROM c ORDER BY doc_id, frame_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
@@ -406,5 +428,6 @@ object PipelineQueries {
     "q_curate" -> curateSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_multimodal_frames" -> multimodalFramesSql,
   )
 }

@@ -309,6 +309,41 @@ object RelQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // distribution windows: ntile / percent_rank / cume_dist (all exact
+    // rationals of rank and partition size — deterministic cross-engine)
+    "q_window_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // CUBE with grouping_id (rollup's full-lattice sibling)
+    "q_agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // null-safe equi-join (<=>): null keys match each other instead of
+    // disappearing — the semantics a dedup on nullable keys needs
+    "q_join_nullsafe" -> ((s, d) => {
+      val keyed = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")).as("k"),
+        col("o_orderkey"))
+      val sides = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+      sides.toDF("k", "n_a").join(sides.toDF("k2", "n_b"), col("k") <=> col("k2"))
+        .select(col("k"), col("n_a"), col("n_b"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // lead/lag analytics (window family beyond running totals)
     "q_window_lag" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -541,6 +576,30 @@ object RelQueries {
          count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
          FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber""",
+
+    "q_window_ntile" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_nationkey, c_custkey""",
+
+    "q_agg_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_join_nullsafe" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+           FROM orders),
+         sides AS (SELECT k, count(*) AS n FROM keyed GROUP BY k)
+         SELECT a.k, a.n AS n_a, b.n AS n_b
+         FROM sides a JOIN sides b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY a.k NULLS FIRST""",
 
     "q_agg_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q1,
