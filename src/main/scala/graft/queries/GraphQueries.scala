@@ -27,9 +27,10 @@ object GraphQueries {
 
   // SSSP: engine iteration bound and oracle recursion cap must agree
   private val SsspMaxHops = 30
-  // PageRank workload: reference default shape at k=20 (400 real vertices),
-  // 10 iterations — PageRankRDD/Makefile:12, .../FollowerCount.scala:58
-  private val PrK = 20
+  // PageRank workload: the reference's published configuration — k=100
+  // (10,000 real vertices + dummy), 10 iterations
+  // (PageRankRDD/Makefile:12 `local.input=100`, .../FollowerCount.scala:58)
+  private val PrK = 100
   private val PrIters = 10
   // K-means workload: k=4 centroids, 5 fixed iterations over the
   // follower-count distribution (K-means/Makefile:9)
