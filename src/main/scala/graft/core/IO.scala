@@ -51,4 +51,21 @@ object IO {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Byte-format parity with the reference's RDD text sinks, which emit
+    * `Tuple2.toString` lines like `(42,7)`
+    * (ReduceByKey/src/main/scala/wc/FollowersCount.scala:29). Use only
+    * when diffing raw output dirs against the original jobs — declared
+    * CSV (`writeCsv`) is the format a downstream reader should get. */
+  def writeTupleText(df: DataFrame, path: String): Unit = {
+    val cols = df.columns.map(c => col(c).cast("string"))
+    df.select(concat(lit("("), concat_ws(",", cols: _*), lit(")")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** The reference's lineage dump (`println(counts.toDebugString)` —
+    * ReduceByKey/...:30) as its Catalyst equivalent: the formatted
+    * physical plan. One call on any DataFrame, printable by app mains. */
+  def debugString(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 }

@@ -85,6 +85,16 @@ class AppsSpec extends SparkSpec {
     assert(res.sse.last == 0.0)
   }
 
+  test("tuple-text sink emits reference byte format; debugString dumps a plan") {
+    import spark.implicits._
+    val df = Seq((42L, 7L), (1L, 2L)).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tuple").toString + "/out"
+    graft.core.IO.writeTupleText(df, dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(lines.sameElements(Array("(1,2)", "(42,7)"))) // Tuple2.toString parity
+    assert(graft.core.IO.debugString(df).contains("LocalTableScan"))
+  }
+
   test("JSONL round-trip preserves the documents table; malformed lines drop") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
