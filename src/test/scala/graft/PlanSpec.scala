@@ -55,4 +55,23 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
   }
+
+  test("range join plans an equi-join on (key, bucket), not a theta join") {
+    val p = plan("q_events_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tfidf plans one window sort and broadcasts the corpus-size scalar") {
+    val p = plan("q_text_tfidf")
+    assert(countOp(p, "Window") == 1, p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("metadata-only multimodal query prunes the binary payload derivation") {
+    // the stand-in binarize derives metadata from text, so the scan reads
+    // text — but the binary content column (encode(...)) must be pruned
+    // out of the plan entirely
+    val p = plan("q_multimodal_meta")
+    assert(!p.toLowerCase.contains("encode("), p)
+  }
 }
