@@ -66,6 +66,26 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("len").as("n_chars"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
 
+  /** Single-scan curation gate: quality metrics AND language scores from
+    * one words-array evaluation per document (quality() + langId() each
+    * re-tokenize; at 100 TB the tokenization pass dominates, so the fused
+    * projection does it once). Returns (doc_id, lang_pred, n_words) for
+    * documents passing the thresholds; near-dup removal joins afterward. */
+  def qualityLangGate(docs: DataFrame, minWords: Int, minUniqRatio: Double): DataFrame = {
+    val scored = TextAnalysis.Stopwords.foldLeft(
+      docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))) {
+      case (df, (lang, _)) =>
+        df.withColumn(s"s_$lang", expr(TextAnalysis.langScoreSpark("ws", lang)).cast("long"))
+    }
+    scored
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+      .withColumn("lang_pred", expr(TextAnalysis.argmaxLangSql))
+      .filter(col("n_words") >= minWords && col("uniq_ratio") >= minUniqRatio)
+      .select("doc_id", "lang_pred", "n_words")
+  }
+
   /** Deterministic stratified sample: `perGroup` documents per value of
     * `groupCol`, ordered by content hash (ties by doc_id) — an unbiased,
     * reproducible per-stratum pick with no driver-side randomness. */

@@ -125,18 +125,14 @@ object PipelineQueries {
       Corpus.stratifiedSample(Tables.documents(s, d), "lang", StratPerGroup)
         .orderBy("lang", "rn")),
 
-    // end-to-end curation: quality gate + language ID + near-dup removal
+    // end-to-end curation: fused quality+langid gate (one tokenization
+    // pass) + near-dup cluster removal
     "q_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val q = TextAnalysis.quality(docs)
-        .filter(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
-        .select("doc_id", "n_words")
-      val l = TextAnalysis.langId(docs).select("doc_id", "lang_pred")
       val losers = Dedup.dedupClusters(Dedup.minhashDedup(docs, MinhashThreshold))
         .filter(col("doc_id") =!= col("keeper")).select("doc_id")
-      docs.select("doc_id").join(q, "doc_id").join(l, "doc_id")
+      Corpus.qualityLangGate(docs, MinWords, MinUniqRatio)
         .join(losers, Seq("doc_id"), "left_anti")
-        .select("doc_id", "lang_pred", "n_words")
         .orderBy("doc_id")
     }),
 
