@@ -229,6 +229,15 @@ object RelQueries {
         .orderBy("ok", "ln")
     }),
 
+    // shuffle-hash join hint: the mid-size-dim strategy when broadcast
+    // doesn't fit but one side is small enough to hash per partition
+    "q_join_shuffle_hash" -> ((s, d) =>
+      Tables.orders(s, d).hint("shuffle_hash")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+        .orderBy("c_mktsegment")),
+
     // left-semi join (beyond reference: rounds out the join family)
     "q_join_semi" -> ((s, d) =>
       Tables.customer(s, d).join(Tables.orders(s, d),
@@ -368,6 +377,47 @@ object RelQueries {
         .select("event_id", "user_id", "ts_us", "ckpt_id")
         .orderBy("event_id")
     }),
+
+    // correlation from exact integer moments: both operands are integral,
+    // so every sum is exact and the final double expression is evaluated
+    // in the same op order on both engines — bit-identical without any
+    // engine-native corr() (whose accumulation algorithms differ)
+    "q_agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_qty_line"))
+        .orderBy("l_returnflag")),
+
+    // temporal functions: extraction + monthly rollup on l_shipdate
+    "q_time_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+          month(col("l_shipdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("y", "m")),
+
+    "q_time_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).cast("long").as("y"),
+          quarter(col("l_shipdate")).cast("long").as("q"),
+          month(col("l_shipdate")).cast("long").as("m"),
+          dayofmonth(col("l_shipdate")).cast("long").as("dom"),
+          dayofweek(col("l_shipdate")).cast("long").as("dow"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("iso"))
+        .orderBy("l_orderkey", "l_linenumber")),
 
     // ---- time / events ----
     // events.ts is TIMESTAMP(NANOS) parquet, beyond Spark's micros range —
@@ -638,6 +688,43 @@ object RelQueries {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q_join_shuffle_hash" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_agg_corr" ->
+      """SELECT l_returnflag, n,
+         CAST(n*sxy - sx*sy AS DOUBLE) /
+           (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           AS corr_qty_line
+         FROM (SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+                 CAST(sum(y*y) AS BIGINT) AS syy
+               FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                            CAST(l_linenumber AS BIGINT) AS y FROM lineitem)
+               GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+
+    "q_time_agg" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+         CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS m,
+         count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY y, m ORDER BY y, m""",
+
+    "q_time_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+         CAST(EXTRACT(quarter FROM l_shipdate) AS BIGINT) AS q,
+         CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS m,
+         CAST(EXTRACT(day FROM l_shipdate) AS BIGINT) AS dom,
+         CAST(dayofweek(l_shipdate) + 1 AS BIGINT) AS dow,
+         strftime(l_shipdate, '%Y-%m-%d') AS iso
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q_events_pairs" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)

@@ -56,6 +56,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle_hash hint plans a ShuffledHashJoin") {
+    assert(plan("q_join_shuffle_hash").contains("ShuffledHashJoin"),
+      plan("q_join_shuffle_hash"))
+  }
+
   test("range join plans an equi-join on (key, bucket), not a theta join") {
     val p = plan("q_events_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
