@@ -86,6 +86,18 @@ object Corpus {
       .select("doc_id", "lang_pred", "n_words")
   }
 
+  /** Write a corpus partitioned by `partitionCol` with bounded file sizes:
+    * maxRecordsPerFile caps the giant-file stragglers a skewed partition
+    * column otherwise produces (one 2 TB `lang=en` file kills downstream
+    * parallelism), while the directory layout gives readers partition
+    * pruning on the filter column for free. */
+  def writeCorpus(df: DataFrame, path: String, partitionCol: String,
+      maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Deterministic stratified sample: `perGroup` documents per value of
     * `groupCol`, ordered by content hash (ties by doc_id) — an unbiased,
     * reproducible per-stratum pick with no driver-side randomness. */

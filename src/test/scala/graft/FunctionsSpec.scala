@@ -73,6 +73,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("text kernels == HOF forms on adversarial edge inputs") {
+    import spark.implicits._
+    val edge = Seq("", " ", "  ", "a", "a b", "a b c", "a  b", "x " * 500,
+      "tab\tand\nnewline", "ünïcödé wörds hére", "a b c d e f g h")
+      .toDF("text")
+    assertNoDiff(edge.select(
+      GraftFunctions.polyHash(col("text")).as("a"),
+      expr(graft.pipeline.TextHash.polyHashSpark("text")).as("b")))
+    assertNoDiff(edge.select(
+      GraftFunctions.shingleHashes(col("text")).as("a"),
+      expr(graft.pipeline.TextHash.shingleHashesSpark(
+        graft.pipeline.TextHash.wordsSpark("text"))).as("b")))
+    assertNoDiff(edge.select(
+      GraftFunctions.simHash(col("text")).as("a"),
+      expr(graft.pipeline.TextHash.simhashSpark(
+        graft.pipeline.TextHash.wordHashesSpark(
+          graft.pipeline.TextHash.wordsSpark("text")))).as("b")))
+  }
+
   test("SQL registration via GraftExtensions") {
     graft.functions.GraftExtensions.installInto(spark)
     val r = spark.sql("SELECT graft_polyhash('abc') AS h, graft_simhash('a b c') AS s").first()

@@ -50,6 +50,56 @@ class ScaleOpsSpec extends SparkSpec {
     assert(part.count() == events.filter(col("event_type") === "click").count())
   }
 
+  test("AQE splits the skewed partition of a skewed join") {
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // shrink the skew thresholds so local-scale data exhibits the
+      // cluster-scale behavior: one hot key >> everything else
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(0, 200000)
+        .select((when(col("id") % 100 =!= 0, 1L).otherwise(col("id"))).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("tag"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS dataset's QueryExecution so its adaptive
+      // plan finalizes (count() would execute a separate plan).
+      // k=1 hot rows (198000) match right k=1; the 2000 pass-through keys
+      // match only ids 0,100,...,1900 (20 rows)
+      assert(joined.collect().length == 198020)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"AQE did not mark the hot partition as skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("partitioned corpus write bounds file sizes and round-trips") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString + "/out"
+    graft.pipeline.Corpus.writeCorpus(docs, dir, "lang", maxRecordsPerFile = 10)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // every physical file respects the record cap
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 10, f.getName)
+    }
+  }
+
   test("salted collect_list equals unsalted (holistic agg under skew)") {
     // skewed: key 1 holds 80% of rows
     val df = ((1 to 800).map(i => (1L, i.toLong)) ++ (1 to 200).map(i => (2L + i % 5, i.toLong)))
