@@ -117,6 +117,32 @@ case class HyperplaneBitsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_hyperplane_bits"
 }
 
+/** long -> boolean: membership probe against a pre-built bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter`, Spark's public sketch API —
+  * serializable, so the filter ships once per executor inside the codegen
+  * references array, not per row). No false negatives, so filtering with
+  * this before an exact anti-join is exactness-preserving (`ops.BloomPrune`).
+  * Not part of the FunctionsSpec bit-equivalence family: it has no HOF/
+  * DuckDB twin — correctness is result-set equality with the unfiltered
+  * join (ScaleOpsSpec) and the unchanged q_dedup_final oracle. */
+case class BloomMightContainExpr(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BIGINT, got ${child.dataType}")
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("graftBloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bf.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_might_contain"
+}
+
 /** Column-API entry points (the library surface). */
 object GraftFunctions {
   private def c(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
@@ -129,4 +155,6 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column = c(DotProductExpr(ex(a), ex(b)))
   def vecNorm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotProduct(a, a))
   def hyperplaneBits(col: Column): Column = c(HyperplaneBitsExpr(ex(col)))
+  def bloomMightContain(col: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    c(BloomMightContainExpr(ex(col), filter))
 }

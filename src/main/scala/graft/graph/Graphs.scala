@@ -65,11 +65,21 @@ object Graphs {
     * that have not converged */
   val DefaultCcRounds = 15
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = DefaultCcRounds): DataFrame = {
-    val undirected = edges.select(col("src"), col("dst"))
+  /** Undirected, deduped, cached edge set, repartitioned by src to the
+    * width the measured edge count warrants (SSSP's edge treatment —
+    * ShortestPath.run): every per-round scan then reads as many partitions
+    * as the data needs, not the derivation's shuffle width. */
+  private def undirectedSized(edges: DataFrame): DataFrame = {
+    val u = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    val width = graft.iterate.Fixpoint.sizedPartitions(edges.sparkSession, u.count())
+    u.repartition(width, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = DefaultCcRounds): DataFrame = {
+    val undirected = undirectedSized(edges)
     val init = vertices(undirected).withColumn("label", col("vertex"))
     val result = graft.iterate.Fixpoint.iterate(init, maxIter,
       converged = graft.iterate.Fixpoint.monotoneSumUnchanged("label")) { (state, _) =>
@@ -98,19 +108,20 @@ object Graphs {
     */
   def connectedComponentsDoubling(
       edges: DataFrame, maxIter: Int = DefaultDoublingRounds): DataFrame = {
-    val undirected = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val undirected = undirectedSized(edges)
     val init = vertices(undirected).withColumn("label", col("vertex"))
     val result = graft.iterate.Fixpoint.iterate(init, maxIter,
       converged = graft.iterate.Fixpoint.monotoneSumUnchanged("label")) { (state, _) =>
-      // HashMin step: min label over self + in-neighbors
+      // HashMin step: min label over self + in-neighbors. Materialized
+      // eagerly because the pointer jump consumes it on BOTH sides of a
+      // self-join — without the barrier the agg subtree (and its edge-scan
+      // feed) plans and executes twice per round.
       val nbr = state.join(undirected, state("vertex") === undirected("src"))
         .select(col("dst").as("vertex"), col("label"))
       val m = state.select(col("vertex"), col("label"))
         .unionByName(nbr)
         .groupBy("vertex").agg(min("label").as("label"))
+        .localCheckpoint(eager = true)
       // pointer jump: label <- label(label). Labels are always existing
       // vertex ids (mins of the initial id assignment), so the inner join
       // never drops a vertex; least() keeps monotonicity explicit.

@@ -99,6 +99,26 @@ object Similarity {
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
+    * at least one band bucket with the query, exactly reranked by cosine.
+    * Output (qid, rn, nid, score) — same contract as bruteForceTopK, but
+    * the scan is bucket-local instead of corpus-wide. Deterministic (fixed
+    * integer hyperplanes), so unlike IVF it admits a bit-exact SQL oracle.
+    *
+    * Scale design: the query-side buckets are broadcast (queries are small
+    * by contract), so candidate generation never shuffles the corpus; the
+    * distinct dedups (qid, nid) ids only, and embeddings re-join after. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = broadcast(lshBuckets(queries).toDF("qid", "band", "key"))
+      .join(lshBuckets(corpus).toDF("nid", "band", "key"), Seq("band", "key"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    rankTopK(
+      cand.join(queriesWithNorm(queries), "qid")
+        .join(corpusWithNorm(corpus), "nid"),
+      k)
+  }
+
   /** Near-duplicate vector pairs: banded-LSH candidates verified by cosine
     * >= threshold. Output (id_a, id_b, score). Pairs are deduped on ids
     * *before* re-joining vectors, so the distinct never shuffles embeddings. */

@@ -74,6 +74,14 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
+    // LSH-bucketed ANN: the deterministic scale path (fixed integer
+    // hyperplanes -> bit-exact oracle, unlike the float-trained IVF)
+    "q_sim_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueryVecs), TopK)
+        .orderBy("qid", "rn")
+    }),
+
     // IVF ANN (k-means coarse quantizer, nprobe cells scanned per query) —
     // rows-only: float centroid training is partition-order dependent so a
     // bit-exact SQL oracle is impossible; VecKMeansSpec asserts recall vs
@@ -274,6 +282,29 @@ object PipelineQueries {
        |  FROM p)
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
+  /** banded-LSH candidate generation (embDedupSql's bucket CTEs) feeding
+    * simTopkSql's exact rerank — query side restricted like simTopkSql */
+  private val simLshSql = {
+    val bucketSelects = (0 until HpBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bucketKeyDuck("embedding", b)} AS bkey FROM embeddings")
+      .mkString("\nUNION ALL ")
+    s"""WITH buckets AS MATERIALIZED ($bucketSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM buckets q JOIN buckets c
+       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueryVecs
+       |  GROUP BY 1, 2),
+       |vecs AS MATERIALIZED (SELECT vec_id, embedding, ${normDuck("embedding")} AS norm FROM embeddings),
+       |p AS (
+       |  SELECT qid, nid, round(${dotDuck("x.embedding", "y.embedding")} / (x.norm * y.norm), 6) AS score
+       |  FROM cand JOIN vecs x ON x.vec_id = qid JOIN vecs y ON y.vec_id = nid)
+       |SELECT qid, rn, nid, score FROM (
+       |  SELECT qid, nid, score, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+       |  FROM p)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
   private val langidSql = {
     val scores = Stopwords.map { case (l, _) => s"${langScoreDuck("ws", l)} AS s_$l" }.mkString(", ")
     val cols = Stopwords.map(s => s"s_${s._1}").mkString(", ")
@@ -412,6 +443,7 @@ object PipelineQueries {
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_sim_topk" -> simTopkSql,
+    "q_sim_lsh" -> simLshSql,
     "q_text_langid" -> langidSql,
     "q_text_quality" -> qualitySql,
     "q_text_tokens" -> tokensSql,

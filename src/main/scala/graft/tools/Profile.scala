@@ -48,6 +48,12 @@ object Profile {
       t("sssp")(graft.graph.ShortestPath.run(
         graft.graph.Graphs.lineitemEdges(spark, sfDir, 300), 1L).count())
       report("sssp")
+      t("cc doubling")(graft.graph.Graphs.connectedComponentsDoubling(
+        graft.graph.Graphs.lineitemEdges(spark, sfDir, 300)).count())
+      report("cc doubling")
+      t("cc doubling again")(graft.graph.Graphs.connectedComponentsDoubling(
+        graft.graph.Graphs.lineitemEdges(spark, sfDir, 300)).count())
+      report("cc doubling warm")
     } else if (args.contains("--cold")) {
       t("full minhashDedup (cold)")(Dedup.minhashDedup(docs, 0.8).count())
     } else if (args.contains("--hot")) {

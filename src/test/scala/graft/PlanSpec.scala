@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("lsh top-k broadcasts query buckets and never plans a cartesian") {
+    val p = plan("q_sim_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("shuffle_hash hint plans a ShuffledHashJoin") {
     assert(plan("q_join_shuffle_hash").contains("ShuffledHashJoin"),
       plan("q_join_shuffle_hash"))

@@ -37,4 +37,16 @@ class VecKMeansSpec extends SparkSpec {
     // scanning 3 of 8 cells must not return more than k rows per query
     assert(ivf.size <= 8 * 5)
   }
+
+  test("LSH top-k achieves reasonable recall vs brute force on bucket-local scans") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val lsh = Similarity.lshTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"LSH recall@5 with ${Similarity.HpBands} bands x ${Similarity.HpBandBits} bits: $recall%.2f")
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(lsh.size <= 8 * 5)
+  }
 }
