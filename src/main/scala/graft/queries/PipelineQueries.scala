@@ -56,6 +56,17 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // same output as q_dedup_final, via the bloom-pruned anti-join (the
+    // scale path when the loser set outgrows a broadcast) — oracle unchanged
+    "q_dedup_final_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val losers = Dedup.dedupClusters(Dedup.minhashDedup(docs, MinhashThreshold))
+        .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+      graft.ops.BloomPrune.bloomAntiJoin(docs, losers, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(Tables.documents(s, d), SimhashMaxHamming)
         .orderBy("doc_a", "doc_b")),
@@ -439,6 +450,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_final" -> dedupFinalSql,
+    "q_dedup_final_bloom" -> dedupFinalSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,

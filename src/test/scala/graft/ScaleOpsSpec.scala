@@ -120,6 +120,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bloom-pruned anti-join equals plain anti-join, false positives included") {
+    // fpp 0.5 forces a tiny, collision-heavy filter, so the maybe-branch
+    // demonstrably handles false positives without changing the output
+    val left = (0L until 1000L).toDF("k")
+    val right = (0L until 1000L by 7L).toDF("k")
+    val bloom = ops.BloomPrune.bloomAntiJoin(left, right, "k", fpp = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    val plain = left.join(right, Seq("k"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    assert(bloom.sameElements(plain))
+    assert(plain.length == 1000 - 143)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
