@@ -71,6 +71,29 @@ object Multimodal {
     media.select(col("doc_id"), col("meta.mime").as("mime"),
       col("meta.n_bytes").as("n_bytes"), col("meta.origin").as("origin"))
 
+  /** "Resize" stand-in: deterministic 1-in-`factor` byte downsample of the
+    * payload, binary in -> binary out (a real implementation decodes,
+    * rescales, re-encodes here — same call shape, one codec init per
+    * partition). Output keeps both sizes so downstream can audit the
+    * reduction ratio without touching either payload. */
+  def resample(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.mime").as("mime"), col("content"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.map { r =>
+          val n = r.content.length
+          val out = new Array[Byte]((n + factor - 1) / factor)
+          var i = 0
+          while (i * factor < n) { out(i) = r.content(i * factor); i += 1 }
+          (r.doc_id, n.toLong, out.length.toLong, out)
+        }
+      }.toDF("doc_id", "n_bytes_in", "n_bytes_out", "resized")
+  }
+
   /** Video-shaped payload: the document chunked into fixed-size "frames"
     * as ARRAY<BINARY> (a real pipeline holds one encoded frame per
     * element; the chunking here is the deterministic stand-in). */

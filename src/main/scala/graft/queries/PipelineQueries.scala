@@ -33,6 +33,8 @@ object PipelineQueries {
   // frame sampling: 16-char "frames", keep every 4th
   private val FrameChars = 16
   private val FrameEvery = 4
+  // resize: keep every 4th payload byte
+  private val ResizeFactor = 4
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -162,6 +164,14 @@ object PipelineQueries {
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.binarize(Tables.documents(s, d)))
         .toDF().orderBy("doc_id")),
+
+    // binary->binary resize (1-in-4 byte downsample stub); fp of the
+    // resized payload proves byte-exact agreement with the oracle
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resample(Multimodal.binarize(Tables.documents(s, d)), ResizeFactor)
+        .select(col("doc_id"), col("n_bytes_in"), col("n_bytes_out"),
+          graft.functions.GraftFunctions.polyHash(decode(col("resized"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")),
 
     // frame sampling over a video-shaped ARRAY<BINARY> column
     "q_multimodal_frames" -> ((s, d) =>
@@ -427,6 +437,19 @@ object PipelineQueries {
        |  END AS mean_byte
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // exact because the corpus is ASCII (char i == byte i): every 4th char
+  // of the text IS every 4th payload byte
+  private val multimodalResizeSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, length(text) AS n_in,
+       |         array_to_string(list_transform(
+       |           range(0, CAST(ceil(length(text) / $ResizeFactor.0) AS BIGINT)),
+       |           i -> substring(text, CAST(i * $ResizeFactor + 1 AS INT), 1)), '') AS rs
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_in AS BIGINT) AS n_bytes_in,
+       |       CAST(length(rs) AS BIGINT) AS n_bytes_out, ${polyHashDuck("rs")} AS fp
+       |FROM r ORDER BY doc_id""".stripMargin
+
   private val multimodalFramesSql =
     s"""WITH f AS (
        |  SELECT doc_id, text,
@@ -469,5 +492,6 @@ object PipelineQueries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_multimodal_frames" -> multimodalFramesSql,
+    "q_multimodal_resize" -> multimodalResizeSql,
   )
 }
