@@ -52,6 +52,23 @@ object Corpus {
       .select("doc_id", "rn", "word", "tf", "df", "score")
   }
 
+  /** Top-`topN` word n-grams across the corpus with occurrence counts —
+    * the n-gram LM statistic. The gram strings are built per row inside
+    * the explode (slice + concat_ws over the words array), so the shuffle
+    * carries (gram, partial count) with full map-side aggregation, never
+    * document payloads. */
+  def ngramCounts(docs: DataFrame, n: Int, topN: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs.select(expr(wordsSpark("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("gram"))
+      .limit(topN)
+  }
+
   /** Deterministic train/val/test assignment from the content hash:
     * polyHash(text) % 10 -> 0-7 train, 8 val, 9 test. Membership depends
     * only on the document text, so re-runs, engine swaps, and corpus

@@ -137,6 +137,10 @@ object PipelineQueries {
     "q_text_tfidf" -> ((s, d) =>
       Corpus.tfidf(Tables.documents(s, d), TfidfTopK).orderBy("doc_id", "rn")),
 
+    // corpus bigram counts (n-gram LM statistics)
+    "q_text_bigrams" -> ((s, d) =>
+      Corpus.ngramCounts(Tables.documents(s, d), 2, VocabTopN)),
+
     // deterministic content-hash train/val/test split
     "q_split_hash" -> ((s, d) =>
       Corpus.hashSplit(Tables.documents(s, d)).orderBy("split")),
@@ -387,6 +391,14 @@ object PipelineQueries {
        |  FROM s)
        |WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin
 
+  private val bigramsSql =
+    s"""WITH d AS (SELECT ${wordsDuck("text")} AS ws FROM documents),
+       |g AS (SELECT unnest(list_transform(range(1, len(ws)),
+       |               i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS gram
+       |      FROM d WHERE len(ws) >= 2)
+       |SELECT gram, count(*) AS n FROM g
+       |GROUP BY gram ORDER BY n DESC, gram LIMIT $VocabTopN""".stripMargin
+
   private val splitHashSql =
     s"""WITH d AS (SELECT doc_id, ${polyHashDuck("text")} % 10 AS slot, length(text) AS len
        |           FROM documents)
@@ -486,6 +498,7 @@ object PipelineQueries {
     "q_sql_textstats" -> sqlTextstatsSql,
     "q_text_vocab" -> vocabSql,
     "q_text_tfidf" -> tfidfSql,
+    "q_text_bigrams" -> bigramsSql,
     "q_split_hash" -> splitHashSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_curate" -> curateSql,

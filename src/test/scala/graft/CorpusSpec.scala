@@ -29,6 +29,15 @@ class CorpusSpec extends SparkSpec {
       List(("y", 2.0), ("shared", 1.0)))
   }
 
+  test("bigram counts: sliding windows per doc, no cross-doc grams") {
+    val d = Seq((1L, "a b c"), (2L, "b c")).toDF("doc_id", "text")
+    val g = Corpus.ngramCounts(d, 2, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(g == Set(("a b", 1L), ("b c", 2L)))
+    // docs shorter than n contribute nothing
+    assert(Corpus.ngramCounts(Seq((1L, "solo")).toDF("doc_id", "text"), 2, 10).isEmpty)
+  }
+
   test("hash split is partition-invariant and covers every document") {
     val d = (1L to 200L).map(i => (i, s"document number $i with text")).toDF("doc_id", "text")
     val s1 = Corpus.hashSplit(d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
