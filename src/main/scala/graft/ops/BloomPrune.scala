@@ -34,8 +34,10 @@ object BloomPrune {
     // an overestimate only wastes filter bits, never correctness
     val n = math.max(keys.count(), 1L)
     val filter = keys.stat.bloomFilter(key, n, fpp)
-    val probe = GraftFunctions.bloomMightContain(col(key), filter)
-    left.filter(!probe)
-      .unionByName(left.filter(probe).join(keys, Seq(key), "left_anti"))
+    // null keys: the probe is null, but an equi-anti-join KEEPS null-key
+    // rows (null never matches) — so they belong on the definite branch
+    val maybe = coalesce(GraftFunctions.bloomMightContain(col(key), filter), lit(false))
+    left.filter(!maybe)
+      .unionByName(left.filter(maybe).join(keys, Seq(key), "left_anti"))
   }
 }

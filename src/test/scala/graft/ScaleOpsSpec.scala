@@ -133,6 +133,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.length == 1000 - 143)
   }
 
+  test("bloom-pruned anti-join keeps null-key rows like a plain anti-join") {
+    val left = Seq(Some(1L), Some(2L), None, Some(3L)).toDF("k")
+    val right = Seq(2L).toDF("k")
+    val bloom = ops.BloomPrune.bloomAntiJoin(left, right, "k")
+      .collect().map(r => if (r.isNullAt(0)) -999L else r.getLong(0)).sorted
+    assert(bloom.sameElements(Array(-999L, 1L, 3L)))
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
