@@ -102,8 +102,12 @@ object Fixpoint {
     import org.apache.spark.sql.functions.{col, sum}
     var prev: Option[java.math.BigDecimal] = None
     (_: DataFrame, next: DataFrame) => {
-      val s = next.agg(sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .first().getDecimal(0)
+      // empty state sums to NULL — normalize to 0 so an empty fixpoint
+      // (e.g. CC over a pairless graph) converges instead of NPEing
+      val s = Option(
+        next.agg(sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
       val same = prev.exists(_.compareTo(s) == 0)
       prev = Some(s)
       same

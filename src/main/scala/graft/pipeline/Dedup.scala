@@ -53,14 +53,20 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     shingleHashes(docs).withColumn("mh", GraftFunctions.minHashSig(col("hs")))
 
+  /** (doc_id, band, key) — the LSH band-key relation of a signature set
+    * (at scale this IS the stored index an incremental pipeline keeps). */
+  def bandKeys(signatures: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map(b =>
+      struct(lit(b).as("band"), expr(bandKeySpark("mh", b)).as("key")))
+    signatures
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** Candidate pairs from LSH banding: docs sharing any band of the
     * signature. Output (doc_a < doc_b), distinct. */
   def lshCandidates(signatures: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map(b =>
-      struct(lit(b).as("band"), expr(bandKeySpark("mh", b)).as("key")))
-    val bands = signatures
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandKeys(signatures)
     val a = bands.toDF("doc_a", "band", "key")
     val b = bands.toDF("doc_b", "band", "key")
     a.join(b, Seq("band", "key"))
@@ -147,6 +153,51 @@ object Dedup {
       .filter(col("doc_id") =!= col("keeper"))
       .select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Incremental dedup: merge a new `incoming` batch into an already-
+    * deduplicated `existing` corpus. Candidate generation band-joins the
+    * incoming docs' band keys against the full band-key relation — never
+    * existing-vs-existing, the term that dominates full recomputation when
+    * |incoming| << |existing| (at 100 TB the band keys and signatures of
+    * `existing` come from the stored index, so the only per-batch work is
+    * linear in the batch plus its candidates).
+    *
+    * Exactly equivalent to `deduplicate(existing ∪ incoming)`: existing
+    * keepers carry no above-threshold pairs among themselves (any such
+    * adjacent pair would have demoted the larger id to loser in >= 1
+    * HashMin round), so restricting candidates to at-least-one-new loses
+    * no edge of the union's pair graph — connected components, keepers,
+    * and survivors are identical, including clusters where a new doc
+    * bridges two previously-independent existing keepers. The oracle
+    * checks this equality literally (dedup-of-union SQL).
+    */
+  def incrementalDeduplicate(existing: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    val all = existing.unionByName(incoming)
+    val sigs = minhashSignatures(all).persist()
+    sigs.count() // pin before the band and verify stages race it
+    val allBands = bandKeys(sigs)
+    // the incoming side of the band join = stored index rows for new ids
+    val newBands = allBands.join(
+      incoming.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cand = newBands.toDF("na", "band", "key")
+      .join(allBands.toDF("nb", "band", "key"), Seq("band", "key"))
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jacc", expr(jaccardSpark("hs_a", "hs_b")))
+      .filter(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "jacc")
+      .localCheckpoint(eager = true)
+    sigs.unpersist(blocking = false)
+    val losers = dedupClusters(pairs)
+      .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+    all.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the

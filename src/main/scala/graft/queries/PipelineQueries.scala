@@ -58,6 +58,17 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // incremental ingest: merge the odd-id batch into the already-deduped
+    // even-id corpus; result must equal batch dedup of the union
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = Dedup.deduplicate(docs.filter(col("doc_id") % 2 === 0), MinhashThreshold)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      Dedup.incrementalDeduplicate(existing, incoming, MinhashThreshold)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // same output as q_dedup_final, via the bloom-pruned anti-join (the
     // scale path when the loser set outgrows a broadcast) — oracle unchanged
     "q_dedup_final_bloom" -> ((s, d) => {
@@ -212,6 +223,65 @@ object PipelineQueries {
   private val minhashSql =
     s"""WITH $minhashPipelineCtes
        |SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** prefixed copy of minhashPipelineCtes over a filtered document set —
+    * lets one query host two independent dedup chains (incremental oracle) */
+  private def minhashCtesFor(p: String, docsWhere: String): String = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeyDuck("mh", b)} AS bkey FROM ${p}mh")
+      .mkString("\nUNION ALL ")
+    s"""${p}docs AS MATERIALIZED (SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents WHERE $docsWhere),
+       |${p}sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM ${p}docs WHERE len(ws) >= 3),
+       |${p}mh AS MATERIALIZED (SELECT doc_id, ${minhashDuck("hs")} AS mh FROM ${p}sh),
+       |${p}bands AS MATERIALIZED ($bandSelects),
+       |${p}cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |${p}pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, jacc FROM (
+       |    SELECT doc_a, doc_b, ${jaccardDuck("x.hs", "y.hs")} AS jacc
+       |    FROM ${p}cand JOIN ${p}sh x ON x.doc_id = doc_a JOIN ${p}sh y ON y.doc_id = doc_b)
+       |  WHERE jacc >= $MinhashThreshold)""".stripMargin
+  }
+
+  /** prefixed unrolled min-label CC over `<p>pairs`, ending in `<p>l<iters>` */
+  private def ccCtesFor(p: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}und AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM ${p}pairs
+      |  UNION SELECT doc_b AS src, doc_a AS dst FROM ${p}pairs),
+      |${p}l0 AS MATERIALIZED (
+      |  SELECT vertex, vertex AS label FROM (
+      |    SELECT src AS vertex FROM ${p}und UNION SELECT dst FROM ${p}und))""".stripMargin
+    for (i <- 1 to iters) {
+      val q = i - 1
+      sb ++= s""",
+        |${p}l$i AS MATERIALIZED (SELECT vertex, min(label) AS label FROM (
+        |  SELECT vertex, label FROM ${p}l$q
+        |  UNION ALL SELECT u.dst AS vertex, l.label FROM ${p}l$q l JOIN ${p}und u ON u.src = l.vertex)
+        |GROUP BY vertex)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** incremental dedup == dedup of (dedup(evens) ∪ odds): chain a dedups
+    * the even half; chain b dedups the survivors-plus-odds union. The
+    * engine takes the incremental path (at-least-one-new candidates); the
+    * SQL takes the batch path — the operator's contract is that they agree. */
+  private val incrementalSql = {
+    val iters = graft.graph.Graphs.DefaultCcRounds
+    def inD2(c: String) =
+      s"$c NOT IN (SELECT vertex FROM a_l$iters WHERE vertex <> label)"
+    s"""WITH ${minhashCtesFor("a_", "doc_id % 2 = 0")},
+       |${ccCtesFor("a_", iters)},
+       |${minhashCtesFor("b_", inD2("doc_id"))},
+       |${ccCtesFor("b_", iters)}
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+       |WHERE ${inD2("d.doc_id")}
+       |  AND d.doc_id NOT IN (SELECT vertex FROM b_l$iters WHERE vertex <> label)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** unrolled min-label propagation over the undirected pair graph —
     * integer mins are exact. Unrolls exactly Graphs.DefaultCcRounds, the
@@ -486,6 +556,7 @@ object PipelineQueries {
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_final" -> dedupFinalSql,
     "q_dedup_final_bloom" -> dedupFinalSql,
+    "q_dedup_incremental" -> incrementalSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,

@@ -46,6 +46,50 @@ class PipelineSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incremental dedup equals batch dedup of the union") {
+    val a = (1 to 30).map(i => s"a$i")
+    val c = (1 to 8).map(i => s"c$i")
+    // shingle-Jaccard geometry at thr=0.6: J(2,4)=20/36≈0.56 (evens NOT
+    // near-dups), J(2,5)=24/32=0.75 (found), J(4,5)=22/34≈0.65 (below the
+    // 4x4-band S-curve knee — deterministically not recalled, same in
+    // engine and oracle), J(2,7)=27/29≈0.93 (found); 6/9 singletons
+    val d = docs(
+      2L -> a.mkString(" "),
+      4L -> (a.take(22) ++ c).mkString(" "),
+      6L -> (100 to 130).map(i => s"v$i").mkString(" "),
+      5L -> (a.take(26) ++ c.take(4)).mkString(" "),
+      7L -> (a.take(29) :+ "zz").mkString(" "),
+      9L -> (200 to 230).map(i => s"u$i").mkString(" "))
+    val thr = 0.6
+    val existing = Dedup.deduplicate(d.filter(col("doc_id") % 2 === 0), thr)
+    val incoming = d.filter(col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalDeduplicate(existing, incoming, thr)
+      .collect().map(_.getLong(0)).sorted
+    val batch = Dedup.deduplicate(existing.unionByName(incoming), thr)
+      .collect().map(_.getLong(0)).sorted
+    // the operator contract: incremental == batch dedup of the union
+    assert(inc.sameElements(batch))
+    // recalled pairs (2,5),(2,7) drop new docs 5 and 7 against existing 2
+    assert(inc.sameElements(Array(2L, 4L, 6L, 9L)))
+  }
+
+  test("incremental dedup drops every new copy of an existing keeper (certain recall)") {
+    // exact copies share all minhash bands, so LSH recall is certain: new
+    // docs 5 and 7 both duplicate existing keeper 2 and must both drop,
+    // through the incoming-vs-existing band join alone
+    val base = (1 to 30).map(i => s"b$i").mkString(" ")
+    val other = (50 to 80).map(i => s"o$i").mkString(" ")
+    val d = docs(2L -> base, 4L -> other, 5L -> base, 7L -> base, 9L -> (90 to 99).map(i => s"q$i").mkString(" "))
+    val existing = Dedup.deduplicate(d.filter(col("doc_id") % 2 === 0), 0.8)
+    val incoming = d.filter(col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalDeduplicate(existing, incoming, 0.8)
+      .collect().map(_.getLong(0)).sorted
+    val batch = Dedup.deduplicate(existing.unionByName(incoming), 0.8)
+      .collect().map(_.getLong(0)).sorted
+    assert(inc.sameElements(batch))
+    assert(inc.sameElements(Array(2L, 4L, 9L)))
+  }
+
   test("brute-force cosine top-k ranks an identical vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
