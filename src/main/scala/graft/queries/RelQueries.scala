@@ -208,6 +208,22 @@ object RelQueries {
         .orderBy("c_custkey")
     }),
 
+    // full-outer merge with coalesce — the join form of the reference's
+    // U1 union-merge pattern (PageRankRDD/.../FollowerCount.scala:64-66);
+    // the %2/%3 splits leave both sides with unmatched rows
+    "q_join_full" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"), col("c_nationkey").cast("long").as("n_a"))
+      val b = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), col("c_nationkey").cast("long").as("n_b"))
+      a.join(b, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_a"), lit(-1L)).as("n_a"),
+          coalesce(col("n_b"), lit(-1L)).as("n_b"))
+        .orderBy("k")
+    }),
+
     // J8 replicated/broadcast join (RepJoin/src/main/java/wc/
     // CountFollowers.java:31-77) — dims are broadcast, fact side never moves
     "q_join_broadcast" -> ((s, d) =>
@@ -581,6 +597,17 @@ object RelQueries {
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
          ORDER BY ok, ln""",
+
+    "q_join_full" ->
+      """SELECT COALESCE(a.k, b.k) AS k,
+                COALESCE(a.n_a, -1) AS n_a, COALESCE(b.n_b, -1) AS n_b
+         FROM (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS n_a
+               FROM customer WHERE c_custkey % 2 = 0) a
+         FULL OUTER JOIN
+              (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS n_b
+               FROM customer WHERE c_custkey % 3 = 0) b
+           ON a.k = b.k
+         ORDER BY k""",
 
     "q_join_semi" ->
       """SELECT c_custkey, c_mktsegment FROM customer
