@@ -46,8 +46,13 @@ object PageRank {
     val nEdges = edges.count()
     val width = Fixpoint.sizedPartitions(spark, nEdges)
 
+    // edges pre-joined with their out-degrees ONCE — the e ⋈ outDeg join is
+    // loop-invariant, so hoisting it saves a join (and its broadcast/
+    // exchange jobs) from every iteration's plan
     val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eWithDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(width, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // base state: every real vertex 1/N, dummy 0 (PageRankRDD/...:49-51).
@@ -73,9 +78,8 @@ object PageRank {
       // effective ranks = base + deferred delta (dummy reads as 0)
       val eff = applyDelta(state)
       // push: each edge carries rank(src)/outdeg(src) to dst, summed per dst
-      val contrib = e
-        .join(outDeg, "src")
-        .join(eff, e("src") === eff("vertex"))
+      val contrib = eWithDeg
+        .join(eff, eWithDeg("src") === eff("vertex"))
         .select(col("dst").as("vertex"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("vertex").agg(sum("c").as("c"))
       // union-merge keeps vertices with no in-links at rank 0; the dummy
@@ -85,7 +89,7 @@ object PageRank {
         .groupBy("vertex").agg(sum("c").as("rank"))
     }
     val finalRanks = applyDelta(result)
-    e.unpersist(false); outDeg.unpersist(false)
+    e.unpersist(false); eWithDeg.unpersist(false)
     finalRanks
   }
 
