@@ -44,7 +44,7 @@ object SparkEntry {
     "q_events_pairs",
     "q_graph_degree", "q_graph_triangles", "q_graph_sssp",
     "q_graph_pagerank", "q_graph_kmeans", "q_graph_cc",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
     "q_dedup_embedding", "q_sim_topk", "q_sim_lsh",
     "q_text_quality", "q_text_fingerprint", "q_text_tfidf", "q_curate",
   ).filter(queries.contains)
