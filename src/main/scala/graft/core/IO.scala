@@ -52,6 +52,15 @@ object IO {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC source/sink — the other columnar format Spark ships natively;
+    * same pushdown/pruning properties as parquet, useful when a downstream
+    * consumer is ORC-native (Hive/Trino estates). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Byte-format parity with the reference's RDD text sinks, which emit
     * `Tuple2.toString` lines like `(42,7)`
     * (ReduceByKey/src/main/scala/wc/FollowersCount.scala:29). Use only

@@ -110,4 +110,16 @@ class AppsSpec extends SparkSpec {
     assert(graft.core.IO.readJsonl(spark, dir, docs.schema)
       .na.drop(Seq("doc_id")).count() == docs.count())
   }
+
+  test("ORC round-trip preserves the documents table with pushdown intact") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+    graft.core.IO.writeOrc(docs, dir)
+    val back = graft.core.IO.readOrc(spark, dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // the range predicate must reach the ORC scan, like parquet
+    val p = back.filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("doc_id"), p)
+  }
 }
