@@ -116,3 +116,29 @@ object KMeansApp {
   }
 }
 
+
+/** Beyond the reference: the training-data curation pipeline as a runnable
+  * main — documents parquet in, curated corpus out, partitioned by
+  * predicted language with bounded file sizes (Corpus.writeCorpus). The
+  * one-command form of q_curate for a library user running ingest. */
+object CurateApp {
+  def run(spark: SparkSession, docs: DataFrame,
+      minWords: Int = 10, minUniqRatio: Double = 0.3,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.pipeline.{Corpus, Dedup}
+    val losers = Dedup.dedupClusters(Dedup.minhashDedup(docs, threshold))
+      .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+    Corpus.qualityLangGate(docs, minWords, minUniqRatio)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(docs.select("doc_id", "text"), "doc_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    Args.require(args, 2, "CurateApp <documents-parquet> <out-dir> [maxRecordsPerFile]")
+    val spark = graft.core.Sessions.local()
+    val maxRecords = if (args.length > 2) args(2).toLong else 1000000L
+    graft.pipeline.Corpus.writeCorpus(
+      run(spark, spark.read.parquet(args(0))), args(1),
+      partitionCol = "lang_pred", maxRecordsPerFile = maxRecords)
+  }
+}

@@ -111,6 +111,18 @@ class AppsSpec extends SparkSpec {
       .na.drop(Seq("doc_id")).count() == docs.count())
   }
 
+  test("CurateApp writes a curated corpus partitioned by predicted language") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate").toString + "/corpus"
+    graft.pipeline.Corpus.writeCorpus(
+      graft.apps.CurateApp.run(spark, docs), out, "lang_pred", 1000L)
+    val back = spark.read.parquet(out)
+    assert(back.count() > 0 && back.count() < docs.count())
+    assert(back.columns.contains("text") && back.columns.contains("lang_pred"))
+    // directory layout is the partition column
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("lang_pred=")))
+  }
+
   test("ORC round-trip preserves the documents table with pushdown intact") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"

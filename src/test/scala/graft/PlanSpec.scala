@@ -49,7 +49,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup band joins are equi-joins, never cartesian") {
-    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding")) {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
+        "q_dedup_incremental")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
