@@ -99,6 +99,36 @@ object Similarity {
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** (vec_id, band, key) probe set for multiprobe queries: each band's
+    * base bucket plus every 1-bit flip of it — the classic multiprobe
+    * trick trades a constant fan-out (1 + HpBandBits probes per band) for
+    * recall that would otherwise cost more bands and a bigger index. */
+  def lshProbes(emb: DataFrame): DataFrame = {
+    val probeStructs = (0 until HpBands).flatMap { b =>
+      val base = shiftright(col("__hp"), b * HpBandBits) % (1 << HpBandBits)
+      struct(lit(b).as("band"), base.as("key")) +:
+        (0 until HpBandBits).map(r =>
+          struct(lit(b).as("band"), base.bitwiseXOR(lit(1 << r)).as("key")))
+    }
+    emb.select(col("vec_id"),
+        GraftFunctions.hyperplaneBits(col("embedding")).as("__hp"))
+      .select(col("vec_id"), explode(array(probeStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Multiprobe variant of lshTopK: the query side probes its base bucket
+    * and all 1-bit neighbors per band. Same deterministic contract. */
+  def lshTopKMultiprobe(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = broadcast(lshProbes(queries).toDF("qid", "band", "key"))
+      .join(lshBuckets(corpus).toDF("nid", "band", "key"), Seq("band", "key"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    rankTopK(
+      cand.join(queriesWithNorm(queries), "qid")
+        .join(corpusWithNorm(corpus), "nid"),
+      k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
     * at least one band bucket with the query, exactly reranked by cosine.
     * Output (qid, rn, nid, score) — same contract as bruteForceTopK, but

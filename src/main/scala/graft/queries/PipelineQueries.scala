@@ -106,6 +106,14 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
+    // multiprobe LSH ANN: base bucket + 1-bit flips per band on the query
+    // side — recall without a bigger index, still bit-exact vs the oracle
+    "q_sim_lsh_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiprobe(emb, emb.filter(col("vec_id") < NumQueryVecs), TopK)
+        .orderBy("qid", "rn")
+    }),
+
     // IVF ANN (k-means coarse quantizer, nprobe cells scanned per query) —
     // rows-only: float centroid training is partition-order dependent so a
     // bit-exact SQL oracle is impossible; VecKMeansSpec asserts recall vs
@@ -400,6 +408,33 @@ object PipelineQueries {
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
   }
 
+  /** simLshSql with the query side fanned out to base + 1-bit-flip probes */
+  private val simLshMpSql = {
+    val bucketSelects = (0 until HpBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bucketKeyDuck("embedding", b)} AS bkey FROM embeddings")
+      .mkString("\nUNION ALL ")
+    val probeSelects = ("SELECT vec_id, band, bkey FROM qb" +:
+      (0 until HpBandBits).map(r =>
+        s"SELECT vec_id, band, xor(bkey, ${1 << r}) AS bkey FROM qb"))
+      .mkString("\nUNION ALL ")
+    s"""WITH buckets AS MATERIALIZED ($bucketSelects),
+       |qb AS MATERIALIZED (SELECT * FROM buckets WHERE vec_id < $NumQueryVecs),
+       |probes AS MATERIALIZED ($probeSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM probes q JOIN buckets c
+       |    ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |vecs AS MATERIALIZED (SELECT vec_id, embedding, ${normDuck("embedding")} AS norm FROM embeddings),
+       |p AS (
+       |  SELECT qid, nid, round(${dotDuck("x.embedding", "y.embedding")} / (x.norm * y.norm), 6) AS score
+       |  FROM cand JOIN vecs x ON x.vec_id = qid JOIN vecs y ON y.vec_id = nid)
+       |SELECT qid, rn, nid, score FROM (
+       |  SELECT qid, nid, score, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+       |  FROM p)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
   private val langidSql = {
     val scores = Stopwords.map { case (l, _) => s"${langScoreDuck("ws", l)} AS s_$l" }.mkString(", ")
     val cols = Stopwords.map(s => s"s_${s._1}").mkString(", ")
@@ -562,6 +597,7 @@ object PipelineQueries {
     "q_dedup_embedding" -> embDedupSql,
     "q_sim_topk" -> simTopkSql,
     "q_sim_lsh" -> simLshSql,
+    "q_sim_lsh_mp" -> simLshMpSql,
     "q_text_langid" -> langidSql,
     "q_text_quality" -> qualitySql,
     "q_text_tokens" -> tokensSql,

@@ -48,5 +48,12 @@ class VecKMeansSpec extends SparkSpec {
     info(f"LSH recall@5 with ${Similarity.HpBands} bands x ${Similarity.HpBandBits} bits: $recall%.2f")
     assert(recall >= 0.5, s"recall $recall too low")
     assert(lsh.size <= 8 * 5)
+
+    // multiprobe supersets single-probe candidates, so recall never drops
+    val mp = Similarity.lshTopKMultiprobe(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mpRecall = mp.intersect(exact).size.toDouble / exact.size
+    info(f"multiprobe recall@5: $mpRecall%.2f")
+    assert(mpRecall >= recall)
   }
 }
