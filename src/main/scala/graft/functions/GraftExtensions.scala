@@ -37,6 +37,7 @@ object GraftExtensions {
     fn("graft_minhash", "16-permutation minhash signature of a hash array", 1)(a => MinHashSigExpr(a.head)),
     fn("graft_dot", "sequential-fold double dot product of float arrays", 2)(a => DotProductExpr(a(0), a(1))),
     fn("graft_hyperplane_bits", "packed LSH hyperplane sign bits", 1)(a => HyperplaneBitsExpr(a.head)),
+    fn("graft_jaccard", "Jaccard similarity of distinct-hash arrays", 2)(a => JaccardExpr(a(0), a(1))),
   )
 
   /** Register into a live session (the extensions path only applies at

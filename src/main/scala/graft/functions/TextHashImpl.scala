@@ -125,6 +125,22 @@ object TextHashImpl {
     }
     out
   }
+
+  /** Jaccard similarity of two DISTINCT-element hash arrays: sorted-copy
+    * two-pointer intersection count, then the same double division as the
+    * HOF form (`TextHash.jaccardSpark`) — |∩| is an exact integer either
+    * way, so the result is bit-identical. */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    val x = a.clone(); val y = b.clone()
+    java.util.Arrays.sort(x); java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) < y(j)) i += 1
+      else if (x(i) > y(j)) j += 1
+      else { inter += 1; i += 1; j += 1 }
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
 }
 
 /** Vector kernels for the embedding operators — strictly sequential folds

@@ -117,6 +117,27 @@ case class HyperplaneBitsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_hyperplane_bits"
 }
 
+/** (array<long>, array<long>) -> double: Jaccard of distinct-hash sets.
+  * Replaces the HOF form (CAST(size(array_intersect(a,b))...) in the dedup
+  * verify stage — the HOF evaluates array_intersect TWICE per row and
+  * allocates the intersection array both times; this is one codegen'd
+  * static call with a two-pointer count. Bit-identical (FunctionsSpec). */
+case class JaccardExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT> args, got $l, $r")
+  }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.jaccard(a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashImpl.jaccard($a.toLongArray(), $b.toLongArray())")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaccard"
+}
+
 /** long -> boolean: membership probe against a pre-built bloom filter
   * (`org.apache.spark.util.sketch.BloomFilter`, Spark's public sketch API —
   * serializable, so the filter ships once per executor inside the codegen
@@ -157,4 +178,5 @@ object GraftFunctions {
   def hyperplaneBits(col: Column): Column = c(HyperplaneBitsExpr(ex(col)))
   def bloomMightContain(col: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     c(BloomMightContainExpr(ex(col), filter))
+  def jaccard(a: Column, b: Column): Column = c(JaccardExpr(ex(a), ex(b)))
 }

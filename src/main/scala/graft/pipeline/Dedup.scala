@@ -82,7 +82,7 @@ object Dedup {
     val pairs = lshCandidates(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("jacc", expr(jaccardSpark("hs_a", "hs_b")))
+      .withColumn("jacc", GraftFunctions.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jacc") >= threshold)
       .select("doc_a", "doc_b", "jacc")
     // the result (near-dup pairs) is tiny; materialize it eagerly so the
@@ -190,7 +190,7 @@ object Dedup {
     val pairs = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("jacc", expr(jaccardSpark("hs_a", "hs_b")))
+      .withColumn("jacc", GraftFunctions.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jacc") >= threshold)
       .select("doc_a", "doc_b", "jacc")
       .localCheckpoint(eager = true)
@@ -208,7 +208,7 @@ object Dedup {
     val a = hs.toDF("doc_a", "hs_a")
     val b = hs.toDF("doc_b", "hs_b")
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jacc", expr(jaccardSpark("hs_a", "hs_b")))
+      .withColumn("jacc", GraftFunctions.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jacc") >= threshold)
       .select("doc_a", "doc_b", "jacc")
   }

@@ -42,7 +42,8 @@ object JaccardPrefilter extends Rule[LogicalPlan] {
     }
   }
 
-  /** matches the canonical jaccard >= threshold predicate, returning
+  /** matches the canonical jaccard >= threshold predicate — either the
+    * HOF division form or the graft_jaccard kernel — returning
     * (a, b, threshold literal). Type coercion wraps the integer
     * denominator in a double cast (int/int division), so the denominator
     * pattern is Cast(Subtract(...)). */
@@ -57,6 +58,9 @@ object JaccardPrefilter extends Rule[LogicalPlan] {
           if a1.semanticEquals(a2) && a1.semanticEquals(a3) &&
             b1.semanticEquals(b2) && b1.semanticEquals(b3) =>
         Some((a1, b1, t))
+      case GreaterThanOrEqual(
+            graft.functions.JaccardExpr(a, b), t @ Literal(_, DoubleType)) =>
+        Some((a, b, t))
       case _ => None
     }
   }

@@ -54,6 +54,18 @@ class FunctionsSpec extends SparkSpec {
         expr(TextHash.simhashSpark("wh")).as("b")))
   }
 
+  test("JaccardExpr == HOF jaccard on cross-doc shingle pairs (bitwise)") {
+    val hs = docs
+      .withColumn("ws", expr(TextHash.wordsSpark("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(expr(TextHash.shingleHashesSpark("ws")).as("hs"))
+    assertNoDiff(hs.limit(100).select(col("hs").as("ha"))
+      .crossJoin(hs.limit(5).select(col("hs").as("hb")))
+      .select(
+        GraftFunctions.jaccard(col("ha"), col("hb")).as("a"),
+        expr(TextHash.jaccardSpark("ha", "hb")).as("b")))
+  }
+
   test("DotProductExpr == HOF sequential fold (bitwise)") {
     assertNoDiff(emb.limit(200).select(col("embedding").as("v"))
       .crossJoin(emb.limit(5).select(col("embedding").as("w")))

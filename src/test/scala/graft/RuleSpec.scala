@@ -44,6 +44,21 @@ class RuleSpec extends SparkSpec {
     assert(sizeRefs(withPlan) > sizeRefs(without))
   }
 
+  private def kernelFiltered = pairs
+    .withColumn("jacc", graft.functions.GraftFunctions.jaccard(col("hs_a"), col("hs_b")))
+    .filter(col("jacc") >= 0.5)
+    .select("doc_a", "doc_b", "jacc")
+
+  test("rule fires on the graft_jaccard kernel form too") {
+    val without = kernelFiltered.queryExecution.optimizedPlan.toString
+    val withPlan = withRule(kernelFiltered.queryExecution.optimizedPlan.toString)
+    assert(!without.contains("* cast(size("), without)
+    assert(withPlan.contains("* cast(size("), withPlan)
+    val plain = kernelFiltered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ruled = withRule(kernelFiltered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(plain == ruled && ruled == Set((1L, 2L)))
+  }
+
   test("results identical with and without the rule") {
     val plain = jaccFiltered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ruled = withRule(jaccFiltered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
