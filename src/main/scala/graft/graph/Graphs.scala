@@ -106,6 +106,35 @@ object Graphs {
     * components. Same label monotonicity (integer min) as
     * connectedComponents, so results are exact and engine-reproducible.
     */
+  /** default peeling rounds for kCore — the oracle unrolls exactly this
+    * many, and extra rounds past the fixpoint are no-ops (deletion-only),
+    * so engine early-convergence and the oracle's fixed unroll agree */
+  val DefaultKCoreRounds = 10
+
+  /** k-core: the maximal subgraph in which every vertex has undirected
+    * degree >= k, by iterative peeling — drop all vertices of degree < k,
+    * recompute degrees, repeat to fixpoint. The graph-curation operator
+    * (e.g. keeping only densely-interacting entities in a 100 TB
+    * interaction graph). State = surviving undirected edge set; each round
+    * is one degree aggregation + two semi-joins, all state-sized.
+    * Returns (vertex, degree) of the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = DefaultKCoreRounds): DataFrame = {
+    val undirected = undirectedSized(edges)
+    val result = graft.iterate.Fixpoint.iterate(undirected, maxIter,
+      converged = graft.iterate.Fixpoint.countUnchanged()) { (state, _) =>
+      // undirected state holds both directions, so per-src row count IS
+      // the undirected degree
+      val keep = state.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("v"))
+      state
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+    }
+    undirected.unpersist(false)
+    result.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
+  }
+
   def connectedComponentsDoubling(
       edges: DataFrame, maxIter: Int = DefaultDoublingRounds): DataFrame = {
     val undirected = undirectedSized(edges)

@@ -114,6 +114,19 @@ object Fixpoint {
     }
   }
 
+  /** Convergence for deletion-only processes (k-core peeling): the state
+    * only ever loses rows, so equal consecutive counts imply a fixpoint.
+    * One count job per round on the already-materialized state. */
+  def countUnchanged(): (DataFrame, DataFrame) => Boolean = {
+    var prev = -1L
+    (_: DataFrame, next: DataFrame) => {
+      val n = next.count()
+      val same = n == prev
+      prev = n
+      same
+    }
+  }
+
   def unchanged(keyCol: String, valCol: String)(prev: DataFrame, next: DataFrame): Boolean = {
     val p = prev.select(keyCol, valCol).withColumnRenamed(valCol, "__prev")
     next.select(keyCol, valCol).join(p, keyCol)

@@ -42,6 +42,11 @@ object GraphQueries {
   private val CcChainLen = 60
   private val CcChains = 5
   private val CcRounds = Graphs.DefaultDoublingRounds
+  // k-core: sparser modulus so small scale factors actually peel; engine
+  // round bound and oracle unroll count must agree
+  private val KCoreK = 8
+  private val KCoreMod = 1000
+  private val KCoreRounds = Graphs.DefaultKCoreRounds
 
   val defs: Map[String, Q] = Map(
     // the reference headline: follower count on the edge relation
@@ -121,6 +126,12 @@ object GraphQueries {
     // doubling CC on the derived lineitem graph (real-scan input)
     "q_graph_cc" -> ((s, d) =>
       Graphs.connectedComponentsDoubling(Graphs.lineitemEdges(s, d, Mod), CcRounds)
+        .orderBy("vertex")),
+
+    // k-core peeling (graph curation): vertices of the maximal subgraph
+    // with undirected degree >= k, with their surviving degrees
+    "q_graph_kcore" -> ((s, d) =>
+      Graphs.kCore(Graphs.lineitemEdges(s, d, KCoreMod), KCoreK, KCoreRounds)
         .orderBy("vertex")),
 
     "q_graph_kmeans" -> ((s, d) => {
@@ -285,7 +296,34 @@ object GraphQueries {
        |SELECT vertex, CAST(dist AS BIGINT) AS dist, path
        |FROM walk ORDER BY vertex""".stripMargin
 
+  /** unrolled k-core peeling: each round computes degrees of the previous
+    * edge set and keeps edges whose BOTH endpoints have degree >= k.
+    * Deletion-only, so rounds past the fixpoint are no-ops — the fixed
+    * unroll and the engine's early convergence reach the same subgraph. */
+  private def kcoreSql(mod: Int, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH kedges AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+      |  FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+      |e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM kedges UNION SELECT dst AS src, src AS dst FROM kedges)""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |d$i AS MATERIALIZED (SELECT src, count(*) AS deg FROM e$p GROUP BY src),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e$p e
+        |  JOIN d$i a ON a.src = e.src AND a.deg >= $k
+        |  JOIN d$i b ON b.src = e.dst AND b.deg >= $k)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT src AS vertex, count(*) AS degree FROM e$rounds
+      |GROUP BY src ORDER BY vertex""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),
     "q_graph_sssp_path_tree" -> ssspPathTreeSql,
     "q_graph_degree" -> degreeSql,
     "q_graph_triangles" -> trianglesSql(200),

@@ -141,4 +141,17 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lin(100L) != 1L)
   }
+
+  test("k-core: cascading peel removes a chain hanging off a triangle") {
+    import spark.implicits._
+    // triangle {1,2,3} plus chain 3-4-5: at k=2, vertex 5 (deg 1) peels
+    // first, then 4 (deg drops to 1) — only the triangle survives, and
+    // removal must cascade (a single pass would keep 4)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = Graphs.kCore(e, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree peels everything
+    assert(Graphs.kCore(e, k = 4).isEmpty)
+  }
 }
