@@ -448,6 +448,19 @@ object RelQueries {
         .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
         .orderBy("bucket", "event_type")),
 
+    // sliding event-time windows (1 h long, 15 min slide): every event
+    // contributes to 4 overlapping windows — window() fans out inside the
+    // engine; the oracle fans out explicitly with a 4-row cross join.
+    // Both engines align window origins to the epoch.
+    "q_events_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          window(timestamp_micros(expr("ts div 1000")), "1 hour", "15 minutes")("start")
+            .cast("string").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+        .orderBy("bucket", "event_type")),
+
     // interval self-join via ops.RangeJoin's bucketized band join: event
     // pairs per user within one hour, aggregated. The oracle validates
     // with a direct inequality join — same result, quadratic plan.
@@ -715,6 +728,13 @@ object RelQueries {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q_events_sliding" ->
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS VARCHAR) AS bucket,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         FROM events CROSS JOIN range(4) t(k)
+         GROUP BY 1, 2 ORDER BY bucket, event_type""",
 
     "q_join_shuffle_hash" ->
       """SELECT c_mktsegment, count(*) AS n,
