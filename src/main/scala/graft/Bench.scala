@@ -26,7 +26,16 @@ object Bench {
     // JIT/codegen-compile/first-plan costs that swing small queries ±25%;
     // the warm number is the engine's throughput (measurement basis
     // recorded in BASELINE.md — compare like with like across rounds).
-    val results = SparkEntry.benchQueries.map { name =>
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b measures a subset in isolation
+    // (same warmup + basis), so one regressed query can be profiled without
+    // paying the full catalog run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.benchQueries.filter(names.contains)
+      case None        => SparkEntry.benchQueries
+    }
+    val results = selected.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = run(name)

@@ -70,12 +70,19 @@ object Graphs {
     * ShortestPath.run): every per-round scan then reads as many partitions
     * as the data needs, not the derivation's shuffle width. */
   private def undirectedSized(edges: DataFrame): DataFrame = {
+    // persist BEFORE the sizing count: the count's materialization then
+    // feeds the repartition below from cache, instead of re-running the
+    // union+distinct derivation (its shuffle included) a second time
     val u = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val width = graft.iterate.Fixpoint.sizedPartitions(edges.sparkSession, u.count())
-    u.repartition(width, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val width = graft.iterate.Fixpoint.sizedPartitions(edges.sparkSession, u.count())
+    val sized = u.repartition(width, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sized.count() // materialize off the cached derivation, then drop it
+    u.unpersist(blocking = false)
+    sized
   }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = DefaultCcRounds): DataFrame = {

@@ -26,7 +26,15 @@ import graft.functions.GraftFunctions
 object BloomPrune {
 
   /** Exact `left ANTI JOIN right ON key`, bloom-pruned. `key` must be a
-    * LONG column present on both sides. */
+    * LONG column present on both sides.
+    *
+    * `left` MUST be deterministic across re-evaluation: the definite/maybe
+    * split scans it twice (filter !maybe, filter maybe), and the branches
+    * only partition the row set if both scans see the same rows. A
+    * non-deterministic source (sampling, rand-derived columns, an input
+    * mutating between scans) could drop or duplicate rows — persist or
+    * checkpoint such an input before calling. Every graft caller passes a
+    * deterministic parquet scan. */
   def bloomAntiJoin(left: DataFrame, right: DataFrame, key: String,
       fpp: Double = 0.01): DataFrame = {
     val keys = right.select(key)

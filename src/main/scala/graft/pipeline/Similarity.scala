@@ -84,14 +84,20 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(broadcast(queriesWithNorm(queries)).crossJoin(corpusWithNorm(corpus)), k)
 
+  /** Band `b`'s bucket key: a HpBandBits-wide bit slice of the packed
+    * sign-bit column. The SINGLE definition of the index key — lshBuckets
+    * (index side) and lshProbes (multiprobe base bucket) must agree bit for
+    * bit or probes silently stop matching index keys (recall loss). */
+  private def bandKey(hp: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
+    shiftright(hp, b * HpBandBits) % (1 << HpBandBits)
+
   /** (vec_id, band, key) — LSH bucket assignment. One codegen'd
     * HyperplaneBitsExpr evaluation packs all sign bits (over the vector's
     * actual length, matching the Duck twin's len(v) iteration); band keys
     * are bit slices of it. */
   def lshBuckets(emb: DataFrame): DataFrame = {
     val bandStructs = (0 until HpBands).map { b =>
-      struct(lit(b).as("band"),
-        (shiftright(col("__hp"), b * HpBandBits) % (1 << HpBandBits)).as("key"))
+      struct(lit(b).as("band"), bandKey(col("__hp"), b).as("key"))
     }
     emb.select(col("vec_id"),
         GraftFunctions.hyperplaneBits(col("embedding")).as("__hp"))
@@ -105,7 +111,7 @@ object Similarity {
     * recall that would otherwise cost more bands and a bigger index. */
   def lshProbes(emb: DataFrame): DataFrame = {
     val probeStructs = (0 until HpBands).flatMap { b =>
-      val base = shiftright(col("__hp"), b * HpBandBits) % (1 << HpBandBits)
+      val base = bandKey(col("__hp"), b)
       struct(lit(b).as("band"), base.as("key")) +:
         (0 until HpBandBits).map(r =>
           struct(lit(b).as("band"), base.bitwiseXOR(lit(1 << r)).as("key")))
