@@ -16,14 +16,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelQueries.defs ++
       graft.queries.GraphQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.RelQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles
 
   /** Queries deliberately without oracle SQL, with the reason documented at
     * each definition: path enumeration explodes in recursive SQL
@@ -37,7 +39,7 @@ object SparkEntry {
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */
   def benchQueries: Seq[String] = Seq(
     "q_agg_count", "q_agg_sum", "q_agg_sse", "q_agg_rollup", "q_explode",
-    "q_asof_join",
+    "q_asof_join", "q_tpch_q3", "q_tpch_q5",
     "q_join_inner", "q_join_broadcast", "q_join_composite",
     "q_union_merge", "q_topk", "q_window_rank",
     "q_events_window", "q_events_sessionize",
@@ -47,5 +49,6 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
     "q_dedup_embedding", "q_sim_topk", "q_sim_lsh",
     "q_text_quality", "q_text_fingerprint", "q_text_tfidf", "q_curate",
+    "q_pack_contexts", "q_corpus_fingerprint",
   ).filter(queries.contains)
 }

@@ -7,7 +7,16 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = graft.core.Sessions.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b dumps a subset (the oracle
+    // checker reports the rest as MISSING — grep the names you changed).
+    // The driver runs without the filter and always gets the full catalog.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names.contains).toMap
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

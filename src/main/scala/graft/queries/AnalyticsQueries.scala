@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import graft.pipeline.TextHash._
+
+/** Multi-join analytics and training-data-pipeline queries beyond the
+  * single-operator catalog: TPC-H-shaped star-schema joins (the workload a
+  * reference user grows into once the engine speaks SQL-shaped DataFrames),
+  * range-frame windows, context-window packing, and corpus checksums.
+  *
+  * Determinism policy follows RelQueries: revenue terms are computed in
+  * DECIMAL (exact, order-independent sums) and cast to DOUBLE once at the
+  * end; integer window sums are CAST(... AS BIGINT) in DuckDB (HUGEINT
+  * widening); every query ends in a total ORDER BY.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** context-window size (tokens) for the packing operator */
+  val ContextTokens = 4096L
+
+  /** exact revenue term: price * (1 - discount) in decimal arithmetic.
+    * Both factors are 2-dp money-like doubles, so the decimal casts are
+    * exact and the product/sum never touch float rounding until the final
+    * cast to DOUBLE of the already-exact total. */
+  private def revenueTerm: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+
+  private val revenueTermDuck =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q3 shape (shipping priority): two big fact tables shuffle-join
+    // on the order key while the selective dimension (customer, segment
+    // filter) broadcasts — at 100 TB the only shuffled relations are the
+    // two facts, each pre-filtered by its pushed-down date predicate.
+    "q_tpch_q3" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)),
+
+    // TPC-H Q5 shape (local supplier volume): a 6-table star join where the
+    // customer and supplier nations must MATCH — the classic plan has the
+    // two big facts shuffle on l_orderkey/l_suppkey while nation and the
+    // region-filtered nation list broadcast. Group-by collapses to one row
+    // per nation before any ordering.
+    "q_tpch_q5" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // RANGE-frame window: rolling quantity over an order-key *value* range
+    // per supplier (RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW). Peers
+    // (equal order keys) all join the frame, so the sum is deterministic
+    // under any tie order; l_quantity is integral-valued, so double sums
+    // are exact in any addition order.
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("l_orderkey")
+        .rangeBetween(-1000, Window.currentRow)
+      Tables.lineitem(s, d).filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("roll_qty", sum("l_quantity").over(w))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // Context-window packing: assign documents to fixed-size training bins
+    // (ContextTokens BPE-ish tokens) by running token count within each
+    // source shard. Packing is inherently sequential, so the scale design
+    // shards first (partitionBy source — shards pack in parallel, one
+    // window sort each) and keeps the sequential scan inside the shard;
+    // a 100 TB corpus packs per source/date shard exactly like this.
+    "q_pack_contexts" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), expr(wordsSpark("text")).as("ws"))
+        .select(col("doc_id"), col("source"),
+          expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) div 4)")
+            .as("toks"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("toks"),
+          expr(s"cum_before div $ContextTokens").as("bin"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // Corpus fingerprint: one order-independent checksum row per source —
+    // XOR of a per-document hash (poly-hash of the text mixed with the
+    // doc id) plus exact counts. THE cheap cross-cluster validation for a
+    // 100 TB corpus copy: each side computes its fingerprint locally and
+    // only the tiny checksum table moves. XOR is commutative/associative,
+    // so no ordering constraint exists anywhere in the plan.
+    "q_corpus_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          expr(s"(${polyHashSpark("trim(text)")} * $Spread + doc_id)").as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          expr("bit_xor(h)").as("fp"))
+        .orderBy("source")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey,
+         |  CAST(sum($revenueTermDuck) AS DOUBLE) AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS od
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name, CAST(sum($revenueTermDuck) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS roll_qty
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_pack_contexts" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(list_sum(list_transform(${wordsDuck("text")}, w -> (length(w) + 3) // 4)) AS BIGINT) AS toks
+         |  FROM documents)
+         |SELECT source, doc_id, toks,
+         |  COALESCE(CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
+         |FROM t
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "q_corpus_fingerprint" ->
+      s"""SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  bit_xor(${polyHashDuck("trim(text)")} * $Spread + doc_id) AS fp
+         |FROM documents
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+  )
+}

@@ -79,6 +79,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("tpch q3 broadcasts the filtered customer dim and pushes both date filters") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("PushedFilters:[^\\n]*l_shipdate".r.findFirstIn(p).isDefined, p)
+    assert("PushedFilters:[^\\n]*o_orderdate".r.findFirstIn(p).isDefined, p)
+    // the segment filter must also reach the customer scan
+    assert("PushedFilters:[^\\n]*c_mktsegment".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("tpch q5 broadcasts the region-filtered nation list") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("range-frame window plans one sort besides the output contract sort") {
+    val p = plan("q_window_range_frame")
+    assert(countOp(p, "Window") == 1, p)
+    assert(countOp(p, "Sort") <= 2, p)
+  }
+
+  test("context packing sorts only within source shards plus the contract sort") {
+    // the window partitions by source — no global sort before the final
+    // ORDER BY, so shards pack independently at scale
+    val p = plan("q_pack_contexts")
+    assert(countOp(p, "Window") == 1, p)
+    assert(countOp(p, "Sort") <= 2, p)
+  }
+
+  test("corpus fingerprint is a pure scan+hash-agg — no join, no window") {
+    val p = plan("q_corpus_fingerprint")
+    assert(countOp(p, "Window") == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
