@@ -123,6 +123,20 @@ class AppsSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("lang_pred=")))
   }
 
+  test("partitioned corpus read prunes to the filtered partition directories") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/corpus"
+    graft.pipeline.Corpus.writeCorpus(docs, out, "lang", 1000L)
+    val back = spark.read.parquet(out)
+    val q = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    // the partition predicate must become a PartitionFilter (directory
+    // pruning — at 100 TB the non-matching partitions are never listed into
+    // the scan), not a post-scan Filter over all partitions
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined, p)
+    assert(q.count() == docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
   test("ORC round-trip preserves the documents table with pushdown intact") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
