@@ -93,6 +93,63 @@ object PageRank {
     finalRanks
   }
 
+  /** teleport probability constants for the damped variant — literal 2-dp
+    * decimals so Spark's lit() and the oracle's CAST(x AS DOUBLE) resolve
+    * to the same nearest-double (never derived as 1.0 - alpha, whose IEEE
+    * result differs from the 0.15 literal by an ulp) */
+  val DampAlpha = 0.85
+  val DampTeleport = 0.15
+
+  /** Classic damped PageRank (teleport α = [[DampAlpha]]) — the variant the
+    * reference omits (its mass-push loop has no damping factor —
+    * PageRankRDD/src/main/scala/wc/FollowerCount.scala:63 divides delta
+    * only): r' = (1-α)/N + α·(Σ in-contribs + danglingMass/N), where
+    * dangling mass is the total rank parked on vertices with no out-edges.
+    *
+    * Same plan skeleton as [[run]]: out-degree join hoisted out of the
+    * loop, dangling vertex SET precomputed (it is loop-invariant), the
+    * per-iteration dangling-mass scalar rides a 1-row broadcast inside the
+    * single checkpoint sync point, union-merge keeps no-in-link vertices.
+    */
+  def runDamped(edges: DataFrame, iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val width = Fixpoint.sizedPartitions(spark, nEdges)
+
+    val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eWithDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(width, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graphs.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    // dangling set = vertices that never appear as src (loop-invariant)
+    val dang = verts
+      .join(e.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dang.count() // materialize while verts/e are hot
+
+    val init = verts.withColumn("rank", lit(1.0 / n))
+    val result = Fixpoint.iterate(init, iterations) { (state, _) =>
+      val dm = state.join(dang, Seq("vertex"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contrib = eWithDeg
+        .join(state, eWithDeg("src") === state("vertex"))
+        .select(col("dst").as("vertex"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("vertex").agg(sum("c").as("c"))
+      state.select(col("vertex"), lit(0.0).as("c"))
+        .unionByName(contrib)
+        .groupBy("vertex").agg(sum("c").as("c"))
+        .crossJoin(broadcast(dm))
+        .select(col("vertex"),
+          (lit(DampTeleport) / n + lit(DampAlpha) * (col("c") + col("dm") / n))
+            .as("rank"))
+    }
+    e.unpersist(false); eWithDeg.unpersist(false)
+    verts.unpersist(false); dang.unpersist(false)
+    result
+  }
+
   /** Top-k by rank, deterministic tie-break on vertex id
     * (PageRankDataSet/.../FollowerCount.scala:76). Catalyst plans this as
     * TakeOrderedAndProject — no global sort materialization. */

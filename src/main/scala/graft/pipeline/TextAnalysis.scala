@@ -91,6 +91,43 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       GraftFunctions.polyHash(trim(col("text"))).as("fp"))
 
+  /** terms scrubbed from training text (stand-in for a PII/toxicity
+    * blocklist); shared with the DuckDB oracle */
+  val Blocklist: Seq[String] = Seq("customer", "query", "spark")
+  val RedactMask = "[REDACTED]"
+
+  /** word-boundary alternation — identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB) for literal alternants */
+  def blocklistPattern: String = s"\\b(${Blocklist.mkString("|")})\\b"
+
+  /** Blocklist scrubbing: replace each blocklisted term with a mask and
+    * count the hits. Pure per-row codegen'd regex + array ops — no
+    * shuffle; the curation pass every raw 100 TB crawl goes through before
+    * training. (doc_id, redacted, n_hits) */
+  def redact(docs: DataFrame): DataFrame = {
+    val hitCond = Blocklist.map(w => s"w = '$w'").mkString(" OR ")
+    docs.select(col("doc_id"),
+      regexp_replace(col("text"), blocklistPattern, RedactMask).as("redacted"),
+      expr(s"size(filter(${wordsSpark("text")}, w -> $hitCond))")
+        .cast("long").as("n_hits"))
+  }
+
+  /** chunking defaults: 100-char windows, 20-char overlap (step 80) */
+  val ChunkSize = 100
+  val ChunkStep = 80
+
+  /** Fixed-size overlapping character chunks — the doc → embedding-input
+    * splitter. One generator expression per row (explode of substring
+    * windows): rows fan out ~len/step with no shuffle, and chunk starts
+    * are pure arithmetic so the operator is deterministic and
+    * embarrassingly parallel. (doc_id, chunk_idx, chunk, chunk_len) */
+  def chunk(docs: DataFrame, size: Int = ChunkSize, step: Int = ChunkStep): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, (length(text) - 1) div $step), i -> substring(text, i * $step + 1, $size))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"), length(col("col")).cast("long").as("chunk_len"))
+
   // DuckDB twins for the query layer
   def qualityHitCondition: String = hitCondition(Stopwords.flatMap(_._2))
 }

@@ -116,6 +116,14 @@ object GraphQueries {
         .orderBy("vertex")
     }),
 
+    // classic damped PageRank (teleport 0.15) on the derived graph — the
+    // modern formulation the reference omits; dangling mass comes from
+    // genuine no-out-edge vertices, not a synthetic dummy sink
+    "q_graph_pagerank_damped" -> ((s, d) =>
+      PageRank.runDamped(Graphs.lineitemEdges(s, d, Mod), PrIters)
+        .select(col("vertex"), round(col("rank"), 9).as("pr"))
+        .orderBy("vertex")),
+
     // pointer-doubling CC on the adversarial long-chain fixture: each
     // component's diameter (59) exceeds the linear HashMin round bound,
     // so only the O(log d) doubling variant labels it correctly
@@ -196,6 +204,38 @@ object GraphQueries {
         |               CASE WHEN m.vertex = 0 THEN 0.0
         |                    ELSE m.pr + (SELECT delta FROM d$i)/($nExpr) END AS pr
         |        FROM (SELECT vertex, sum(c) AS pr FROM (
+        |                SELECT vertex, 0.0 AS c FROM r$p
+        |                UNION ALL SELECT vertex, c FROM c$i)
+        |              GROUP BY vertex) m)""".stripMargin
+    }
+    sb ++= s"\nSELECT vertex, round(pr, 9) AS pr FROM r$iters ORDER BY vertex"
+    sb.toString
+  }
+
+  /** Unrolled damped PageRank — mirrors PageRank.runDamped step for step:
+    * per iteration, dangling mass over the loop-invariant no-out-edge set,
+    * push with out-degree division, union-merge, then
+    * teleport/N + α·(contrib + dangling/N). Ranks rounded to 9 decimals on
+    * both sides (multi-element double sums). */
+  private def pagerankDampedSql(graphCte: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
+      |v AS MATERIALIZED (SELECT src AS vertex FROM g UNION SELECT dst FROM g),
+      |nr AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |dang AS MATERIALIZED (SELECT vertex FROM v WHERE vertex NOT IN (SELECT src FROM g)),
+      |r0 AS MATERIALIZED (SELECT vertex, CAST(1.0 AS DOUBLE)/(SELECT n FROM nr) AS pr FROM v)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+        |dm$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS dm FROM r$p JOIN dang USING (vertex)),
+        |c$i AS MATERIALIZED (SELECT g.dst AS vertex, sum(r.pr / od.outdeg) AS c
+        |        FROM g JOIN od ON g.src = od.src JOIN r$p r ON g.src = r.vertex
+        |        GROUP BY g.dst),
+        |r$i AS MATERIALIZED (SELECT m.vertex,
+        |        CAST(${PageRank.DampTeleport} AS DOUBLE)/(SELECT n FROM nr)
+        |          + CAST(${PageRank.DampAlpha} AS DOUBLE) * (m.c + (SELECT dm FROM dm$i)/(SELECT n FROM nr)) AS pr
+        |        FROM (SELECT vertex, sum(c) AS c FROM (
         |                SELECT vertex, 0.0 AS c FROM r$p
         |                UNION ALL SELECT vertex, c FROM c$i)
         |              GROUP BY vertex) m)""".stripMargin
@@ -331,6 +371,7 @@ object GraphQueries {
     "q_graph_sssp" -> ssspSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
+    "q_graph_pagerank_damped" -> pagerankDampedSql(derivedGraphCte, PrIters),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),

@@ -138,6 +138,13 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
 
+    "q_text_redact" -> ((s, d) =>
+      TextAnalysis.redact(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "q_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunk(Tables.documents(s, d).filter(col("doc_id") < 100))
+        .orderBy("doc_id", "chunk_idx")),
+
     // pure-SQL surface: the registered graft_* functions driven entirely
     // through spark.sql — a SQL-only user gets the same engine
     "q_sql_textstats" -> ((s, d) => {
@@ -465,6 +472,26 @@ object PipelineQueries {
   private val fingerprintSql =
     s"""SELECT doc_id, ${polyHashDuck("trim(text)")} AS fp FROM documents ORDER BY doc_id"""
 
+  private val redactSql = {
+    val hitCond = TextAnalysis.Blocklist.map(w => s"w = '$w'").mkString(" OR ")
+    s"""SELECT doc_id,
+       |  regexp_replace(text, '${TextAnalysis.blocklistPattern}', '${TextAnalysis.RedactMask}', 'g') AS redacted,
+       |  len(list_filter(${wordsDuck("text")}, w -> $hitCond)) AS n_hits
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val chunksSql = {
+    val size = TextAnalysis.ChunkSize
+    val step = TextAnalysis.ChunkStep
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, text, unnest(range(0, (length(text) - 1) // $step + 1)) AS chunk_idx
+       |  FROM documents WHERE doc_id < 100)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  substring(text, CAST(chunk_idx * $step + 1 AS INT), $size) AS chunk,
+       |  length(substring(text, CAST(chunk_idx * $step + 1 AS INT), $size)) AS chunk_len
+       |FROM t ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   private val sqlTextstatsSql =
     s"""WITH $docsCte,
        |wh AS MATERIALIZED (SELECT doc_id, ${wordHashesDuck("ws")} AS wh FROM docs)
@@ -602,6 +629,8 @@ object PipelineQueries {
     "q_text_quality" -> qualitySql,
     "q_text_tokens" -> tokensSql,
     "q_text_fingerprint" -> fingerprintSql,
+    "q_text_redact" -> redactSql,
+    "q_text_chunks" -> chunksSql,
     "q_sql_textstats" -> sqlTextstatsSql,
     "q_text_vocab" -> vocabSql,
     "q_text_tfidf" -> tfidfSql,

@@ -69,6 +69,32 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-9) // dangling mass fully redistributed
   }
 
+  test("damped pagerank: matches a driver-side reimplementation; mass conserved") {
+    // star + tail: 1→3, 2→3, 3→4; vertex 4 is dangling
+    val e = edges(1L -> 3L, 2L -> 3L, 3L -> 4L)
+    val result = PageRank.runDamped(e, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val n = 4
+    val g = Seq(1L -> 3L, 2L -> 3L, 3L -> 4L)
+    val outdeg = g.groupBy(_._1).view.mapValues(_.size).toMap
+    var ranks = (1 to n).map(_.toLong -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val dm = ranks.collect { case (v, r) if !outdeg.contains(v) => r }.sum
+      val contrib = g.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(ed => ranks(ed._1) / outdeg(ed._1)).sum
+      }
+      ranks = ranks.map { case (v, _) =>
+        v -> (PageRank.DampTeleport / n +
+          PageRank.DampAlpha * (contrib.getOrElse(v, 0.0) + dm / n))
+      }
+    }
+    ranks.foreach { case (v, r) => assert(math.abs(result(v) - r) < 1e-12, s"vertex $v") }
+    assert(math.abs(result.values.sum - 1.0) < 1e-9) // teleport + α·mass = 1
+    // the 2-in-link hub outranks the no-in-link sources
+    assert(result(3L) > result(1L) && result(1L) == result(2L))
+  }
+
   test("pagerank: graph without the dummy vertex keeps its ranks (delta = 0)") {
     val e = edges(1L -> 2L, 2L -> 1L)
     val r = PageRank.run(e, iterations = 3, dummy = 0L, realVertexCount = 2L)
