@@ -164,6 +164,31 @@ case class BloomMightContainExpr(child: Expression,
   override def prettyName: String = "graft_bloom_might_contain"
 }
 
+/** long -> long: frequency estimate from a pre-built count-min sketch
+  * (`org.apache.spark.util.sketch.CountMinSketch`, Spark's public sketch
+  * API — ships once per executor via the codegen references array). CMS
+  * never underestimates, so thresholding on this before an exact recount
+  * is exactness-preserving (`ops.HeavyHitters`). Like the bloom probe, not
+  * in the FunctionsSpec bit-equivalence family (no DuckDB twin) —
+  * correctness is result equality with the unpruned aggregation. */
+case class CountMinEstimateExpr(child: Expression,
+    sketch: org.apache.spark.util.sketch.CountMinSketch) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BIGINT, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    sketch.estimateCount(Long.box(input.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cms = ctx.addReferenceObj("graftCms", sketch,
+      classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+    defineCodeGen(ctx, ev, c => s"$cms.estimateCount((Object) java.lang.Long.valueOf($c))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountMinEstimateExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cms_estimate"
+}
+
 /** Column-API entry points (the library surface). */
 object GraftFunctions {
   private def c(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
@@ -178,5 +203,7 @@ object GraftFunctions {
   def hyperplaneBits(col: Column): Column = c(HyperplaneBitsExpr(ex(col)))
   def bloomMightContain(col: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     c(BloomMightContainExpr(ex(col), filter))
+  def cmsEstimate(col: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column =
+    c(CountMinEstimateExpr(ex(col), sketch))
   def jaccard(a: Column, b: Column): Column = c(JaccardExpr(ex(a), ex(b)))
 }

@@ -112,6 +112,14 @@ object AnalyticsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // Exact heavy hitters with a CMS prune (ops.HeavyHitters): the sketch
+    // pass bounds memory at any key cardinality, the exact pass recounts
+    // only candidate keys — the oracle equality with the plain
+    // GROUP BY ... HAVING proves the prune is exactness-preserving.
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.ops.HeavyHitters.heavyHitters(Tables.orders(s, d), "o_custkey", threshold = 18L)
+        .orderBy("o_custkey")),
+
     // Corpus fingerprint: one order-independent checksum row per source —
     // XOR of a per-document hash (poly-hash of the text mixed with the
     // doc id) plus exact counts. THE cheap cross-cluster validation for a
@@ -175,6 +183,11 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT o_custkey, count(*) AS cnt
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 18
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_corpus_fingerprint" ->
       s"""SELECT source,

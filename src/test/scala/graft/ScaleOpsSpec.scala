@@ -141,6 +141,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bloom.sameElements(Array(-999L, 1L, 3L)))
   }
 
+  test("CMS-pruned heavy hitters equal plain GROUP BY/HAVING, coarse sketch included") {
+    // eps 0.1 forces a tiny, collision-heavy sketch (overestimates let
+    // light keys into the exact pass), which must not change the output
+    val data = ((1 to 40).map(_ => 10L) ++ (1 to 25).map(_ => 20L) ++
+      (1L to 300L)).toDF("k")
+    val hh = ops.HeavyHitters.heavyHitters(data, "k", threshold = 20L, eps = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hh == Map(10L -> 41L, 20L -> 26L)) // each appears in 1..300 once more
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
