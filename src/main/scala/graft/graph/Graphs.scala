@@ -142,6 +142,41 @@ object Graphs {
     result.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
   }
 
+  /** default synchronous LPA rounds — the oracle unrolls exactly this many,
+    * so engine and oracle agree even where sync LPA has not stabilized */
+  val DefaultLpaRounds = 5
+
+  /** Community detection by synchronous label propagation (LPA): each round
+    * every vertex adopts the most frequent label among its undirected
+    * neighbors plus itself (the self-vote damps the classic 2-coloring
+    * oscillation of pure sync LPA), ties broken by smallest label —
+    * a fully deterministic variant, unlike the randomized-order original.
+    * Unlike connectedComponents (pure min reachability), label FREQUENCY
+    * drives assignment, so dense cores absorb their periphery — the "find
+    * topic clusters in an interaction graph" curation operator.
+    *
+    * Scale: each round is one state-sized join + two aggregations, all on
+    * the sized undirected edge cache; rounds are fixed (no convergence
+    * scan), so the cost is exactly `rounds` checkpoint jobs.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = DefaultLpaRounds): DataFrame = {
+    val undirected = undirectedSized(edges)
+    val init = vertices(undirected).withColumn("label", col("vertex"))
+    val result = graft.iterate.Fixpoint.iterate(init, rounds) { (state, _) =>
+      val msgs = state.join(undirected, state("vertex") === undirected("src"))
+        .select(col("dst").as("vertex"), col("label"))
+        .unionByName(state.select("vertex", "label"))
+      msgs.groupBy("vertex", "label").agg(count(lit(1)).as("c"))
+        .groupBy("vertex")
+        // argmax by (count desc, label asc) as a struct-min — the same
+        // deterministic pick the oracle's row_number() window makes
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("vertex"), col("m.l").as("label"))
+    }
+    undirected.unpersist(blocking = false)
+    result.select("vertex", "label")
+  }
+
   def connectedComponentsDoubling(
       edges: DataFrame, maxIter: Int = DefaultDoublingRounds): DataFrame = {
     val undirected = undirectedSized(edges)

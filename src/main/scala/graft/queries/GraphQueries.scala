@@ -47,6 +47,8 @@ object GraphQueries {
   private val KCoreK = 8
   private val KCoreMod = 1000
   private val KCoreRounds = Graphs.DefaultKCoreRounds
+  // LPA: engine round count and oracle unroll count must agree
+  private val LpaRounds = Graphs.DefaultLpaRounds
 
   val defs: Map[String, Q] = Map(
     // the reference headline: follower count on the edge relation
@@ -134,6 +136,13 @@ object GraphQueries {
     // doubling CC on the derived lineitem graph (real-scan input)
     "q_graph_cc" -> ((s, d) =>
       Graphs.connectedComponentsDoubling(Graphs.lineitemEdges(s, d, Mod), CcRounds)
+        .orderBy("vertex")),
+
+    // synchronous label-propagation communities (frequency-driven, unlike
+    // CC's pure reachability): deterministic self-vote variant, fixed
+    // round count shared with the oracle's unroll
+    "q_graph_lpa" -> ((s, d) =>
+      Graphs.labelPropagation(Graphs.lineitemEdges(s, d, Mod), LpaRounds)
         .orderBy("vertex")),
 
     // k-core peeling (graph curation): vertices of the maximal subgraph
@@ -241,6 +250,32 @@ object GraphQueries {
         |              GROUP BY vertex) m)""".stripMargin
     }
     sb ++= s"\nSELECT vertex, round(pr, 9) AS pr FROM r$iters ORDER BY vertex"
+    sb.toString
+  }
+
+  /** Unrolled synchronous LPA — mirrors Graphs.labelPropagation: per round,
+    * neighbor labels over the undirected edge set plus a self-vote, then
+    * per-vertex argmax by (count DESC, label ASC). */
+  private def lpaSql(graphCte: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |und AS MATERIALIZED (SELECT DISTINCT * FROM (
+      |  SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g)),
+      |l0 AS MATERIALIZED (
+      |  SELECT vertex, vertex AS label FROM (SELECT src AS vertex FROM und UNION SELECT dst FROM und))""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |m$i AS MATERIALIZED (SELECT u.dst AS vertex, l.label
+        |        FROM und u JOIN l$p l ON u.src = l.vertex
+        |        UNION ALL SELECT vertex, label FROM l$p),
+        |c$i AS MATERIALIZED (SELECT vertex, label, count(*) AS c FROM m$i GROUP BY vertex, label),
+        |l$i AS MATERIALIZED (SELECT vertex, label FROM (
+        |        SELECT vertex, label,
+        |               row_number() OVER (PARTITION BY vertex ORDER BY c DESC, label ASC) AS rn
+        |        FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"\nSELECT vertex, label FROM l$rounds ORDER BY vertex"
     sb.toString
   }
 
@@ -372,6 +407,7 @@ object GraphQueries {
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
     "q_graph_pagerank_damped" -> pagerankDampedSql(derivedGraphCte, PrIters),
+    "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),

@@ -168,6 +168,21 @@ class GraphSpec extends SparkSpec {
     assert(lin(100L) != 1L)
   }
 
+  test("lpa: bridged triangles stay separate communities; K4 collapses to min label") {
+    // two triangles joined by one bridge edge — frequency-driven LPA keeps
+    // two communities where reachability-driven CC would merge them
+    val bridged = edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L, 3L -> 4L)
+    val labels = Graphs.labelPropagation(bridged, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val l4 = Graphs.labelPropagation(k4, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l4.values.toSet == Set(1L))
+  }
+
   test("k-core: cascading peel removes a chain hanging off a triangle") {
     import spark.implicits._
     // triangle {1,2,3} plus chain 3-4-5: at k=2, vertex 5 (deg 1) peels
