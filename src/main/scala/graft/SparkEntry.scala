@@ -49,6 +49,6 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
     "q_dedup_embedding", "q_sim_topk", "q_sim_lsh",
     "q_text_quality", "q_text_fingerprint", "q_text_tfidf", "q_curate",
-    "q_pack_contexts", "q_corpus_fingerprint",
+    "q_pack_contexts", "q_corpus_fingerprint", "q_prep_training",
   ).filter(queries.contains)
 }

@@ -120,6 +120,41 @@ object AnalyticsQueries {
       graft.ops.HeavyHitters.heavyHitters(Tables.orders(s, d), "o_custkey", threshold = 18L)
         .orderBy("o_custkey")),
 
+    // End-to-end training-data preparation — the full pre-training intake
+    // in ONE plan: blocklist redaction -> quality gate -> exact dedup on
+    // the redacted fingerprint -> content-hash train/val/test split ->
+    // context packing per (split, source) shard. Tokenization happens once
+    // (shared `ws` projection feeds the gate and the token counts); the
+    // only shuffles are the dedup window on fp and the per-shard packing
+    // windows — each hash-partitioned, nothing global.
+    "q_prep_training" -> ((s, d) => {
+      import graft.pipeline.TextAnalysis
+      val masked = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        regexp_replace(col("text"), TextAnalysis.blocklistPattern,
+          TextAnalysis.RedactMask).as("rtext"))
+      val scored = masked
+        .select(col("doc_id"), col("source"), expr(wordsSpark("rtext")).as("ws"),
+          graft.functions.GraftFunctions.polyHash(col("rtext")).as("fp"))
+        .select(col("doc_id"), col("source"), col("fp"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) div 4)")
+            .as("toks"))
+        .filter(col("n_words") >= 20)
+      val dedupW = Window.partitionBy("fp").orderBy("doc_id")
+      val deduped = scored.withColumn("rn", row_number().over(dedupW))
+        .filter(col("rn") === 1)
+      val withSplit = deduped.withColumn("split",
+        when(col("fp") % 10 < 8, "train")
+          .when(col("fp") % 10 === 8, "val").otherwise("test"))
+      val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withSplit
+        .withColumn("cum_before", coalesce(sum("toks").over(packW), lit(0L)))
+        .select(col("split"), col("source"), col("doc_id"), col("toks"),
+          expr(s"cum_before div $ContextTokens").as("bin"))
+        .orderBy("split", "source", "doc_id")
+    }),
+
     // Corpus fingerprint: one order-independent checksum row per source —
     // XOR of a per-document hash (poly-hash of the text mixed with the
     // doc id) plus exact counts. THE cheap cross-cluster validation for a
@@ -188,6 +223,31 @@ object AnalyticsQueries {
       """SELECT o_custkey, count(*) AS cnt
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 18
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_prep_training" -> {
+      val pattern = graft.pipeline.TextAnalysis.blocklistPattern
+      val mask = graft.pipeline.TextAnalysis.RedactMask
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT doc_id, source, regexp_replace(text, '$pattern', '$mask', 'g') AS rtext
+         |  FROM documents),
+         |s AS MATERIALIZED (
+         |  SELECT doc_id, source, ${polyHashDuck("rtext")} AS fp,
+         |    len(${wordsDuck("rtext")}) AS n_words,
+         |    CAST(list_sum(list_transform(${wordsDuck("rtext")}, w -> (length(w) + 3) // 4)) AS BIGINT) AS toks
+         |  FROM m),
+         |q AS MATERIALIZED (SELECT * FROM s WHERE n_words >= 20),
+         |dd AS MATERIALIZED (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)
+         |  WHERE rn = 1),
+         |sp AS MATERIALIZED (
+         |  SELECT doc_id, source, toks,
+         |    CASE WHEN fp % 10 < 8 THEN 'train' WHEN fp % 10 = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM dd)
+         |SELECT split, source, doc_id, toks,
+         |  COALESCE(CAST(sum(toks) OVER (PARTITION BY split, source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
+         |FROM sp ORDER BY split, source, doc_id""".stripMargin
+    },
 
     "q_corpus_fingerprint" ->
       s"""SELECT source,

@@ -108,6 +108,14 @@ class PlanSpec extends SparkSpec {
     assert(countOp(p, "Sort") <= 2, p)
   }
 
+  test("training prep reads documents once and never plans a cartesian") {
+    // redact/tokenize/fingerprint share one projection — a second scan
+    // would mean the pipeline re-tokenizes (the dominant cost at 100 TB)
+    val p = plan("q_prep_training")
+    assert(countOp(p, "Scan parquet") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("corpus fingerprint is a pure scan+hash-agg — no join, no window") {
     val p = plan("q_corpus_fingerprint")
     assert(countOp(p, "Window") == 0, p)
