@@ -61,6 +61,20 @@ object IO {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Range-clustered parquet write: global range partitioning on
+    * `clusterCol` plus an in-partition sort gives every output file a
+    * tight, pairwise-disjoint min/max range on that column. Parquet
+    * footers record those ranges, so a reader's range predicate skips
+    * whole files/row-groups — the data-layout lever for time- or
+    * key-range-scanned corpora at 100 TB (the poor man's single-column
+    * z-order). `files` sizes the write parallelism AND the file count:
+    * range partitioning samples the column to build balanced bounds. */
+  def writeRangeClustered(df: DataFrame, path: String, clusterCol: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Byte-format parity with the reference's RDD text sinks, which emit
     * `Tuple2.toString` lines like `(42,7)`
     * (ReduceByKey/src/main/scala/wc/FollowersCount.scala:29). Use only

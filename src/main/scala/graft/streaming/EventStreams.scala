@@ -79,6 +79,34 @@ object EventStreams {
     events.join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"))
 
+  /** foreachBatch sink with an idempotent anti-join upsert: each
+    * micro-batch appends only events whose event_id is not already in the
+    * parquet target. An at-least-once source or a restart from a stale
+    * checkpoint re-delivers batches — the anti-join makes re-delivery a
+    * no-op, giving end-to-end exactly-once without sink transactions (the
+    * standard pattern for non-transactional targets at scale; the id probe
+    * reads just the target's event_id column, pruned at the scan).
+    *
+    * The novel rows are materialized (localCheckpoint) BEFORE the append
+    * so the write never races its own target scan. */
+  def appendDeduped(events: DataFrame, targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val fresh = batch.dropDuplicates("event_id")
+        val novel = scala.util.Try(sp.read.parquet(targetDir).select("event_id"))
+          .toOption match {
+          case Some(existing) => fresh.join(existing, Seq("event_id"), "left_anti")
+          case None           => fresh // first batch: target not created yet
+        }
+        val snapshot = novel.localCheckpoint(eager = true)
+        snapshot.write.mode("append").parquet(targetDir)
+        ()
+      }
+      .start()
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -137,6 +137,28 @@ class AppsSpec extends SparkSpec {
     assert(q.count() == docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
   }
 
+  test("range-clustered write produces files with disjoint key ranges") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-cluster").toString + "/ev"
+    graft.core.IO.writeRangeClustered(events, out, "ts", files = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+    // per-file min/max ranges must be pairwise disjoint — that is what the
+    // parquet footer stats expose for file/row-group skipping on ts scans
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $hi > $lo")
+    }
+    // and an ordinary range predicate still reaches the scan
+    val p = back.filter(col("ts") < ranges(1)._1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("ts"), p)
+  }
+
   test("ORC round-trip preserves the documents table with pushdown intact") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"

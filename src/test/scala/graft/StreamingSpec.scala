@@ -122,6 +122,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("foreachBatch idempotent sink: full replay appends nothing twice") {
+    val base = Files.createTempDirectory("graft-sink")
+    val target = base.resolve("target").toString
+    val q1 = EventStreams.appendDeduped(
+      EventStreams.fromParquetDir(spark, eventsDir), target,
+      base.resolve("ck1").toString)
+    q1.processAllAvailable(); q1.stop()
+    val expected = spark.read.parquet(s"$eventsDir/events.parquet")
+      .dropDuplicates("event_id").count()
+    assert(spark.read.parquet(target).count() == expected)
+
+    // fresh checkpoint = the source re-delivers EVERYTHING (the stale-
+    // checkpoint restart / at-least-once case); the anti-join upsert must
+    // make the replay a no-op
+    val q2 = EventStreams.appendDeduped(
+      EventStreams.fromParquetDir(spark, eventsDir), target,
+      base.resolve("ck2").toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(target).count() == expected)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
