@@ -33,7 +33,7 @@ object SparkEntry {
     * float centroid training is partition-order dependent (ivf). Everything
     * else must carry an oracle (enforced by QueriesSpec). */
   def rowsOnlyQueries: Set[String] =
-    Set("q_graph_sssp_path", "q_agg_approx_distinct", "q_sim_ivf")
+    Set("q_graph_sssp_path", "q_agg_approx_distinct", "q_sim_ivf", "q_sim_pq")
 
   /** Headline subset timed by Bench (kept fast enough to run per-round
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecImpl
+
+/** Product quantization (PQ) for approximate nearest-neighbor search: the
+  * embedding space is split into [[M]] subspaces, each quantized by its own
+  * [[KSub]]-centroid codebook, so a 64-float vector compresses to M small
+  * codes (32x smaller here). Search uses asymmetric distance computation
+  * (ADC): per query, one M x KSub lookup table of exact query-to-centroid
+  * dot products turns scoring a candidate into M table reads — the memory-
+  * bandwidth-bound scan that makes billion-vector search tractable where
+  * full-vector scans are not. ADC survivors are exactly reranked against
+  * the true vectors, so emitted scores are exact cosines and recall is the
+  * only approximation (measured in VecKMeansSpec, like IVF).
+  *
+  * Scale design: codebooks train with ONE fused pass per iteration (every
+  * subspace's partial vector sums ride one groupByKey shuffle of
+  * M x KSub rows); encoding is a single mapPartitions; the ADC scan keeps
+  * per-query bounded heaps per partition and emits only per-partition
+  * top-R, so no |Q| x |corpus| row set ever shuffles. Deterministic
+  * seeding (subvectors of the KSub lowest vec_ids), no RNG. Not
+  * oracle-checked: float centroid training is partition-order dependent
+  * (same declared exception as IVF).
+  */
+object ProductQuant {
+  /** subspaces (codes per vector) and centroids per subspace codebook */
+  val M = 8
+  val KSub = 16
+
+  /** codebooks(m)(c) is the dsub-dim centroid c of subspace m */
+  final case class Codebooks(dsub: Int, cents: Array[Array[Array[Double]]])
+
+  private def sqDistSub(v: Array[Float], off: Int, c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { val d = v(off + i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  private def nearestSub(v: Array[Float], off: Int, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = sqDistSub(v, off, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd's iterations over all M subspaces fused into one scan per
+    * iteration: each vector emits M (subspace, code) partial sums, merged
+    * by one shuffle of at most M x KSub aggregate rows. */
+  def train(emb: DataFrame, iterations: Int): Codebooks = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb.select(col("vec_id"), col("embedding")).persist()
+    val dim = data.select(size(col("embedding"))).first().getInt(0)
+    require(dim % M == 0, s"dim $dim not divisible by $M subspaces")
+    val dsub = dim / M
+
+    // deterministic seeds: subvectors of the KSub lowest vec_ids
+    val seeds = data.orderBy("vec_id").limit(KSub)
+      .select("embedding").as[Array[Float]].collect()
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(M, KSub) { (m, c) =>
+      Array.tabulate(dsub)(i => seeds(c)(m * dsub + i).toDouble)
+    }
+
+    val agg = new VecKMeans.VecSumAgg(dsub).toColumn
+    for (_ <- 1 to iterations) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = data.as[(Long, Array[Float])]
+        .flatMap { case (_, v) =>
+          val cs = bc.value
+          (0 until M).iterator.map { m =>
+            val sub = java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub)
+            (m * KSub + nearestSub(v, m * dsub, cs(m)), sub)
+          }
+        }
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { case (key, vs) =>
+        if (vs.n > 0) next(key / KSub)(key % KSub) = vs.sum.map(_ / vs.n)
+      }
+      cents = next
+    }
+    data.unpersist(false)
+    Codebooks(dsub, cents)
+  }
+
+  /** (nid, codes ARRAY<INT>, napprox DOUBLE): one pass assigns every
+    * subspace code and the code-implied norm (sqrt of summed centroid
+    * squared norms — the ADC denominator). */
+  def encode(emb: DataFrame, cb: Codebooks): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, v) =>
+          val codes = new Array[Int](M)
+          var n2 = 0.0
+          var m = 0
+          while (m < M) {
+            val c = nearestSub(v, m * b.dsub, b.cents(m))
+            codes(m) = c
+            val cent = b.cents(m)(c)
+            var i = 0
+            while (i < b.dsub) { n2 += cent(i) * cent(i); i += 1 }
+            m += 1
+          }
+          (id, codes, math.sqrt(n2))
+        }
+      }.toDF("nid", "codes", "napprox")
+  }
+
+  /** ADC top-k with exact rerank. `refine` = candidates kept per query
+    * from the code scan before reranking (recall knob). Output
+    * (qid, rn, nid, score) — same contract as Similarity.bruteForceTopK. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, cb: Codebooks,
+      k: Int, refine: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codes = encode(corpus, cb)
+
+    // exact per-(query, subspace, code) dot products — the ADC tables
+    val qvecs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val tables: Array[(Long, Array[Array[Double]], Double)] = qvecs.map { case (qid, qv) =>
+      val b = bcCb.value
+      val lut = Array.tabulate(M, KSub) { (m, c) =>
+        val cent = b.cents(m)(c)
+        var acc = 0.0
+        var i = 0
+        while (i < b.dsub) { acc += qv(m * b.dsub + i) * cent(i); i += 1 }
+        acc
+      }
+      (qid, lut, math.sqrt(VecImpl.dot(qv, qv)))
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+
+    // per-partition bounded heaps: emit only top-`refine` rows per query
+    // per partition — the scan's output is |Q| x refine x partitions, never
+    // |Q| x |corpus|
+    val cand = codes.as[(Long, Array[Int], Double)]
+      .mapPartitions { it =>
+        val ts = bcT.value
+        val heaps = ts.map(_ => new java.util.PriorityQueue[(Double, Long)](
+          refine + 1, java.util.Comparator.comparingDouble[(Double, Long)](_._1)))
+        it.foreach { case (nid, cs, napprox) =>
+          var q = 0
+          while (q < ts.length) {
+            val (tqid, lut, _) = ts(q)
+            if (tqid != nid) {
+              var dot = 0.0
+              var m = 0
+              while (m < M) { dot += lut(m)(cs(m)); m += 1 }
+              val score = if (napprox > 0) dot / napprox else 0.0
+              val h = heaps(q)
+              h.add((score, nid))
+              if (h.size > refine) h.poll()
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          val qid = ts(q)._1
+          Iterator.continually(h.poll()).takeWhile(_ != null).map(p => (qid, p._2))
+        }
+      }.toDF("qid", "nid")
+      .distinct() // merge per-partition candidate lists (ids only)
+
+    // exact rerank of the survivors against the true vectors
+    Similarity.rankTopK(
+      cand.join(Similarity.queriesWithNorm(queries), "qid")
+        .join(Similarity.corpusWithNorm(corpus), "nid"),
+      k)
+  }
+}

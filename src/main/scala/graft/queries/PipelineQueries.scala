@@ -126,6 +126,17 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
+    // PQ ANN: codes train like IVF centroids (float, partition-order
+    // dependent) -> rows-only like q_sim_ivf; recall measured in
+    // VecKMeansSpec. Exact rerank means emitted scores are true cosines.
+    "q_sim_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.pipeline.ProductQuant.train(emb, iterations = 3)
+      graft.pipeline.ProductQuant.adcTopK(emb, emb.filter(col("vec_id") < NumQueryVecs),
+          cb, TopK, refine = 25)
+        .orderBy("qid", "rn")
+    }),
+
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")),
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Similarity, VecKMeans}
+import graft.pipeline.{ProductQuant, Similarity, VecKMeans}
 
 class VecKMeansSpec extends SparkSpec {
   import spark.implicits._
@@ -36,6 +36,23 @@ class VecKMeansSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
     // scanning 3 of 8 cells must not return more than k rows per query
     assert(ivf.size <= 8 * 5)
+  }
+
+  test("PQ ADC top-k achieves reasonable recall vs brute force on 32x-compressed codes") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val cb = ProductQuant.train(emb, iterations = 3)
+    val pq = ProductQuant.adcTopK(emb, queries, cb, k = 5, refine = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(f"PQ recall@5 (M=${ProductQuant.M}, ksub=${ProductQuant.KSub}, refine=25): $recall%.2f")
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(pq.size <= 8 * 5)
+    // deterministic: a second run reproduces the result exactly
+    val again = ProductQuant.adcTopK(emb, queries, cb, k = 5, refine = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == pq)
   }
 
   test("LSH top-k achieves reasonable recall vs brute force on bucket-local scans") {
