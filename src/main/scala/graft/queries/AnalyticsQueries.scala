@@ -112,6 +112,42 @@ object AnalyticsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // Semi-structured extraction: pull a typed field out of a JSON props
+    // column at scan time and aggregate on it — the schema-on-read path
+    // for event payloads (get_json_object is codegen'd; at 100 TB the
+    // alternative — exploding props into a wide schema at ingest — costs a
+    // rewrite of the corpus).
+    "q_events_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // Sequential funnel (view -> click -> purchase): each stage's earliest
+    // qualifying time must follow the previous stage's — three stage-sized
+    // aggregations chained by equi-joins, no window over the whole event
+    // stream. Timestamps compare in microseconds on both engines (the
+    // nanos column truncates — see the events gotcha in RelQueries).
+    "q_events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t_v"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_us") > col("t_v"))
+        .groupBy("user_id").agg(min("ts_us").as("t_c"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_us") > col("t_c"))
+        .groupBy("user_id").agg(min("ts_us").as("t_p"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .agg(count(lit(1)).as("n_view"), count("t_c").as("n_click"),
+          count("t_p").as("n_purchase"))
+    }),
+
     // Exact heavy hitters with a CMS prune (ops.HeavyHitters): the sketch
     // pass bounds memory at any key cardinality, the exact pass recounts
     // only candidate keys — the oracle equality with the plain
@@ -218,6 +254,24 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS MATERIALIZED (SELECT user_id, min(ts_us) AS t_v FROM e
+        |     WHERE event_type = 'view' GROUP BY user_id),
+        |c AS MATERIALIZED (SELECT e.user_id, min(ts_us) AS t_c FROM e JOIN v ON e.user_id = v.user_id
+        |     WHERE event_type = 'click' AND ts_us > t_v GROUP BY e.user_id),
+        |p AS MATERIALIZED (SELECT e.user_id, min(ts_us) AS t_p FROM e JOIN c ON e.user_id = c.user_id
+        |     WHERE event_type = 'purchase' AND ts_us > t_c GROUP BY e.user_id)
+        |SELECT count(*) AS n_view, count(t_c) AS n_click, count(t_p) AS n_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_custkey, count(*) AS cnt
