@@ -23,6 +23,11 @@ object AnalyticsQueries {
   /** context-window size (tokens) for the packing operator */
   val ContextTokens = 4096L
 
+  /** exact, order-independent sum of a money-like double column (the
+    * RelQueries float-determinism policy) */
+  private def dsum(c: String): Column =
+    sum(col(c).cast(DecimalType(18, 2))).cast("double")
+
   /** exact revenue term: price * (1 - discount) in decimal arithmetic.
     * Both factors are 2-dp money-like doubles, so the decimal casts are
     * exact and the product/sum never touch float rounding until the final
@@ -110,6 +115,61 @@ object AnalyticsQueries {
         .select(col("source"), col("doc_id"), col("toks"),
           expr(s"cum_before div $ContextTokens").as("bin"))
         .orderBy("source", "doc_id")
+    }),
+
+    // unpivot/melt (the inverse of q_agg_pivot): wide per-flag aggregates
+    // to long (flag, metric, value) triples — schema normalization for
+    // metric stores; values unify to DOUBLE as unpivot requires
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_price"),
+          count(lit(1)).cast("double").as("n"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n")), "metric", "value")
+        .orderBy("l_returnflag", "metric")),
+
+    // null-handling family over genuinely null-bearing outer-join output:
+    // coalesce / nullif / null-flag (absent from the reference beyond
+    // Option.getOrElse — SURVEY §2.8)
+    "q_null_funcs" -> ((s, d) => {
+      val cnts = Tables.orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d)
+        .join(cnts, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("cnt"), lit(0L)).as("cnt0"),
+          nullif(coalesce(col("cnt"), lit(0L)), lit(0L)).as("cnt_nz"),
+          col("cnt").isNull.cast("long").as("missing"))
+        .orderBy("c_custkey")
+    }),
+
+    // first/last/nth analytic functions with an explicit full frame —
+    // last_value over the default frame is the classic silent-wrong-answer;
+    // the unbounded frame plus a unique order makes it deterministic
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d).filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          first("l_quantity").over(w).as("first_qty"),
+          last("l_quantity").over(w).as("last_qty"),
+          nth_value(col("l_quantity"), 2).over(w).as("second_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // Levenshtein edit distance between neighboring documents' prefixes —
+    // the character-level fuzzy-match verifier (both engines implement
+    // unit-cost Levenshtein, so distances are exact integers)
+    "q_text_editdist" -> ((s, d) => {
+      val a = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("ta"))
+      val b = Tables.documents(s, d)
+        .select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 60).as("tb"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+        .orderBy("doc_id")
     }),
 
     // Semi-structured extraction: pull a typed field out of a JSON props
@@ -254,6 +314,44 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL SELECT l_returnflag, 'n', n FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_null_funcs" ->
+      """WITH cnts AS MATERIALIZED (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |  coalesce(cnt, 0) AS cnt0,
+        |  nullif(coalesce(cnt, 0), 0) AS cnt_nz,
+        |  CAST(cnt IS NULL AS BIGINT) AS missing
+        |FROM customer LEFT JOIN cnts ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  first_value(l_quantity) OVER w AS first_qty,
+        |  last_value(l_quantity) OVER w AS last_qty,
+        |  nth_value(l_quantity, 2) OVER w AS second_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_text_editdist" ->
+      """SELECT a.doc_id, CAST(levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 100
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
