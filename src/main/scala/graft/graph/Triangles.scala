@@ -35,6 +35,39 @@ object Triangles {
   def countBroadcast(edges: DataFrame, maxId: Long): DataFrame =
     cycleCount(bounded(edges, maxId), broadcast)
 
+  /** Per-vertex triangle counts and local clustering coefficient over the
+    * UNDIRECTED bounded graph: coef(v) = 2·tri(v) / (deg(v)·(deg(v)−1)).
+    * Wedges (u—v—w, u<w) come from one ordered self-join; a semi-join
+    * against the edge set closes them — never an all-pairs product, and
+    * the u<w ordering counts each triangle once per vertex. The density
+    * screen for graph curation (bot rings score near 1, broadcast hubs
+    * near 0). Single int division per row keeps the coefficient exact
+    * across engines. */
+  def clusteringCoefficient(edges: DataFrame, maxId: Long): DataFrame = {
+    val b = bounded(edges, maxId)
+    // consumed by deg, wedges (twice), and the closing semi-join — one
+    // materialization instead of four derivations
+    val und = b.select(col("src"), col("dst"))
+      .union(b.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val wedges = und.as("a").join(und.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("v"), col("a.dst").as("u"), col("b.dst").as("w"))
+    val tri = wedges
+      .join(und.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"), "left_semi")
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.withColumnRenamed("src", "vertex")
+      .join(tri.withColumnRenamed("v", "vertex"), Seq("vertex"), "left_outer")
+      .select(col("vertex"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          (lit(2L) * coalesce(col("tri"), lit(0L))).cast("double")
+            / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("coef"))
+  }
+
   private def cycleCount(edges: DataFrame, hint: DataFrame => DataFrame): DataFrame = {
     // materialize the (filtered, deduped) edge set once — the three-way
     // self-join would otherwise re-derive it per join input (the planner

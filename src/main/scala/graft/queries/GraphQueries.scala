@@ -66,6 +66,11 @@ object GraphQueries {
     "q_graph_triangles_bc" -> ((s, d) =>
       Triangles.countBroadcast(Graphs.lineitemEdges(s, d, Mod), maxId = 150)),
 
+    // per-vertex triangles + local clustering coefficient (density screen)
+    "q_graph_clustering" -> ((s, d) =>
+      Triangles.clusteringCoefficient(Graphs.lineitemEdges(s, d, Mod), maxId = 150)
+        .orderBy("vertex")),
+
     "q_graph_sssp" -> ((s, d) =>
       ShortestPath.run(Graphs.lineitemEdges(s, d, Mod), source = 1L, maxIter = SsspMaxHops)
         .filter(col("dist") =!= Double.PositiveInfinity)
@@ -179,6 +184,24 @@ object GraphQueries {
        |SELECT count(*)/3 AS triangles
        |FROM b e1 JOIN b e2 ON e1.dst = e2.src
        |JOIN b e3 ON e2.dst = e3.src AND e3.dst = e1.src""".stripMargin
+
+  private def clusteringSql(maxId: Int) =
+    s"""WITH $edgesSql,
+       |b AS (SELECT * FROM edges WHERE src <= $maxId AND dst <= $maxId),
+       |und AS MATERIALIZED (SELECT DISTINCT * FROM (
+       |  SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b)),
+       |deg AS MATERIALIZED (SELECT src AS vertex, count(*) AS deg FROM und GROUP BY src),
+       |tri AS MATERIALIZED (
+       |  SELECT a.src AS vertex, count(*) AS tri
+       |  FROM und a JOIN und b2 ON a.src = b2.src AND a.dst < b2.dst
+       |  JOIN und e ON e.src = a.dst AND e.dst = b2.dst
+       |  GROUP BY a.src)
+       |SELECT d.vertex, d.deg, coalesce(t.tri, 0) AS tri,
+       |  CASE WHEN d.deg >= 2
+       |       THEN CAST(2 * coalesce(t.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
+       |       ELSE 0.0 END AS coef
+       |FROM deg d LEFT JOIN tri t ON d.vertex = t.vertex
+       |ORDER BY d.vertex""".stripMargin
 
   private def ssspSql =
     s"""WITH RECURSIVE $edgesSql,
@@ -402,6 +425,7 @@ object GraphQueries {
     "q_graph_sssp_path_tree" -> ssspPathTreeSql,
     "q_graph_degree" -> degreeSql,
     "q_graph_triangles" -> trianglesSql(200),
+    "q_graph_clustering" -> clusteringSql(150),
     "q_graph_triangles_bc" -> trianglesSql(150),
     "q_graph_sssp" -> ssspSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),

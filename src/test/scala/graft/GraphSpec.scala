@@ -168,6 +168,20 @@ class GraphSpec extends SparkSpec {
     assert(lin(100L) != 1L)
   }
 
+  test("clustering coefficient: K4 vertices score 1.0, path vertices 0.0") {
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val cc4 = Triangles.clusteringCoefficient(k4, maxId = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every K4 vertex: degree 3, C(3,2)=3 wedges all closed, coef 1
+    (1L to 4L).foreach(v => assert(cc4(v) == ((3L, 3L, 1.0)), s"vertex $v"))
+
+    val path = edges(1L -> 2L, 2L -> 3L)
+    val ccp = Triangles.clusteringCoefficient(path, maxId = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(ccp(2L) == ((2L, 0L, 0.0))) // open wedge
+    assert(ccp(1L) == ((1L, 0L, 0.0))) // deg < 2 -> defined as 0
+  }
+
   test("lpa: bridged triangles stay separate communities; K4 collapses to min label") {
     // two triangles joined by one bridge edge — frequency-driven LPA keeps
     // two communities where reachability-driven CC would merge them
