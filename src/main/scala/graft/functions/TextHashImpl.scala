@@ -105,6 +105,18 @@ object TextHashImpl {
     sim
   }
 
+  /** minhash signature as the expression kernel returns it: on an EMPTY
+    * hash set every signature entry is null, exactly like the HOF twin
+    * (array_min of an empty array) and DuckDB's list_min — found by
+    * FunctionsFuzzSpec; the old Long.MaxValue sentinel was bit-different
+    * (masked downstream only because empty docs band-match each other and
+    * the NaN Jaccard verify rejects them on both engines). */
+  def minHashOrNulls(hs: Array[Long]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    if (hs.isEmpty)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](TextHash.NumHashes)(null))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(minHash(hs))
+
   /** minhash signature (NumHashes affine permutations) over a hash set */
   def minHash(hs: Array[Long]): Array[Long] = {
     val k = TextHash.NumHashes

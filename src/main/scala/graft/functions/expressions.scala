@@ -66,18 +66,20 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash"
 }
 
-/** array<long> -> array<long>: minhash signature */
+/** array<long> -> array<long>: minhash signature. Entries are null for an
+  * empty input set (HOF/DuckDB array_min-of-empty semantics — enforced by
+  * FunctionsFuzzSpec), hence containsNull = true. */
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got $t")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHashImpl.minHash(input.asInstanceOf[ArrayData].toLongArray()))
+    TextHashImpl.minHashOrNulls(input.asInstanceOf[ArrayData].toLongArray())
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextHashImpl.minHash($c.toLongArray()))")
+      s"graft.functions.TextHashImpl.minHashOrNulls($c.toLongArray())")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_minhash"
