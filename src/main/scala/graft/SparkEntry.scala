@@ -39,12 +39,12 @@ object SparkEntry {
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */
   def benchQueries: Seq[String] = Seq(
     "q_agg_count", "q_agg_sum", "q_agg_sse", "q_agg_rollup", "q_explode",
-    "q_asof_join", "q_tpch_q3", "q_tpch_q5",
+    "q_asof_join", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18", "q_heavy_hitters",
     "q_join_inner", "q_join_broadcast", "q_join_composite",
     "q_union_merge", "q_topk", "q_window_rank",
     "q_events_window", "q_events_sessionize",
-    "q_events_pairs",
-    "q_graph_degree", "q_graph_triangles", "q_graph_sssp",
+    "q_events_pairs", "q_events_funnel",
+    "q_graph_degree", "q_graph_triangles", "q_graph_clustering", "q_graph_sssp",
     "q_graph_pagerank", "q_graph_kmeans", "q_graph_cc",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
     "q_dedup_embedding", "q_sim_topk", "q_sim_lsh",

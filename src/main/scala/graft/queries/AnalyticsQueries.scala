@@ -82,6 +82,31 @@ object AnalyticsQueries {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // TPC-H Q18 shape (large-volume orders): the filter is a HAVING over an
+    // aggregate of the fact table itself — the aggregate runs once, its
+    // survivors (a tiny key set) drive joins back into orders/customer.
+    // l_quantity is integral-valued, so the double sums are exact.
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 180)
+      Tables.orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(20)
+    }),
+
+    // date arithmetic: day differences and interval offsets (midnight-
+    // aligned timestamps, so day-boundary counting agrees across engines)
+    "q_time_arith" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 500)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("ship_lag_days"),
+          date_format(date_add(col("o_orderdate"), 90), "yyyy-MM-dd").as("due"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // RANGE-frame window: rolling quantity over an order-key *value* range
     // per supplier (RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW). Peers
     // (equal order keys) all join the frame, so the sum is deterministic
@@ -296,6 +321,24 @@ object AnalyticsQueries {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS MATERIALIZED (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+        |SELECT c_custkey, o_orderkey, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q_time_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_lag_days,
+        |  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_window_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
