@@ -32,8 +32,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.benchQueries.filter(names.contains)
-      case None        => SparkEntry.benchQueries
+      case Some(names) =>
+        val unknown = names -- SparkEntry.benchQueries.toSet
+        // a typo'd filter must not masquerade as a valid (empty) measurement
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] WARNING: not in benchQueries, ignored: ${unknown.mkString(", ")}")
+        SparkEntry.benchQueries.filter(names.contains)
+      case None => SparkEntry.benchQueries
     }
     val results = selected.map { name =>
       val times = (1 to 2).map { _ =>

@@ -1,9 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VecImpl
 
 /** Product quantization (PQ) for approximate nearest-neighbor search: the
   * embedding space is split into [[M]] subspaces, each quantized by its own
@@ -66,6 +64,8 @@ object ProductQuant {
     // deterministic seeds: subvectors of the KSub lowest vec_ids
     val seeds = data.orderBy("vec_id").limit(KSub)
       .select("embedding").as[Array[Float]].collect()
+    require(seeds.length == KSub,
+      s"PQ training needs at least $KSub vectors, got ${seeds.length}")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(M, KSub) { (m, c) =>
       Array.tabulate(dsub)(i => seeds(c)(m * dsub + i).toDouble)
     }
@@ -130,20 +130,19 @@ object ProductQuant {
     import spark.implicits._
     val codes = encode(corpus, cb)
 
-    // exact per-(query, subspace, code) dot products — the ADC tables
+    // exact per-(query, subspace, code) dot products — the ADC tables,
+    // built driver-side from the collected (small-by-contract) query set
     val qvecs = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
-    val bcCb = spark.sparkContext.broadcast(cb)
-    val tables: Array[(Long, Array[Array[Double]], Double)] = qvecs.map { case (qid, qv) =>
-      val b = bcCb.value
+    val tables: Array[(Long, Array[Array[Double]])] = qvecs.map { case (qid, qv) =>
       val lut = Array.tabulate(M, KSub) { (m, c) =>
-        val cent = b.cents(m)(c)
+        val cent = cb.cents(m)(c)
         var acc = 0.0
         var i = 0
-        while (i < b.dsub) { acc += qv(m * b.dsub + i) * cent(i); i += 1 }
+        while (i < cb.dsub) { acc += qv(m * cb.dsub + i) * cent(i); i += 1 }
         acc
       }
-      (qid, lut, math.sqrt(VecImpl.dot(qv, qv)))
+      (qid, lut)
     }
     val bcT = spark.sparkContext.broadcast(tables)
 
@@ -158,7 +157,7 @@ object ProductQuant {
         it.foreach { case (nid, cs, napprox) =>
           var q = 0
           while (q < ts.length) {
-            val (tqid, lut, _) = ts(q)
+            val (tqid, lut) = ts(q)
             if (tqid != nid) {
               var dot = 0.0
               var m = 0

@@ -231,6 +231,7 @@ object AnalyticsQueries {
         .join(p, Seq("user_id"), "left_outer")
         .agg(count(lit(1)).as("n_view"), count("t_c").as("n_click"),
           count("t_p").as("n_purchase"))
+        .orderBy("n_view") // single row; total-ORDER-BY rule kept literal
     }),
 
     // Exact heavy hitters with a CMS prune (ops.HeavyHitters): the sketch
@@ -398,9 +399,9 @@ object AnalyticsQueries {
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_funnel" ->
@@ -412,7 +413,8 @@ object AnalyticsQueries {
         |p AS MATERIALIZED (SELECT e.user_id, min(ts_us) AS t_p FROM e JOIN c ON e.user_id = c.user_id
         |     WHERE event_type = 'purchase' AND ts_us > t_c GROUP BY e.user_id)
         |SELECT count(*) AS n_view, count(t_c) AS n_click, count(t_p) AS n_purchase
-        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY n_view""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_custkey, count(*) AS cnt

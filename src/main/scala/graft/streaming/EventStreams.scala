@@ -96,11 +96,18 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
         val fresh = batch.dropDuplicates("event_id")
-        val novel = scala.util.Try(sp.read.parquet(targetDir).select("event_id"))
-          .toOption match {
-          case Some(existing) => fresh.join(existing, Seq("event_id"), "left_anti")
-          case None           => fresh // first batch: target not created yet
-        }
+        // ONLY a genuinely absent target means "first batch" — any other
+        // read failure (transient FS error, corrupt footer) must fail the
+        // micro-batch so the checkpoint retries it; swallowing it would
+        // skip the anti-join and append duplicates, which is exactly the
+        // failure mode this sink exists to prevent
+        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = targetPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val novel =
+          if (fs.exists(targetPath))
+            fresh.join(sp.read.parquet(targetDir).select("event_id"),
+              Seq("event_id"), "left_anti")
+          else fresh
         val snapshot = novel.localCheckpoint(eager = true)
         snapshot.write.mode("append").parquet(targetDir)
         ()
