@@ -142,6 +142,30 @@ object AnalyticsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // regex extraction/matching (group capture, replace, predicate) —
+    // identical semantics in Java regex and RE2 for these ASCII patterns
+    "q_regex_extract" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("^[a-z]+ ").cast("long").as("startsword"))
+        .orderBy("p_partkey")),
+
+    // rank-ratio analytics: percent_rank/cume_dist are peer-stable (every
+    // tie gets the same value), so they are deterministic even under
+    // order-by ties; the values are single int-ratio divisions
+    "q_window_ratio" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+
     // unpivot/melt (the inverse of q_agg_pivot): wide per-flag aggregates
     // to long (flag, metric, value) triples — schema normalization for
     // metric stores; values unify to DOUBLE as unpivot requires
@@ -358,6 +382,22 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(regexp_matches(p_name, '^[a-z]+ ') AS BIGINT) AS startsword
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_window_ratio" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM lineitem WHERE l_orderkey < 300
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
 
     "q_unpivot" ->
       """WITH w AS MATERIALIZED (
