@@ -142,6 +142,46 @@ object AnalyticsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // explicit GROUPING SETS (the general form behind rollup/cube, which
+    // the catalog already covers): two chosen groupings in one pass plus
+    // grouping() flags to disambiguate the null-means-total rows
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      sum(l_quantity) AS sum_qty,
+                      CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                      CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+               FROM graft_li_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // array function family surfaced as a query (sort/slice/contains/
+    // distinct-count over per-order part lists); arrays canonicalized by
+    // sort so both engines hash identically
+    "q_array_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .select(col("l_orderkey"), col("parts"),
+          slice(col("parts"), 1, 3).as("first3"),
+          size(array_distinct(col("parts"))).cast("long").as("n_uniq"),
+          array_contains(col("parts"), 1).cast("long").as("has_p1"),
+          element_at(col("parts"), -1).as("last_part"))
+        .orderBy("l_orderkey")),
+
+    // argmin/argmax aggregates: the ordering key is made UNIQUE (date
+    // millis + orderkey) so min_by/arg_min tie-break identically
+    "q_agg_minby" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("ord",
+          (unix_timestamp(col("o_orderdate")) * 1000000L + col("o_orderkey")).as("ord"))
+        .groupBy("o_custkey")
+        .agg(min_by(col("o_orderkey"), col("ord")).as("first_order"),
+          max_by(col("o_orderkey"), col("ord")).as("last_order"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
+
     // regex extraction/matching (group capture, replace, predicate) —
     // identical semantics in Java regex and RE2 for these ASCII patterns
     "q_regex_extract" -> ((s, d) =>
@@ -382,6 +422,33 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+        |  FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey)
+        |SELECT l_orderkey, parts,
+        |  parts[1:3] AS first3,
+        |  CAST(len(list_distinct(parts)) AS BIGINT) AS n_uniq,
+        |  CAST(list_contains(parts, 1) AS BIGINT) AS has_p1,
+        |  parts[-1] AS last_part
+        |FROM p ORDER BY l_orderkey""".stripMargin,
+
+    "q_agg_minby" ->
+      """SELECT o_custkey,
+        |  arg_min(o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + o_orderkey) AS first_order,
+        |  arg_max(o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + o_orderkey) AS last_order,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_regex_extract" ->
       """SELECT p_partkey,
