@@ -142,6 +142,17 @@ object AnalyticsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // fixed-width histogram — the distribution-profiling primitive (one
+    // scan, one tiny agg; the first question asked of any new 100 TB
+    // column). Bucket arithmetic is a single double division + floor,
+    // identical on both engines.
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 20000.0) * 20000).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"),
+          dsum("o_totalprice").as("mass"))
+        .orderBy("bucket_lo")),
+
     // explicit GROUPING SETS (the general form behind rollup/cube, which
     // the catalog already covers): two chosen groupings in one pass plus
     // grouping() flags to disambiguate the null-means-total rows
@@ -422,6 +433,13 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000.0) * 20000 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+        |FROM orders
+        |GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
 
     "q_agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
