@@ -169,16 +169,18 @@ object AnalyticsQueries {
 
     // array function family surfaced as a query (sort/slice/contains/
     // distinct-count over per-order part lists); arrays canonicalized by
-    // sort so both engines hash identically
+    // sort, then emitted as joined strings — the driver's comparator can
+    // only hash scalar columns (list-typed output crashed its sort in r03)
     "q_array_funcs" -> ((s, d) =>
       Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
-        .select(col("l_orderkey"), col("parts"),
-          slice(col("parts"), 1, 3).as("first3"),
-          size(array_distinct(col("parts"))).cast("long").as("n_uniq"),
-          array_contains(col("parts"), 1).cast("long").as("has_p1"),
-          element_at(col("parts"), -1).as("last_part"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("pa"))
+        .select(col("l_orderkey"),
+          array_join(col("pa").cast("array<string>"), ",").as("parts"),
+          array_join(slice(col("pa"), 1, 3).cast("array<string>"), ",").as("first3"),
+          size(array_distinct(col("pa"))).cast("long").as("n_uniq"),
+          array_contains(col("pa"), 1).cast("long").as("has_p1"),
+          element_at(col("pa"), -1).as("last_part"))
         .orderBy("l_orderkey")),
 
     // argmin/argmax aggregates: the ordering key is made UNIQUE (date
@@ -452,13 +454,14 @@ object AnalyticsQueries {
 
     "q_array_funcs" ->
       """WITH p AS MATERIALIZED (
-        |  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+        |  SELECT l_orderkey, list_sort(list(l_partkey)) AS pa
         |  FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey)
-        |SELECT l_orderkey, parts,
-        |  parts[1:3] AS first3,
-        |  CAST(len(list_distinct(parts)) AS BIGINT) AS n_uniq,
-        |  CAST(list_contains(parts, 1) AS BIGINT) AS has_p1,
-        |  parts[-1] AS last_part
+        |SELECT l_orderkey,
+        |  array_to_string(pa, ',') AS parts,
+        |  array_to_string(pa[1:3], ',') AS first3,
+        |  CAST(len(list_distinct(pa)) AS BIGINT) AS n_uniq,
+        |  CAST(list_contains(pa, 1) AS BIGINT) AS has_p1,
+        |  pa[-1] AS last_part
         |FROM p ORDER BY l_orderkey""".stripMargin,
 
     "q_agg_minby" ->

@@ -54,6 +54,11 @@ def compare(spark_tbl, duck_tbl, name):
         dt = type_canon(duck_tbl.schema.field(c).type)
         if st != dt:
             return False, f"TYPEDIFF {name}: col '{c}' spark={st} duck={dt} (cast the oracle side)"
+        # the driver's comparator sorts with pandas, which cannot hash
+        # list/struct cells (crashed q_array_funcs in r03) — forbid them here
+        if st.startswith("list<") or pa.types.is_struct(spark_tbl.schema.field(c).type):
+            return False, (f"NESTEDCOL {name}: col '{c}' is {st} — the driver cannot "
+                           f"sort nested columns; emit a joined string instead")
     sp = spark_tbl.to_pydict()
     dk = duck_tbl.to_pydict()
     spark_rows = sorted(
