@@ -50,5 +50,7 @@ object SparkEntry {
     "q_dedup_embedding", "q_sim_topk", "q_sim_lsh",
     "q_text_quality", "q_text_fingerprint", "q_text_tfidf", "q_curate",
     "q_pack_contexts", "q_corpus_fingerprint", "q_prep_training",
+    "q_decontaminate", "q_text_repetition", "q_events_latest",
+    "q_graph_commonneighbors",
   ).filter(queries.contains)
 }

@@ -68,6 +68,33 @@ object Triangles {
           .otherwise(lit(0.0)).as("coef"))
   }
 
+  /** Common-neighbor link prediction over the undirected bounded graph:
+    * for each NON-adjacent pair (u < v), the number of shared neighbors —
+    * the classic "people you may know" score. Candidate pairs come from the
+    * same ordered wedge self-join as clusteringCoefficient (never an
+    * all-pairs product: only pairs at distance 2 materialize), the
+    * adjacency anti-join removes existing edges, and the top-`k` truncation
+    * runs as TakeOrderedAndProject (per-partition heaps, no global sort).
+    * The (cn DESC, u, v) order is total, so the cut is deterministic at any
+    * density — an absolute count threshold is not scale-stable. At 100 TB
+    * the wedge join's fan-out is Σ deg(v)², so hub vertices get capped
+    * upstream (the k-core/degree screens in this library) exactly as
+    * production link predictors do. */
+  def commonNeighbors(edges: DataFrame, maxId: Long, k: Int): DataFrame = {
+    val b = bounded(edges, maxId)
+    val und = b.select(col("src"), col("dst"))
+      .union(b.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true) // consumed by the wedge join (twice) + anti-join
+    val wedges = und.as("a").join(und.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("u"), col("b.dst").as("v"))
+    wedges.groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      .join(und.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+      .orderBy(desc("cn"), col("u"), col("v"))
+      .limit(k)
+  }
+
   private def cycleCount(edges: DataFrame, hint: DataFrame => DataFrame): DataFrame = {
     // materialize the (filtered, deduped) edge set once — the three-way
     // self-join would otherwise re-derive it per join input (the planner

@@ -69,6 +69,40 @@ object Corpus {
       .limit(topN)
   }
 
+  // BM25 constants (k1 saturation, b length normalization)
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Top-`topPerDoc` BM25 terms per document. Uses the RATIONAL idf
+    * (N - df + 0.5)/(df + 0.5) — the inside of the standard log-idf —
+    * instead of the logarithm itself: per-document term rankings are
+    * preserved (log is monotone) and every factor stays a product/quotient
+    * of exact small integers, so both engines agree bit-for-bit after the
+    * 6-dp round (libm log rounding may differ per engine; Corpus.tfidf has
+    * the same policy). Same shuffle shape as tfidf: (doc, word) pairs with
+    * map-side partial aggregation; N and avgdl are 1-row broadcasts. */
+  def bm25(docs: DataFrame, topPerDoc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val base = docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
+    val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val avgdl = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val words = base.select(col("doc_id"), explode(col("ws")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    tf.join(df, "word").join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+      .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))),
+        6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topPerDoc)
+      .select("doc_id", "rn", "word", "tf", "df", "score")
+  }
+
   /** Deterministic train/val/test assignment from the content hash:
     * polyHash(text) % 10 -> 0-7 train, 8 val, 9 test. Membership depends
     * only on the document text, so re-runs, engine swaps, and corpus

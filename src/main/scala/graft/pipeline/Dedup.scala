@@ -200,6 +200,24 @@ object Dedup {
     all.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Priority-aware canonical selection: given duplicate clusters (from
+    * dedupClusters) and a per-document priority (lower = more trusted
+    * source), pick each cluster's canonical document by (priority, doc_id)
+    * instead of plain min-id — the "keep the Wikipedia copy, drop the
+    * crawl mirror" policy every multi-source training corpus needs. The
+    * ordering key packs (priority, doc_id) into one int64 so the argmin is
+    * a single min_by with a deterministic total order; `priority` must be
+    * < ~92 for ids up to 1e8 (documented bound, fine for source ranks).
+    * Output: (cluster, canonical, n_members), one row per duplicate
+    * cluster. */
+  def canonicalByPriority(docs: DataFrame, clusters: DataFrame,
+      priority: org.apache.spark.sql.Column): DataFrame =
+    clusters.join(docs, "doc_id")
+      .withColumn("okey", priority * lit(100000000L) + col("doc_id"))
+      .groupBy(col("keeper").as("cluster"))
+      .agg(min_by(col("doc_id"), col("okey")).as("canonical"),
+        count(lit(1)).as("n_members"))
+
   /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the
     * didactic quadratic baseline the LSH path replaces at scale. `sampleMod`
     * bounds the pair space (docs with doc_id % sampleMod == 0). */

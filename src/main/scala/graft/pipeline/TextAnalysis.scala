@@ -112,6 +112,34 @@ object TextAnalysis {
         .cast("long").as("n_hits"))
   }
 
+  /** Gopher-style repetition metrics over word bigrams: gram counts,
+    * distinct-gram counts, the most frequent gram's share, and the
+    * duplicated-gram fraction — the "document is a scraped boilerplate
+    * loop" screen applied before training. Pure per-row codegen'd HOFs
+    * (no shuffle); the per-row mode computation is O(words²) on the
+    * distinct-gram set, bounded by document length, not corpus size.
+    * All ratios are int/int double divisions (deterministic). */
+  def repetition(docs: DataFrame): DataFrame = {
+    // bigrams of the whitespace words; <2-word docs get an empty gram set
+    val grams = "IF(size(ws) >= 2, transform(sequence(1, size(ws) - 1), " +
+      "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
+      .select(col("doc_id"), expr(grams).as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(array_distinct(col("gs"))).cast("long").as("n_uniq_grams"),
+        coalesce(
+          expr("array_max(transform(array_distinct(gs), g -> size(filter(gs, h -> h = g))))"),
+          lit(0)).cast("long").as("top_gram_n"))
+      .select(col("doc_id"), col("n_grams"), col("n_uniq_grams"), col("top_gram_n"),
+        when(col("n_grams") > 0, col("top_gram_n").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("top_gram_frac"),
+        when(col("n_grams") > 0,
+            (col("n_grams") - col("n_uniq_grams")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_gram_frac"))
+  }
+
   /** chunking defaults: 100-char windows, 20-char overlap (step 80) */
   val ChunkSize = 100
   val ChunkStep = 80

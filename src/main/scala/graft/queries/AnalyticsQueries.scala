@@ -311,6 +311,24 @@ object AnalyticsQueries {
         .orderBy("n_view") // single row; total-ORDER-BY rule kept literal
     }),
 
+    // CDC latest-state compaction: collapse an append-only event log to
+    // one current row per key (the materialize step of any upsert/merge
+    // pipeline). One hash-partitioned window per key, no global sort; at
+    // 100 TB this is the nightly "snapshot the change stream" job and its
+    // shuffle is keyed on user_id alone. Ordering is (µs, event_id) on
+    // BOTH engines: DuckDB truncates the nanos column to µs, so ordering
+    // by raw nanos would tie-break differently.
+    "q_events_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
     // Exact heavy hitters with a CMS prune (ops.HeavyHitters): the sketch
     // pass bounds memory at any key cardinality, the exact pass recounts
     // only candidate keys — the oracle equality with the plain
@@ -543,6 +561,13 @@ object AnalyticsQueries {
         |SELECT count(*) AS n_view, count(t_c) AS n_click, count(t_p) AS n_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY n_view""".stripMargin,
+
+    "q_events_latest" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_custkey, count(*) AS cnt

@@ -49,6 +49,15 @@ object GraphQueries {
   private val KCoreRounds = Graphs.DefaultKCoreRounds
   // LPA: engine round count and oracle unroll count must agree
   private val LpaRounds = Graphs.DefaultLpaRounds
+  // common-neighbor link prediction: much sparser modulus — the Mod-300
+  // graph is complete at sf0.1 (no non-adjacent pairs left to predict) and
+  // even Mod-2000 reaches avg degree ~260 there, putting the wedge join's
+  // Σdeg² fan-out near 2e8; at Mod-50000 the derived graph stays in the
+  // sparse regime (avg degree ~25) where wedge enumeration is the right
+  // plan. Top-k cut, not a count threshold (density-stable).
+  private val CnMod = 50000
+  private val CnMaxId = 25000
+  private val CnTopK = 100
 
   val defs: Map[String, Q] = Map(
     // the reference headline: follower count on the edge relation
@@ -70,6 +79,12 @@ object GraphQueries {
     "q_graph_clustering" -> ((s, d) =>
       Triangles.clusteringCoefficient(Graphs.lineitemEdges(s, d, Mod), maxId = 150)
         .orderBy("vertex")),
+
+    // common-neighbor link prediction: top-k non-adjacent pairs by shared-
+    // neighbor count over the sparse derived graph ("people you may know")
+    "q_graph_commonneighbors" -> ((s, d) =>
+      Triangles.commonNeighbors(Graphs.lineitemEdges(s, d, CnMod),
+        maxId = CnMaxId, k = CnTopK)),
 
     "q_graph_sssp" -> ((s, d) =>
       ShortestPath.run(Graphs.lineitemEdges(s, d, Mod), source = 1L, maxIter = SsspMaxHops)
@@ -202,6 +217,21 @@ object GraphQueries {
        |       ELSE 0.0 END AS coef
        |FROM deg d LEFT JOIN tri t ON d.vertex = t.vertex
        |ORDER BY d.vertex""".stripMargin
+
+  private val commonNeighborsSql =
+    s"""WITH cedges AS (
+       |  SELECT DISTINCT l_orderkey % $CnMod AS src, l_partkey % $CnMod AS dst
+       |  FROM lineitem WHERE l_orderkey % $CnMod <> l_partkey % $CnMod),
+       |b AS (SELECT * FROM cedges WHERE src <= $CnMaxId AND dst <= $CnMaxId),
+       |und AS MATERIALIZED (SELECT DISTINCT * FROM (
+       |  SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b)),
+       |w AS MATERIALIZED (
+       |  SELECT a.dst AS u, b2.dst AS v, count(*) AS cn
+       |  FROM und a JOIN und b2 ON a.src = b2.src AND a.dst < b2.dst
+       |  GROUP BY 1, 2)
+       |SELECT u, v, cn FROM w
+       |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.u AND e.dst = w.v)
+       |ORDER BY cn DESC, u, v LIMIT $CnTopK""".stripMargin
 
   private def ssspSql =
     s"""WITH RECURSIVE $edgesSql,
@@ -426,6 +456,7 @@ object GraphQueries {
     "q_graph_degree" -> degreeSql,
     "q_graph_triangles" -> trianglesSql(200),
     "q_graph_clustering" -> clusteringSql(150),
+    "q_graph_commonneighbors" -> commonNeighborsSql,
     "q_graph_triangles_bc" -> trianglesSql(150),
     "q_graph_sssp" -> ssspSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Decontam, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.TextHash._
 import graft.pipeline.Similarity._
 import graft.pipeline.TextAnalysis._
@@ -35,6 +35,8 @@ object PipelineQueries {
   private val FrameEvery = 4
   // resize: keep every 4th payload byte
   private val ResizeFactor = 4
+  // decontamination: docs with doc_id % EvalMod == 0 play the benchmark set
+  private val EvalMod = 50
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -83,6 +85,28 @@ object PipelineQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(Tables.documents(s, d), SimhashMaxHamming)
         .orderBy("doc_a", "doc_b")),
+
+    // priority-aware canonical selection inside duplicate clusters: keep
+    // the copy from the most trusted source (rank = numeric source suffix),
+    // not the lowest id — the multi-source corpus merge policy
+    "q_dedup_priority" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.dedupClusters(Dedup.minhashDedup(docs, MinhashThreshold))
+      Dedup.canonicalByPriority(docs, clusters,
+          expr("CAST(substr(source, 4) AS BIGINT)"))
+        .orderBy("cluster")
+    }),
+
+    // benchmark decontamination: per-training-doc count of distinct 3-gram
+    // hashes shared with the eval slice (doc_id % EvalMod == 0) — the
+    // "scrub the benchmark from the crawl" screen
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontam.overlapCounts(
+          docs.filter(col("doc_id") % EvalMod =!= 0),
+          docs.filter(col("doc_id") % EvalMod === 0))
+        .orderBy("doc_id")
+    }),
 
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), NgramThreshold, NgramSampleMod)
@@ -173,6 +197,12 @@ object PipelineQueries {
 
     "q_text_tfidf" -> ((s, d) =>
       Corpus.tfidf(Tables.documents(s, d), TfidfTopK).orderBy("doc_id", "rn")),
+
+    "q_text_bm25" -> ((s, d) =>
+      Corpus.bm25(Tables.documents(s, d), TfidfTopK).orderBy("doc_id", "rn")),
+
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
 
     // corpus bigram counts (n-gram LM statistics)
     "q_text_bigrams" -> ((s, d) =>
@@ -345,6 +375,71 @@ object PipelineQueries {
       s"""SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT vertex FROM l$iters WHERE vertex <> label)
          |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** clustersSql's CC chain + a priority-keyed argmin per cluster */
+  private val prioritySql = {
+    val iters = graft.graph.Graphs.DefaultCcRounds
+    clustersSql.substring(0, clustersSql.lastIndexOf("SELECT vertex AS doc_id")) +
+      s""",
+         |memb AS MATERIALIZED (
+         |  SELECT l.label AS cluster, l.vertex AS doc_id,
+         |         CAST(substring(d.source, 4) AS BIGINT) * 100000000 + l.vertex AS okey
+         |  FROM l$iters l JOIN documents d ON d.doc_id = l.vertex)
+         |SELECT cluster, arg_min(doc_id, okey) AS canonical, count(*) AS n_members
+         |FROM memb GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
+  private val decontamSql =
+    s"""WITH $docsCte,
+       |sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM docs WHERE len(ws) >= 3),
+       |g AS MATERIALIZED (SELECT doc_id, unnest(hs) AS g FROM sh),
+       |ev AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id % $EvalMod = 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM g JOIN ev USING (g)
+       |WHERE doc_id % $EvalMod <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val repetitionSql =
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(range(1, len(ws)), i -> concat_ws(' ', ws[i], ws[i+1])) AS gs FROM d),
+       |m AS MATERIALIZED (SELECT doc_id,
+       |  CAST(len(gs) AS BIGINT) AS n_grams,
+       |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_uniq_grams,
+       |  CAST(coalesce(list_max(list_transform(list_distinct(gs),
+       |    x -> len(list_filter(gs, h -> h = x)))), 0) AS BIGINT) AS top_gram_n
+       |FROM g)
+       |SELECT doc_id, n_grams, n_uniq_grams, top_gram_n,
+       |  CASE WHEN n_grams > 0 THEN CAST(top_gram_n AS DOUBLE) / n_grams ELSE 0.0 END AS top_gram_frac,
+       |  CASE WHEN n_grams > 0 THEN CAST(n_grams - n_uniq_grams AS DOUBLE) / n_grams ELSE 0.0 END AS dup_gram_frac
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** BM25 with rational idf — constants interpolated from the SAME Scala
+    * doubles the engine multiplies by, so both sides parse bit-identical
+    * literals (Corpus.bm25 documents the no-log policy) */
+  private val bm25Sql = {
+    val k1 = Corpus.Bm25K1
+    val k1p1 = Corpus.Bm25K1 + 1
+    val oneMinusB = 1 - Corpus.Bm25B
+    val b = Corpus.Bm25B
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, unnest(${wordsDuck("text")}) AS word FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+       |df AS MATERIALIZED (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |dl AS MATERIALIZED (SELECT doc_id, CAST(len(${wordsDuck("text")}) AS BIGINT) AS dl FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |s AS MATERIALIZED (
+       |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       |    round((((SELECT n_docs FROM n) - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * $k1p1)
+       |      / (tf.tf + $k1 * ($oneMinusB + $b * dl.dl / (SELECT avgdl FROM ad))), 6) AS score
+       |  FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id)
+       |SELECT doc_id, rn, word, tf, df, score FROM (
+       |  SELECT doc_id, word, tf, df, score,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rn
+       |  FROM s)
+       |WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin
   }
 
   private val simhashSql = {
@@ -631,6 +726,10 @@ object PipelineQueries {
     "q_dedup_final_bloom" -> dedupFinalSql,
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_simhash" -> simhashSql,
+    "q_dedup_priority" -> prioritySql,
+    "q_decontaminate" -> decontamSql,
+    "q_text_bm25" -> bm25Sql,
+    "q_text_repetition" -> repetitionSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_sim_topk" -> simTopkSql,

@@ -197,6 +197,20 @@ class GraphSpec extends SparkSpec {
     assert(l4.values.toSet == Set(1L))
   }
 
+  test("common neighbors: non-adjacent pairs ranked by shared-neighbor count") {
+    import spark.implicits._
+    // 1 and 2 both point at {3,4,5}; 6 shares only {3} with them; edge
+    // (1,2) exists so that pair must NOT be predicted
+    val e = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (2L, 5L),
+      (6L, 3L), (1L, 2L)).toDF("src", "dst")
+    val top = Triangles.commonNeighbors(e, maxId = 100, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // top pair: (3,4) share {1,2} like (3,5),(4,5) — cn=2 each, tie-broken
+    // by (u,v); pair (1,2) with cn=3 is excluded because the edge exists
+    assert(!top.exists(t => t._1 == 1L && t._2 == 2L))
+    assert(top.head == (3L, 4L, 2L) && top(1) == (3L, 5L, 2L))
+  }
+
   test("k-core: cascading peel removes a chain hanging off a triangle") {
     import spark.implicits._
     // triangle {1,2,3} plus chain 3-4-5: at k=2, vertex 5 (deg 1) peels

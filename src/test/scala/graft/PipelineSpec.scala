@@ -137,6 +137,58 @@ class PipelineSpec extends SparkSpec {
     assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
   }
 
+  test("decontamination: gram overlap counts and the scrubbed corpus") {
+    // train doc 1 embeds an eval 3-gram window; train doc 2 is unrelated
+    val eval = docs(100L -> "q1 q2 q3 q4 q5")          // grams: q1q2q3 q2q3q4 q3q4q5
+    val train = docs(
+      1L -> "x q1 q2 q3 q4 y z",                      // shares q1q2q3, q2q3q4
+      2L -> (1 to 10).map(i => s"t$i").mkString(" "))
+    val counts = Decontam.overlapCounts(train, eval).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L))
+    val clean = Decontam.decontaminate(train, eval).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("priority canonical: trusted source beats lower doc_id inside a cluster") {
+    val d = Seq((1L, "t", "src5"), (2L, "t", "src1"), (3L, "t", "src5"),
+        (10L, "u", "src9"))
+      .toDF("doc_id", "text", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("doc_id", "keeper")
+    val m = Dedup.canonicalByPriority(d, clusters,
+        expr("CAST(substr(source, 4) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster 1: doc 2 wins on priority 1 despite doc 1's lower id
+    assert(m == Set((1L, 2L, 3L), (10L, 10L, 1L)))
+  }
+
+  test("repetition metrics: looped bigrams dominate, clean text scores zero") {
+    val d = docs(1L -> "a b a b a", 2L -> "p q r s", 3L -> "solo")
+    val r = TextAnalysis.repetition(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: grams [ab, ba, ab, ba] -> 4 grams, 2 uniq, top 2
+    assert(r(1L).getLong(1) == 4L && r(1L).getLong(2) == 2L && r(1L).getLong(3) == 2L)
+    assert(r(1L).getDouble(4) == 0.5 && r(1L).getDouble(5) == 0.5)
+    // doc 2: all grams distinct -> dup fraction 0
+    assert(r(2L).getLong(1) == 3L && r(2L).getDouble(5) == 0.0)
+    // doc 3: one word, no grams, guarded ratios
+    assert(r(3L).getLong(1) == 0L && r(3L).getDouble(4) == 0.0)
+  }
+
+  test("bm25: rare term outranks a ubiquitous one; length normalization demotes") {
+    val d = docs(
+      1L -> "common rare common",
+      2L -> "common filler1 filler2",
+      3L -> "common filler3 filler4")
+    val top = Corpus.bm25(d, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'common' is in every doc (idf (3-3+.5)/(3.5)) — 'rare' (idf (3-1+.5)/1.5)
+    // dominates doc 1 despite equal tf saturation
+    assert(top(1L) == "rare")
+  }
+
   test("multimodal: stub features are deterministic; metadata path prunes payload") {
     val d = Seq((1L, "hello", "en", "src1", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -122,6 +122,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("decontamination broadcasts the eval gram set; common-neighbors takes ordered-limit") {
+    // the corpus side must never shuffle: the benchmark grams broadcast
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countOp(p, "SortMergeJoin") == 0, p)
+    // top-k link prediction short-circuits instead of a global sort
+    val cn = plan("q_graph_commonneighbors")
+    assert(cn.contains("TakeOrderedAndProject"), cn)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned

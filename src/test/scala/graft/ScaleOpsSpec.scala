@@ -151,6 +151,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hh == Map(10L -> 41L, 20L -> 26L)) // each appears in 1..300 once more
   }
 
+  test("z-order: morton codes interleave bits; layout is tight in BOTH dims") {
+    import graft.ops.ZOrder
+    // unit: x bits land at even positions, y bits at odd
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 5L)).toDF("x", "y")
+      .select(ZOrder.zvalue(col("x"), col("y"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z.sameElements(Array(1L, 2L, 39L))) // 3=0b11->5, 5=0b101->34; 5+34=39
+
+    // layout: a 64x64 grid in 16 z-clustered files => every file is a
+    // ~16x16 tile, so per-file footer ranges are tight in BOTH dimensions
+    val n = 64
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    ZOrder.writeZOrdered(grid, dir, "x", "y", numFiles = 16, bits = 6)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(spans.length == 16)
+    val avgSx = spans.map(_.getAs[Long]("sx")).sum.toDouble / spans.length
+    val avgSy = spans.map(_.getAs[Long]("sy")).sum.toDouble / spans.length
+    assert(avgSx <= 32 && avgSy <= 32, s"avg spans: x=$avgSx y=$avgSy")
+
+    // control: single-key range clustering spans the full range in the
+    // other dimension — the gap z-ordering exists to close
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-r").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dir2)
+    val ySpans = spark.read.parquet(dir2).groupBy(input_file_name())
+      .agg((max("y") - min("y")).as("sy"))
+      .collect().map(_.getAs[Long]("sy"))
+    assert(ySpans.sum.toDouble / ySpans.length >= 60)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
