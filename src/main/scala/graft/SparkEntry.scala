@@ -51,6 +51,6 @@ object SparkEntry {
     "q_text_quality", "q_text_fingerprint", "q_text_tfidf", "q_curate",
     "q_pack_contexts", "q_corpus_fingerprint", "q_prep_training",
     "q_decontaminate", "q_text_repetition", "q_events_latest",
-    "q_graph_commonneighbors",
+    "q_graph_commonneighbors", "q_inverted_index", "q_outlier_mad",
   ).filter(queries.contains)
 }

@@ -137,6 +137,50 @@ object Corpus {
       .select("doc_id", "lang_pred", "n_words")
   }
 
+  /** Temperature-scaled source mixture (α = 0.5): sampling weight per
+    * source ∝ sqrt(n_docs), the standard "up-sample the tail, damp the
+    * head" mix for multi-source training corpora. Determinism: sqrt is
+    * correctly rounded in IEEE 754 (identical in every engine, unlike
+    * pow/log), and the normalizer is a SEQUENTIAL fold over the per-source
+    * weights in source order — a plain sum(double) would be
+    * partition-order dependent. The fold state is one row of ~20 sources,
+    * not data-sized. Output: (source, n_docs, weight, target_n) where
+    * target_n = floor(weight * total_docs). */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+    val z = counts
+      .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("arr"),
+        sum("n_docs").as("total"))
+      .select(expr("aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)").as("z"),
+        col("total"))
+    counts.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        round(col("w") / col("z"), 6).as("weight"),
+        floor(round(col("w") / col("z"), 6) * col("total")).cast("long").as("target_n"))
+  }
+
+  /** Inverted index over the `topN` highest-document-frequency terms:
+    * (word, df, postings) with the posting list as a sorted comma-joined
+    * doc-id string. The shuffle carries distinct (doc, word) pairs with
+    * map-side partial aggregation; posting lists materialize only for the
+    * topN terms (the broadcast semi-join prunes before collect_list). At
+    * 100 TB, per-term posting lists are the one legitimately large
+    * aggregation value here — production indexes shard them by doc range;
+    * the operator keeps that extension obvious (group by (word, doc_id
+    * bucket) first). */
+  def invertedIndex(docs: DataFrame, topN: Int): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
+      .distinct()
+    val top = pairs.groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("word")).limit(topN)
+    pairs.join(broadcast(top), "word")
+      .groupBy("word", "df")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+  }
+
   /** Write a corpus partitioned by `partitionCol` with bounded file sizes:
     * maxRecordsPerFile caps the giant-file stragglers a skewed partition
     * column otherwise produces (one 2 TB `lang=en` file kills downstream

@@ -23,6 +23,9 @@ object AnalyticsQueries {
   /** context-window size (tokens) for the packing operator */
   val ContextTokens = 4096L
 
+  /** minimum releasable cohort size for the k-anonymity screen */
+  private val KanonK = 6L
+
   /** exact, order-independent sum of a money-like double column (the
     * RelQueries float-determinism policy) */
   private def dsum(c: String): Column =
@@ -140,6 +143,44 @@ object AnalyticsQueries {
         .select(col("source"), col("doc_id"), col("toks"),
           expr(s"cum_before div $ContextTokens").as("bin"))
         .orderBy("source", "doc_id")
+    }),
+
+    // Small-group suppression (k-anonymity release screen): publish only
+    // (lang, source) cells with n >= k; everything rarer collapses into one
+    // 'other' bucket so no released row isolates a small cohort. One tiny
+    // agg over grouped counts — the shape of every privacy-gated stats
+    // release over a 100 TB corpus.
+    "q_kanon_suppress" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val kept = g.filter(col("n") >= KanonK)
+      val suppressed = g.filter(col("n") < KanonK)
+        .agg(coalesce(sum("n"), lit(0L)).as("n"))
+        .select(lit("other").as("lang"), lit("other").as("source"), col("n"))
+      kept.unionByName(suppressed).orderBy("lang", "source")
+    }),
+
+    // Robust outlier screen via median/MAD (resistant to the outliers a
+    // mean/stddev z-score would absorb): per group, median, median absolute
+    // deviation, and the count beyond 3 MADs. Quantities are integral
+    // doubles, so the interpolated percentiles and the 3*mad comparison
+    // are exact on both engines. Two grouped-percentile passes + one
+    // broadcast join of the k-row stats back onto the scan.
+    "q_outlier_mad" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val med = li.groupBy("l_returnflag").agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_quantity") - col("med")))
+      val stats = dev.groupBy("l_returnflag")
+        .agg(first("med").as("med"), expr("percentile(adev, 0.5)").as("mad"),
+          count(lit(1)).as("n"))
+      dev.join(broadcast(stats.select("l_returnflag", "mad")), "l_returnflag")
+        .filter(col("adev") > lit(3.0) * col("mad"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_out"))
+        .join(stats, Seq("l_returnflag"), "right_outer")
+        .select(col("l_returnflag"), col("med"), col("mad"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"), col("n"))
+        .orderBy("l_returnflag")
     }),
 
     // fixed-width histogram — the distribution-profiling primitive (one
@@ -453,6 +494,36 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_kanon_suppress" ->
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
+         |SELECT lang, source, n FROM g WHERE n >= $KanonK
+         |UNION ALL
+         |SELECT 'other' AS lang, 'other' AS source,
+         |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n FROM g WHERE n < $KanonK
+         |ORDER BY lang, source""".stripMargin,
+
+    "q_outlier_mad" ->
+      """WITH li AS MATERIALIZED (SELECT l_returnflag, l_quantity FROM lineitem),
+        |med AS MATERIALIZED (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM li GROUP BY l_returnflag),
+        |dev AS MATERIALIZED (
+        |  SELECT li.l_returnflag, abs(li.l_quantity - med.med) AS adev, med.med
+        |  FROM li JOIN med USING (l_returnflag)),
+        |st AS MATERIALIZED (
+        |  SELECT l_returnflag, any_value(med) AS med,
+        |         quantile_cont(adev, 0.5) AS mad, count(*) AS n
+        |  FROM dev GROUP BY l_returnflag)
+        |SELECT st.l_returnflag, st.med, st.mad,
+        |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out, st.n
+        |FROM st LEFT JOIN (
+        |  SELECT dev.l_returnflag, count(*) AS n_out
+        |  FROM dev JOIN st USING (l_returnflag)
+        |  WHERE dev.adev > 3.0 * st.mad GROUP BY dev.l_returnflag) o
+        |  USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000.0) * 20000 AS BIGINT) AS bucket_lo,

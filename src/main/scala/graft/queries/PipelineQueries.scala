@@ -204,6 +204,15 @@ object PipelineQueries {
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // sqrt-temperature source mixing: the data-mixture computation every
+    // multi-source training run does before sampling
+    "q_mixture_weights" -> ((s, d) =>
+      Corpus.mixtureWeights(Tables.documents(s, d)).orderBy("source")),
+
+    // inverted index over the top-df terms (retrieval-side build)
+    "q_inverted_index" -> ((s, d) =>
+      Corpus.invertedIndex(Tables.documents(s, d), VocabTopN).orderBy("word")),
+
     // corpus bigram counts (n-gram LM statistics)
     "q_text_bigrams" -> ((s, d) =>
       Corpus.ngramCounts(Tables.documents(s, d), 2, VocabTopN)),
@@ -441,6 +450,32 @@ object PipelineQueries {
        |  FROM s)
        |WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin
   }
+
+  /** sqrt weights normalized by a SEQUENTIAL source-ordered fold (a plain
+    * sum(double) is partition/order dependent; the engine folds the same
+    * way — Corpus.mixtureWeights) */
+  private val mixtureSql =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT source, count(*) AS n_docs, sqrt(CAST(count(*) AS DOUBLE)) AS w
+       |  FROM documents GROUP BY source),
+       |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(w ORDER BY source)), (acc, x) -> acc + x) AS z,
+       |      CAST(sum(n_docs) AS BIGINT) AS total FROM c)
+       |SELECT source, n_docs,
+       |  round(w / (SELECT z FROM z), 6) AS weight,
+       |  CAST(floor(round(w / (SELECT z FROM z), 6) * (SELECT total FROM z)) AS BIGINT) AS target_n
+       |FROM c ORDER BY source""".stripMargin
+
+  private val invertedIndexSql =
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(${wordsDuck("text")}) AS word FROM documents),
+       |top AS MATERIALIZED (
+       |  SELECT word, count(*) AS df FROM p GROUP BY word
+       |  ORDER BY df DESC, word LIMIT $VocabTopN)
+       |SELECT t.word, t.df,
+       |  array_to_string(list(p.doc_id ORDER BY p.doc_id), ',') AS postings
+       |FROM p JOIN top t USING (word)
+       |GROUP BY t.word, t.df ORDER BY t.word""".stripMargin
 
   private val simhashSql = {
     val bandSelects = (0 until SimBands).map(b =>
@@ -730,6 +765,8 @@ object PipelineQueries {
     "q_decontaminate" -> decontamSql,
     "q_text_bm25" -> bm25Sql,
     "q_text_repetition" -> repetitionSql,
+    "q_mixture_weights" -> mixtureSql,
+    "q_inverted_index" -> invertedIndexSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_sim_topk" -> simTopkSql,

@@ -159,6 +159,23 @@ class AppsSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("ts"), p)
   }
 
+  test("schema evolution: mergeSchema unifies batches that added a column") {
+    import spark.implicits._
+    // batch 1 predates the 'score' column; batch 2 added it — the standard
+    // corpus-evolves-over-time read pattern
+    val dir = Files.createTempDirectory("graft-evo").toString
+    Seq((1L, "a")).toDF("doc_id", "text").write.parquet(dir + "/batch=1")
+    Seq((2L, "b", 0.9)).toDF("doc_id", "text", "score").write.parquet(dir + "/batch=2")
+    val r = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(r.columns.sorted.sameElements(Array("batch", "doc_id", "score", "text")))
+    val rows = r.orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old rows null-fill
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 0.9)
+    // the evolved layout stays readable without the option too (single
+    // arbitrary footer) — evolution must never brick plain readers
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("ORC round-trip preserves the documents table with pushdown intact") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"

@@ -57,6 +57,23 @@ class CorpusSpec extends SparkSpec {
     assert(s1.sameElements(s2))
   }
 
+  test("mixture weights: sqrt temperature damps the head source") {
+    val d = ((1 to 9).map(i => (i.toLong, "t", "s_big")) ++ Seq((10L, "t", "s_small")))
+      .toDF("doc_id", "text", "source")
+    // sqrt(9)=3, sqrt(1)=1, z=4: raw 0.9/0.1 share damps to 0.75/0.25
+    val m = Corpus.mixtureWeights(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(m("s_big") == ((9L, 0.75, 7L)))   // floor(0.75 * 10)
+    assert(m("s_small") == ((1L, 0.25, 2L)))
+  }
+
+  test("inverted index: sorted postings, cut to the top-df terms") {
+    val d = Seq((3L, "a b"), (1L, "a c"), (2L, "a b")).toDF("doc_id", "text")
+    val ix = Corpus.invertedIndex(d, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(ix == Set(("a", 3L, "1,2,3"), ("b", 2L, "2,3"))) // c (df 1) cut
+  }
+
   test("range join: pairs within delta exactly once, bucket boundaries included") {
     // delta=10; ts 9 and 19 straddle a bucket boundary with gap exactly 10
     val e = Seq((1L, 10L, 9L), (1L, 11L, 11L), (1L, 12L, 19L), (1L, 13L, 30L), (2L, 20L, 9L))
