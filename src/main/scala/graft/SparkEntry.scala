@@ -39,7 +39,8 @@ object SparkEntry {
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */
   def benchQueries: Seq[String] = Seq(
     "q_agg_count", "q_agg_sum", "q_agg_sse", "q_agg_rollup", "q_explode",
-    "q_asof_join", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18", "q_heavy_hitters",
+    "q_asof_join", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q17",
+    "q_tpch_q18", "q_heavy_hitters", "q_events_retention",
     "q_join_inner", "q_join_broadcast", "q_join_composite",
     "q_union_merge", "q_topk", "q_window_rank",
     "q_events_window", "q_events_sessionize",

@@ -42,7 +42,71 @@ object AnalyticsQueries {
   private val revenueTermDuck =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** exact charge term price*(1-disc)*(1+tax): narrow per-factor precisions
+    * keep the three-way decimal product inside both engines' 38-digit cap
+    * with no scale loss (Spark: (12,2)×(5,2)→(18,4), ×(5,2)→(24,6)) */
+  private def chargeTerm: Column =
+    col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))) *
+      (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))
+
+  private val chargeTermDuck =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * " +
+      "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
   val defs: Map[String, Q] = Map(
+    // TPC-H Q1 (pricing summary): THE scan-and-aggregate benchmark — one
+    // pushed-down date filter, one 4-group hash aggregate computing eight
+    // aggregates in a single pass. Money sums/averages run in DECIMAL
+    // (exact, order-free); quantity sums/averages are integral doubles
+    // (exact in any order); so every output is bit-deterministic.
+    "q_tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum(revenueTerm).cast("double").as("sum_disc_price"),
+          sum(chargeTerm).cast("double").as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (dsum("l_extendedprice") / count(lit(1))).as("avg_price"),
+          (dsum("l_discount") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q17 shape (small-quantity revenue): a correlated scalar
+    // subquery — per-part average quantity gates the outer fact rows.
+    // Expressed through spark.sql to exercise Catalyst's subquery
+    // decorrelation (it plans the same per-part aggregate + join a manual
+    // decorrelation would write).
+    "q_tpch_q17" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_q17")
+      Tables.part(s, d).createOrReplaceTempView("graft_part_q17")
+      s.sql("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+               FROM graft_li_q17 l JOIN graft_part_q17 p ON p.p_partkey = l.l_partkey
+               WHERE p.p_brand = 'Brand#4'
+                 AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                     FROM graft_li_q17 l2
+                                     WHERE l2.l_partkey = l.l_partkey)
+               ORDER BY avg_yearly""")
+    }),
+
+    // Cohort retention: users grouped by first-active day; per (cohort,
+    // day-offset) distinct active-user counts — the standard product-
+    // analytics retention matrix. Day indexing is integer floor division
+    // of the epoch on both engines (nanos÷day == µs÷day composition).
+    "q_events_retention" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("day").as("cohort"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // TPC-H Q3 shape (shipping priority): two big fact tables shuffle-join
     // on the order key while the selective dimension (customer, segment
     // filter) broadcasts — at 100 TB the only shuffled relations are the
@@ -494,6 +558,37 @@ object AnalyticsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // $ContextTokens AS bin
          |FROM t
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($revenueTermDuck) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($chargeTermDuck) AS DOUBLE) AS sum_charge,
+         |  sum(l_quantity) / count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#4'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY avg_yearly""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS MATERIALIZED (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+        |SELECT c.cohort, e.day - c.cohort AS day_offset, count(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin,
 
     "q_kanon_suppress" ->
       s"""WITH g AS MATERIALIZED (

@@ -122,6 +122,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("tpch q1 pushes the date filter; q17's correlated subquery decorrelates") {
+    val p1 = plan("q_tpch_q1")
+    assert("PushedFilters:[^\\n]*l_shipdate".r.findFirstIn(p1).isDefined, p1)
+    // one aggregate pass over the scan (partial+final pair), no join
+    assert(!p1.contains("Join"), p1)
+    val p17 = plan("q_tpch_q17")
+    // Catalyst must rewrite the correlated scalar subquery into an
+    // aggregate + join — never a per-row nested-loop re-execution
+    assert(!p17.contains("CartesianProduct"), p17)
+    assert(countOp(p17, "HashAggregate") >= 2, p17) // per-part avg + outer sum
+  }
+
   test("decontamination broadcasts the eval gram set; common-neighbors takes ordered-limit") {
     // the corpus side must never shuffle: the benchmark grams broadcast
     val p = plan("q_decontaminate")
