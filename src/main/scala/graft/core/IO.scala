@@ -75,6 +75,26 @@ object IO {
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into ~`targetRows`
+    * rows per file. Streaming sinks, fine-grained partitioning, and
+    * per-batch appends all breed thousands of KB-sized files whose open/
+    * footer overhead dominates scans at 100 TB — the nightly compaction
+    * job is how production tables stay scannable. The rewrite goes through
+    * a temp dir then swaps, so a failure mid-write never clobbers the
+    * readable table. Round-robin repartition (no shuffle key needed) keeps
+    * output files uniformly sized. */
+  def compact(spark: SparkSession, path: String, targetRows: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
   /** Byte-format parity with the reference's RDD text sinks, which emit
     * `Tuple2.toString` lines like `(42,7)`
     * (ReduceByKey/src/main/scala/wc/FollowersCount.scala:29). Use only

@@ -37,4 +37,23 @@ object Decontam {
   def decontaminate(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame =
     trainDocs.join(overlapCounts(trainDocs, evalDocs).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** The benchmark's distinct gram-hash set, collected to the driver for
+    * the streaming filter (benchmark suites are thousands of docs — the
+    * collect is small by the same argument that lets batch decontamination
+    * broadcast this set). */
+  def evalGramSet(evalDocs: DataFrame): Array[Long] =
+    Dedup.shingleHashes(evalDocs).select(explode(col("hs")).as("g"))
+      .distinct().collect().map(_.getLong(0))
+
+  /** Stateless streaming decontamination: drop any incoming document whose
+    * gram set overlaps the benchmark grams. One codegen'd per-row
+    * shingle-hash + arrays_overlap against the literal gram array — no
+    * streaming state, no watermark interaction, ingest-rate scaling. Works
+    * identically on batch frames (used by the streaming≡batch spec). */
+  def decontaminateStreaming(docs: DataFrame, evalGrams: Array[Long]): DataFrame =
+    docs
+      .withColumn("__hs", graft.functions.GraftFunctions.shingleHashes(col("text")))
+      .filter(!arrays_overlap(col("__hs"), typedlit(evalGrams.toSeq)))
+      .drop("__hs")
 }

@@ -159,6 +159,20 @@ class AppsSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("ts"), p)
   }
 
+  test("compaction: many small files rewrite to few, data identical, atomic swap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val data = spark.range(1000L).select(col("id"), (col("id") % 7).as("g"))
+    data.repartition(40).write.parquet(dir) // the small-file problem
+    def fileCount = spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    assert(fileCount == 40)
+    IO.compact(spark, dir, targetRows = 300)
+    assert(fileCount == 4) // ceil(1000/300)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000 &&
+      back.agg(sum("id")).head.getLong(0) == 999L * 1000 / 2)
+  }
+
   test("schema evolution: mergeSchema unifies batches that added a column") {
     import spark.implicits._
     // batch 1 predates the 'score' column; batch 2 added it — the standard

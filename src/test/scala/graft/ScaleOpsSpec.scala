@@ -151,6 +151,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hh == Map(10L -> 41L, 20L -> 26L)) // each appears in 1..300 once more
   }
 
+  test("secondary sort: keys contiguous and ordered within one partition") {
+    import graft.ops.SecondarySort
+    val df = (for (k <- 1L to 20L; o <- 1L to 30L)
+      yield (k, 31L - o, (o % 7).toDouble)).toDF("k", "o", "v").repartition(13)
+    val s = SecondarySort.sorted(df, "k", "o", partitions = 5)
+    // per partition: (k, o) runs non-decreasing, and no key straddles
+    val perPart = s.select("k", "o").rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator.single(i -> it.map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq) }
+      .collect().toMap
+    perPart.values.foreach { rows =>
+      assert(rows == rows.sortBy(identity), "partition not (key, ord) sorted")
+    }
+    val keyToParts = perPart.toSeq
+      .flatMap { case (p, rows) => rows.map(_._1 -> p) }.distinct
+      .groupBy(_._1).view.mapValues(_.size)
+    assert(keyToParts.values.forall(_ == 1), "a key straddles partitions")
+
+    // the sequential-run consumer: o-ordered values cycle 0..6, so exactly
+    // the non-wrap steps are increasing (30 rows -> 29 steps, 4 wraps at
+    // v=0 after 6, and one flat step 0->0? no: v = o % 7 with o ascending
+    // gives 1,2,3,4,5,6,0,... — verify against a window-function recount)
+    val inc = SecondarySort.increasingSteps(df, "k", "o", "v", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
+    val expect = df.withColumn("pv", lag("v", 1).over(w))
+      .filter(col("pv").isNotNull && col("v") > col("pv"))
+      .groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == expect)
+  }
+
   test("z-order: morton codes interleave bits; layout is tight in BOTH dims") {
     import graft.ops.ZOrder
     // unit: x bits land at even positions, y bits at odd

@@ -143,6 +143,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == expected)
   }
 
+  test("streaming decontamination equals batch decontamination") {
+    import graft.pipeline.Decontam
+    // documents stream; eval slice = doc_id % 50 == 0 (the batch query's split)
+    val docsPath = sf("sf0.001") + "/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath)
+    val evalGrams = Decontam.evalGramSet(batchDocs.filter(col("doc_id") % 50 === 0))
+    val dir = Files.createTempDirectory("graft-docs")
+    Files.copy(Paths.get(docsPath), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val docsSchema = batchDocs.schema
+    val stream = spark.readStream.schema(docsSchema).parquet(dir.toString)
+      .filter(col("doc_id") % 50 =!= 0)
+    val q = Decontam.decontaminateStreaming(stream, evalGrams)
+      .select("doc_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decontam")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("decontam").collect().map(_.getLong(0)).toSet
+    val batch = Decontam.decontaminate(
+        batchDocs.filter(col("doc_id") % 50 =!= 0),
+        batchDocs.filter(col("doc_id") % 50 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
