@@ -138,6 +138,28 @@ object TextHashImpl {
     out
   }
 
+  /** [n_grams, n_uniq_grams, top_gram_n] over the word-bigram multiset of
+    * `s` — one tokenization, one counting pass (O(words) expected), no
+    * intermediate gram arrays. Gram identity is the space-joined pair,
+    * exactly the HOF/DuckDB formulation (words contain no spaces, so the
+    * join is unambiguous). Kernel of `TextAnalysis.repetition`. */
+  def bigramStats(s: String): Array[Long] = {
+    val words = tokenize(s)
+    val n = words.length - 1
+    if (n <= 0) return Array(0L, 0L, 0L)
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val g = words(i) + " " + words(i + 1)
+      val c = counts.merge(g, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > top) top = c.intValue
+      i += 1
+    }
+    Array(n.toLong, counts.size.toLong, top.toLong)
+  }
+
   /** Jaccard similarity of two DISTINCT-element hash arrays: sorted-copy
     * two-pointer intersection count, then the same double division as the
     * HOF form (`TextHash.jaccardSpark`) — |∩| is an exact integer either

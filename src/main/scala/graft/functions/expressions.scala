@@ -119,6 +119,26 @@ case class HyperplaneBitsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_hyperplane_bits"
 }
 
+/** string -> array<bigint> [n_grams, n_uniq_grams, top_gram_n]: word-bigram
+  * repetition statistics in one tokenize + one hash-count pass. Replaces
+  * the HOF formulation (array_sort + run fold), which allocates the gram
+  * array twice per row and evaluates lambdas interpreted; bit-equivalence
+  * with the HOF twin is enforced by FunctionsSpec/FunctionsFuzzSpec. */
+case class BigramStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashImpl.bigramStats(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextHashImpl.bigramStats($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): BigramStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bigram_stats"
+}
+
 /** (array<long>, array<long>) -> double: Jaccard of distinct-hash sets.
   * Replaces the HOF form (CAST(size(array_intersect(a,b))...) in the dedup
   * verify stage — the HOF evaluates array_intersect TWICE per row and
@@ -208,4 +228,5 @@ object GraftFunctions {
   def cmsEstimate(col: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column =
     c(CountMinEstimateExpr(ex(col), sketch))
   def jaccard(a: Column, b: Column): Column = c(JaccardExpr(ex(a), ex(b)))
+  def bigramStats(col: Column): Column = c(BigramStatsExpr(ex(col)))
 }

@@ -115,31 +115,19 @@ object TextAnalysis {
   /** Gopher-style repetition metrics over word bigrams: gram counts,
     * distinct-gram counts, the most frequent gram's share, and the
     * duplicated-gram fraction — the "document is a scraped boilerplate
-    * loop" screen applied before training. Pure per-row codegen'd HOFs
-    * (no shuffle); the per-row mode is a longest-equal-run fold over the
-    * SORTED gram array — O(L log L) per document instead of the naive
-    * O(L²) count-per-distinct-gram (same integer result; measured 2×
-    * faster on the corpus). All ratios are int/int double divisions
-    * (deterministic). */
+    * loop" screen applied before training. One codegen'd kernel call per
+    * row (BigramStatsExpr — a single tokenize + hash-count pass, no
+    * shuffle, no intermediate gram arrays); the HOF formulation it
+    * replaced lives in bigramGramsHof/topRunHof for the equivalence specs
+    * and mirrors the DuckDB oracle. All ratios are int/int double
+    * divisions (deterministic). */
   def repetition(docs: DataFrame): DataFrame = {
-    // bigrams of the whitespace words; <2-word docs get an empty gram set
-    val grams = "IF(size(ws) >= 2, transform(sequence(1, size(ws) - 1), " +
-      "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))), " +
-      "CAST(array() AS ARRAY<STRING>))"
-    // mode count = longest run of equal neighbors once sorted
-    val topRun = "aggregate(array_sort(gs), " +
-      "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), " +
-      "(acc, g) -> named_struct(" +
-      "  'prev', g, " +
-      "  'run', IF(acc.prev <=> g, acc.run + 1, 1), " +
-      "  'best', greatest(acc.best, IF(acc.prev <=> g, acc.run + 1, 1))), " +
-      "acc -> acc.best)"
-    docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
-      .select(col("doc_id"), expr(grams).as("gs"))
+    docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.bigramStats(col("text")).as("st"))
       .select(col("doc_id"),
-        size(col("gs")).cast("long").as("n_grams"),
-        size(array_distinct(col("gs"))).cast("long").as("n_uniq_grams"),
-        expr(topRun).cast("long").as("top_gram_n"))
+        element_at(col("st"), 1).as("n_grams"),
+        element_at(col("st"), 2).as("n_uniq_grams"),
+        element_at(col("st"), 3).as("top_gram_n"))
       .select(col("doc_id"), col("n_grams"), col("n_uniq_grams"), col("top_gram_n"),
         when(col("n_grams") > 0, col("top_gram_n").cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("top_gram_frac"),
@@ -147,6 +135,24 @@ object TextAnalysis {
             (col("n_grams") - col("n_uniq_grams")).cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("dup_gram_frac"))
   }
+
+  /** HOF twin of the BigramStatsExpr kernel (over a words array `ws`):
+    * the gram array, and the mode count as a longest-equal-run fold over
+    * the sorted grams. Used by FunctionsSpec/FunctionsFuzzSpec to prove
+    * kernel bit-equivalence; structurally mirrors the DuckDB oracle. */
+  def bigramGramsHof(ws: String): String =
+    s"IF(size($ws) >= 2, transform(sequence(1, size($ws) - 1), " +
+      s"i -> concat_ws(' ', element_at($ws, i), element_at($ws, i + 1))), " +
+      "CAST(array() AS ARRAY<STRING>))"
+
+  def topRunHof(gs: String): String =
+    s"aggregate(array_sort($gs), " +
+      "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), " +
+      "(acc, g) -> named_struct(" +
+      "  'prev', g, " +
+      "  'run', IF(acc.prev <=> g, acc.run + 1, 1), " +
+      "  'best', greatest(acc.best, IF(acc.prev <=> g, acc.run + 1, 1))), " +
+      "acc -> acc.best)"
 
   /** chunking defaults: 100-char windows, 20-char overlap (step 80) */
   val ChunkSize = 100

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.pipeline.{Similarity, TextHash}
+import graft.pipeline.{Similarity, TextAnalysis, TextHash}
 
 /** Seeded fuzz twin of FunctionsSpec: the corpus equivalence tests run on
   * realistic documents, so they never see the degenerate shapes — empty
@@ -53,6 +53,15 @@ class FunctionsFuzzSpec extends SparkSpec {
     assertNoDiff(fuzzDocs.select(
       GraftFunctions.simHash(col("text")).as("a"),
       expr(TextHash.simhashSpark(TextHash.wordHashesSpark(TextHash.wordsSpark("text")))).as("b")))
+  }
+
+  test("bigram stats: expression == HOF unguarded (empty, <2 words, space runs)") {
+    val gs = TextAnalysis.bigramGramsHof(TextHash.wordsSpark("text"))
+    assertNoDiff(fuzzDocs.select(
+      GraftFunctions.bigramStats(col("text")).as("a"),
+      array(size(expr(gs)).cast("long"),
+        size(array_distinct(expr(gs))).cast("long"),
+        expr(TextAnalysis.topRunHof(gs)).cast("long")).as("b")))
   }
 
   test("minhash: expression == HOF on possibly-empty shingle sets") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.pipeline.{Similarity, TextHash}
+import graft.pipeline.{Similarity, TextAnalysis, TextHash}
 
 /** Equivalence proofs: each custom Catalyst expression must produce exactly
   * the values of the HOF-expression formulation it replaced (which is what
@@ -52,6 +52,15 @@ class FunctionsSpec extends SparkSpec {
       .select(
         GraftFunctions.simHash(col("text")).as("a"),
         expr(TextHash.simhashSpark("wh")).as("b")))
+  }
+
+  test("BigramStatsExpr == HOF gram stats on the corpus") {
+    val gs = TextAnalysis.bigramGramsHof(TextHash.wordsSpark("text"))
+    assertNoDiff(docs.select(
+      GraftFunctions.bigramStats(col("text")).as("a"),
+      array(size(expr(gs)).cast("long"),
+        size(array_distinct(expr(gs))).cast("long"),
+        expr(TextAnalysis.topRunHof(gs)).cast("long")).as("b")))
   }
 
   test("JaccardExpr == HOF jaccard on cross-doc shingle pairs (bitwise)") {
