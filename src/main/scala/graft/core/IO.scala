@@ -87,8 +87,29 @@ object IO {
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-    val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    rewriteSwap(spark, path, df.repartition(files), "__compacting")
+  }
+
+  /** Key-based upsert (the MERGE INTO shape) against a parquet table:
+    * `updates` rows replace same-key current rows; new keys append. The
+    * anti-join ships only update keys; the rewrite swaps atomically like
+    * compact (a real lakehouse writes a delta log instead of rewriting —
+    * the operator keeps the semantics and the atomicity contract). */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      key: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
+    rewriteSwap(spark, path, merged, "__upserting")
+  }
+
+  /** Write `df` to a temp sibling dir, then atomically replace `path` —
+    * a failed write never clobbers the readable table. The df must be
+    * fully materialized by the write BEFORE the delete (it reads `path`). */
+  private def rewriteSwap(spark: SparkSession, path: String, df: DataFrame,
+      suffix: String): Unit = {
+    val tmp = path.stripSuffix("/") + suffix
+    df.write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)

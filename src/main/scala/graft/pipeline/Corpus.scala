@@ -84,11 +84,14 @@ object Corpus {
   def bm25(docs: DataFrame, topPerDoc: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val base = docs.select(col("doc_id"), expr(wordsSpark("text")).as("ws"))
-    val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-    val avgdl = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val words = base.select(col("doc_id"), explode(col("ws")).as("word"))
+    val words = docs.select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
+    // tf is consumed three ways (df, dl, the scored join) — materialize the
+    // one tokenization+shuffle instead of re-deriving it from the scan
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    // document length = Σ tf — no second tokenization pass
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val avgdl = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
     tf.join(df, "word").join(dl, "doc_id")
@@ -147,9 +150,12 @@ object Corpus {
     * not data-sized. Output: (source, n_docs, weight, target_n) where
     * target_n = floor(weight * total_docs). */
   def mixtureWeights(docs: DataFrame): DataFrame = {
+    // ~sources rows; materialized so the normalizer agg and the output
+    // projection don't each re-run the corpus scan+groupBy
     val counts = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", sqrt(col("n_docs").cast("double")))
+      .localCheckpoint(eager = true)
     val z = counts
       .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("arr"),
         sum("n_docs").as("total"))
@@ -171,14 +177,20 @@ object Corpus {
     * the operator keeps that extension obvious (group by (word, doc_id
     * bucket) first). */
   def invertedIndex(docs: DataFrame, topN: Int): DataFrame = {
+    // consumed by the df ranking AND the postings join — one
+    // tokenize+distinct shuffle, pinned before both race it
     val pairs = docs
       .select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
-      .distinct()
+      .distinct().persist()
+    pairs.count()
     val top = pairs.groupBy("word").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("word")).limit(topN)
-    pairs.join(broadcast(top), "word")
+    val out = pairs.join(broadcast(top), "word")
       .groupBy("word", "df")
       .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist(blocking = false)
+    out
   }
 
   /** Write a corpus partitioned by `partitionCol` with bounded file sizes:

@@ -173,6 +173,17 @@ class AppsSpec extends SparkSpec {
       back.agg(sum("id")).head.getLong(0) == 999L * 1000 / 2)
   }
 
+  test("upsert: same-key rows replaced, new keys appended, atomic rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v").write.parquet(dir)
+    IO.upsert(spark, dir,
+      Seq((2L, "NEW2"), (9L, "NEW9")).toDF("k", "v"), "k")
+    val m = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "old1", 2L -> "NEW2", 3L -> "old3", 9L -> "NEW9"))
+  }
+
   test("schema evolution: mergeSchema unifies batches that added a column") {
     import spark.implicits._
     // batch 1 predates the 'score' column; batch 2 added it — the standard
