@@ -209,6 +209,25 @@ object AnalyticsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // Date-spine gap filling (resampling): per user, one row for EVERY day
+    // between first and last activity, zero-filled where no events landed —
+    // the densification step before any time-series model. The spine is a
+    // per-row sequence explode (no driver loop, no cross join with a
+    // calendar table); day arithmetic is integer floor division of the
+    // epoch on both engines.
+    "q_time_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "day")
+    }),
+
     // Small-group suppression (k-anonymity release screen): publish only
     // (lang, source) cells with n >= k; everything rarer collapses into one
     // 'other' bucket so no released row isolates a small cohort. One tiny
@@ -589,6 +608,17 @@ object AnalyticsQueries {
         |FROM e JOIN c USING (user_id)
         |GROUP BY c.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+
+    "q_time_fill" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events WHERE user_id < 30 GROUP BY user_id, day),
+        |spine AS MATERIALIZED (
+        |  SELECT user_id, unnest(range(min(day), max(day) + 1)) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     "q_kanon_suppress" ->
       s"""WITH g AS MATERIALIZED (

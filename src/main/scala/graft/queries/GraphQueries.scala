@@ -86,6 +86,12 @@ object GraphQueries {
       Triangles.commonNeighbors(Graphs.lineitemEdges(s, d, CnMod),
         maxId = CnMaxId, k = CnTopK)),
 
+    // Jaccard-normalized variant: |N∩|/|N∪| damps hub bias; top-k by the
+    // exact int-ratio score
+    "q_graph_linkpred_jaccard" -> ((s, d) =>
+      Triangles.jaccardLinkPred(Graphs.lineitemEdges(s, d, CnMod),
+        maxId = CnMaxId, k = CnTopK)),
+
     "q_graph_sssp" -> ((s, d) =>
       ShortestPath.run(Graphs.lineitemEdges(s, d, Mod), source = 1L, maxIter = SsspMaxHops)
         .filter(col("dist") =!= Double.PositiveInfinity)
@@ -232,6 +238,26 @@ object GraphQueries {
        |SELECT u, v, cn FROM w
        |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.u AND e.dst = w.v)
        |ORDER BY cn DESC, u, v LIMIT $CnTopK""".stripMargin
+
+  private val linkpredJaccardSql =
+    s"""WITH cedges AS (
+       |  SELECT DISTINCT l_orderkey % $CnMod AS src, l_partkey % $CnMod AS dst
+       |  FROM lineitem WHERE l_orderkey % $CnMod <> l_partkey % $CnMod),
+       |b AS (SELECT * FROM cedges WHERE src <= $CnMaxId AND dst <= $CnMaxId),
+       |und AS MATERIALIZED (SELECT DISTINCT * FROM (
+       |  SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b)),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       |w AS MATERIALIZED (
+       |  SELECT a.dst AS u, b2.dst AS v, count(*) AS cn
+       |  FROM und a JOIN und b2 ON a.src = b2.src AND a.dst < b2.dst
+       |  GROUP BY 1, 2),
+       |nw AS MATERIALIZED (
+       |  SELECT u, v, cn FROM w
+       |  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.u AND e.dst = w.v))
+       |SELECT u, v, cn,
+       |  CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn) AS score
+       |FROM nw JOIN deg du ON du.src = nw.u JOIN deg dv ON dv.src = nw.v
+       |ORDER BY score DESC, u, v LIMIT $CnTopK""".stripMargin
 
   private def ssspSql =
     s"""WITH RECURSIVE $edgesSql,
@@ -457,6 +483,7 @@ object GraphQueries {
     "q_graph_triangles" -> trianglesSql(200),
     "q_graph_clustering" -> clusteringSql(150),
     "q_graph_commonneighbors" -> commonNeighborsSql,
+    "q_graph_linkpred_jaccard" -> linkpredJaccardSql,
     "q_graph_triangles_bc" -> trianglesSql(150),
     "q_graph_sssp" -> ssspSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),

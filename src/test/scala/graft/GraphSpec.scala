@@ -209,6 +209,13 @@ class GraphSpec extends SparkSpec {
     // by (u,v); pair (1,2) with cn=3 is excluded because the edge exists
     assert(!top.exists(t => t._1 == 1L && t._2 == 2L))
     assert(top.head == (3L, 4L, 2L) && top(1) == (3L, 5L, 2L))
+
+    // Jaccard normalization reranks: (4,5) share ALL their neighbors
+    // (deg 2 each, cn 2 -> score 1.0), beating (3,4)/(3,5) whose vertex 3
+    // has the extra neighbor 6 (score 2/3)
+    val jp = Triangles.jaccardLinkPred(e, maxId = 100, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(jp.head == (4L, 5L, 2L, 1.0))
   }
 
   test("k-core: cascading peel removes a chain hanging off a triangle") {
