@@ -91,29 +91,46 @@ object IO {
   }
 
   /** Key-based upsert (the MERGE INTO shape) against a parquet table:
-    * `updates` rows replace same-key current rows; new keys append. The
-    * anti-join ships only update keys; the rewrite swaps atomically like
-    * compact (a real lakehouse writes a delta log instead of rewriting —
-    * the operator keeps the semantics and the atomicity contract). */
+    * `updates` rows replace same-key current rows; new keys append.
+    * Mirrors MERGE INTO's source contract: duplicate or null keys in
+    * `updates` are rejected (duplicates would silently double rows; a
+    * null key can never match the anti-join). The anti-join ships only
+    * update keys; the rewrite swaps like compact. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       key: String): Unit = {
+    require(updates.filter(col(key).isNull).isEmpty,
+      s"upsert: null values in update key '$key'")
+    require(updates.groupBy(key).count().filter(col("count") > 1).isEmpty,
+      s"upsert: duplicate values in update key '$key' (MERGE INTO errors here too)")
     val merged = spark.read.parquet(path)
       .join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates)
     rewriteSwap(spark, path, merged, "__upserting")
   }
 
-  /** Write `df` to a temp sibling dir, then atomically replace `path` —
-    * a failed write never clobbers the readable table. The df must be
-    * fully materialized by the write BEFORE the delete (it reads `path`). */
+  /** Write `df` to a temp sibling dir, then replace `path` via two checked
+    * renames with a backup: path -> __old, tmp -> path, drop __old (rename
+    * restores __old if the second step fails). A failed WRITE never touches
+    * the readable table; a crash between the renames leaves the data
+    * recoverable under __old rather than deleted. The df must be fully
+    * materialized by the tmp write BEFORE the swap (it reads `path`). */
   private def rewriteSwap(spark: SparkSession, path: String, df: DataFrame,
       suffix: String): Unit = {
     val tmp = path.stripSuffix("/") + suffix
     df.write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    val fs = p.getFileSystem(conf)
+    fs.delete(bak, true)
+    if (fs.exists(p) && !fs.rename(p, bak))
+      throw new java.io.IOException(s"rewriteSwap: rename $p -> $bak failed")
+    if (!fs.rename(t, p)) {
+      fs.rename(bak, p) // best-effort restore of the old table
+      throw new java.io.IOException(s"rewriteSwap: rename $t -> $p failed")
+    }
+    fs.delete(bak, true)
   }
 
   /** Byte-format parity with the reference's RDD text sinks, which emit

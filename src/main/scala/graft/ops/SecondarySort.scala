@@ -27,13 +27,16 @@ object SecondarySort {
 
   /** Example consumer of the sorted-run contract: per-key count of
     * strictly-increasing steps in `ord`-ordered `value`s, computed in one
-    * sequential pass per partition (no window, no per-key buffer). Output:
+    * sequential pass per partition (no window, no per-key buffer). Rows
+    * sharing (key, ord) are tie-broken by `value` so the count is
+    * deterministic even when `ord` is not unique. Output:
     * (key, n_rows, n_increasing). */
   def increasingSteps(df: DataFrame, key: String, ord: String,
       value: String, partitions: Int): DataFrame = {
-    val s = sorted(df.select(col(key).cast("long").as("k"),
-      col(ord).cast("long").as("o"), col(value).cast("double").as("v")),
-      "k", "o", partitions)
+    val s = df.select(col(key).cast("long").as("k"),
+        col(ord).cast("long").as("o"), col(value).cast("double").as("v"))
+      .repartition(partitions, col("k"))
+      .sortWithinPartitions(col("k"), col("o"), col("v"))
     val spark = s.sparkSession
     import spark.implicits._
     s.as[(Long, Long, Double)].mapPartitions { it =>

@@ -81,15 +81,20 @@ object AnalyticsQueries {
     // decorrelation (it plans the same per-part aggregate + join a manual
     // decorrelation would write).
     "q_tpch_q17" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_q17")
-      Tables.part(s, d).createOrReplaceTempView("graft_part_q17")
-      s.sql("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
-               FROM graft_li_q17 l JOIN graft_part_q17 p ON p.p_partkey = l.l_partkey
-               WHERE p.p_brand = 'Brand#4'
-                 AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                                     FROM graft_li_q17 l2
-                                     WHERE l2.l_partkey = l.l_partkey)
-               ORDER BY avg_yearly""")
+      // view names are dir-unique so building the query for two sf dirs in
+      // one session can't rebind a lazily-consumed plan's tables (every
+      // other catalog entry is a pure (session, dir) => DataFrame)
+      val tag = java.lang.Long.toHexString(
+        d.hashCode.toLong & 0xffffffffL)
+      Tables.lineitem(s, d).createOrReplaceTempView(s"graft_li_q17_$tag")
+      Tables.part(s, d).createOrReplaceTempView(s"graft_part_q17_$tag")
+      s.sql(s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+                FROM graft_li_q17_$tag l JOIN graft_part_q17_$tag p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#4'
+                  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                      FROM graft_li_q17_$tag l2
+                                      WHERE l2.l_partkey = l.l_partkey)
+                ORDER BY avg_yearly""")
     }),
 
     // Cohort retention: users grouped by first-active day; per (cohort,

@@ -182,6 +182,16 @@ class AppsSpec extends SparkSpec {
     val m = spark.read.parquet(dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m == Map(1L -> "old1", 2L -> "NEW2", 3L -> "old3", 9L -> "NEW9"))
+    // MERGE source contract: duplicate or null update keys are rejected
+    intercept[IllegalArgumentException] {
+      IO.upsert(spark, dir, Seq((7L, "a"), (7L, "b")).toDF("k", "v"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      IO.upsert(spark, dir,
+        Seq((Some(7L), "a"), (None, "b")).toDF("k", "v"), "k")
+    }
+    // and the failed validations left the table untouched
+    assert(spark.read.parquet(dir).count() == 4)
   }
 
   test("schema evolution: mergeSchema unifies batches that added a column") {

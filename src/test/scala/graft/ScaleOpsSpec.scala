@@ -181,6 +181,13 @@ class ScaleOpsSpec extends SparkSpec {
       .groupBy("k").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == expect)
+
+    // duplicate (key, ord) rows: value tie-break makes the count
+    // deterministic — sorted by v, 1.0 -> 2.0 is exactly one increase
+    val ties = Seq((1L, 5L, 2.0), (1L, 5L, 1.0)).toDF("k", "o", "v")
+    val tied = SecondarySort.increasingSteps(ties, "k", "o", "v", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((1L, 2L, 1L)))
   }
 
   test("z-order: morton codes interleave bits; layout is tight in BOTH dims") {
