@@ -167,6 +167,24 @@ object Corpus {
         floor(round(col("w") / col("z"), 6) * col("total")).cast("long").as("target_n"))
   }
 
+  /** Execute a source mixture: keep `target_n(source)` documents per
+    * source (mixtureWeights' plan), picked deterministically by content
+    * hash with doc_id tie-break — the reproducible sampling pass that
+    * turns mixture weights into an actual training corpus. Same per-
+    * stratum top-k shape as stratifiedSample: one window per source,
+    * hash-partitioned, no global sort. */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targets = mixtureWeights(docs).select("source", "target_n")
+    val w = Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        GraftFunctions.polyHash(col("text")).as("h"))
+      .join(broadcast(targets), "source")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("target_n"))
+      .select("source", "rn", "doc_id", "h")
+  }
+
   /** Inverted index over the `topN` highest-document-frequency terms:
     * (word, df, postings) with the posting list as a sorted comma-joined
     * doc-id string. The shuffle carries distinct (doc, word) pairs with

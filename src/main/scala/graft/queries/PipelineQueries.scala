@@ -209,6 +209,11 @@ object PipelineQueries {
     "q_mixture_weights" -> ((s, d) =>
       Corpus.mixtureWeights(Tables.documents(s, d)).orderBy("source")),
 
+    // the executed mixture: per-source deterministic sample of target_n
+    // docs (the sampling pass the weights exist for)
+    "q_mixture_sample" -> ((s, d) =>
+      Corpus.mixtureSample(Tables.documents(s, d)).orderBy("source", "rn")),
+
     // inverted index over the top-df terms (retrieval-side build)
     "q_inverted_index" -> ((s, d) =>
       Corpus.invertedIndex(Tables.documents(s, d), VocabTopN).orderBy("word")),
@@ -465,6 +470,26 @@ object PipelineQueries {
        |  round(w / (SELECT z FROM z), 6) AS weight,
        |  CAST(floor(round(w / (SELECT z FROM z), 6) * (SELECT total FROM z)) AS BIGINT) AS target_n
        |FROM c ORDER BY source""".stripMargin
+
+  /** mixtureSql's weight CTEs feeding a per-source windowed take */
+  private val mixtureSampleSql =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT source, count(*) AS n_docs, sqrt(CAST(count(*) AS DOUBLE)) AS w
+       |  FROM documents GROUP BY source),
+       |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(w ORDER BY source)), (acc, x) -> acc + x) AS z,
+       |      CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+       |t AS MATERIALIZED (
+       |  SELECT source,
+       |    CAST(floor(round(w / (SELECT z FROM z), 6) * (SELECT total FROM z)) AS BIGINT) AS target_n
+       |  FROM c),
+       |hh AS MATERIALIZED (
+       |  SELECT source, doc_id, ${polyHashDuck("text")} AS h FROM documents)
+       |SELECT source, rn, doc_id, h FROM (
+       |  SELECT hh.source, doc_id, hh.h, t.target_n,
+       |    CAST(row_number() OVER (PARTITION BY hh.source ORDER BY hh.h, doc_id) AS BIGINT) AS rn
+       |  FROM hh JOIN t USING (source))
+       |WHERE rn <= target_n ORDER BY source, rn""".stripMargin
 
   private val invertedIndexSql =
     s"""WITH p AS MATERIALIZED (
@@ -766,6 +791,7 @@ object PipelineQueries {
     "q_text_bm25" -> bm25Sql,
     "q_text_repetition" -> repetitionSql,
     "q_mixture_weights" -> mixtureSql,
+    "q_mixture_sample" -> mixtureSampleSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,

@@ -67,6 +67,18 @@ class CorpusSpec extends SparkSpec {
     assert(m("s_small") == ((1L, 0.25, 2L)))
   }
 
+  test("mixture sample takes min(target_n, available) docs per source") {
+    val d = ((1 to 9).map(i => (i.toLong, s"text number $i", "s_big"))
+      ++ Seq((10L, "tiny", "s_small"))).toDF("doc_id", "text", "source")
+    // targets: s_big 7, s_small 2 — but s_small only has 1 doc to give
+    val got = Corpus.mixtureSample(d).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s_big" -> 7L, "s_small" -> 1L))
+    // determinism: repartitioned input picks the identical sample
+    val again = Corpus.mixtureSample(d.repartition(7)).collect().map(_.toString).sorted
+    assert(Corpus.mixtureSample(d).collect().map(_.toString).sorted.sameElements(again))
+  }
+
   test("inverted index: sorted postings, cut to the top-df terms") {
     val d = Seq((3L, "a b"), (1L, "a c"), (2L, "a b")).toDF("doc_id", "text")
     val ix = Corpus.invertedIndex(d, 2).collect()

@@ -112,9 +112,14 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 def selftest():
-    """Regression: an uncast sum(BIGINT) oracle must FAIL the type check even
-    though the values are integer-equal (the round-1 HUGEINT escape)."""
+    """Regressions: an uncast sum(BIGINT) oracle must FAIL the type check
+    even though the values are integer-equal (the round-1 HUGEINT escape),
+    and a list-typed output column must FAIL (the round-3 pandas crash)."""
     con = duckdb.connect()
+    nested = pa.table({"k": pa.array([1], pa.int64()),
+                       "parts": pa.array([[1, 2]], pa.list_(pa.int64()))})
+    ok, msg = compare(nested, nested, "nested_col")
+    assert not ok and "NESTEDCOL" in msg, "list output column should be rejected"
     spark_like = pa.table({"k": pa.array([1, 2], pa.int64()),
                            "total": pa.array([10, 20], pa.int64())})
     bad = con.execute(
@@ -127,7 +132,7 @@ def selftest():
         "GROUP BY k ORDER BY k").arrow()
     ok, _ = compare(spark_like, good, "cast_sum")
     assert ok, "cast sum should pass"
-    print("selftest: 2 pass")
+    print("selftest: 3 pass")
     return 0
 
 if __name__ == "__main__":
