@@ -214,6 +214,47 @@ object AnalyticsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // ANALYZE-style table profile: per-column row/null/distinct counts and
+    // min/max — the first query run against any new 100 TB dataset. One
+    // aggregate per profiled column (exact distincts, each a keyed
+    // shuffle), unioned into the long (column, stats) shape a catalog
+    // stores. min/max stringified through DECIMAL/date_format so both
+    // engines render identically.
+    "q_table_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def profile(cn: String, minMax: Column => Column) = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(cn)).as("n_nonnull"),
+        countDistinct(col(cn)).as("n_distinct"),
+        min(minMax(col(cn))).cast("string").as("min_v"),
+        max(minMax(col(cn))).cast("string").as("max_v"))
+        .select(lit(cn).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+      profile("o_orderkey", identity)
+        .unionByName(profile("o_custkey", identity))
+        .unionByName(profile("o_totalprice", _.cast(DecimalType(18, 2))))
+        .unionByName(profile("o_orderdate", date_format(_, "yyyy-MM-dd")))
+        .orderBy("col_name")
+    }),
+
+    // Data-quality audit: referential integrity (orphan facts), primary-key
+    // uniqueness, null-rate — the constraint checks a pipeline runs before
+    // promoting a snapshot. Each check is one keyed anti-join or aggregate;
+    // the outputs union into (check, n) rows.
+    "q_dq_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val orphans = li.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("orphan_lineitems").as("check"), col("n"))
+      val dupPk = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("n"))
+        .select(lit("duplicate_order_pk").as("check"), col("n"))
+      val nullKeys = o.filter(col("o_custkey").isNull)
+        .agg(count(lit(1)).as("n")).select(lit("null_custkey").as("check"), col("n"))
+      orphans.unionByName(dupPk).unionByName(nullKeys).orderBy("check")
+    }),
+
     // Date-spine gap filling (resampling): per user, one row for EVERY day
     // between first and last activity, zero-filled where no events landed —
     // the densification step before any time-series model. The spine is a
@@ -613,6 +654,31 @@ object AnalyticsQueries {
         |FROM e JOIN c USING (user_id)
         |GROUP BY c.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+
+    "q_table_profile" -> {
+      def p(cn: String, mm: String => String) =
+        s"""SELECT '$cn' AS col_name, count(*) AS n_rows, count($cn) AS n_nonnull,
+           |  count(DISTINCT $cn) AS n_distinct,
+           |  CAST(min(${mm(cn)}) AS VARCHAR) AS min_v,
+           |  CAST(max(${mm(cn)}) AS VARCHAR) AS max_v FROM orders""".stripMargin
+      Seq(
+        p("o_orderkey", identity),
+        p("o_custkey", identity),
+        p("o_totalprice", c => s"CAST($c AS DECIMAL(18,2))"),
+        p("o_orderdate", c => s"strftime($c, '%Y-%m-%d')"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_dq_audit" ->
+      """SELECT 'duplicate_order_pk' AS "check", count(*) AS n FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'null_custkey' AS "check", count(*) AS n FROM orders WHERE o_custkey IS NULL
+        |UNION ALL
+        |SELECT 'orphan_lineitems' AS "check", count(*) AS n
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |ORDER BY "check"""".stripMargin,
 
     "q_time_fill" ->
       """WITH daily AS MATERIALIZED (
