@@ -499,6 +499,23 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // SCD2 history build: turn an append-only change stream into validity
+    // intervals — each event's state is valid from its timestamp until the
+    // user's next event (NULL = still current). One keyed window with
+    // lead(); the dimension-table history pattern every warehouse carries.
+    "q_events_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+        .withColumn("valid_to", lead("ts_us", 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull.cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_us").as("valid_from"),
+          col("valid_to"), col("is_current"), col("event_type"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // Exact heavy hitters with a CMS prune (ops.HeavyHitters): the sketch
     // pass bounds memory at any key cardinality, the exact pass recounts
     // only candidate keys — the oracle equality with the plain
@@ -835,6 +852,16 @@ object AnalyticsQueries {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_events_scd2" ->
+      """SELECT user_id, event_id, ts_us AS valid_from,
+        |  lead(ts_us, 1) OVER w AS valid_to,
+        |  CAST(lead(ts_us, 1) OVER w IS NULL AS BIGINT) AS is_current,
+        |  event_type
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |      FROM events WHERE user_id < 30)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_custkey, count(*) AS cnt
