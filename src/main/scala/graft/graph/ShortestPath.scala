@@ -64,6 +64,44 @@ object ShortestPath {
     result.select("vertex", "dist")
   }
 
+  /** Weighted SSSP — Bellman-Ford relaxation to a fixpoint: identical
+    * frontier/merge shape to run(), with candidates adding the edge weight
+    * instead of 1. Converges once no distance improves (≤ longest
+    * shortest-path edge count rounds; maxIter is the safety bound, like
+    * Bellman-Ford's |V|−1). Integer-valued weights keep the double sums
+    * exact, so the oracle (a distance-bounded recursive CTE) matches
+    * bit-for-bit. A cheap many-edge path beats an expensive direct edge
+    * here — the case the unit-weight variant cannot express.
+    * @param edges (src LONG, dst LONG, w DOUBLE — integral values)
+    * @return (vertex LONG, dist DOUBLE), Infinity for unreached */
+  def runWeighted(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+    val width = Fixpoint.sizedPartitions(edges.sparkSession, edges.count())
+    val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val init = Graphs.vertices(e.select("src", "dst"))
+      .union(Seq(source).toDF("vertex")).distinct()
+      .select(col("vertex"),
+        when(col("vertex") === source, lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
+        (col("vertex") === source).as("changed"))
+    val result = Fixpoint.iterate(init, maxIter,
+      converged = (_, next) => next.filter(col("changed")).isEmpty) { (state, _) =>
+      val frontier = state.filter(col("changed"))
+      val candidates = frontier
+        .join(e, frontier("vertex") === e("src"))
+        .select(col("dst").as("vertex"), (col("dist") + col("w")).as("cand"))
+        .groupBy("vertex").agg(min("cand").as("cand"))
+      state.select(col("vertex"), col("dist"))
+        .join(candidates, Seq("vertex"), "left_outer")
+        .select(
+          col("vertex"),
+          least(col("dist"), coalesce(col("cand"), lit(Double.PositiveInfinity))).as("dist"),
+          (coalesce(col("cand"), lit(Double.PositiveInfinity)) < col("dist")).as("changed"))
+    }
+    e.unpersist(false)
+    result.select("vertex", "dist")
+  }
+
   /** Distance + one shortest path per vertex (the MR variant's payload —
     * ShortestPathMR/src/main/java/wc/CountFollowers.java:106-112,133-165).
     * Argmin-with-payload via min(struct(dist, path)): struct ordering

@@ -98,6 +98,21 @@ object GraphQueries {
         .select(col("vertex"), col("dist").cast("long").as("dist"))
         .orderBy("vertex")),
 
+    // weighted SSSP on the derived graph with integer weights 1..5 (min
+    // weight per distinct edge — deterministic): a cheap multi-hop path
+    // beats an expensive direct edge, which unit-hop BFS cannot express
+    "q_graph_sssp_weighted" -> ((s, d) => {
+      val we = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % Mod).as("src"), (col("l_partkey") % Mod).as("dst"),
+          (lit(1.0) + col("l_quantity") % 5).as("w"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(min("w").as("w"))
+      ShortestPath.runWeighted(we, source = 1L, maxIter = SsspMaxHops)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("vertex"), col("dist").cast("long").as("dist"))
+        .orderBy("vertex")
+    }),
+
     // SSSP with path payload (ShortestPathMR semantics). No SQL oracle:
     // path enumeration in a recursive CTE explodes on dense cyclic graphs,
     // so the driver records the weaker rows-only check; GraphSpec covers
@@ -267,6 +282,26 @@ object GraphQueries {
        |  SELECT e.dst AS vertex, w.dist + 1 AS dist
        |  FROM walk w JOIN edges e ON e.src = w.vertex
        |  WHERE w.dist < $SsspMaxHops)
+       |SELECT vertex, CAST(min(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin
+
+  /** Weighted-SSSP oracle: distance-bounded recursive walk. The 200 bound
+    * only needs to exceed the max finite shortest distance (≤ 5·diameter,
+    * well under 200 on the dense Mod-300 graph at every sf); the engine's
+    * frontier converges to the same fixpoint. */
+  private val ssspWeightedSql =
+    s"""WITH RECURSIVE wedges AS (
+       |  SELECT src, dst, min(w) AS w FROM (
+       |    SELECT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst,
+       |           1.0 + l_quantity % 5 AS w
+       |    FROM lineitem)
+       |  WHERE src <> dst GROUP BY src, dst),
+       |walk(vertex, dist) AS (
+       |  SELECT CAST(1 AS BIGINT) AS vertex, CAST(0 AS DOUBLE) AS dist
+       |  UNION
+       |  SELECT e.dst AS vertex, w.dist + e.w AS dist
+       |  FROM walk w JOIN wedges e ON e.src = w.vertex
+       |  WHERE w.dist + e.w <= 200)
        |SELECT vertex, CAST(min(dist) AS BIGINT) AS dist
        |FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin
 
@@ -486,6 +521,7 @@ object GraphQueries {
     "q_graph_linkpred_jaccard" -> linkpredJaccardSql,
     "q_graph_triangles_bc" -> trianglesSql(150),
     "q_graph_sssp" -> ssspSql,
+    "q_graph_sssp_weighted" -> ssspWeightedSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
     "q_graph_pagerank_damped" -> pagerankDampedSql(derivedGraphCte, PrIters),

@@ -197,6 +197,20 @@ class GraphSpec extends SparkSpec {
     assert(l4.values.toSet == Set(1L))
   }
 
+  test("weighted sssp: cheap multi-hop path beats expensive direct edge") {
+    import spark.implicits._
+    // 1->4 direct costs 10; 1->2->3->4 costs 1+1+1 = 3; vertex 5 unreachable
+    val e = Seq((1L, 4L, 10.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (5L, 5L, 1.0)).filter(t => t._1 != t._2).toDF("src", "dst", "w")
+    val d = ShortestPath.runWeighted(e, source = 1L, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(1L) == 0.0 && d(2L) == 1.0 && d(3L) == 2.0 && d(4L) == 3.0)
+    // unit-hop BFS on the same graph would answer 1 for vertex 4
+    val unit = ShortestPath.run(e.select("src", "dst"), source = 1L, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(unit(4L) == 1.0)
+  }
+
   test("common neighbors: non-adjacent pairs ranked by shared-neighbor count") {
     import spark.implicits._
     // 1 and 2 both point at {3,4,5}; 6 shares only {3} with them; edge
