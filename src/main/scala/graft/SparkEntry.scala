@@ -46,6 +46,7 @@ object SparkEntry {
     "q_events_window", "q_events_sessionize",
     "q_events_pairs", "q_events_funnel",
     "q_graph_degree", "q_graph_triangles", "q_graph_clustering", "q_graph_sssp",
+    "q_graph_sssp_weighted",
     "q_graph_pagerank", "q_graph_kmeans", "q_graph_cc",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
     "q_dedup_embedding", "q_sim_topk", "q_sim_lsh",
