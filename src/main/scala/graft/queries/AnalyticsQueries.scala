@@ -215,25 +215,31 @@ object AnalyticsQueries {
     }),
 
     // ANALYZE-style table profile: per-column row/null/distinct counts and
-    // min/max — the first query run against any new 100 TB dataset. One
-    // aggregate per profiled column (exact distincts, each a keyed
-    // shuffle), unioned into the long (column, stats) shape a catalog
-    // stores. min/max stringified through DECIMAL/date_format so both
-    // engines render identically.
+    // min/max — the first query run against any new 100 TB dataset. ALL
+    // columns profile in ONE scan: a single aggregate computes every
+    // column's stats (the multi-distinct plans as one Expand pass, not N
+    // re-scans), then an inline explode pivots the wide row into the long
+    // (column, stats) catalog shape. min/max stringified through
+    // DECIMAL/date_format so both engines render identically.
     "q_table_profile" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      def profile(cn: String, minMax: Column => Column) = o.agg(
-        count(lit(1)).as("n_rows"),
-        count(col(cn)).as("n_nonnull"),
-        countDistinct(col(cn)).as("n_distinct"),
-        min(minMax(col(cn))).cast("string").as("min_v"),
-        max(minMax(col(cn))).cast("string").as("max_v"))
-        .select(lit(cn).as("col_name"), col("n_rows"), col("n_nonnull"),
-          col("n_distinct"), col("min_v"), col("max_v"))
-      profile("o_orderkey", identity)
-        .unionByName(profile("o_custkey", identity))
-        .unionByName(profile("o_totalprice", _.cast(DecimalType(18, 2))))
-        .unionByName(profile("o_orderdate", date_format(_, "yyyy-MM-dd")))
+      val cols: Seq[(String, Column => Column)] = Seq(
+        ("o_orderkey", identity[Column] _),
+        ("o_custkey", identity[Column] _),
+        ("o_totalprice", (c: Column) => c.cast(DecimalType(18, 2))),
+        ("o_orderdate", (c: Column) => date_format(c, "yyyy-MM-dd")))
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (cn, mm) => Seq(
+        count(col(cn)).as(s"nn_$cn"),
+        countDistinct(col(cn)).as(s"nd_$cn"),
+        min(mm(col(cn))).cast("string").as(s"mn_$cn"),
+        max(mm(col(cn))).cast("string").as(s"mx_$cn")) }
+      val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { case (cn, _) => struct(
+        lit(cn).as("col_name"), col("n_rows"),
+        col(s"nn_$cn").as("n_nonnull"), col(s"nd_$cn").as("n_distinct"),
+        col(s"mn_$cn").as("min_v"), col(s"mx_$cn").as("max_v")) }
+      wide.select(explode(array(rows: _*)).as("p"))
+        .select("p.col_name", "p.n_rows", "p.n_nonnull", "p.n_distinct",
+          "p.min_v", "p.max_v")
         .orderBy("col_name")
     }),
 

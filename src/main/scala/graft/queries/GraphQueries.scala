@@ -239,8 +239,10 @@ object GraphQueries {
        |FROM deg d LEFT JOIN tri t ON d.vertex = t.vertex
        |ORDER BY d.vertex""".stripMargin
 
-  private val commonNeighborsSql =
-    s"""WITH cedges AS (
+  /** shared CTE chain for both link-prediction oracles: sparse derived
+    * graph → bounded undirected set → per-pair common-neighbor counts */
+  private val cnCtes =
+    s"""cedges AS (
        |  SELECT DISTINCT l_orderkey % $CnMod AS src, l_partkey % $CnMod AS dst
        |  FROM lineitem WHERE l_orderkey % $CnMod <> l_partkey % $CnMod),
        |b AS (SELECT * FROM cedges WHERE src <= $CnMaxId AND dst <= $CnMaxId),
@@ -249,23 +251,17 @@ object GraphQueries {
        |w AS MATERIALIZED (
        |  SELECT a.dst AS u, b2.dst AS v, count(*) AS cn
        |  FROM und a JOIN und b2 ON a.src = b2.src AND a.dst < b2.dst
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val commonNeighborsSql =
+    s"""WITH $cnCtes
        |SELECT u, v, cn FROM w
        |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.u AND e.dst = w.v)
        |ORDER BY cn DESC, u, v LIMIT $CnTopK""".stripMargin
 
   private val linkpredJaccardSql =
-    s"""WITH cedges AS (
-       |  SELECT DISTINCT l_orderkey % $CnMod AS src, l_partkey % $CnMod AS dst
-       |  FROM lineitem WHERE l_orderkey % $CnMod <> l_partkey % $CnMod),
-       |b AS (SELECT * FROM cedges WHERE src <= $CnMaxId AND dst <= $CnMaxId),
-       |und AS MATERIALIZED (SELECT DISTINCT * FROM (
-       |  SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b)),
+    s"""WITH $cnCtes,
        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY src),
-       |w AS MATERIALIZED (
-       |  SELECT a.dst AS u, b2.dst AS v, count(*) AS cn
-       |  FROM und a JOIN und b2 ON a.src = b2.src AND a.dst < b2.dst
-       |  GROUP BY 1, 2),
        |nw AS MATERIALIZED (
        |  SELECT u, v, cn FROM w
        |  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.u AND e.dst = w.v))

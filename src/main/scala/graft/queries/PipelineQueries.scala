@@ -458,30 +458,30 @@ object PipelineQueries {
 
   /** sqrt weights normalized by a SEQUENTIAL source-ordered fold (a plain
     * sum(double) is partition/order dependent; the engine folds the same
-    * way — Corpus.mixtureWeights) */
+    * way — Corpus.mixtureWeights). Shared by the weights and sample SQL. */
+  private val mixtureCtes =
+    """c AS MATERIALIZED (
+      |  SELECT source, count(*) AS n_docs, sqrt(CAST(count(*) AS DOUBLE)) AS w
+      |  FROM documents GROUP BY source),
+      |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(w ORDER BY source)), (acc, x) -> acc + x) AS z,
+      |      CAST(sum(n_docs) AS BIGINT) AS total FROM c)""".stripMargin
+
+  private val targetNDuck =
+    "CAST(floor(round(w / (SELECT z FROM z), 6) * (SELECT total FROM z)) AS BIGINT)"
+
   private val mixtureSql =
-    s"""WITH c AS MATERIALIZED (
-       |  SELECT source, count(*) AS n_docs, sqrt(CAST(count(*) AS DOUBLE)) AS w
-       |  FROM documents GROUP BY source),
-       |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |        list(w ORDER BY source)), (acc, x) -> acc + x) AS z,
-       |      CAST(sum(n_docs) AS BIGINT) AS total FROM c)
+    s"""WITH $mixtureCtes
        |SELECT source, n_docs,
        |  round(w / (SELECT z FROM z), 6) AS weight,
-       |  CAST(floor(round(w / (SELECT z FROM z), 6) * (SELECT total FROM z)) AS BIGINT) AS target_n
+       |  $targetNDuck AS target_n
        |FROM c ORDER BY source""".stripMargin
 
   /** mixtureSql's weight CTEs feeding a per-source windowed take */
   private val mixtureSampleSql =
-    s"""WITH c AS MATERIALIZED (
-       |  SELECT source, count(*) AS n_docs, sqrt(CAST(count(*) AS DOUBLE)) AS w
-       |  FROM documents GROUP BY source),
-       |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |        list(w ORDER BY source)), (acc, x) -> acc + x) AS z,
-       |      CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+    s"""WITH $mixtureCtes,
        |t AS MATERIALIZED (
-       |  SELECT source,
-       |    CAST(floor(round(w / (SELECT z FROM z), 6) * (SELECT total FROM z)) AS BIGINT) AS target_n
+       |  SELECT source, $targetNDuck AS target_n
        |  FROM c),
        |hh AS MATERIALIZED (
        |  SELECT source, doc_id, ${polyHashDuck("text")} AS h FROM documents)
