@@ -150,6 +150,55 @@ object PageRank {
     result
   }
 
+  /** Personalized PageRank: teleport (and dangling mass) return to a SEED
+    * set instead of all vertices — the ranks become proximity scores to
+    * the seeds, the workhorse of graph-based recommendation ("vertices
+    * like these"). r' = (1-α)·p(v) + α·(Σ contribs + dm·p(v)) with
+    * p(v) = 1/|S| on seeds, 0 elsewhere. Same plan skeleton as
+    * [[runDamped]]; the seed indicator is a codegen'd IN-list predicate
+    * (seed sets are small), never a join. */
+  def runPersonalized(edges: DataFrame, seeds: Seq[Long], iterations: Int): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val width = Fixpoint.sizedPartitions(spark, nEdges)
+
+    val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eWithDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(width, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graphs.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
+    val dang = verts
+      .join(e.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dang.count()
+
+    def pExpr = when(col("vertex").isInCollection(seeds), lit(1.0 / seeds.size))
+      .otherwise(lit(0.0))
+
+    val init = verts.withColumn("rank", pExpr)
+    val result = Fixpoint.iterate(init, iterations) { (state, _) =>
+      val dm = state.join(dang, Seq("vertex"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contrib = eWithDeg
+        .join(state, eWithDeg("src") === state("vertex"))
+        .select(col("dst").as("vertex"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("vertex").agg(sum("c").as("c"))
+      state.select(col("vertex"), lit(0.0).as("c"))
+        .unionByName(contrib)
+        .groupBy("vertex").agg(sum("c").as("c"))
+        .crossJoin(broadcast(dm))
+        .select(col("vertex"),
+          (lit(DampTeleport) * pExpr + lit(DampAlpha) * (col("c") + col("dm") * pExpr))
+            .as("rank"))
+    }
+    e.unpersist(false); eWithDeg.unpersist(false)
+    verts.unpersist(false); dang.unpersist(false)
+    result
+  }
+
   /** Top-k by rank, deterministic tie-break on vertex id
     * (PageRankDataSet/.../FollowerCount.scala:76). Catalyst plans this as
     * TakeOrderedAndProject — no global sort materialization. */

@@ -49,6 +49,8 @@ object GraphQueries {
   private val KCoreRounds = Graphs.DefaultKCoreRounds
   // LPA: engine round count and oracle unroll count must agree
   private val LpaRounds = Graphs.DefaultLpaRounds
+  // personalized PageRank seed set (engine IN-list and oracle CASE share it)
+  private val PprSeeds = Seq(1L, 2L, 3L)
   // common-neighbor link prediction: much sparser modulus — the Mod-300
   // graph is complete at sf0.1 (no non-adjacent pairs left to predict) and
   // even Mod-2000 reaches avg degree ~260 there, putting the wedge join's
@@ -164,6 +166,13 @@ object GraphQueries {
     // genuine no-out-edge vertices, not a synthetic dummy sink
     "q_graph_pagerank_damped" -> ((s, d) =>
       PageRank.runDamped(Graphs.lineitemEdges(s, d, Mod), PrIters)
+        .select(col("vertex"), round(col("rank"), 9).as("pr"))
+        .orderBy("vertex")),
+
+    // personalized PageRank from a 3-seed set: proximity-to-seeds scores,
+    // the graph-recommendation primitive ("vertices like these")
+    "q_graph_ppr" -> ((s, d) =>
+      PageRank.runPersonalized(Graphs.lineitemEdges(s, d, Mod), PprSeeds, PrIters)
         .select(col("vertex"), round(col("rank"), 9).as("pr"))
         .orderBy("vertex")),
 
@@ -363,6 +372,39 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Unrolled personalized PageRank — pagerankDampedSql with the uniform
+    * teleport/dangling target replaced by the seed indicator
+    * p(v) = 1/|S| on seeds, 0 elsewhere (the engine's IN-list literal;
+    * the 1/|S| double is interpolated from the SAME Scala value). */
+  private def pprSql(graphCte: String, seeds: Seq[Long], iters: Int): String = {
+    val pVal = (1.0 / seeds.size).toString
+    def p(v: String) =
+      s"CASE WHEN $v IN (${seeds.mkString(", ")}) THEN CAST($pVal AS DOUBLE) ELSE 0.0 END"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
+      |v AS MATERIALIZED (SELECT src AS vertex FROM g UNION SELECT dst FROM g),
+      |dang AS MATERIALIZED (SELECT vertex FROM v WHERE vertex NOT IN (SELECT src FROM g)),
+      |r0 AS MATERIALIZED (SELECT vertex, ${p("vertex")} AS pr FROM v)""".stripMargin
+    for (i <- 1 to iters) {
+      val q = i - 1
+      sb ++= s""",
+        |dm$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS dm FROM r$q JOIN dang USING (vertex)),
+        |c$i AS MATERIALIZED (SELECT g.dst AS vertex, sum(r.pr / od.outdeg) AS c
+        |        FROM g JOIN od ON g.src = od.src JOIN r$q r ON g.src = r.vertex
+        |        GROUP BY g.dst),
+        |r$i AS MATERIALIZED (SELECT m.vertex,
+        |        CAST(${PageRank.DampTeleport} AS DOUBLE) * ${p("m.vertex")}
+        |          + CAST(${PageRank.DampAlpha} AS DOUBLE) * (m.c + (SELECT dm FROM dm$i) * ${p("m.vertex")}) AS pr
+        |        FROM (SELECT vertex, sum(c) AS c FROM (
+        |                SELECT vertex, 0.0 AS c FROM r$q
+        |                UNION ALL SELECT vertex, c FROM c$i)
+        |              GROUP BY vertex) m)""".stripMargin
+    }
+    sb ++= s"\nSELECT vertex, round(pr, 9) AS pr FROM r$iters ORDER BY vertex"
+    sb.toString
+  }
+
   /** Unrolled synchronous LPA — mirrors Graphs.labelPropagation: per round,
     * neighbor labels over the undirected edge set plus a self-vote, then
     * per-vertex argmax by (count DESC, label ASC). */
@@ -521,6 +563,7 @@ object GraphQueries {
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
     "q_graph_pagerank_damped" -> pagerankDampedSql(derivedGraphCte, PrIters),
+    "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),

@@ -197,6 +197,17 @@ class GraphSpec extends SparkSpec {
     assert(l4.values.toSet == Set(1L))
   }
 
+  test("personalized pagerank: mass decays with distance from the seed") {
+    import spark.implicits._
+    // chain 1->2->3->4 plus a component {10,11} unreachable from the seed
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val pr = PageRank.runPersonalized(e, seeds = Seq(1L), iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L) && pr(3L) > pr(4L))
+    // no seed, no in-path: the disconnected component scores zero
+    assert(pr(10L) == 0.0 && pr(11L) == 0.0)
+  }
+
   test("weighted sssp: cheap multi-hop path beats expensive direct edge") {
     import spark.implicits._
     // 1->4 direct costs 10; 1->2->3->4 costs 1+1+1 = 3; vertex 5 unreachable
