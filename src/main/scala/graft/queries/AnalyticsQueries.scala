@@ -505,6 +505,31 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Trailing-window anomaly screen: per (event_type, day), flag days
+    // whose count exceeds mean + 2σ of the TRAILING 7 days (never the
+    // current day — no self-masking). Determinism without a blessed
+    // stddev: the window aggregates Σx and Σx² of integer counts (exact in
+    // any order), variance is one rational expression of those, and sqrt
+    // is IEEE exact-rounded — so both engines produce bit-identical flags.
+    "q_events_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("k", count("n").over(w))
+        .withColumn("sx", sum("n").over(w))
+        .withColumn("sxx", sum(col("n") * col("n")).over(w))
+        .filter(col("k") >= 2)
+        .withColumn("mean", col("sx").cast("double") / col("k"))
+        .withColumn("sd", sqrt((col("k") * col("sxx") - col("sx") * col("sx"))
+          .cast("double") / (col("k") * (col("k") - 1))))
+        .select(col("event_type"), col("day"), col("n"), col("k"),
+          round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+          (col("n") > col("mean") + lit(2.0) * col("sd")).cast("long").as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // SCD2 history build: turn an append-only change stream into validity
     // intervals — each event's state is valid from its timestamp until the
     // user's next event (NULL = still current). One keyed window with
@@ -858,6 +883,27 @@ object AnalyticsQueries {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |t AS MATERIALIZED (
+        |  SELECT event_type, day, n,
+        |    count(n) OVER w AS k,
+        |    CAST(sum(n) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS sxx
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, k,
+        |  round(CAST(sx AS DOUBLE) / k, 6) AS mean,
+        |  round(sqrt(CAST(k * sxx - sx * sx AS DOUBLE) / (k * (k - 1))), 6) AS sd,
+        |  CAST(n > CAST(sx AS DOUBLE) / k
+        |         + 2.0 * sqrt(CAST(k * sxx - sx * sx AS DOUBLE) / (k * (k - 1)))
+        |       AS BIGINT) AS is_anomaly
+        |FROM t WHERE k >= 2
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_events_scd2" ->
       """SELECT user_id, event_id, ts_us AS valid_from,
