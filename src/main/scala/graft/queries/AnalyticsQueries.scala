@@ -505,6 +505,22 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Market-basket co-occurrence ("frequently bought together"): project
+    // the order-part bipartite graph onto part-part edges weighted by
+    // co-purchase count, top-k by support. The self-join fans out
+    // Σ_orders (parts-per-order choose 2) — bounded by basket size (~7
+    // lines), NOT corpus size, so it scales linearly; a pathological mega-
+    // basket is the AQE skew-join case. Same ordered-pair trick as the
+    // wedge joins (p1 < p2 counts each pair once).
+    "q_copurchase" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      li.toDF("o", "p1").join(li.toDF("o2", "p2"),
+          col("o") === col("o2") && col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), col("p1"), col("p2"))
+        .limit(100)
+    }),
+
     // Trailing-window anomaly screen: per (event_type, day), flag days
     // whose count exceeds mean + 2σ of the TRAILING 7 days (never the
     // current day — no self-masking). Determinism without a blessed
@@ -883,6 +899,14 @@ object AnalyticsQueries {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS p1, b.p AS p2, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 100""".stripMargin,
 
     "q_events_anomaly" ->
       """WITH daily AS MATERIALIZED (

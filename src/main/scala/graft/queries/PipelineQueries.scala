@@ -204,6 +204,28 @@ object PipelineQueries {
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // per-source distinctive terms (corpus-level tf-idf: source term
+    // frequency x rarity across sources) — the "what is this domain
+    // about" signature used to audit a new crawl source. Same rational
+    // no-log score policy as tfidf; (source, word) pairs partial-aggregate
+    // map-side.
+    "q_source_signature" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("source"), explode(expr(wordsSpark("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true) // consumed by sfq AND the scored join
+      val sfq = tf.groupBy("word").agg(count(lit(1)).as("nsrc"))
+      val nSources = docs.agg(countDistinct("source").cast("double").as("n_sources"))
+      val w = Window.partitionBy("source").orderBy(desc("score"), asc("word"))
+      tf.join(sfq, "word").crossJoin(broadcast(nSources))
+        .withColumn("score", col("tf") * col("n_sources") / col("nsrc"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= TfidfTopK)
+        .select("source", "rn", "word", "tf", "nsrc", "score")
+        .orderBy("source", "rn")
+    }),
+
     // sqrt-temperature source mixing: the data-mixture computation every
     // multi-source training run does before sampling
     "q_mixture_weights" -> ((s, d) =>
@@ -455,6 +477,22 @@ object PipelineQueries {
        |  FROM s)
        |WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin
   }
+
+  private val sourceSignatureSql =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT source, unnest(${wordsDuck("text")}) AS word FROM documents),
+       |tf AS MATERIALIZED (SELECT source, word, count(*) AS tf FROM w GROUP BY source, word),
+       |sfq AS MATERIALIZED (SELECT word, count(*) AS nsrc FROM tf GROUP BY word),
+       |n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_sources FROM documents),
+       |s AS MATERIALIZED (
+       |  SELECT tf.source, tf.word, tf.tf, sfq.nsrc,
+       |         tf.tf * (SELECT n_sources FROM n) / sfq.nsrc AS score
+       |  FROM tf JOIN sfq USING (word))
+       |SELECT source, rn, word, tf, nsrc, score FROM (
+       |  SELECT source, word, tf, nsrc, score,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, word) AS BIGINT) AS rn
+       |  FROM s)
+       |WHERE rn <= $TfidfTopK ORDER BY source, rn""".stripMargin
 
   /** sqrt weights normalized by a SEQUENTIAL source-ordered fold (a plain
     * sum(double) is partition/order dependent; the engine folds the same
@@ -790,6 +828,7 @@ object PipelineQueries {
     "q_decontaminate" -> decontamSql,
     "q_text_bm25" -> bm25Sql,
     "q_text_repetition" -> repetitionSql,
+    "q_source_signature" -> sourceSignatureSql,
     "q_mixture_weights" -> mixtureSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_inverted_index" -> invertedIndexSql,
