@@ -84,6 +84,7 @@ object IO {
     * readable table. Round-robin repartition (no shuffle key needed) keeps
     * output files uniformly sized. */
   def compact(spark: SparkSession, path: String, targetRows: Long): Unit = {
+    recoverSwap(spark, path)
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
@@ -102,6 +103,7 @@ object IO {
       s"upsert: null values in update key '$key'")
     require(updates.groupBy(key).count().filter(col("count") > 1).isEmpty,
       s"upsert: duplicate values in update key '$key' (MERGE INTO errors here too)")
+    recoverSwap(spark, path)
     val merged = spark.read.parquet(path)
       .join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates)
@@ -112,8 +114,16 @@ object IO {
     * renames with a backup: path -> __old, tmp -> path, drop __old (rename
     * restores __old if the second step fails). A failed WRITE never touches
     * the readable table; a crash between the renames leaves the data
-    * recoverable under __old rather than deleted. The df must be fully
-    * materialized by the tmp write BEFORE the swap (it reads `path`). */
+    * recoverable under __old rather than deleted — and the next call here
+    * auto-restores that state (see below). The df must be fully
+    * materialized by the tmp write BEFORE the swap (it reads `path`).
+    *
+    * Concurrency/FS contract: SINGLE WRITER, and a filesystem with
+    * atomic directory rename (local FS, HDFS). Readers racing the swap
+    * can observe a missing table for the instant between the two renames,
+    * and object stores (S3 et al.) emulate rename as copy+delete — on
+    * those, compact/upsert need a table format with a transactional
+    * commit protocol instead of this directory swap. */
   private def rewriteSwap(spark: SparkSession, path: String, df: DataFrame,
       suffix: String): Unit = {
     val tmp = path.stripSuffix("/") + suffix
@@ -131,6 +141,20 @@ object IO {
       throw new java.io.IOException(s"rewriteSwap: rename $t -> $p failed")
     }
     fs.delete(bak, true)
+  }
+
+  /** Crash recovery for rewriteSwap: a run that died between its two
+    * renames leaves `path` absent with the data intact under `__old`.
+    * Restore it before reading. Called by compact/upsert before they
+    * open the table; a no-op in the healthy state. */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) && fs.exists(bak) && !fs.rename(bak, p))
+      throw new java.io.IOException(
+        s"recoverSwap: crash-recovery rename $bak -> $p failed")
   }
 
   /** Byte-format parity with the reference's RDD text sinks, which emit

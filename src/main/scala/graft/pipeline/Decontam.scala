@@ -56,4 +56,30 @@ object Decontam {
       .withColumn("__hs", graft.functions.GraftFunctions.shingleHashes(col("text")))
       .filter(!arrays_overlap(col("__hs"), typedlit(evalGrams.toSeq)))
       .drop("__hs")
+
+  /** Large-gram-set variant of decontaminateStreaming. The literal-array
+    * form embeds every gram in the plan, so at real benchmark-suite scale
+    * (millions of grams) it blows plan/codegen size and pays a linear scan
+    * per row. Here the sorted gram array ships once as a broadcast
+    * variable — the plan stays O(1) — and each document probes it by
+    * binary search (primitive longs, no boxing): O(|doc grams| · log n)
+    * per row. Still stateless (no streaming state, no watermark), so it
+    * drops into the same append-mode pipelines; identical semantics to
+    * the literal form (asserted in StreamingSpec). The one UDF in the
+    * decontamination stack — a codegen'd literal can't hold a broadcast,
+    * and a stream-static anti-join would need a doc-level regroup
+    * (stateful aggregation) to undo the gram explode. */
+  def decontaminateStreamingLarge(docs: DataFrame, evalGrams: Array[Long]): DataFrame = {
+    val sorted = evalGrams.clone()
+    java.util.Arrays.sort(sorted)
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    val overlaps = udf { hs: Seq[Long] =>
+      val g = bc.value
+      hs.exists(h => java.util.Arrays.binarySearch(g, h) >= 0)
+    }
+    docs
+      .withColumn("__hs", graft.functions.GraftFunctions.shingleHashes(col("text")))
+      .filter(!overlaps(col("__hs")))
+      .drop("__hs")
+  }
 }

@@ -83,9 +83,10 @@ object AnalyticsQueries {
     "q_tpch_q17" -> ((s, d) => {
       // view names are dir-unique so building the query for two sf dirs in
       // one session can't rebind a lazily-consumed plan's tables (every
-      // other catalog entry is a pure (session, dir) => DataFrame)
-      val tag = java.lang.Long.toHexString(
-        d.hashCode.toLong & 0xffffffffL)
+      // other catalog entry is a pure (session, dir) => DataFrame). The
+      // tag is the sanitized dir itself, not a hash — collisions between
+      // distinct dirs are impossible by construction.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.lineitem(s, d).createOrReplaceTempView(s"graft_li_q17_$tag")
       Tables.part(s, d).createOrReplaceTempView(s"graft_part_q17_$tag")
       s.sql(s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
@@ -522,8 +523,10 @@ object AnalyticsQueries {
     }),
 
     // Trailing-window anomaly screen: per (event_type, day), flag days
-    // whose count exceeds mean + 2σ of the TRAILING 7 days (never the
-    // current day — no self-masking). Determinism without a blessed
+    // whose count exceeds mean + 2σ of the trailing 7 OBSERVED days
+    // (a ROWS frame — when days are missing it reaches further back in
+    // calendar time; never includes the current day, so no self-masking).
+    // Determinism without a blessed
     // stddev: the window aggregates Σx and Σx² of integer counts (exact in
     // any order), variance is one rational expression of those, and sqrt
     // is IEEE exact-rounded — so both engines produce bit-identical flags.

@@ -27,6 +27,12 @@ object GraphQueries {
 
   // SSSP: engine iteration bound and oracle recursion cap must agree
   private val SsspMaxHops = 30
+  // Weighted SSSP relaxes more rounds than the unweighted diameter (a
+  // cheap many-edge path can thread far past 30 hops), and its oracle is
+  // distance-bounded EXACT rather than round-bounded — so the engine must
+  // actually reach the fixpoint. The loop exits early on convergence, so
+  // the extra headroom costs nothing on the graphs we run.
+  private val SsspWeightedMaxIter = 120
   // PageRank workload: the reference's published configuration — k=100
   // (10,000 real vertices + dummy), 10 iterations
   // (PageRankRDD/Makefile:12 `local.input=100`, .../FollowerCount.scala:58)
@@ -109,7 +115,7 @@ object GraphQueries {
           (lit(1.0) + col("l_quantity") % 5).as("w"))
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(min("w").as("w"))
-      ShortestPath.runWeighted(we, source = 1L, maxIter = SsspMaxHops)
+      ShortestPath.runWeighted(we, source = 1L, maxIter = SsspWeightedMaxIter)
         .filter(col("dist") =!= Double.PositiveInfinity)
         .select(col("vertex"), col("dist").cast("long").as("dist"))
         .orderBy("vertex")

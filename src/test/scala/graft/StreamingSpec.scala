@@ -167,6 +167,15 @@ class StreamingSpec extends SparkSpec {
         batchDocs.filter(col("doc_id") % 50 === 0))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch && streamed.nonEmpty)
+
+    // the large-gram-set variant (broadcast sorted array + binary-search
+    // probe) must be semantically identical to the literal-array form
+    val trainDocs = batchDocs.filter(col("doc_id") % 50 =!= 0)
+    val viaLiteral = Decontam.decontaminateStreaming(trainDocs, evalGrams)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBroadcast = Decontam.decontaminateStreamingLarge(trainDocs, evalGrams)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBroadcast == viaLiteral && viaBroadcast == batch)
   }
 
   test("stateful running totals equal batch aggregation after one pass") {
