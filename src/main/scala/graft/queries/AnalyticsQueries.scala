@@ -170,6 +170,201 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // TPC-H Q2 shape (min-cost supplier, adapted: this dataset has no
+    // partsupp, so the correlated min runs per part size): parts priced at
+    // their size group's minimum. The classic decorrelation — group-agg
+    // the min per correlation key, broadcast it back — written explicitly;
+    // at 100 TB the agg output is |distinct sizes| rows, always broadcast.
+    "q_tpch_q2" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_size") <= 10)
+      val minPrice = p.groupBy("p_size").agg(min("p_retailprice").as("min_price"))
+      p.join(broadcast(minPrice), Seq("p_size"))
+        .filter(col("p_retailprice") === col("min_price"))
+        .select(col("p_size"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy("p_size", "p_partkey")
+    }),
+
+    // TPC-H Q4 (priority checking): EXISTS with a correlated inequality —
+    // a left-semi join whose condition spans both sides (shipped >60 days
+    // after ordering). The semi join keeps orders unduplicated no matter
+    // how many late lines an order has.
+    "q_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg —
+    // every predicate pushes to the parquet scan, one partial-aggregated
+    // decimal sum, no shuffle beyond the single-row exchange. The discount
+    // band compares parquet-exact doubles (selection, not arithmetic).
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"))
+        .orderBy("revenue")),
+
+    // TPC-H Q7 (volume shipping): revenue between two nations by year,
+    // either direction. The nation filter is applied to supplier and
+    // customer BEFORE the fact joins (Catalyst cannot derive the per-side
+    // IN-superset from the pair disjunction on its own), so lineitem joins
+    // two pre-shrunk broadcast dims instead of filtering post-join.
+    "q_tpch_q7" -> ((s, d) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      val supp = Tables.supplier(s, d).join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d).join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // TPC-H Q10 (returned items): top customers by revenue lost to
+    // returns in a half-year — fact-fact shuffle join on orderkey, then
+    // broadcast dims; the returnflag and date filters both push to scans.
+    "q_tpch_q10" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1996-07-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+        .orderBy(desc("revenue"), asc("c_custkey")).limit(20)),
+
+    // TPC-H Q12 shape (shipping modes → order priorities; this dataset
+    // has no shipmode column): conditional counts partition one join's
+    // rows into high/low priority classes in a single pass.
+    "q_tpch_q12" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q14 (promotion effect): a conditional decimal sum over a
+    // total decimal sum — each sum is exact, each is cast to DOUBLE once,
+    // and the single multiply/divide chain is IEEE-deterministic.
+    "q_tpch_q14" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-02-01"))
+        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", revenueTerm)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+            sum(revenueTerm).cast("double")).as("promo_revenue"))
+        .orderBy("promo_revenue")),
+
+    // TPC-H Q16 shape (supplier counts by part attributes; lineitem
+    // stands in for the missing partsupp): NOT IN over a non-null key is
+    // the broadcast anti-join; the distinct part-supplier projection
+    // collapses the fact table before any dimension work.
+    "q_tpch_q16" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val badSupp = Tables.supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+      ps.join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    }),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): the part
+    // side is pre-filtered with the hand-derived superset of the three
+    // disjuncts (brand IN + max size band) so the broadcast ships only
+    // candidate parts; the exact triple-condition filter runs post-join.
+    "q_tpch_q19" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+              col("p_size").between(1, 15))),
+          col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy("revenue")),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting; "late" = shipped
+    // >90 days after ordering, standing in for the missing commit/receipt
+    // dates): the classic EXISTS / NOT-EXISTS pair decorrelated into ONE
+    // pass — per-order distinct-supplier and distinct-late-supplier counts
+    // via window collect_sets on the already-shuffled orderkey partition,
+    // so the fact join is scanned once with no self-join re-derivation.
+    "q_tpch_q21" -> ((s, d) => {
+      val flag = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+      val w = Window.partitionBy("l_orderkey")
+      flag
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late", size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late") && col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name")).limit(25)
+    }),
+
+    // TPC-H Q22 shape (global-customer sales opportunity): a scalar-agg
+    // threshold (avg positive balance, computed as one exact decimal sum
+    // over a count — a single deterministic division) broadcast as a
+    // 1-row cross join, then an anti join against recently-active buyers.
+    "q_tpch_q22" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val thr = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("thr"))
+      val active = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey").distinct()
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(broadcast(active), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // date arithmetic: day differences and interval offsets (midnight-
     // aligned timestamps, so day-boundary counting agrees across engines)
     "q_time_arith" -> ((s, d) =>
@@ -712,6 +907,115 @@ object AnalyticsQueries {
         |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |ORDER BY avg_yearly""".stripMargin,
+
+    "q_tpch_q2" ->
+      """SELECT p.p_size, p.p_partkey, p.p_name, p.p_retailprice
+        |FROM part p
+        |WHERE p.p_size <= 10 AND p.p_retailprice = (
+        |  SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_size = p.p_size)
+        |ORDER BY p_size, p_partkey""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY revenue""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+         |  CAST(sum($revenueTermDuck) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |GROUP BY supp_nation, cust_nation, yr
+         |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, CAST(sum($revenueTermDuck) AS DOUBLE) AS revenue, n_name
+         |FROM customer
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueTermDuck ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |             / CAST(sum($revenueTermDuck) AS DOUBLE) AS promo_revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+         |ORDER BY promo_revenue""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q19" ->
+      s"""SELECT CAST(sum($revenueTermDuck) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+         |ORDER BY revenue""".stripMargin,
+
+    // correlated EXISTS / NOT-EXISTS formulation — equivalent to the
+    // engine's single-pass window decorrelation (equality checked in
+    // DuckDB during development)
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_events_retention" ->
       """WITH e AS MATERIALIZED (
