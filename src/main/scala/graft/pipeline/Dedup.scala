@@ -27,6 +27,26 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** Text normalization for near-exact dedup: casefold, strip
+    * non-alphanumerics, collapse space runs, trim — catches trivially
+    * reformatted copies (case, punctuation, whitespace) that byte-exact
+    * dedup misses, without any similarity machinery. Pure per-row codegen
+    * expressions; the regexes avoid constructs where Java and RE2
+    * semantics diverge. */
+  def normalizedText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "  +", " "))
+
+  /** Normalization-based dedup: one row per distinct NORMALIZED text with
+    * the surviving doc_id and group size. At 100 TB compose with the
+    * fingerprint trick below — hash the normalized text so the dedup
+    * shuffle carries 16 B/row instead of documents. */
+  def normalizedExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normalizedText(col("text")).as("norm"))
+      .groupBy("norm")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+      .withColumn("norm_len", length(col("norm")).cast("long"))
+      .select("keeper", "n_docs", "norm_len")
+
   /** Exact dedup that never shuffles payloads: group by (fingerprint,
     * length) instead of the full text — at 100 TB the shuffle carries 16
     * bytes per row instead of documents. Collision risk is 1/P per pair

@@ -365,6 +365,96 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // cumulative distinct users ("users acquired to date"): the classic
+    // COUNT(DISTINCT) OVER — not directly computable as a window — done
+    // the scalable way: first-seen hour per user (one shuffle), new-user
+    // counts per hour, then a running sum over the tiny hour axis.
+    "q_window_cumdistinct" -> ((s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(expr("ts div 3600000000000")).as("hour"))
+      firstSeen.groupBy("hour").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum("new_users").over(Window.orderBy("hour")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("hour")
+    }),
+
+    // last-touch attribution: each purchase credits the user's most recent
+    // PRIOR click — a conditional last_value(IGNORE NULLS) over the
+    // user-ordered event stream, evaluated in one pass with no self-join
+    // (the naive formulation joins purchases against clicks and re-ranks).
+    "q_events_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("attributed_click",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "attributed_click")
+        .orderBy("event_id")
+    }),
+
+    // RFM customer scoring: recency/frequency/monetary per buyer, each
+    // bucketed into quintiles. ntile is deterministic because every
+    // ordering carries the unique user_id tiebreak; the monetary sum runs
+    // in DECIMAL. The three global windows sort only the per-user
+    // aggregate (|users| rows), not the event stream.
+    "q_events_rfm" -> ((s, d) => {
+      val m = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(
+          max(expr("ts div 86400000000000")).as("recency_day"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("monetary"))
+      m.withColumn("r_tile",
+          ntile(5).over(Window.orderBy("recency_day", "user_id")).cast("long"))
+        .withColumn("f_tile",
+          ntile(5).over(Window.orderBy("frequency", "user_id")).cast("long"))
+        .withColumn("m_tile",
+          ntile(5).over(Window.orderBy("monetary", "user_id")).cast("long"))
+        .orderBy("user_id")
+    }),
+
+    // exact per-group mode (most frequent value, smallest-value tie-break):
+    // two-level aggregate — count per (group, value), then rank within
+    // group. The value-level aggregate partial-aggregates map-side, so the
+    // shuffle carries (group, value) pairs, not raw rows.
+    "q_agg_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(desc("cnt"), asc("l_quantity"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // 2-D skyline (Pareto frontier): parts where no other part is cheaper-
+    // and-smaller. O(n log n) instead of the naive O(n²) self-join: sort
+    // by integer price-cents, then a row is dominated iff the running min
+    // of size over STRICTLY cheaper rows reaches its size, or over
+    // price-peers-inclusive goes strictly below it. Prices are 2-dp, so
+    // cents are exact integers and the RANGE frames work in both engines.
+    "q_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_size"),
+        col("p_retailprice"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val wStrict = Window.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wIncl = Window.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      p.withColumn("m_strict", min("p_size").over(wStrict))
+        .withColumn("m_incl", min("p_size").over(wIncl))
+        .filter(!(coalesce(col("m_strict") <= col("p_size"), lit(false)) ||
+          col("m_incl") < col("p_size")))
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
     // date arithmetic: day differences and interval offsets (midnight-
     // aligned timestamps, so day-boundary counting agrees across engines)
     "q_time_arith" -> ((s, d) =>
@@ -1016,6 +1106,63 @@ object AnalyticsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_cumdistinct" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT user_id, min(epoch_us(ts) // 3600000000) AS hour FROM events GROUP BY user_id),
+        |d AS MATERIALIZED (SELECT hour, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT hour, new_users, CAST(sum(new_users) OVER (ORDER BY hour) AS BIGINT) AS cum_users
+        |FROM d ORDER BY hour""".stripMargin,
+
+    "q_events_attribution" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_click
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us, attributed_click
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_events_rfm" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT user_id,
+        |    max(epoch_us(ts) // 86400000000) AS recency_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, recency_day, frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_day, user_id) AS BIGINT) AS r_tile,
+        |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_tile,
+        |  CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_tile
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    "q_agg_mode" ->
+      """SELECT l_returnflag, l_linestatus, CAST(mode_qty AS BIGINT) AS mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_linestatus, l_quantity AS mode_qty, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |                       ORDER BY cnt DESC, l_quantity) AS rn
+        |  FROM (SELECT l_returnflag, l_linestatus, l_quantity, count(*) AS cnt
+        |        FROM lineitem GROUP BY 1, 2, 3))
+        |WHERE rn = 1 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT p_partkey, p_size, p_retailprice,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part),
+        |w AS (
+        |  SELECT p_partkey, p_size, p_retailprice,
+        |    min(p_size) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict,
+        |    min(p_size) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_incl
+        |  FROM p)
+        |SELECT p_partkey, p_size, p_retailprice
+        |FROM w
+        |WHERE NOT (coalesce(m_strict <= p_size, false) OR m_incl < p_size)
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_events_retention" ->
       """WITH e AS MATERIALIZED (

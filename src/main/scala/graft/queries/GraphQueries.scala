@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.graph.{Graphs, KMeans, PageRank, ShortestPath, Triangles}
+import graft.graph.{Graphs, Hits, KMeans, PageRank, ShortestPath, Triangles}
 
 /** Graph-algorithm coverage (SURVEY §2 + §7.2 steps 3-6) as named queries.
   *
@@ -66,6 +66,8 @@ object GraphQueries {
   private val CnMod = 50000
   private val CnMaxId = 25000
   private val CnTopK = 100
+  // HITS: engine iteration count and oracle unroll depth must agree
+  private val HitsIters = 5
 
   val defs: Map[String, Q] = Map(
     // the reference headline: follower count on the edge relation
@@ -166,6 +168,16 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 9).as("pr"))
         .orderBy("vertex")
     }),
+
+    // HITS hubs & authorities on the derived graph: the transpose-
+    // direction companion to PageRank (auth pulls over in-edges, hub over
+    // out-edges), L1-normalized per half-step; oracle = unrolled CTE with
+    // the same normalization order, scores rounded to 9 dp on both sides
+    "q_graph_hits" -> ((s, d) =>
+      Hits.run(Graphs.lineitemEdges(s, d, Mod), HitsIters)
+        .select(col("vertex"), round(col("hub"), 9).as("hub"),
+          round(col("auth"), 9).as("auth"))
+        .orderBy("vertex")),
 
     // classic damped PageRank (teleport 0.15) on the derived graph — the
     // modern formulation the reference omits; dangling mass comes from
@@ -448,6 +460,35 @@ object GraphQueries {
        |  SELECT DISTINCT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst
        |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod)""".stripMargin
 
+  /** Unrolled HITS — one (auth, hub) CTE pair per iteration, mirroring
+    * Hits.run: auth pulls hub over in-edges and L1-normalizes, hub pulls
+    * the NORMALIZED auth over out-edges and L1-normalizes. */
+  private val hitsSql = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $derivedGraphCte,
+      |v AS MATERIALIZED (SELECT src AS vertex FROM g UNION SELECT dst FROM g),
+      |s0 AS MATERIALIZED (SELECT vertex, CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS auth FROM v)""".stripMargin
+    for (i <- 1 to HitsIters) {
+      val p = i - 1
+      sb ++= s""",
+        |ar$i AS MATERIALIZED (
+        |  SELECT v.vertex, coalesce(t.araw, 0) AS araw FROM v LEFT JOIN (
+        |    SELECT e.dst AS vertex, sum(s.hub) AS araw
+        |    FROM g e JOIN s$p s ON e.src = s.vertex GROUP BY e.dst) t USING (vertex)),
+        |a$i AS MATERIALIZED (
+        |  SELECT vertex, araw / (SELECT sum(araw) FROM ar$i) AS auth FROM ar$i),
+        |hr$i AS MATERIALIZED (
+        |  SELECT v.vertex, coalesce(t.hraw, 0) AS hraw FROM v LEFT JOIN (
+        |    SELECT e.src AS vertex, sum(a.auth) AS hraw
+        |    FROM g e JOIN a$i a ON e.dst = a.vertex GROUP BY e.src) t USING (vertex)),
+        |s$i AS MATERIALIZED (
+        |  SELECT h.vertex, h.hraw / (SELECT sum(hraw) FROM hr$i) AS hub, a.auth
+        |  FROM hr$i h JOIN a$i a USING (vertex))""".stripMargin
+    }
+    sb ++= s"\nSELECT vertex, round(hub, 9) AS hub, round(auth, 9) AS auth FROM s$HitsIters ORDER BY vertex"
+    sb.toString
+  }
+
   /** Unrolled 1-D Lloyd's iterations; argmin with first-min tie-break as a
     * CASE chain, matching KMeans.assign's array_position semantics. */
   private def kmeansSql(init: Seq[Double], iters: Int): String = {
@@ -567,6 +608,7 @@ object GraphQueries {
     "q_graph_sssp" -> ssspSql,
     "q_graph_sssp_weighted" -> ssspWeightedSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
+    "q_graph_hits" -> hitsSql,
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
     "q_graph_pagerank_damped" -> pagerankDampedSql(derivedGraphCte, PrIters),
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),

@@ -45,6 +45,11 @@ object PipelineQueries {
     "q_dedup_exact_fp" -> ((s, d) =>
       Dedup.exactByFingerprint(Tables.documents(s, d)).orderBy("keeper")),
 
+    // normalization-based dedup: casefold/punct-strip/space-collapse before
+    // grouping — the cheap screen between byte-exact and MinHash
+    "q_dedup_normtext" -> ((s, d) =>
+      Dedup.normalizedExact(Tables.documents(s, d)).orderBy("keeper")),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold)
         .orderBy("doc_a", "doc_b")),
@@ -818,6 +823,14 @@ object PipelineQueries {
       s"""SELECT fp, min(doc_id) AS keeper, count(*) AS n_copies
          FROM (SELECT doc_id, ${polyHashDuck("text")} AS fp, length(text) AS len FROM documents)
          GROUP BY fp, len ORDER BY keeper""",
+    "q_dedup_normtext" ->
+      """WITH n AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT min(doc_id) AS keeper, count(*) AS n_docs, CAST(length(norm) AS BIGINT) AS norm_len
+        |FROM n GROUP BY norm
+        |ORDER BY keeper""".stripMargin,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_final" -> dedupFinalSql,

@@ -28,6 +28,19 @@ class GraphSpec extends SparkSpec {
     assert(Triangles.countShuffle(e, 100).first().getDouble(0) == 1.0)
   }
 
+  test("hits: star graph — center is the sole authority, leaves the hubs") {
+    // 1->0, 2->0, 3->0: vertex 0 has all authority; hubs split evenly
+    val e = edges(1L -> 0L, 2L -> 0L, 3L -> 0L)
+    val r = Hits.run(e, iterations = 3).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(0L)._2 == 1.0 && r(0L)._1 == 0.0) // all auth, no hub
+    for (v <- 1L to 3L) assert(math.abs(r(v)._1 - 1.0 / 3) < 1e-12 && r(v)._2 == 0.0)
+    // L1 invariants hold on every iteration count
+    val sums = Hits.run(e, iterations = 1).agg(sum("hub"), sum("auth")).first()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-12 &&
+      math.abs(sums.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("sssp: diamond ties, cycle, unreachable component") {
     // 1->2->4, 1->3->4 (diamond), 4->1 (cycle), 5->6 unreachable from 1
     val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 1L, 5L -> 6L)
