@@ -365,6 +365,175 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q8 (national market share): of all STANDARD-part revenue sold
+    // to ASIA-region customers, the share supplied by NATION_5, by order
+    // year. Every dimension (part filter, supplier→nation, customer's
+    // region gate) broadcasts; the only shuffles are the lineitem↔orders
+    // fact join and the |years|-row aggregate. Share = two exact decimal
+    // sums each cast to DOUBLE once, then a single IEEE division.
+    "q_tpch_q8" -> ((s, d) => {
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val suppNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "STANDARD").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_5", revenueTerm)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+          sum(revenueTerm).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape (product type profit; no partsupp table, so supply
+    // cost is proxied as 10% of p_retailprice): profit per supplier nation
+    // per order year over 'widget' parts. Revenue and cost are separate
+    // exact decimal sums, subtracted once in DOUBLE — no float accumulation
+    // anywhere. part/supplier/nation broadcast; lineitem↔orders shuffles.
+    "q_tpch_q9" -> ((s, d) => {
+      val costTerm = col("l_quantity").cast(DecimalType(12, 2)) *
+        col("p_retailprice").cast(DecimalType(12, 2)) *
+        lit(0.10).cast(DecimalType(4, 2))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("widget"))
+            .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(revenueTerm).cast("double") - sum(costTerm).cast("double")).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    // TPC-H Q11 shape (important stock; lineitem revenue stands in for
+    // partsupp value): parts whose positive-balance-supplier revenue
+    // exceeds 1.5x the MEAN per-part value (balance stands in for Q11's
+    // nation gate — a single nation can be empty at the smallest test SF;
+    // mean-relative beats Q11's fixed fraction, which degenerates when the
+    // part count scales with the data). The threshold is a 1-row
+    // broadcast; both the per-part values and the global total come from
+    // the SAME exact decimal sum (never a re-sum of per-part doubles,
+    // which would be order-dependent), and the threshold expression
+    // (total / nparts) * 1.5 is evaluated in the same operation order on
+    // both engines.
+    "q_tpch_q11" -> ((s, d) => {
+      val natSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") > 0.0)
+        .select("s_suppkey")
+      val filtered = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      val vals = filtered.groupBy("l_partkey")
+        .agg(sum(revenueTerm).cast("double").as("value"))
+      val thr = filtered.agg((sum(revenueTerm).cast("double") /
+        countDistinct("l_partkey") * lit(1.5)).as("thr"))
+      vals.crossJoin(broadcast(thr))
+        .filter(col("value") > col("thr"))
+        .select("l_partkey", "value")
+        .orderBy(desc("value"), asc("l_partkey"))
+    }),
+
+    // TPC-H Q13 (customer distribution): orders-per-customer histogram
+    // including zero-order customers — the left-outer + count(non-null)
+    // two-level aggregate. The priority exclusion stands in for the
+    // missing o_comment filter. Both aggregates partial-aggregate
+    // map-side; the second one runs over |customers| rows only.
+    "q_tpch_q13" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    // max. The classic view + scalar-subquery pair becomes one aggregate
+    // reused for both the values and the 1-row broadcast max — Q11's
+    // pattern with max instead of a fraction. Equality on DOUBLE is safe
+    // because both sides are the same exact-decimal-cast value.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(revenueTerm).cast("double").as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q20 shape (dominant suppliers; availqty>half-of-shipped
+    // becomes shipped-more-than-half-of-the-part's-total): for 'small*'
+    // parts in 1996, suppliers covering >50% of a part's volume. The
+    // per-part total rides a window over the already-aggregated
+    // (part, supplier) rows — state-sized, never the raw fact. Quantities
+    // are integral doubles, so sums and the *0.5 compare are exact.
+    "q_tpch_q20" -> ((s, d) => {
+      val perSupp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").startsWith("small"))
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("supp_qty"))
+      val major = perSupp
+        .withColumn("part_qty", sum("supp_qty").over(Window.partitionBy("l_partkey")))
+        .filter(col("supp_qty") > col("part_qty") * 0.5)
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(major), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // bucketized range join (point-in-interval): each purchase counts the
+    // OTHER users whose same-hour activity span [min ts, max ts] contains
+    // it. The interval side is keyed by the hour bucket its endpoints
+    // share (spans are built per (user, hour), so no interval ever crosses
+    // its bucket) — the non-equi containment predicate rides a plain
+    // equi-shuffle on hr instead of a cross product, which is exactly how
+    // a range join stays linear at 100 TB: candidates per row are bounded
+    // by bucket occupancy, not table size. LEFT join keeps zero-overlap
+    // purchases. Timestamps compare in µs (ts div 1000) — the nanos-vs-µs
+    // parity rule for the TIMESTAMP_NS events column.
+    "q_range_join" -> ((s, d) => {
+      val spans = Tables.events(s, d)
+        .select(col("user_id").as("s_user"), expr("ts div 1000").as("s_us"),
+          expr("ts div 3600000000000").as("s_hr"))
+        .groupBy("s_user", "s_hr")
+        .agg(min("s_us").as("t0"), max("s_us").as("t1"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"),
+          expr("ts div 3600000000000").as("hr"))
+        .join(spans, col("hr") === col("s_hr") &&
+          col("t_us") >= col("t0") && col("t_us") <= col("t1") &&
+          col("s_user") =!= col("user_id"), "left_outer")
+        .groupBy("event_id", "user_id", "t_us")
+        .agg(count(col("s_user")).as("n_concurrent"))
+        .orderBy("event_id")
+    }),
+
     // cumulative distinct users ("users acquired to date"): the classic
     // COUNT(DISTINCT) OVER — not directly computable as a window — done
     // the scalable way: first-seen hour per user (one shuffle), new-user
@@ -1106,6 +1275,100 @@ object AnalyticsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN $revenueTermDuck
+         |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    / CAST(sum($revenueTermDuck) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         |GROUP BY o_year
+         |ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum($revenueTermDuck) AS DOUBLE)
+         |    - CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))
+         |               * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2 DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT l_partkey, $revenueTermDuck AS rev
+         |  FROM lineitem
+         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0.0))
+         |SELECT l_partkey, CAST(sum(rev) AS DOUBLE) AS value
+         |FROM f GROUP BY l_partkey
+         |HAVING CAST(sum(rev) AS DOUBLE) > (SELECT CAST(sum(rev) AS DOUBLE)
+         |  / count(DISTINCT l_partkey) * CAST(1.5 AS DOUBLE) FROM f)
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      s"""WITH r AS MATERIALIZED (
+         |  SELECT l_suppkey, CAST(sum($revenueTermDuck) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN r ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH l AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND p_name LIKE 'small%'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, supp_qty,
+        |      sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty FROM l)
+        |  WHERE supp_qty > part_qty * 0.5)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |    epoch_us(ts) // 3600000000 AS hr, event_type
+        |  FROM events),
+        |s AS MATERIALIZED (
+        |  SELECT user_id AS s_user, hr AS s_hr, min(t_us) AS t0, max(t_us) AS t1
+        |  FROM e GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.t_us,
+        |  count(s.s_user) AS n_concurrent
+        |FROM e p LEFT JOIN s
+        |  ON p.hr = s.s_hr AND p.t_us BETWEEN s.t0 AND s.t1 AND s.s_user <> p.user_id
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_window_cumdistinct" ->
       """WITH f AS MATERIALIZED (

@@ -144,6 +144,32 @@ object RelQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // deterministic HLL sketch, oracle-checked — the cross-engine-exact
+    // counterpart of q_agg_approx_distinct. Own 64-bit affine hash (TextHash
+    // constants, never engine-native hashing); m=64 registers; rho is the
+    // trailing-zero count, kept as its power-of-two lowbit value (v & -v)
+    // so 2^-rho stays a RATIONAL term: K/(2*lowbit) with K=2^25 is an exact
+    // integer division (lowbit <= 2^24 divides K), the register sum is an
+    // exact BIGINT, and the estimate alpha*m^2*K/sum is ONE IEEE division.
+    // Empty registers contribute K each ((m - count) * K). No small-range
+    // ln() correction — n >> 2.5m here, where raw HLL needs none; the
+    // sketch shuffles 64 ints per group regardless of input size.
+    "q_agg_hll" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("(2654435761 * l_partkey + 12345) % 1000000007").as("h"))
+        .select(col("l_returnflag"), expr("h % 64").as("bkt"),
+          expr("CASE WHEN h div 64 = 0 THEN 16777216 " +
+            "ELSE (h div 64) & -(h div 64) END").as("low"))
+        .groupBy("l_returnflag", "bkt").agg(max("low").as("mlow"))
+        .groupBy("l_returnflag")
+        .agg(expr("sum(33554432 div (2 * mlow))").as("st"),
+          count(lit(1)).as("nb"))
+        .select(col("l_returnflag"),
+          expr("0.709D * 137438953472D / CAST(st + (64 - nb) * 33554432 AS DOUBLE)")
+            .as("apx_parts"))
+        .orderBy("l_returnflag")),
+
     // ---- filters / projections (SURVEY §2.2) ----
     // P5/P6 range predicates + column pruning
     "q_filter_range" -> ((s, d) =>
@@ -702,6 +728,24 @@ object RelQueries {
          sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
          sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // same register algebra as the engine, spelled in DuckDB (// integer
+    // division, & bitwise AND on BIGINT); every intermediate is integral
+    "q_agg_hll" ->
+      """WITH hashed AS MATERIALIZED (
+        |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
+        |  FROM lineitem),
+        |regs AS (
+        |  SELECT l_returnflag, h % 64 AS bkt,
+        |    max(CASE WHEN h // 64 = 0 THEN 16777216
+        |             ELSE (h // 64) & -(h // 64) END) AS mlow
+        |  FROM hashed GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
+        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
+        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
+        |FROM regs GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_set_except_all" ->
       """SELECT k, count(*) AS n FROM (
