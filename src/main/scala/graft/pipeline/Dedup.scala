@@ -113,6 +113,45 @@ object Dedup {
     out
   }
 
+  /** Containment near-duplicates: pairs where the smaller shingle set sits
+    * mostly inside the larger — |A∩B| / min(|A|,|B|) >= threshold. Catches
+    * doc-inside-doc duplication that symmetric Jaccard under-scores: a
+    * 100-line file pasted into a 10k-line one has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0, and training corpora are full of exactly that
+    * (quoted articles, vendored code, boilerplate-wrapped reposts).
+    *
+    * Deliberately NOT the minhash band index: banding's collision rate is
+    * a function of Jaccard, and contained-in-bigger pairs have low Jaccard
+    * by construction — the index would miss exactly the pairs this
+    * operator exists for. Instead, candidates come from a posting-list
+    * self-join on the shingle hashes (pairs sharing >= 1 shingle), whose
+    * group-count IS the exact intersection size — one shuffle keyed on
+    * the shingle hash (partial-aggregated), one keyed on the pair. Exact
+    * recall for any threshold > 0. Fan-out is Σ df(h)² over shingle
+    * document frequencies; the exactness-preserving scale lever when
+    * boilerplate shingles go hot is prefix filtering (PPJoin-style: only
+    * each doc's (1-τ)·|A|+1 rarest shingles need to emit candidates),
+    * with a lossy df cap as the blunter fallback. */
+  def containmentDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleHashes(docs).persist()
+    sh.count() // pin the cache: sizes and postings both read it
+    val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val pairs = posts.toDF("doc_a", "h")
+      .join(posts.toDF("doc_b", "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+    val out = pairs.localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** (doc_id, sim) — SimBits-bit simhash over the word multiset (order-
     * and permutation-insensitive), via the codegen'd SimHashExpr kernel. */
   def simhashSignatures(docs: DataFrame): DataFrame =

@@ -1063,6 +1063,115 @@ object AnalyticsQueries {
         .orderBy("split", "source", "doc_id")
     }),
 
+    // First-order Markov transition matrix over per-user event sequences:
+    // P(next event type | current) — the session model behind next-action
+    // prediction and synthetic-session generation. One keyed window (lead)
+    // + one hash aggregate; the probability is a single IEEE division of
+    // two exact counts, so both engines emit identical doubles.
+    "q_events_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTotal = Window.partitionBy("from_type")
+      trans.withColumn("p", col("n").cast("double") / sum("n").over(rowTotal))
+        .select("from_type", "to_type", "n", "p")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Top-k 3-step user journeys ("view>click>purchase"): two stacked
+    // leads over the same keyed window (Catalyst plans ONE sort), path
+    // string as the group key — the clickstream pattern-mining staple.
+    "q_events_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(20)
+    }),
+
+    // OHLC downsampling: per (user, day) open/high/low/close over the
+    // value stream — the time-series resampler (finance bars, sensor
+    // rollups). open/close ride an explicit unbounded frame with a unique
+    // (ts_us, event_id) order, so they are deterministic under ties; the
+    // day total runs in DECIMAL (money-sum policy).
+    "q_time_downsample" -> ((s, d) => {
+      val wf = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          expr("ts div 86400000000000").as("day"), col("value"))
+        .withColumn("open", first("value").over(wf))
+        .withColumn("close", last("value").over(wf))
+        .groupBy("user_id", "day")
+        .agg(min("open").as("open"), max("value").as("high"),
+          min("value").as("low"), min("close").as("close"),
+          count(lit(1)).as("n_events"), dsum("value").as("total_value"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Association rules from order baskets: confidence = P(B|A) and
+    // lift = P(AB)/(P(A)P(B)) for directed part pairs, top-100 by lift.
+    // All scores are single IEEE divisions of exact int64 counts (the
+    // basket counts are < 2^53, so the int->double conversions are exact
+    // and both engines emit identical doubles, making the lift ordering
+    // itself deterministic). Basket fan-out is bounded by basket size —
+    // the same shuffle shape as q_copurchase, never all-pairs over parts.
+    "q_assoc_rules" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val tot = li.select(countDistinct("l_orderkey").as("n_t"))
+      val supp = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
+      val pairs = li.toDF("o", "p1").join(li.toDF("o2", "p2"),
+          col("o") === col("o2") && col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val rules = pairs.select(col("p1").as("antecedent"), col("p2").as("consequent"), col("n_ab"))
+        .unionByName(pairs.select(col("p2").as("antecedent"), col("p1").as("consequent"), col("n_ab")))
+      rules
+        .join(supp.toDF("antecedent", "n_ante"), "antecedent")
+        .join(supp.toDF("consequent", "n_cons"), "consequent")
+        .crossJoin(broadcast(tot))
+        .select(col("antecedent"), col("consequent"), col("n_ab").as("n_both"),
+          col("n_ante"),
+          (col("n_ab").cast("double") / col("n_ante")).as("confidence"),
+          ((col("n_t") * col("n_ab")).cast("double") / (col("n_ante") * col("n_cons")))
+            .as("lift"))
+        .orderBy(desc("lift"), col("antecedent"), col("consequent"))
+        .limit(100)
+    }),
+
+    // Incremental view maintenance: the per-customer order metrics table,
+    // maintained by folding the post-cutoff delta batch into the
+    // pre-cutoff base aggregate (ops.IncrementalAgg) — history is never
+    // rescanned. The oracle computes the full aggregate from scratch; the
+    // hash equality IS the merge(agg(A), agg(B)) == agg(A ∪ B) proof.
+    "q_agg_ivm" -> ((s, d) => {
+      def partial(df: DataFrame) = df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("first_order"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_order"))
+      val orders = Tables.orders(s, d)
+      val base = partial(orders.filter(col("o_orderdate") < lit("1997-07-01")))
+      val delta = partial(orders.filter(col("o_orderdate") >= lit("1997-07-01")))
+      graft.ops.IncrementalAgg.merge(base, delta, keys = Seq("o_custkey"),
+          counts = Seq("n_orders"), sums = Seq("total"),
+          mins = Seq("first_order"), maxs = Seq("last_order"))
+        .select(col("o_custkey"), col("n_orders"), col("total").cast("double").as("total"),
+          col("first_order"), col("last_order"))
+        .orderBy("o_custkey")
+    }),
+
     // Corpus fingerprint: one order-independent checksum row per source —
     // XOR of a per-document hash (poly-hash of the text mixed with the
     // doc id) plus exact counts. THE cheap cross-cluster validation for a
@@ -1694,5 +1803,74 @@ object AnalyticsQueries {
          |FROM documents
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    "q_events_markov" ->
+      """WITH seq AS MATERIALIZED (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS to_type
+        |  FROM events),
+        |t AS MATERIALIZED (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+
+    "q_events_paths" ->
+      """WITH seq AS MATERIALIZED (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "q_time_downsample" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events),
+        |t AS MATERIALIZED (
+        |  SELECT user_id, day, value,
+        |    first_value(value) OVER w AS open, last_value(value) OVER w AS close
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, min(open) AS open, max(value) AS high,
+        |  min(value) AS low, min(close) AS close, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM t GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS MATERIALIZED (SELECT count(DISTINCT o) AS n_t FROM li),
+        |supp AS MATERIALIZED (SELECT p, count(*) AS n_p FROM li GROUP BY p),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS MATERIALIZED (
+        |  SELECT p1 AS antecedent, p2 AS consequent, n_ab FROM pairs
+        |  UNION ALL SELECT p2, p1, n_ab FROM pairs)
+        |SELECT r.antecedent, r.consequent, r.n_ab AS n_both, sa.n_p AS n_ante,
+        |  CAST(r.n_ab AS DOUBLE) / sa.n_p AS confidence,
+        |  CAST(t.n_t * r.n_ab AS DOUBLE) / (sa.n_p * sc.n_p) AS lift
+        |FROM rules r
+        |JOIN supp sa ON r.antecedent = sa.p
+        |JOIN supp sc ON r.consequent = sc.p
+        |CROSS JOIN tot t
+        |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    "q_agg_ivm" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(strftime(o_orderdate, '%Y-%m-%d')) AS first_order,
+        |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -102,6 +102,41 @@ object GraphQueries {
       Triangles.jaccardLinkPred(Graphs.lineitemEdges(s, d, CnMod),
         maxId = CnMaxId, k = CnTopK)),
 
+    // degree assortativity: Pearson correlation between out-degree(src)
+    // and in-degree(dst) over the edge relation — do hubs link to hubs?
+    // All six moments are exact int64 sums (bounded: deg <= Mod, edges <=
+    // Mod², every product < 2^53), so the final correlation is one
+    // IEEE-identical expression on both engines. Two degree aggregates +
+    // two broadcast-able joins + one global agg — no all-pairs anywhere.
+    "q_graph_assortativity" -> ((s, d) => {
+      val e = Graphs.lineitemEdges(s, d, Mod)
+      val dx = e.groupBy("src").agg(count(lit(1)).as("dx"))
+      val dy = e.groupBy("dst").agg(count(lit(1)).as("dy"))
+      e.join(dx, "src").join(dy, "dst")
+        .agg(count(lit(1)).as("n_edges"),
+          sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("n_edges"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+          ((col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n_edges") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("assortativity"))
+    }),
+
+    // reciprocal-edge profile: per-vertex count of mutual (follow-back)
+    // edges — one self-join of the distinct edge relation on the swapped
+    // key, partitioned like any equi-join; the reciprocity screen used on
+    // social graphs
+    "q_graph_mutual" -> ((s, d) => {
+      val e = Graphs.lineitemEdges(s, d, Mod)
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      e.join(rev, Seq("src", "dst"), "left_semi")
+        .groupBy(col("src").as("vertex")).agg(count(lit(1)).as("n_mutual"))
+        .orderBy("vertex")
+    }),
+
     "q_graph_sssp" -> ((s, d) =>
       ShortestPath.run(Graphs.lineitemEdges(s, d, Mod), source = 1L, maxIter = SsspMaxHops)
         .filter(col("dist") =!= Double.PositiveInfinity)
@@ -596,7 +631,34 @@ object GraphQueries {
     sb.toString
   }
 
+  private val assortativitySql =
+    s"""WITH $edgesSql,
+       |dx AS MATERIALIZED (SELECT src, count(*) AS dx FROM edges GROUP BY src),
+       |dy AS MATERIALIZED (SELECT dst, count(*) AS dy FROM edges GROUP BY dst),
+       |j AS MATERIALIZED (
+       |  SELECT dx.dx, dy.dy FROM edges e
+       |  JOIN dx ON e.src = dx.src JOIN dy ON e.dst = dy.dst),
+       |m AS MATERIALIZED (
+       |  SELECT count(*) AS n_edges,
+       |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |    CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+       |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+       |  FROM j)
+       |SELECT n_edges, sx, sy, sxx, syy, sxy,
+       |  CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+       |    (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
+       |     sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) AS assortativity
+       |FROM m ORDER BY n_edges""".stripMargin
+
+  private val mutualSql =
+    s"""WITH $edgesSql
+       |SELECT a.src AS vertex, count(*) AS n_mutual
+       |FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+       |GROUP BY 1 ORDER BY vertex""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_graph_assortativity" -> assortativitySql,
+    "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),
     "q_graph_sssp_path_tree" -> ssspPathTreeSql,
     "q_graph_degree" -> degreeSql,

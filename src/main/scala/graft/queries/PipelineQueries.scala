@@ -18,6 +18,7 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val MinhashThreshold = 0.8
+  private val ContainmentThreshold = 0.9
   private val SimhashMaxHamming = 3
   private val NgramThreshold = 0.02
   private val NgramSampleMod = 5
@@ -89,6 +90,12 @@ object PipelineQueries {
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashDedup(Tables.documents(s, d), SimhashMaxHamming)
+        .orderBy("doc_a", "doc_b")),
+
+    // containment (asymmetric) near-dup: the smaller shingle set mostly
+    // inside the larger — doc-inside-doc duplication Jaccard under-scores
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentDedup(Tables.documents(s, d), ContainmentThreshold)
         .orderBy("doc_a", "doc_b")),
 
     // priority-aware canonical selection inside duplicate clusters: keep
@@ -296,9 +303,9 @@ object PipelineQueries {
   private val docsCte =
     s"""docs AS MATERIALIZED (SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents)"""
 
-  /** shared CTE chain ending in `pairs(doc_a, doc_b, jacc)` — the verified
-    * minhash near-duplicate pairs */
-  private val minhashPipelineCtes: String = {
+  /** shared CTE chain ending in `cand(doc_a, doc_b)` — the LSH band-join
+    * candidate pairs both the Jaccard and containment verifiers consume */
+  private val candCtes: String = {
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeyDuck("mh", b)} AS bkey FROM mh")
       .mkString("\nUNION ALL ")
@@ -309,17 +316,37 @@ object PipelineQueries {
        |cand AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** shared CTE chain ending in `pairs(doc_a, doc_b, jacc)` — the verified
+    * minhash near-duplicate pairs */
+  private val minhashPipelineCtes: String =
+    s"""$candCtes,
        |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b, jacc FROM (
        |    SELECT doc_a, doc_b, ${jaccardDuck("x.hs", "y.hs")} AS jacc
        |    FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
        |  WHERE jacc >= $MinhashThreshold)""".stripMargin
-  }
 
   private val minhashSql =
     s"""WITH $minhashPipelineCtes
        |SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  private val containmentSql =
+    s"""WITH $docsCte,
+       |sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM docs WHERE len(ws) >= 3),
+       |posts AS MATERIALIZED (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |inter AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS MATERIALIZED (SELECT doc_id, len(hs) AS n FROM sh)
+       |SELECT doc_a, doc_b, containment FROM (
+       |  SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / least(x.n, y.n) AS containment
+       |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b)
+       |WHERE containment >= $ContainmentThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** prefixed copy of minhashPipelineCtes over a filtered document set —
     * lets one query host two independent dedup chains (incremental oracle) */
@@ -837,6 +864,7 @@ object PipelineQueries {
     "q_dedup_final_bloom" -> dedupFinalSql,
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_simhash" -> simhashSql,
+    "q_dedup_containment" -> containmentSql,
     "q_dedup_priority" -> prioritySql,
     "q_decontaminate" -> decontamSql,
     "q_text_bm25" -> bm25Sql,

@@ -24,6 +24,21 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("containment dedup scores doc-inside-doc pairs Jaccard under-scores") {
+    // doc 2 = doc 1 plus a long unrelated tail: Jaccard is low (shared
+    // shingles / big union) but the small doc is fully contained
+    val small = (1 to 20).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (100 to 160).map(i => s"v$i").mkString(" ")
+    val other = (200 to 240).map(i => s"u$i").mkString(" ")
+    val d = docs(1L -> small, 2L -> big, 3L -> other)
+    val cont = Dedup.containmentDedup(d, 0.99).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == 1.0) // every shingle of the small doc is in the big one
+    // the symmetric Jaccard path misses the same pair at any usable threshold
+    assert(Dedup.minhashDedup(d, 0.5).collect().isEmpty)
+  }
+
   test("identical word multisets in different order share a simhash") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "delta gamma beta alpha",
       3L -> "epsilon zeta eta theta iota kappa")

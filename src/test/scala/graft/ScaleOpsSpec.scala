@@ -225,6 +225,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ySpans.sum.toDouble / ySpans.length >= 60)
   }
 
+  test("incremental agg merge equals full recompute, including delta-only keys") {
+    import graft.ops.IncrementalAgg
+    val hist = Seq((1L, 10L, "2024-01-01"), (1L, 20L, "2024-02-01"), (2L, 5L, "2024-01-15"))
+      .toDF("k", "v", "d")
+    val batch = Seq((1L, 7L, "2024-03-01"), (3L, 9L, "2024-03-02")) // key 3 is new
+      .toDF("k", "v", "d")
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("k").agg(
+      count(lit(1)).as("n"), sum("v").as("total"), min("d").as("lo"), max("d").as("hi"))
+    val merged = IncrementalAgg.merge(aggOf(hist), aggOf(batch), keys = Seq("k"),
+      counts = Seq("n"), sums = Seq("total"), mins = Seq("lo"), maxs = Seq("hi"))
+    val full = aggOf(hist.unionByName(batch))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))
+    assert(merged.collect().map(key).toSet == full.collect().map(key).toSet)
+    assert(merged.count() == 3)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
