@@ -142,6 +142,45 @@ object Graphs {
     result.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
   }
 
+  /** default k-truss peeling rounds — deletion-only, so rounds past the
+    * fixpoint are no-ops and the oracle's fixed unroll agrees with the
+    * engine's early convergence */
+  val DefaultKTrussRounds = 6
+
+  /** k-truss: the maximal subgraph in which every edge participates in at
+    * least k-2 triangles — the edge-centric sibling of k-core, and a much
+    * stronger cohesion screen (degree can be faked by hubs; triangle
+    * support cannot). Peeling: compute per-edge support via the wedge
+    * join (w adjacent to BOTH endpoints), drop edges below k-2, repeat.
+    *
+    * Scale shape: each round is one self-join pair on the state (fan-out
+    * Σ deg(w)² like every triangle enumeration — hub vertices get capped
+    * upstream by the degree/k-core screens) + one state-sized aggregate;
+    * state only shrinks. Support is recomputed once more on the surviving
+    * subgraph for the output, so reported counts are internally consistent
+    * even on an input the round bound has not converged (the oracle
+    * unrolls the same rounds and recomputes the same final support).
+    * Returns one row per undirected edge (src < dst, support). */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = DefaultKTrussRounds): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    def support(state: DataFrame): DataFrame =
+      state.join(state.toDF("src", "w"), "src")
+        .join(state.toDF("dst", "w"), Seq("dst", "w"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+    val undirected = undirectedSized(edges)
+    val result = graft.iterate.Fixpoint.iterate(undirected, maxIter,
+      converged = graft.iterate.Fixpoint.countUnchanged()) { (state, _) =>
+      // edges with no triangle at all vanish from the support relation —
+      // the same deletion the sup >= k-2 filter implies (k-2 >= 1)
+      support(state).filter(col("sup") >= k - 2).select("src", "dst")
+    }
+    val out = support(result)
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("sup"))
+    undirected.unpersist(blocking = false)
+    out
+  }
+
   /** default synchronous LPA rounds — the oracle unrolls exactly this many,
     * so engine and oracle agree even where sync LPA has not stabilized */
   val DefaultLpaRounds = 5

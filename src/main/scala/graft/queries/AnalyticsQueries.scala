@@ -1172,6 +1172,48 @@ object AnalyticsQueries {
         .orderBy("o_custkey")
     }),
 
+    // Per-group z-score standardization — the feature-scaling pass every
+    // training pipeline runs. Determinism: values quantize exactly to
+    // integer cents through the DECIMAL(18,2) cast, the group moments
+    // (n, Σx, Σx²) are exact int64 aggregates, and each z is one fixed
+    // IEEE expression of those — identical doubles on both engines. The
+    // stats table broadcasts; the fact side never shuffles.
+    "q_feature_zscore" -> ((s, d) => {
+      val base = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value"), (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      val stats = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      base.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("cents").cast("double") - col("sx").cast("double") / col("n")) /
+            sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              / col("n")), 6).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // Percentile winsorization: clip a numeric feature into its per-group
+    // [p05, p95] band — the outlier-capping prep step. The clip itself is
+    // pure selection (least/greatest — no arithmetic on the interpolated
+    // bounds), so rows are bit-deterministic; bounds broadcast.
+    "q_feature_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+      val b = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.05)").as("lo"),
+        expr("percentile(l_quantity, 0.95)").as("hi"))
+      li.join(broadcast(b), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          least(greatest(col("l_quantity"), col("lo")), col("hi")).as("clipped"),
+          (col("l_quantity") < col("lo") || col("l_quantity") > col("hi"))
+            .cast("long").as("was_clipped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Corpus fingerprint: one order-independent checksum row per source —
     // XOR of a per-document hash (poly-hash of the text mixed with the
     // doc id) plus exact counts. THE cheap cross-cluster validation for a
@@ -1865,6 +1907,36 @@ object AnalyticsQueries {
         |JOIN supp sc ON r.consequent = sc.p
         |CROSS JOIN tot t
         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    "q_feature_zscore" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT event_id, event_type, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |st AS MATERIALIZED (
+        |  SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+        |  FROM e GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round((CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+        |        sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |             / n), 6) AS z
+        |FROM e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_feature_winsorize" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 5 = 0),
+        |b AS MATERIALIZED (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.05) AS lo,
+        |         quantile_cont(l_quantity, 0.95) AS hi
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, li.l_returnflag, l_quantity,
+        |  least(greatest(l_quantity, lo), hi) AS clipped,
+        |  CAST(l_quantity < lo OR l_quantity > hi AS BIGINT) AS was_clipped
+        |FROM li JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_agg_ivm" ->
       """SELECT o_custkey, count(*) AS n_orders,

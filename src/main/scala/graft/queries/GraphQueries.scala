@@ -68,6 +68,13 @@ object GraphQueries {
   private val CnTopK = 100
   // HITS: engine iteration count and oracle unroll depth must agree
   private val HitsIters = 5
+  // k-truss: Mod-1000 graph capped at vertex id 300 keeps the wedge joins
+  // bounded while the sf0.01 support distribution (median 4) actually
+  // peels at k=5; engine round bound and oracle unroll count must agree
+  private val KTrussK = 5
+  private val KTrussMod = 1000
+  private val KTrussMaxId = 300
+  private val KTrussRounds = Graphs.DefaultKTrussRounds
 
   val defs: Map[String, Q] = Map(
     // the reference headline: follower count on the edge relation
@@ -101,6 +108,19 @@ object GraphQueries {
     "q_graph_linkpred_jaccard" -> ((s, d) =>
       Triangles.jaccardLinkPred(Graphs.lineitemEdges(s, d, CnMod),
         maxId = CnMaxId, k = CnTopK)),
+
+    // k-truss cohesion screen: surviving undirected edges (+ final
+    // triangle support) after peeling every edge with < k-2 triangles —
+    // the edge-centric sibling of k-core
+    "q_graph_ktruss" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).select(
+          (col("l_orderkey") % KTrussMod).cast("long").as("src"),
+          (col("l_partkey") % KTrussMod).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst") &&
+          col("src") <= KTrussMaxId && col("dst") <= KTrussMaxId)
+        .distinct()
+      Graphs.kTruss(e, KTrussK, KTrussRounds).orderBy("src", "dst")
+    }),
 
     // degree assortativity: Pearson correlation between out-degree(src)
     // and in-degree(dst) over the edge relation — do hubs link to hubs?
@@ -631,6 +651,38 @@ object GraphQueries {
     sb.toString
   }
 
+  /** unrolled k-truss peeling: each round computes per-edge triangle
+    * support on the previous (symmetric) edge set and keeps edges with
+    * support >= k-2; the final select recomputes support on the surviving
+    * set — exactly the engine's post-loop recompute, so engine and oracle
+    * agree on ANY input, converged or not. */
+  private def ktrussSql(mod: Int, maxId: Int, k: Int, rounds: Int): String = {
+    def supSql(i: Int, src: String) =
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst, count(*) AS sup
+         |  FROM $src e JOIN $src a ON a.src = e.src
+         |  JOIN $src b ON b.src = e.dst AND b.dst = a.dst
+         |  GROUP BY e.src, e.dst)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH tr AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+      |  FROM lineitem
+      |  WHERE l_orderkey % $mod <> l_partkey % $mod
+      |    AND l_orderkey % $mod <= $maxId AND l_partkey % $mod <= $maxId),
+      |e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM tr UNION SELECT dst AS src, src AS dst FROM tr)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= ",\n" + supSql(i, s"e${i - 1}")
+      sb ++= s""",
+        |e$i AS MATERIALIZED (SELECT src, dst FROM s$i WHERE sup >= ${k - 2})""".stripMargin
+    }
+    sb ++= ",\n" + supSql(rounds + 1, s"e$rounds")
+    sb ++= s"""
+      |SELECT src, dst, sup FROM s${rounds + 1} WHERE src < dst
+      |ORDER BY src, dst""".stripMargin
+    sb.toString
+  }
+
   private val assortativitySql =
     s"""WITH $edgesSql,
        |dx AS MATERIALIZED (SELECT src, count(*) AS dx FROM edges GROUP BY src),
@@ -657,6 +709,7 @@ object GraphQueries {
        |GROUP BY 1 ORDER BY vertex""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_graph_ktruss" -> ktrussSql(KTrussMod, KTrussMaxId, KTrussK, KTrussRounds),
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),

@@ -195,6 +195,24 @@ class GraphSpec extends SparkSpec {
     assert(ccp(1L) == ((1L, 0L, 0.0))) // deg < 2 -> defined as 0
   }
 
+  test("ktruss: K4 survives at k=4 with support 2; pendant tail and bridge peel") {
+    // K4 on 1-4 (each edge closes 2 triangles), plus a tail 4->5->6 whose
+    // edges close none, plus a bridge triangle 4-5-7 that gives edge 4-5
+    // support 1 — at k=4 (sup >= 2) everything but the K4 must peel,
+    // including the cascade: the bridge triangle's edges all die together
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L, 5L -> 7L, 4L -> 7L)
+    val out = graft.graph.Graphs.kTruss(e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(out.values.forall(_ == 2L))
+    // k=3 (sup >= 1) additionally keeps the bridge triangle, not the tail
+    val k3 = graft.graph.Graphs.kTruss(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k3 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 7L), (5L, 7L)))
+  }
+
   test("lpa: bridged triangles stay separate communities; K4 collapses to min label") {
     // two triangles joined by one bridge edge — frequency-driven LPA keeps
     // two communities where reachability-driven CC would merge them
