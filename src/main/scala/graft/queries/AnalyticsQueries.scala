@@ -1172,6 +1172,29 @@ object AnalyticsQueries {
         .orderBy("o_custkey")
     }),
 
+    // CDC apply: fold a synthetic binlog (two stacked upserts on the same
+    // keys — last-wins —, tombstones, and inserts) into the orders
+    // snapshot via ops.CdcApply. The oracle is an independent CASE/anti-
+    // join reformulation of the END STATE, so the window's latest-change
+    // selection is what the hash equality actually proves.
+    "q_cdc_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+      def change(rows: DataFrame, seq: Long, op: String) =
+        rows.select(col("o_orderkey"), lit(seq).as("seq"), lit(op).as("op"),
+          col("o_custkey"), col("o_totalprice"))
+      val u1 = change(o.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0), 1L, "U")
+      val u2 = change(o.filter(col("o_orderkey") % 20 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 2000.0), 2L, "U")
+      val dels = change(o.filter(col("o_orderkey") % 10 === 3), 1L, "D")
+      val ins = change(o.filter(col("o_orderkey") % 10 === 4)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L), 1L, "I")
+      val changes = u1.unionByName(u2).unionByName(dels).unionByName(ins)
+      graft.ops.CdcApply(base, changes, "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey")
+    }),
+
     // Per-group z-score standardization — the feature-scaling pass every
     // training pipeline runs. Determinism: values quantize exactly to
     // integer cents through the DECIMAL(18,2) cast, the group moments
@@ -1907,6 +1930,17 @@ object AnalyticsQueries {
         |JOIN supp sc ON r.consequent = sc.p
         |CROSS JOIN tot t
         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    "q_cdc_apply" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 2 THEN o_totalprice + 2000.0
+        |       WHEN o_orderkey % 10 = 2 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 4
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_feature_zscore" ->
       """WITH e AS MATERIALIZED (

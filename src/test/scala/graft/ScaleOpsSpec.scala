@@ -225,6 +225,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ySpans.sum.toDouble / ySpans.length >= 60)
   }
 
+  test("dim-filtered join against a partitioned layout plans dynamic partition pruning") {
+    // DPP: the selective dim-side filter becomes a runtime partition
+    // filter on the fact scan — at 100 TB this is the difference between
+    // scanning one event_type directory and scanning the whole table
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Bucketing.writePartitioned(events, dir, "event_type")
+    val fact = spark.read.parquet(dir)
+    // the dim must be file-backed: a LocalRelation's filter constant-folds
+    // away during optimization, leaving no selective predicate for the
+    // PartitionPruning rule to key on
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("click", 1L), ("view", 0L)).toDF("event_type", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim.filter(col("flag") === 1L), "event_type")
+    val filters = Bucketing.partitionFilters(q)
+    assert(filters.contains("dynamicpruning"), filters)
+    // control: joining the unfiltered dim leaves nothing to prune with
+    val all = fact.join(dim, "event_type")
+    assert(!Bucketing.partitionFilters(all).contains("dynamicpruning"),
+      Bucketing.partitionFilters(all))
+  }
+
   test("incremental agg merge equals full recompute, including delta-only keys") {
     import graft.ops.IncrementalAgg
     val hist = Seq((1L, 10L, "2024-01-01"), (1L, 20L, "2024-02-01"), (2L, 5L, "2024-01-15"))
