@@ -69,9 +69,10 @@ object GraphQueries {
   // HITS: engine iteration count and oracle unroll depth must agree
   private val HitsIters = 5
   // k-truss: Mod-1000 graph capped at vertex id 300 keeps the wedge joins
-  // bounded while the sf0.01 support distribution (median 4) actually
-  // peels at k=5; engine round bound and oracle unroll count must agree
-  private val KTrussK = 5
+  // bounded while the support distribution actually peels at k=4 at every
+  // scale factor WITHOUT emptying the sf0.001 graph (k=5 peels it to 0 —
+  // measured); engine round bound and oracle unroll count must agree
+  private val KTrussK = 4
   private val KTrussMod = 1000
   private val KTrussMaxId = 300
   private val KTrussRounds = Graphs.DefaultKTrussRounds

@@ -170,6 +170,30 @@ object RelQueries {
             .as("apx_parts"))
         .orderBy("l_returnflag")),
 
+    // Sketch MERGEABILITY: per-(flag, status) partial HLL register tables
+    // merged across status by register-wise max — never re-scanning the
+    // input — must equal the sketch built flat per flag, because max is
+    // associative/commutative. The oracle computes the flat sketch
+    // directly, so the hash equality IS the merge(sk(A), sk(B)) ==
+    // sk(A ∪ B) proof — the property that lets 100 TB distinct-count
+    // cubes roll up from per-partition sketches instead of raw keys.
+    "q_agg_hll_merge" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("(2654435761 * l_partkey + 12345) % 1000000007").as("h"))
+        .select(col("l_returnflag"), col("l_linestatus"), expr("h % 64").as("bkt"),
+          expr("CASE WHEN h div 64 = 0 THEN 16777216 " +
+            "ELSE (h div 64) & -(h div 64) END").as("low"))
+        .groupBy("l_returnflag", "l_linestatus", "bkt").agg(max("low").as("mlow"))
+        .groupBy("l_returnflag", "bkt").agg(max("mlow").as("mlow")) // the merge
+        .groupBy("l_returnflag")
+        .agg(expr("sum(33554432 div (2 * mlow))").as("st"),
+          count(lit(1)).as("nb"))
+        .select(col("l_returnflag"),
+          expr("0.709D * 137438953472D / CAST(st + (64 - nb) * 33554432 AS DOUBLE)")
+            .as("apx_parts"))
+        .orderBy("l_returnflag")),
+
     // ---- filters / projections (SURVEY §2.2) ----
     // P5/P6 range predicates + column pruning
     "q_filter_range" -> ((s, d) =>
@@ -732,6 +756,24 @@ object RelQueries {
     // same register algebra as the engine, spelled in DuckDB (// integer
     // division, & bitwise AND on BIGINT); every intermediate is integral
     "q_agg_hll" ->
+      """WITH hashed AS MATERIALIZED (
+        |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
+        |  FROM lineitem),
+        |regs AS (
+        |  SELECT l_returnflag, h % 64 AS bkt,
+        |    max(CASE WHEN h // 64 = 0 THEN 16777216
+        |             ELSE (h // 64) & -(h // 64) END) AS mlow
+        |  FROM hashed GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
+        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
+        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
+        |FROM regs GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the FLAT per-flag sketch — deliberately not the engine's two-level
+    // merge, so the hash equality proves merge-associativity
+    "q_agg_hll_merge" ->
       """WITH hashed AS MATERIALIZED (
         |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
         |  FROM lineitem),
