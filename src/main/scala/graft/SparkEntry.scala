@@ -55,6 +55,6 @@ object SparkEntry {
     "q_decontaminate", "q_text_repetition", "q_events_latest",
     "q_graph_commonneighbors", "q_inverted_index", "q_outlier_mad",
     "q_graph_ktruss", "q_assoc_rules", "q_dedup_containment",
-    "q_feature_zscore", "q_agg_ivm", "q_cdc_apply",
+    "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
   ).filter(queries.contains)
 }

@@ -1172,6 +1172,19 @@ object AnalyticsQueries {
         .orderBy("o_custkey")
     }),
 
+    // Top-3 orders per customer through the CUSTOM TopKPerKey physical
+    // operator (plans.TopKPerKey: bounded heaps, partial pass under the
+    // key exchange, no sort anywhere) — the oracle is the classic
+    // row_number() window formulation, so the hash equality proves the
+    // operator against the semantics it replaces. PlanSpec pins the
+    // plan shape (two TopKPerKeyExec nodes, no Window/Sort below them).
+    "q_topk_per_key" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.plans.TopKPerKey(o, keys = Seq("o_custkey"),
+          order = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+        .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))
+    }),
+
     // CDC apply: fold a synthetic binlog (two stacked upserts on the same
     // keys — last-wins —, tombstones, and inserts) into the orders
     // snapshot via ops.CdcApply. The oracle is an independent CASE/anti-
@@ -1930,6 +1943,15 @@ object AnalyticsQueries {
         |JOIN supp sc ON r.consequent = sc.p
         |CROSS JOIN tot t
         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_cdc_apply" ->
       """SELECT o_orderkey, o_custkey,

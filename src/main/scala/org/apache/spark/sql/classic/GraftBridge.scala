@@ -1,0 +1,15 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal private-API bridge (the standard Spark-extension pattern —
+  * spark-connect, delta, and iceberg all carry one): exposes
+  * `Dataset.ofRows` so graft.plans can wrap a custom logical node
+  * (TopKPerKeyNode) back into a public DataFrame. Nothing else from the
+  * private surface is touched.
+  */
+object GraftBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+}

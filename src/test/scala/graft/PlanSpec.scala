@@ -144,6 +144,17 @@ class PlanSpec extends SparkSpec {
     assert(cn.contains("TakeOrderedAndProject"), cn)
   }
 
+  test("topk-per-key plans two heap passes around one exchange and never sorts the groups") {
+    val p = plan("q_topk_per_key")
+    // partial pass under the key exchange + final pass above it
+    assert(countOp(p, "TopKPerKey") == 2, p)
+    // the window formulation this operator replaces would plan Window +
+    // a full per-partition Sort under it; the only Sort allowed here is
+    // the query's final presentation ORDER BY
+    assert(!p.contains("Window"), p)
+    assert(countOp(p, "Sort") <= 1, p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned

@@ -74,4 +74,22 @@ class RuleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
     assert(plain == ruled && plain.nonEmpty)
   }
+
+  test("TopKPerKey equals the window formulation, on skewed keys and at k > group size") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // key 1 is hot (200 rows) with forced value ties (v = i % 7), so the
+    // unique tiebreak (id) actually decides; key 2 has fewer rows than k
+    val df = ((1 to 200).map(i => (1L, i.toLong % 7, i.toLong)) ++
+      (1 to 2).map(i => (2L, i.toLong, 100L + i)))
+      .toDF("k", "v", "id").repartition(8)
+    val custom = graft.plans.TopKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+    val window = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .drop("rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(custom == window)
+    assert(custom.count(_._1 == 2L) == 2) // under-full group passes through whole
+  }
 }

@@ -5,6 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs — one per suite (lazy). */
 trait SparkSpec extends AnyFunSuite {
+  // deliberately NOT .withExtensions(GraftExtensions): RuleSpec contrasts
+  // plans with/without the optimizer rule, which needs a rule-free base
+  // session; operators that need their strategy (TopKPerKey) self-register
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
