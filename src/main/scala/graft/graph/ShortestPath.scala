@@ -102,6 +102,45 @@ object ShortestPath {
     result.select("vertex", "dist")
   }
 
+  /** Multi-source BFS (landmark distances): unit-hop shortest distance
+    * from EVERY seed in ONE fixpoint — state keyed (seed, vertex), so all
+    * seeds relax simultaneously over the same cached edge relation
+    * instead of paying the edge scan and per-round checkpoint latency
+    * |seeds| times. The landmark-distance table is the building block of
+    * distance sketches and graph feature vectors at scale.
+    *
+    * State is SPARSE: unreached (seed, vertex) pairs are absent rather
+    * than +inf rows, so state size tracks reached pairs (≤ |seeds|·|V|)
+    * and the full-outer merge admits newly discovered pairs. Unit-hop BFS
+    * never improves a settled distance, so the frontier is exactly the
+    * newly discovered pairs and convergence = empty frontier.
+    * Returns (seed, vertex, dist) for reachable pairs only. */
+  def multiSourceBfs(edges: DataFrame, seeds: Seq[Long], maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val width = Fixpoint.sizedPartitions(spark, edges.count())
+    val e = edges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val unreached = lit(Long.MaxValue)
+    val init = seeds.toDF("seed").select(col("seed"), col("seed").as("vertex"),
+      lit(0L).as("dist"), lit(true).as("changed"))
+    val result = Fixpoint.iterate(init, maxIter,
+      converged = (_, next) => next.filter(col("changed")).isEmpty) { (state, _) =>
+      val frontier = state.filter(col("changed"))
+      val candidates = frontier.join(e, frontier("vertex") === e("src"))
+        .select(col("seed"), col("dst").as("vertex"), (col("dist") + 1L).as("cand"))
+        .groupBy("seed", "vertex").agg(min("cand").as("cand"))
+      state.select(col("seed"), col("vertex"), col("dist"))
+        .join(candidates, Seq("seed", "vertex"), "full_outer")
+        .select(col("seed"), col("vertex"),
+          least(coalesce(col("dist"), unreached), coalesce(col("cand"), unreached))
+            .as("dist"),
+          (coalesce(col("cand"), unreached) < coalesce(col("dist"), unreached))
+            .as("changed"))
+    }
+    e.unpersist(false)
+    result.select("seed", "vertex", "dist")
+  }
+
   /** Distance + one shortest path per vertex (the MR variant's payload —
     * ShortestPathMR/src/main/java/wc/CountFollowers.java:106-112,133-165).
     * Argmin-with-payload via min(struct(dist, path)): struct ordering

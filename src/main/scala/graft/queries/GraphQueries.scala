@@ -57,6 +57,8 @@ object GraphQueries {
   private val LpaRounds = Graphs.DefaultLpaRounds
   // personalized PageRank seed set (engine IN-list and oracle CASE share it)
   private val PprSeeds = Seq(1L, 2L, 3L)
+  // landmark BFS seeds (engine init table and oracle VALUES share them)
+  private val LandmarkSeeds = Seq(1L, 7L, 42L)
   // common-neighbor link prediction: much sparser modulus — the Mod-300
   // graph is complete at sf0.1 (no non-adjacent pairs left to predict) and
   // even Mod-2000 reaches avg degree ~260 there, putting the wedge join's
@@ -178,6 +180,14 @@ object GraphQueries {
         .select(col("vertex"), col("dist").cast("long").as("dist"))
         .orderBy("vertex")
     }),
+
+    // landmark distances: BFS from a seed SET in one fixpoint — the
+    // distance-sketch / graph-feature building block ("how far is every
+    // vertex from each hub")
+    "q_graph_landmarks" -> ((s, d) =>
+      ShortestPath.multiSourceBfs(Graphs.lineitemEdges(s, d, Mod), LandmarkSeeds,
+          maxIter = SsspMaxHops)
+        .orderBy("seed", "vertex")),
 
     // SSSP with path payload (ShortestPathMR semantics). No SQL oracle:
     // path enumeration in a recursive CTE explodes on dense cyclic graphs,
@@ -363,6 +373,23 @@ object GraphQueries {
        |  WHERE w.dist < $SsspMaxHops)
        |SELECT vertex, CAST(min(dist) AS BIGINT) AS dist
        |FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin
+
+  /** landmark-BFS oracle: the ssspSql recursive walk with a seed column
+    * threaded through (UNION dedup keeps the recursion finite on the
+    * cyclic graph, exactly as in ssspSql) */
+  private def landmarksSql = {
+    val seedRows = LandmarkSeeds.map(s => s"(CAST($s AS BIGINT))").mkString(", ")
+    s"""WITH RECURSIVE $edgesSql,
+       |seeds(seed) AS (VALUES $seedRows),
+       |walk(seed, vertex, dist) AS (
+       |  SELECT seed, seed AS vertex, 0 AS dist FROM seeds
+       |  UNION
+       |  SELECT w.seed, e.dst AS vertex, w.dist + 1 AS dist
+       |  FROM walk w JOIN edges e ON e.src = w.vertex
+       |  WHERE w.dist < $SsspMaxHops)
+       |SELECT seed, vertex, CAST(min(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY seed, vertex ORDER BY seed, vertex""".stripMargin
+  }
 
   /** Weighted-SSSP oracle: distance-bounded recursive walk. The 200 bound
     * only needs to exceed the max finite shortest distance (≤ 5·diameter,
@@ -722,6 +749,7 @@ object GraphQueries {
     "q_graph_linkpred_jaccard" -> linkpredJaccardSql,
     "q_graph_triangles_bc" -> trianglesSql(150),
     "q_graph_sssp" -> ssspSql,
+    "q_graph_landmarks" -> landmarksSql,
     "q_graph_sssp_weighted" -> ssspWeightedSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_hits" -> hitsSql,

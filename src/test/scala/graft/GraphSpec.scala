@@ -195,6 +195,17 @@ class GraphSpec extends SparkSpec {
     assert(ccp(1L) == ((1L, 0L, 0.0))) // deg < 2 -> defined as 0
   }
 
+  test("multi-source bfs: per-seed distances, sparse unreached pairs, isolated seed") {
+    // chain 1->2->3->4 plus a branch 2->5; vertex 9 exists only as a seed
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L)
+    val out = graft.graph.ShortestPath.multiSourceBfs(e, Seq(1L, 3L, 9L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 4L)) == 3 && out((1L, 5L)) == 2 && out((1L, 1L)) == 0)
+    assert(out((3L, 4L)) == 1)
+    assert(!out.contains((3L, 1L)) && !out.contains((3L, 5L))) // unreachable = absent
+    assert(out((9L, 9L)) == 0 && out.keys.count(_._1 == 9L) == 1) // isolated seed
+  }
+
   test("ktruss: K4 survives at k=4 with support 2; pendant tail and bridge peel") {
     // K4 on 1-4 (each edge closes 2 triangles), plus a tail 4->5->6 whose
     // edges close none, plus a bridge triangle 4-5-7 that gives edge 4-5

@@ -144,6 +144,22 @@ class PlanSpec extends SparkSpec {
     assert(cn.contains("TakeOrderedAndProject"), cn)
   }
 
+  test("round-5 queries: broadcast stats joins, no cartesian in containment") {
+    // zscore: the per-group stats table must broadcast — the fact side
+    // never shuffles for the join
+    val z = plan("q_feature_zscore")
+    assert(z.contains("BroadcastHashJoin"), z)
+    // assoc rules: the 1-row totals table rides a broadcast (nested-loop
+    // for the keyless cross), never a shuffled cartesian of the rules
+    val a = plan("q_assoc_rules")
+    assert(a.contains("BroadcastNestedLoopJoin") || a.contains("BroadcastHashJoin"), a)
+    assert(!a.contains("CartesianProduct"), a)
+    // containment: the posting-list self-join is an equi-join on the
+    // shingle hash — any cartesian here would be the quadratic pair space
+    val c = plan("q_dedup_containment")
+    assert(!c.contains("CartesianProduct"), c)
+  }
+
   test("topk-per-key plans two heap passes around one exchange and never sorts the groups") {
     val p = plan("q_topk_per_key")
     // partial pass under the key exchange + final pass above it
