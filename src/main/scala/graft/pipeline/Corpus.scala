@@ -43,6 +43,12 @@ object Corpus {
     val words = docs.select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // window top-k, NOT plans.TopKPerKey: measured (sf0.1) the heap
+    // operator is ~2x slower here — per-doc vocabularies are tiny, so the
+    // window's per-group sort is cheap while the heap path pays an extra
+    // exchange and a non-codegen pass. The heap operator's regime is huge
+    // or skewed groups (see q_topk_per_key); small-group top-k belongs to
+    // the window.
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
     tf.join(df, "word")
       .crossJoin(broadcast(nDocs))
