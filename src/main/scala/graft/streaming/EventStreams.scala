@@ -44,6 +44,21 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("v"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
 
+  /** Gap-based sessionization via the BUILT-IN session_window — the
+    * declarative twin of [[sessionize]]'s flatMapGroupsWithState: Spark
+    * owns the merge/expiry state machine (watermark-driven), the query is
+    * one groupBy. Prefer this form unless the session payload needs
+    * custom state (first-touch attribution, per-session reservoirs);
+    * StreamingSpec checks it against its own batch execution. */
+  def sessionWindows(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    events
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts_utc"), s"$gapMs milliseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("t_start"),
+        col("sw.end").as("t_end"), col("n_events"))
+
   /** Streaming exact dedup on event_id with watermark-bounded state — the
     * streaming face of the batch dedup operators: duplicates arriving
     * within the watermark horizon are dropped, state for old keys is

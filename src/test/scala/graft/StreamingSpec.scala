@@ -42,6 +42,29 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
   }
 
+  test("built-in session_window streaming equals its batch execution") {
+    val q = EventStreams.sessionWindows(EventStreams.fromParquetDir(spark, eventsDir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessw")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sessw")
+      .select(col("user_id"), col("t_start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+
+    // session_window also runs in batch — the same expression is its own twin
+    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"),
+        session_window(col("ts_utc"), "1800000 milliseconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").cast("string").as("s"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"session $k") }
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     // duplicate the whole input by writing it twice into one stream dir
     val dir = Files.createTempDirectory("graft-dup")
