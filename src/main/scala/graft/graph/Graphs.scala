@@ -161,27 +161,33 @@ object Graphs {
     * even on an input the round bound has not converged (the oracle
     * unrolls the same rounds and recomputes the same final support).
     * Returns one row per undirected edge (src < dst, support). */
+  /** Triangle support per ORDERED undirected edge (src < dst), by
+    * triangle-once enumeration on the ordered half (a<b<c) with 3-way
+    * edge crediting — intermediate rows are the ordered wedges (Σ deg²/4)
+    * plus 3·|triangles|, versus the naive both-orientations wedge join's
+    * Σ deg² with every wedge surviving to the aggregate (~10x less
+    * shuffled data on dense derived graphs; identical counts). Input must
+    * be the symmetric closure; edges in no triangle are ABSENT from the
+    * output. Shared by [[kTruss]] (peeling) and the local-bridge screen. */
+  private[graft] def orderedEdgeSupport(und: DataFrame): DataFrame = {
+    val h = und.filter(col("src") < col("dst"))
+    val tri = h.toDF("a", "b")
+      .join(h.toDF("b2", "c"), col("b") === col("b2"))
+      .join(h.toDF("a3", "c3"),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+    val credits = tri.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("c").as("dst")),
+        struct(col("a").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    credits.groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+  }
+
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = DefaultKTrussRounds): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
-    // Support by TRIANGLE-ONCE enumeration on the ordered half (a<b<c),
-    // crediting each triangle to its three edges — intermediate rows are
-    // the ordered wedges (Σ deg²/4) plus 3·|triangles|, versus the naive
-    // both-orientations wedge join's Σ deg² with every wedge surviving to
-    // the aggregate. On dense derived graphs (sf0.1's Mod-1000 cut) this
-    // measured ~10x less shuffled data; identical support counts.
     def support(state: DataFrame): DataFrame = {
-      val h = state.filter(col("src") < col("dst"))
-      val tri = h.toDF("a", "b")
-        .join(h.toDF("b2", "c"), col("b") === col("b2"))
-        .join(h.toDF("a3", "c3"),
-          col("a") === col("a3") && col("c") === col("c3"))
-        .select("a", "b", "c")
-      val credits = tri.select(explode(array(
-          struct(col("a").as("src"), col("b").as("dst")),
-          struct(col("b").as("src"), col("c").as("dst")),
-          struct(col("a").as("src"), col("c").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val half = credits.groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+      val half = orderedEdgeSupport(state)
       // mirror back to the symmetric-state convention
       half.unionByName(
         half.select(col("dst").as("src"), col("src").as("dst"), col("sup")))
@@ -198,6 +204,21 @@ object Graphs {
       .select(col("src"), col("dst"), col("sup"))
     undirected.unpersist(blocking = false)
     out
+  }
+
+  /** Local bridges: undirected edges whose endpoints share NO neighbor
+    * (zero triangle support) — Granovetter's tie-span screen: deleting
+    * one pushes its endpoints' distance past 2, so these are the
+    * weak-tie/cut candidates in an interaction graph. One triangle-once
+    * support pass + one anti-join, both equi-keyed — no all-pairs.
+    * Returns the ordered edge list (src < dst). */
+  def localBridges(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true) // ordered half (x2) + anti-join all read it
+    und.filter(col("src") < col("dst"))
+      .join(orderedEdgeSupport(und).select("src", "dst"), Seq("src", "dst"), "left_anti")
   }
 
   /** default synchronous LPA rounds — the oracle unrolls exactly this many,

@@ -1172,6 +1172,48 @@ object AnalyticsQueries {
         .orderBy("o_custkey")
     }),
 
+    // Word-commonness quality score — the log-free perplexity proxy: a
+    // document whose words are corpus-rare is OCR noise, gibberish, or a
+    // language outlier. Σ corpus-frequency(word) per doc is an exact
+    // int64; the score is one IEEE division (this repo's standing
+    // rational-score policy — cross-engine ln() is not reproducible).
+    "q_text_commonness" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("cf"))
+      val tot = words.agg(count(lit(1)).as("n_total"))
+      words.join(broadcast(freq), "word")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_words"), sum("cf").as("sum_cf"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_words"), col("sum_cf"),
+          (col("sum_cf").cast("double") / (col("n_words") * col("n_total")))
+            .as("commonness"))
+        .orderBy("doc_id")
+    }),
+
+    // Funnel conversion latency: per converting user, gap from first view
+    // to first subsequent purchase; quartiles + extremes of the integral
+    // µs gaps (interpolation over integral doubles — the proven
+    // percentile parity pattern).
+    "q_events_funnel_time" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t_v"))
+      val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+        .filter(col("ts_us") > col("t_v"))
+        .groupBy("user_id").agg(min("ts_us").as("t_p"))
+      v.join(p, "user_id")
+        .select((col("t_p") - col("t_v")).as("gap_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          min("gap_us").as("min_gap"),
+          expr("percentile(gap_us, 0.25)").as("q1"),
+          expr("percentile(gap_us, 0.5)").as("median"),
+          expr("percentile(gap_us, 0.75)").as("q3"),
+          max("gap_us").as("max_gap"))
+        .orderBy("n_converted") // single row; total-ORDER-BY rule kept literal
+    }),
+
     // Top-3 orders per customer through the CUSTOM TopKPerKey physical
     // operator (plans.TopKPerKey: bounded heaps, partial pass under the
     // key exchange, no sort anywhere) — the oracle is the classic
@@ -1943,6 +1985,39 @@ object AnalyticsQueries {
         |JOIN supp sc ON r.consequent = sc.p
         |CROSS JOIN tot t
         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    "q_text_commonness" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(${wordsDuck("text")}) AS word FROM documents),
+        |freq AS MATERIALIZED (SELECT word, count(*) AS cf FROM w GROUP BY word),
+        |tot AS MATERIALIZED (SELECT count(*) AS n_total FROM w)
+        |SELECT doc_id, count(*) AS n_words, CAST(sum(cf) AS BIGINT) AS sum_cf,
+        |  CAST(CAST(sum(cf) AS BIGINT) AS DOUBLE) / (count(*) * t.n_total) AS commonness
+        |FROM w JOIN freq USING (word) CROSS JOIN tot t
+        |GROUP BY doc_id, t.n_total
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_events_funnel_time" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS MATERIALIZED (
+        |  SELECT user_id, min(ts_us) AS t_v FROM e WHERE event_type = 'view'
+        |  GROUP BY user_id),
+        |p AS MATERIALIZED (
+        |  SELECT e.user_id, min(e.ts_us) AS t_p
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > v.t_v
+        |  GROUP BY e.user_id),
+        |g AS MATERIALIZED (
+        |  SELECT CAST(t_p - t_v AS DOUBLE) AS gap_us
+        |  FROM v JOIN p ON v.user_id = p.user_id)
+        |SELECT count(*) AS n_converted,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap,
+        |  quantile_cont(gap_us, 0.25) AS q1,
+        |  quantile_cont(gap_us, 0.5) AS median,
+        |  quantile_cont(gap_us, 0.75) AS q3,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap
+        |FROM g ORDER BY n_converted""".stripMargin,
 
     "q_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -59,6 +59,10 @@ object GraphQueries {
   private val PprSeeds = Seq(1L, 2L, 3L)
   // landmark BFS seeds (engine init table and oracle VALUES share them)
   private val LandmarkSeeds = Seq(1L, 7L, 42L)
+  // local bridges: Mod-5000 keeps the derived graph sparse enough that
+  // zero-support edges exist at every scale factor (measured 4812 / 47577
+  // / 12 at sf0.001/0.01/0.1 — the saturating smaller mods hit 0)
+  private val BridgeMod = 5000
   // common-neighbor link prediction: much sparser modulus — the Mod-300
   // graph is complete at sf0.1 (no non-adjacent pairs left to predict) and
   // even Mod-2000 reaches avg degree ~260 there, putting the wedge join's
@@ -124,6 +128,12 @@ object GraphQueries {
         .distinct()
       Graphs.kTruss(e, KTrussK, KTrussRounds).orderBy("src", "dst")
     }),
+
+    // local bridges (Granovetter weak ties): undirected edges with zero
+    // triangle support — the structural cut-candidate screen
+    "q_graph_bridges" -> ((s, d) =>
+      Graphs.localBridges(Graphs.lineitemEdges(s, d, BridgeMod))
+        .orderBy("src", "dst")),
 
     // degree assortativity: Pearson correlation between out-degree(src)
     // and in-degree(dst) over the edge relation — do hubs link to hubs?
@@ -711,6 +721,21 @@ object GraphQueries {
     sb.toString
   }
 
+  private val bridgesSql =
+    s"""WITH br AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % $BridgeMod AS src, l_partkey % $BridgeMod AS dst
+       |  FROM lineitem WHERE l_orderkey % $BridgeMod <> l_partkey % $BridgeMod),
+       |e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM br UNION SELECT dst AS src, src AS dst FROM br),
+       |sup AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM e0 e JOIN e0 a ON a.src = e.src
+       |  JOIN e0 b ON b.src = e.dst AND b.dst = a.dst
+       |  GROUP BY e.src, e.dst)
+       |SELECT e.src, e.dst FROM e0 e
+       |WHERE e.src < e.dst
+       |  AND NOT EXISTS (SELECT 1 FROM sup s WHERE s.src = e.src AND s.dst = e.dst)
+       |ORDER BY e.src, e.dst""".stripMargin
+
   private val assortativitySql =
     s"""WITH $edgesSql,
        |dx AS MATERIALIZED (SELECT src, count(*) AS dx FROM edges GROUP BY src),
@@ -738,6 +763,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_graph_ktruss" -> ktrussSql(KTrussMod, KTrussMaxId, KTrussK, KTrussRounds),
+    "q_graph_bridges" -> bridgesSql,
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),

@@ -266,6 +266,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(merged.count() == 3)
   }
 
+  test("cdc apply equals a brute-force last-wins replay on random change streams") {
+    import graft.ops.CdcApply
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val keys = 1L to 40L
+      val base = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"base$k")).toDF("k", "payload")
+      // random change stream: multiple ops per key, unique seq per key
+      val changes = keys.flatMap { k =>
+        val n = rnd.nextInt(4) // 0-3 changes for this key
+        (1 to n).map { seq =>
+          val op = Seq("I", "U", "D")(rnd.nextInt(3))
+          (k, seq.toLong, op, s"v$k-$seq")
+        }
+      }
+      val changesDf = changes.toDF("k", "seq", "op", "payload")
+      val applied = CdcApply(base, changesDf, "k", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference: driver-side last-wins replay over a sorted map
+      val baseMap = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = keys.flatMap { k =>
+        changes.filter(_._1 == k).sortBy(_._2).lastOption match {
+          case Some((_, _, "D", _))      => None
+          case Some((_, _, _, payload))  => Some(k -> payload)
+          case None                      => baseMap.get(k).map(k -> _)
+        }
+      }.toMap
+      assert(applied == expected, s"trial $trial")
+    }
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
