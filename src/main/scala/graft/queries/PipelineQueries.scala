@@ -98,6 +98,33 @@ object PipelineQueries {
       Dedup.containmentDedup(Tables.documents(s, d), ContainmentThreshold)
         .orderBy("doc_a", "doc_b")),
 
+    // cross-source duplication matrix: where do the near-dup pairs come
+    // from? The corpus-diagnostics view that decides which source to
+    // drop/deprioritize when two feeds substantially overlap.
+    "q_dedup_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashDedup(docs, MinhashThreshold)
+        .join(src.toDF("doc_a", "source_a"), "doc_a")
+        .join(src.toDF("doc_b", "source_b"), "doc_b")
+        .groupBy(least(col("source_a"), col("source_b")).as("s1"),
+          greatest(col("source_a"), col("source_b")).as("s2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("s1", "s2")
+    }),
+
+    // binary-content exact dedup: the multimodal twin of q_dedup_exact_fp
+    // — fingerprint the payload BYTES (not a text projection), group on
+    // (fp, n_bytes); the dedupe that runs before any expensive decode
+    "q_multimodal_dedup" -> ((s, d) =>
+      Multimodal.binarize(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.polyHash(decode(col("content"), "UTF-8")).as("fp"),
+          col("meta.n_bytes").as("n_bytes"))
+        .groupBy("fp", "n_bytes")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper")),
+
     // priority-aware canonical selection inside duplicate clusters: keep
     // the copy from the most trusted source (rank = numeric source suffix),
     // not the lowest id — the multi-source corpus merge policy
@@ -332,6 +359,24 @@ object PipelineQueries {
   private val minhashSql =
     s"""WITH $minhashPipelineCtes
        |SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  private val sourceOverlapSql =
+    s"""WITH $minhashPipelineCtes
+       |SELECT least(da.source, db.source) AS s1,
+       |  greatest(da.source, db.source) AS s2, count(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = doc_a
+       |JOIN documents db ON db.doc_id = doc_b
+       |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
+
+  // binarize() is encode(text) — the payload round-trips UTF-8, so the
+  // oracle fingerprints the text directly; n_bytes is the octet length
+  private val multimodalDedupSql =
+    s"""SELECT ${polyHashDuck("text")} AS fp,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  min(doc_id) AS keeper, count(*) AS n_copies
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY keeper""".stripMargin
 
   private val containmentSql =
     s"""WITH $docsCte,
@@ -865,6 +910,8 @@ object PipelineQueries {
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_containment" -> containmentSql,
+    "q_dedup_source_overlap" -> sourceOverlapSql,
+    "q_multimodal_dedup" -> multimodalDedupSql,
     "q_dedup_priority" -> prioritySql,
     "q_decontaminate" -> decontamSql,
     "q_text_bm25" -> bm25Sql,
