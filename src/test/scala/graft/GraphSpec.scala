@@ -195,6 +195,14 @@ class GraphSpec extends SparkSpec {
     assert(ccp(1L) == ((1L, 0L, 0.0))) // deg < 2 -> defined as 0
   }
 
+  test("local bridges: pendant and chain edges flagged, triangle edges not") {
+    // triangle 1-2-3 with a pendant 3->4 and a 2-chain 4->5
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L)
+    val bridges = graft.graph.Graphs.localBridges(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bridges == Set((3L, 4L), (4L, 5L)))
+  }
+
   test("multi-source bfs: per-seed distances, sparse unreached pairs, isolated seed") {
     // chain 1->2->3->4 plus a branch 2->5; vertex 9 exists only as a seed
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L)
