@@ -54,6 +54,30 @@ object Profile {
       t("cc doubling again")(graft.graph.Graphs.connectedComponentsDoubling(
         graft.graph.Graphs.lineitemEdges(spark, sfDir, 300)).count())
       report("cc doubling warm")
+    } else if (args.contains("--shuffle")) {
+      // per-query shuffle volume — the measured basis for the "dims
+      // broadcast; only the pre-filtered facts shuffle" claims in
+      // BASELINE.md. (Task input metrics are unreliable for local-fs
+      // parquet scans, so only shuffle bytes are reported.) Listener
+      // events are async: drain before reading.
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+      val names = Seq("q_tpch_q1", "q_tpch_q5", "q_tpch_q18", "q_join_broadcast",
+        "q_dedup_minhash", "q_dedup_exact_fp", "q_decontaminate", "q_heavy_hitters",
+        "q_topk_per_key", "q_corpus_fingerprint")
+      names.foreach { name =>
+        graft.SparkEntry.queries(name)(spark, sfDir) // plan once to warm catalogs
+        sw.set(0)
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Thread.sleep(1000) // let the listener bus drain
+        println(f"[shuffle] $name%-24s shuffleWrite=${sw.get / 1048576.0}%8.2f MiB")
+      }
     } else if (args.contains("--cold")) {
       t("full minhashDedup (cold)")(Dedup.minhashDedup(docs, 0.8).count())
     } else if (args.contains("--hot")) {
