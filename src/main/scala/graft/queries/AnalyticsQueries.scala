@@ -1227,6 +1227,25 @@ object AnalyticsQueries {
         .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))
     }),
 
+    // CDC diff (the inverse of q_cdc_apply): diff yesterday's snapshot
+    // against a mutated today — price bump on %10==2, rows %10==3
+    // deleted, shifted keys inserted — and the change set must contain
+    // exactly those rows with the right op tags. The oracle enumerates
+    // the expected binlog directly from the mutation recipe, so the
+    // full-outer-join + null-safe-compare machinery is what is proven.
+    "q_cdc_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prev = o.select("o_orderkey", "o_custkey", "o_totalprice")
+      val next = prev.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 2, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(prev.filter(col("o_orderkey") % 10 === 4)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.ops.SnapshotDiff(prev, next, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
     // CDC apply: fold a synthetic binlog (two stacked upserts on the same
     // keys — last-wins —, tombstones, and inserts) into the orders
     // snapshot via ops.CdcApply. The oracle is an independent CASE/anti-
@@ -2027,6 +2046,17 @@ object AnalyticsQueries {
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_cdc_diff" ->
+      """SELECT o_orderkey, 'U' AS op, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 2
+        |UNION ALL
+        |SELECT o_orderkey, 'D', o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'I', o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 4
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_cdc_apply" ->
       """SELECT o_orderkey, o_custkey,

@@ -297,6 +297,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff round-trip: CdcApply(prev, diff(prev, next)) == next") {
+    import graft.ops.{CdcApply, SnapshotDiff}
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val prev = (1L to 50L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v${rnd.nextInt(3)}")).toDF("k", "payload")
+      val next = (1L to 60L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v${rnd.nextInt(3)}")).toDF("k", "payload")
+      val diff = SnapshotDiff(prev, next, "k").withColumn("seq", lit(1L))
+      val applied = CdcApply(prev, diff, "k", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = next.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(applied == expected, s"trial $trial")
+      // minimality: unchanged keys emit no change row
+      val unchanged = prev.join(next, Seq("k", "payload"), "left_semi")
+        .select("k").collect().map(_.getLong(0)).toSet
+      val diffKeys = diff.select("k").collect().map(_.getLong(0)).toSet
+      assert(unchanged.intersect(diffKeys).isEmpty, s"trial $trial emitted no-ops")
+    }
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
