@@ -92,4 +92,19 @@ class RuleSpec extends SparkSpec {
     assert(custom == window)
     assert(custom.count(_._1 == 2L) == 2) // under-full group passes through whole
   }
+
+  test("TopKPerKey null ordering matches the window default (DESC => NULLS LAST)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Some(5L), 1L), (1L, None, 2L), (1L, Some(7L), 3L),
+      (1L, None, 4L), (1L, Some(1L), 5L))
+      .toDF("k", "v", "id").repartition(4)
+    val custom = graft.plans.TopKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 3)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+    val window = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn").collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(custom == window) // 7, 5, 1 kept; both nulls sort last and drop
+  }
 }
