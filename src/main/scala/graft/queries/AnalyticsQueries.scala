@@ -1172,6 +1172,28 @@ object AnalyticsQueries {
         .orderBy("o_custkey")
     }),
 
+    // Pareto/concentration curve: top-100 customers by revenue with
+    // cumulative revenue share (the 80/20 report). Deliberately NOT a
+    // global running sum over all customers: the top-100 cut goes through
+    // TakeOrderedAndProject first, so the only window sort runs over 100
+    // rows; the denominator is a broadcast scalar. Cumulative sums stay
+    // DECIMAL-exact until one final double conversion + division each.
+    "q_orders_pareto" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val tot = rev.agg(sum("rev").as("tot"))
+      val top = rev.orderBy(desc("rev"), col("o_custkey")).limit(100)
+      val ord = Window.orderBy(desc("rev"), col("o_custkey"))
+      top
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum("rev").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("o_custkey"), col("rev").cast("double").as("rev"),
+          (col("cum").cast("double") / col("tot").cast("double")).as("cum_share"))
+        .orderBy("rank")
+    }),
+
     // Word-commonness quality score — the log-free perplexity proxy: a
     // document whose words are corpus-rare is OCR noise, gibberish, or a
     // language outlier. Σ corpus-frequency(word) per doc is an exact
@@ -2004,6 +2026,21 @@ object AnalyticsQueries {
         |JOIN supp sc ON r.consequent = sc.p
         |CROSS JOIN tot t
         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    "q_orders_pareto" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS MATERIALIZED (SELECT sum(rev) AS tot FROM rev),
+        |top AS MATERIALIZED (
+        |  SELECT o_custkey, rev FROM rev ORDER BY rev DESC, o_custkey LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY rev DESC, o_custkey) AS rank,
+        |  o_custkey, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(t.tot AS DOUBLE) AS cum_share
+        |FROM top CROSS JOIN tot t
+        |ORDER BY rank""".stripMargin,
 
     "q_text_commonness" ->
       s"""WITH w AS MATERIALIZED (

@@ -129,6 +129,15 @@ object GraphQueries {
       Graphs.kTruss(e, KTrussK, KTrussRounds).orderBy("src", "dst")
     }),
 
+    // in-degree distribution: vertices per degree value — the first plot
+    // made of any new graph (power-law check, hub detection); two tiny
+    // hash aggregates
+    "q_graph_degree_dist" -> ((s, d) =>
+      Graphs.lineitemEdges(s, d, Mod)
+        .groupBy("dst").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("deg")),
+
     // local bridges (Granovetter weak ties): undirected edges with zero
     // triangle support — the structural cut-candidate screen
     "q_graph_bridges" -> ((s, d) =>
@@ -764,6 +773,12 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_graph_ktruss" -> ktrussSql(KTrussMod, KTrussMaxId, KTrussK, KTrussRounds),
     "q_graph_bridges" -> bridgesSql,
+    "q_graph_degree_dist" ->
+      s"""WITH $edgesSql,
+         |degs AS MATERIALIZED (
+         |  SELECT dst, count(*) AS deg FROM edges GROUP BY dst)
+         |SELECT deg, count(*) AS n_vertices FROM degs
+         |GROUP BY deg ORDER BY deg""".stripMargin,
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),
