@@ -22,10 +22,16 @@ object Bench {
         true
       } catch { case _: Throwable => false }
 
-    // Two executions per query, min reported: the first run pays one-time
-    // JIT/codegen-compile/first-plan costs that swing small queries ±25%;
-    // the warm number is the engine's throughput (measurement basis
-    // recorded in BASELINE.md — compare like with like across rounds).
+    // Per-query repeat-min, with the repeats INTERLEAVED as full passes over
+    // the whole query list rather than back-to-back: a transient box-load
+    // spike lasting minutes then inflates at most one sample per query, and
+    // the min discards it. (Back-to-back repeats let one spike poison both
+    // samples of a contiguous block — the rounds-2..5 "text block regression"
+    // pattern.) Pass 1 additionally absorbs one-time JIT/codegen-compile
+    // costs, so the min is the warm number BASELINE.md records. Queries whose
+    // two samples still disagree by >1.5x get a third tiebreaker sample in a
+    // final pass, so a spike must span the entire run to survive into the
+    // reported number.
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b measures a subset in isolation
     // (same warmup + basis), so one regressed query can be profiled without
     // paying the full catalog run.
@@ -40,13 +46,21 @@ object Bench {
         SparkEntry.benchQueries.filter(names.contains)
       case None => SparkEntry.benchQueries
     }
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = run(name)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val pass1 = selected.map(n => n -> timeOne(n)).toMap
+    val pass2 = selected.map(n => n -> timeOne(n)).toMap
     val results = selected.map { name =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = run(name)
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val samples = Seq(pass1(name), pass2(name))
+      if (samples.exists(_ < 0)) name -> -1.0
+      else {
+        val needTiebreak = samples.max > samples.min * 1.5
+        val all = if (needTiebreak) samples :+ timeOne(name) else samples
+        name -> (if (all.exists(_ < 0)) -1.0 else all.min)
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -30,6 +30,9 @@ object CdcApply {
     */
   def apply(base: DataFrame, changes: DataFrame, key: String,
       seqCol: String, opCol: String): DataFrame = {
+    // internal rank column must not shadow (and then drop) user data
+    require(!changes.columns.contains("__rn"),
+      "CdcApply: column name '__rn' is reserved for internal use")
     val w = Window.partitionBy(key).orderBy(desc(seqCol))
     val latest = changes
       .withColumn("__rn", row_number().over(w))

@@ -29,19 +29,27 @@ object SnapshotDiff {
     *         names; D rows carry the old payload, I/U rows the new */
   def apply(prev: DataFrame, next: DataFrame, key: String): DataFrame = {
     val payload = prev.columns.filterNot(_ == key).toIndexedSeq
+    // 'op' is this operator's one reserved OUTPUT name; internal working
+    // columns use a __sd_ prefix no sane payload carries. Reject rather
+    // than silently overwrite (withColumn would clobber a payload 'op').
+    require(key != "op" && !payload.contains("op"),
+      "SnapshotDiff: column name 'op' is reserved for the change-type output")
+    require(!(payload :+ key).exists(_.startsWith("__sd_")),
+      "SnapshotDiff: column prefix '__sd_' is reserved for internal use")
     def side(df: DataFrame, tag: String) =
       df.select(col(key) +:
-        (payload.map(c => col(c).as(s"${tag}_$c")) :+ lit(1).as(s"${tag}_present")): _*)
+        (payload.map(c => col(c).as(s"__sd_${tag}_$c")) :+
+          lit(1).as(s"__sd_${tag}_present")): _*)
     val j = side(prev, "p").join(side(next, "n"), Seq(key), "full_outer")
     val changed: Column = payload
-      .map(c => !(col(s"p_$c") <=> col(s"n_$c")))
+      .map(c => !(col(s"__sd_p_$c") <=> col(s"__sd_n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val op = when(col("p_present").isNull, "I")
-      .when(col("n_present").isNull, "D")
+    val op = when(col("__sd_p_present").isNull, "I")
+      .when(col("__sd_n_present").isNull, "D")
       .when(changed, "U")
     j.withColumn("op", op)
       .filter(col("op").isNotNull) // unchanged keys drop out
       .select(col(key) +: col("op") +: payload.map(c =>
-        when(col("op") === "D", col(s"p_$c")).otherwise(col(s"n_$c")).as(c)): _*)
+        when(col("op") === "D", col(s"__sd_p_$c")).otherwise(col(s"__sd_n_$c")).as(c)): _*)
   }
 }

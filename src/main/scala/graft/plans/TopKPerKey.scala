@@ -35,6 +35,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * groups (per-document vocabularies: Corpus.tfidf) the window sort is
   * ~2x faster — each group sort is trivial and this operator pays an
   * extra exchange plus a non-codegen pass. Pick by n/k per group.
+  *
+  * Memory contract: each pass holds O(k x distinct-keys-per-partition)
+  * copied rows on-heap with NO spill path (the window formulation it
+  * replaces spills through external sort). The final pass is bounded by
+  * k x |keys|/numPartitions after the key exchange; the partial pass by
+  * k x distinct keys seen per upstream partition. When key cardinality
+  * per partition is huge and groups are near size k (nothing gets
+  * discarded), this operator buffers ~the whole partition — use the
+  * row_number window instead in that regime; it is also the faster one
+  * there (see regime note above).
   */
 object TopKPerKey {
 
@@ -50,9 +60,14 @@ object TopKPerKey {
       SortOrder(attr(c), if (asc) Ascending else Descending) }
     // sessions built with GraftExtensions already carry the strategy; for
     // any other live session, register idempotently through the public
-    // experimental hook (additive and inert for unrelated queries)
+    // experimental hook (additive and inert for unrelated queries).
+    // Idempotence is checked against the planner's FULL strategy list, not
+    // just extraStrategies — a session built with GraftExtensions carries
+    // the strategy via injectPlannerStrategy (extraPlanningStrategies),
+    // which extraStrategies alone cannot see, and double registration
+    // makes the planner enumerate duplicate candidate plans.
     val session = df.sparkSession
-    if (!session.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+    if (!session.sessionState.planner.strategies.contains(TopKPerKeyStrategy))
       session.experimental.extraStrategies =
         session.experimental.extraStrategies :+ TopKPerKeyStrategy
     val node = TopKPerKeyNode(keys.map(attr), sortOrders, k, analyzed)

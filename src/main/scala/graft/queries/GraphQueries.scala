@@ -165,6 +165,7 @@ object GraphQueries {
             (sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx")).cast("double")) *
               sqrt((col("n_edges") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .as("assortativity"))
+        .orderBy("n_edges") // single row; total-ORDER-BY rule kept literal
     }),
 
     // reciprocal-edge profile: per-vertex count of mutual (follow-back)

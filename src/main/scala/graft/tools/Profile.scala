@@ -75,7 +75,14 @@ object Profile {
         sw.set(0)
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        Thread.sleep(1000) // let the listener bus drain
+        // listener events are async and a fixed sleep undercounts under
+        // load — poll until the counter is stable for 3 consecutive reads
+        var last = -1L; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 100) {
+          Thread.sleep(100); waited += 1
+          val now = sw.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
         println(f"[shuffle] $name%-24s shuffleWrite=${sw.get / 1048576.0}%8.2f MiB")
       }
     } else if (args.contains("--cold")) {
