@@ -135,13 +135,22 @@ object RelQueries {
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag")),
 
-    // approximate distinct (HLL++) — rows-only check: sketch estimates are
-    // engine-specific, so no cross-engine oracle is possible; QueriesSpec
-    // asserts <5% relative error vs the exact count instead
+    // approximate distinct (engine-native HLL++), oracle-checked via a
+    // CERTIFICATE: the sketch estimate itself is engine-specific (DuckDB
+    // cannot reproduce Spark's HLL++ registers), so the compared output
+    // carries the exact distinct count plus a boolean "estimate within the
+    // 5% bound" — the oracle asserts TRUE, so the hash match PROVES the
+    // bound held. Full sketch-value parity is covered by the deterministic
+    // twins q_agg_hll / q_agg_hll_merge below.
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.02).as("apx_parts"),
+        .agg(approx_count_distinct("l_partkey", 0.02).as("apx"),
+          countDistinct("l_partkey").as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (abs(col("apx") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") <= 0.05).as("apx_in_bound"),
+          col("exact_parts"), col("n"))
         .orderBy("l_returnflag")),
 
     // deterministic HLL sketch, oracle-checked — the cross-engine-exact
@@ -751,6 +760,14 @@ object RelQueries {
       """SELECT l_returnflag,
          sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
          sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the TRUE literal is the certificate: a hash match means every
+    // group's HLL++ estimate fell inside the 5% band around the exact
+    // count that both engines compute independently
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, TRUE AS apx_in_bound,
+         count(DISTINCT l_partkey) AS exact_parts, count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // same register algebra as the engine, spelled in DuckDB (// integer

