@@ -29,11 +29,10 @@ object SparkEntry {
 
   /** Queries deliberately without oracle SQL, with the reason documented at
     * each definition: path enumeration explodes in recursive SQL
-    * (sssp_path), float centroid training is partition-order dependent
-    * (ivf/pq — oracle work in progress). Everything else must carry an
-    * oracle (enforced by QueriesSpec). */
+    * (sssp_path). Everything else must carry an oracle (enforced by
+    * QueriesSpec). */
   def rowsOnlyQueries: Set[String] =
-    Set("q_graph_sssp_path", "q_sim_ivf", "q_sim_pq")
+    Set("q_graph_sssp_path")
 
   /** Headline subset timed by Bench (kept fast enough to run per-round
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */

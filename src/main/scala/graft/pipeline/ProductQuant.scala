@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * subspace's partial vector sums ride one groupByKey shuffle of
   * M x KSub rows); encoding is a single mapPartitions; the ADC scan keeps
   * per-query bounded heaps per partition and emits only per-partition
-  * top-R, so no |Q| x |corpus| row set ever shuffles. Deterministic
-  * seeding (subvectors of the KSub lowest vec_ids), no RNG. Not
-  * oracle-checked: float centroid training is partition-order dependent
-  * (same declared exception as IVF).
+  * top-R, so no |Q| x |corpus| row set ever shuffles; a global top-R cut
+  * then fixes the candidate set independent of partition layout.
+  * Deterministic seeding (subvectors of the KSub lowest vec_ids), no RNG,
+  * and quantized codebook updates (VecKMeans.QuantScale — exact int64
+  * sums, partition-order-free) make training bit-deterministic across
+  * engines: q_sim_pq is oracle-checked against a DuckDB CTE unrolling the
+  * same arithmetic; recall is measured in VecKMeansSpec.
   */
 object ProductQuant {
   /** subspaces (codes per vector) and centroids per subspace codebook */
@@ -86,7 +89,7 @@ object ProductQuant {
         .collect()
       val next = cents.map(_.clone())
       sums.foreach { case (key, vs) =>
-        if (vs.n > 0) next(key / KSub)(key % KSub) = vs.sum.map(_ / vs.n)
+        if (vs.n > 0) next(key / KSub)(key % KSub) = VecKMeans.centroidOf(vs)
       }
       cents = next
     }
@@ -146,14 +149,24 @@ object ProductQuant {
     }
     val bcT = spark.sparkContext.broadcast(tables)
 
-    // per-partition bounded heaps: emit only top-`refine` rows per query
-    // per partition — the scan's output is |Q| x refine x partitions, never
-    // |Q| x |corpus|
+    // per-partition bounded heaps cap the scan's output at |Q| x refine
+    // rows per partition (never |Q| x |corpus|); a global top-`refine` cut
+    // per query then makes the candidate SET the true ADC top-refine by
+    // (score DESC, nid) — independent of partition layout, which is what
+    // lets the DuckDB oracle reproduce it. Heap order ties on score break
+    // by nid (higher nid = worse) so the per-partition cut is consistent
+    // with the global one.
     val cand = codes.as[(Long, Array[Int], Double)]
       .mapPartitions { it =>
+        val worstFirst = new java.util.Comparator[(Double, Long)] {
+          override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
         val ts = bcT.value
-        val heaps = ts.map(_ => new java.util.PriorityQueue[(Double, Long)](
-          refine + 1, java.util.Comparator.comparingDouble[(Double, Long)](_._1)))
+        val heaps = ts.map(_ =>
+          new java.util.PriorityQueue[(Double, Long)](refine + 1, worstFirst))
         it.foreach { case (nid, cs, napprox) =>
           var q = 0
           while (q < ts.length) {
@@ -172,14 +185,18 @@ object ProductQuant {
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
           val qid = ts(q)._1
-          Iterator.continually(h.poll()).takeWhile(_ != null).map(p => (qid, p._2))
+          Iterator.continually(h.poll()).takeWhile(_ != null)
+            .map(p => (qid, p._2, p._1))
         }
-      }.toDF("qid", "nid")
-      .distinct() // merge per-partition candidate lists (ids only)
+      }.toDF("qid", "nid", "ascore")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ascore").desc, col("nid").asc)
+    val refined = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= refine).select("qid", "nid")
 
     // exact rerank of the survivors against the true vectors
     Similarity.rankTopK(
-      cand.join(Similarity.queriesWithNorm(queries), "qid")
+      refined.join(Similarity.queriesWithNorm(queries), "qid")
         .join(Similarity.corpusWithNorm(corpus), "nid"),
       k)
   }

@@ -15,24 +15,43 @@ import graft.functions.{GraftFunctions, VecImpl}
   *  - assignment is a typed mapPartitions over a broadcast centroid matrix
   *    (centroids are iteration-varying state — a literal-expression
   *    formulation would rebuild/recompile the plan per iteration);
-  *  - the per-cluster mean uses a custom Aggregator summing vectors into a
-  *    mergeable double buffer — one partial-aggregated shuffle of k rows,
-  *    no dimension explosion;
-  *  - deterministic seeding (first k distinct vec_ids) — no RNG, so runs
-  *    and engines reproduce. Not oracle-checked: float vector sums are
-  *    partition-order dependent; VecKMeansSpec asserts quality instead
-  *    (monotone SSE, IVF recall vs brute force).
+  *  - the per-cluster mean uses a custom Aggregator summing QUANTIZED
+  *    vectors into a mergeable int64 buffer — one partial-aggregated
+  *    shuffle of k rows, no dimension explosion (see [[QuantScale]]);
+  *  - deterministic seeding (first k distinct vec_ids), no RNG, and
+  *    quantized updates make training BIT-DETERMINISTIC across runs,
+  *    partitionings, and engines — q_sim_ivf is oracle-checked against a
+  *    DuckDB CTE unrolling the same arithmetic; VecKMeansSpec additionally
+  *    asserts quality (monotone SSE, IVF recall vs brute force).
   */
 object VecKMeans {
 
-  /** elementwise vector sum + count, mergeable (the partial aggregate) */
-  final case class VecSum(n: Long, sum: Array[Double])
+  /** Centroids live on a 2^-20 grid: each input float is rounded
+    * half-away-from-zero to an int64 multiple of 2^-20, so per-cluster
+    * sums are EXACT integer sums — associative, commutative, and
+    * partition-order-free, unlike float accumulation — and the mean is
+    * one IEEE division of exactly-represented operands. That is what
+    * makes Lloyd training reproducible bit-for-bit on any partitioning
+    * and replayable by the DuckDB oracle. The 1e-6 grid sits far below
+    * any clustering-relevant signal (embedding values are O(0.1)), and
+    * int64 headroom covers ~10^12 rows per cluster at |v| <= 1. */
+  val QuantScale = 1048576L // 2^20
+
+  /** round-half-away-from-zero, matching both engines' SQL round(); the
+    * +/-0.5 add is exact here because inputs are float32 values scaled by
+    * a power of two (<= 24 significant bits, magnitude < 2^21) */
+  def qround(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  /** elementwise quantized vector sum + count, mergeable (the partial
+    * aggregate); sums are exact int64, so merge order cannot matter */
+  final case class VecSum(n: Long, sum: Array[Long])
 
   class VecSumAgg(dim: Int) extends Aggregator[Array[Float], VecSum, VecSum] {
-    override def zero: VecSum = VecSum(0L, new Array[Double](dim))
+    override def zero: VecSum = VecSum(0L, new Array[Long](dim))
     override def reduce(b: VecSum, v: Array[Float]): VecSum = {
       var i = 0
-      while (i < dim) { b.sum(i) += v(i); i += 1 }
+      while (i < dim) { b.sum(i) += qround(v(i).toDouble * QuantScale); i += 1 }
       VecSum(b.n + 1, b.sum)
     }
     override def merge(a: VecSum, b: VecSum): VecSum = {
@@ -44,6 +63,12 @@ object VecKMeans {
     override def bufferEncoder: Encoder[VecSum] = Encoders.product[VecSum]
     override def outputEncoder: Encoder[VecSum] = Encoders.product[VecSum]
   }
+
+  /** quantized-sum buffer -> centroid coordinates: one IEEE division per
+    * dim; (n * QuantScale) and the int64 sum both convert to double
+    * exactly at catalog scales, so both engines compute the same bits */
+  def centroidOf(vs: VecSum): Array[Double] =
+    vs.sum.map(s => s.toDouble / (vs.n * QuantScale).toDouble)
 
   private def sqDist(v: Array[Float], c: Array[Double]): Double = {
     var acc = 0.0
@@ -98,7 +123,7 @@ object VecKMeans {
         .collect()
       val next = cents.clone()
       sums.foreach { case (c, vs) =>
-        if (vs.n > 0) next(c) = vs.sum.map(_ / vs.n)
+        if (vs.n > 0) next(c) = centroidOf(vs)
       }
       cents = next
     }

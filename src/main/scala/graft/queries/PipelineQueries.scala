@@ -177,10 +177,11 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
-    // IVF ANN (k-means coarse quantizer, nprobe cells scanned per query) —
-    // rows-only: float centroid training is partition-order dependent so a
-    // bit-exact SQL oracle is impossible; VecKMeansSpec asserts recall vs
-    // brute force instead
+    // IVF ANN (k-means coarse quantizer, nprobe cells scanned per query).
+    // Quantized centroid updates (VecKMeans.QuantScale) make training
+    // bit-deterministic, so the ENTIRE pipeline — 3 Lloyd iterations,
+    // assignment, probe ranking, cosine top-k — is oracle-checked against
+    // simIvfSql's unrolled CTEs; VecKMeansSpec adds recall vs brute force.
     "q_sim_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = graft.pipeline.VecKMeans.train(emb, k = 8, iterations = 3)
@@ -189,9 +190,11 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
-    // PQ ANN: codes train like IVF centroids (float, partition-order
-    // dependent) -> rows-only like q_sim_ivf; recall measured in
-    // VecKMeansSpec. Exact rerank means emitted scores are true cosines.
+    // PQ ANN: codebooks train with the same quantized-update determinism
+    // as IVF, and the ADC candidate set is the global top-refine by
+    // (score, nid) — so training, encoding, ADC scan, and exact rerank
+    // are all oracle-checked (simPqSql); recall measured in VecKMeansSpec.
+    // Exact rerank means emitted scores are true cosines.
     "q_sim_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cb = graft.pipeline.ProductQuant.train(emb, iterations = 3)
@@ -723,6 +726,158 @@ object PipelineQueries {
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
   }
 
+  /** sequential-fold squared distance between a FLOAT[] column and a
+    * DOUBLE[] centroid — the DuckDB twin of VecKMeans.sqDist (same add
+    * order, same promotion, d*d spelled as multiplication not pow) */
+  private def sqdistDuck(v: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i]))), (acc, x) -> acc + x)"
+
+  /** Unrolled Lloyd training + IVF search — the full q_sim_ivf replay.
+    * Training is replayable in SQL because the engine's update step uses
+    * QUANTIZED exact int64 sums (VecKMeans.QuantScale): round(v * 2^20)
+    * is identical arithmetic in both engines, integer sums are
+    * order-free, and the mean is one IEEE division. Assignment argmin and
+    * probe ranking tie-break on cluster index exactly like the engine's
+    * strict-< scan / stable sort. 3 iterations, k=8, nprobe=3 — the same
+    * constants as the query. */
+  private val simIvfSql = {
+    val qsum = "CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)"
+    def iter(t: Int) =
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
+         |    FROM e, c${t - 1} c) WHERE rn = 1),
+         |s$t AS MATERIALIZED (
+         |  SELECT cluster, d.i AS i, $qsum AS s, count(*) AS n
+         |  FROM a$t, dims d GROUP BY cluster, d.i),
+         |c$t AS MATERIALIZED (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) ORDER BY i) AS cv
+         |  FROM s$t GROUP BY cluster
+         |  UNION ALL
+         |  SELECT p.cluster, p.cv FROM c${t - 1} p
+         |  WHERE p.cluster NOT IN (SELECT cluster FROM s$t))""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |dims AS MATERIALIZED (
+       |  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(rn AS INT) - 1 AS cluster,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+       |  WHERE rn <= 8),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id AS nid, embedding AS nv, cluster, ${normDuck("embedding")} AS nn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
+       |    FROM e, c3 c) WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT qid, cluster FROM (
+       |    SELECT e.vec_id AS qid, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
+       |    FROM e, c3 c WHERE e.vec_id < $NumQueryVecs) WHERE rn <= 3),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv, ${normDuck("embedding")} AS nq
+       |  FROM embeddings WHERE vec_id < $NumQueryVecs),
+       |p AS (
+       |  SELECT q.qid, a.nid, round(${dotDuck("q.qv", "a.nv")} / (q.nq * a.nn), 6) AS score
+       |  FROM probes pr JOIN q ON q.qid = pr.qid JOIN asg a ON a.cluster = pr.cluster
+       |  WHERE a.nid <> q.qid)
+       |SELECT qid, rn, nid, score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+       |  FROM p)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
+  /** Unrolled PQ training + ADC search + exact rerank — the q_sim_pq
+    * replay. Same quantized-update determinism as simIvfSql, per
+    * (subspace m, code) codebook cell; M=8 subspaces x dsub=8 dims (the
+    * 64-dim testdata layout), KSub=16 codes, 3 iterations, refine=25.
+    * The candidate set is the GLOBAL ADC top-refine by (score DESC, nid),
+    * matching the engine's partition-capped heaps + global window cut;
+    * ADC dot is a fold over m of per-subspace sequential-fold dots,
+    * byte-matching the engine's lut accumulation order. */
+  private val simPqSql = {
+    def subdist(v: String, m: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), j -> (CAST($v[$m * 8 + j] AS DOUBLE) - $c[j]) * (CAST($v[$m * 8 + j] AS DOUBLE) - $c[j]))), (acc, x) -> acc + x)"
+    val qsum = "CAST(sum(CAST(round(CAST(embedding[m * 8 + d.j] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)"
+    def iter(t: Int) =
+      s"""sa$t AS MATERIALIZED (
+         |  SELECT vec_id, embedding, m, code FROM (
+         |    SELECT e.vec_id, e.embedding, cb.m, cb.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+         |        ORDER BY ${subdist("e.embedding", "cb.m", "cb.cv")}, cb.code) AS rn
+         |    FROM e, cb${t - 1} cb) WHERE rn = 1),
+         |ps$t AS MATERIALIZED (
+         |  SELECT m, code, d.j AS j, $qsum AS s, count(*) AS n
+         |  FROM sa$t, sdims d GROUP BY m, code, d.j),
+         |cb$t AS MATERIALIZED (
+         |  SELECT m, code, list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) ORDER BY j) AS cv
+         |  FROM ps$t GROUP BY m, code
+         |  UNION ALL
+         |  SELECT p.m, p.code, p.cv FROM cb${t - 1} p
+         |  WHERE NOT EXISTS (SELECT 1 FROM ps$t x WHERE x.m = p.m AND x.code = p.code))""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |sdims AS MATERIALIZED (SELECT unnest(range(1, 9)) AS j),
+       |ms AS MATERIALIZED (SELECT unnest(range(0, 8)) AS m),
+       |cb0 AS MATERIALIZED (
+       |  SELECT m.m, s.code,
+       |    list_transform(range(1 + m.m * 8, 9 + m.m * 8), i -> CAST(s.embedding[i] AS DOUBLE)) AS cv
+       |  FROM (SELECT CAST(rn AS INT) - 1 AS code, embedding FROM
+       |          (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+       |        WHERE rn <= 16) s, ms m),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id AS nid, m, code FROM (
+       |    SELECT e.vec_id, cb.m, cb.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+       |        ORDER BY ${subdist("e.embedding", "cb.m", "cb.cv")}, cb.code) AS rn
+       |    FROM e, cb3 cb) WHERE rn = 1),
+       |nap AS MATERIALIZED (
+       |  SELECT nid, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(flatten(list(cb.cv ORDER BY enc.m)), x -> x * x)), (acc, x) -> acc + x)) AS napprox
+       |  FROM enc JOIN cb3 cb USING (m, code) GROUP BY nid),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv, ${normDuck("embedding")} AS nq
+       |  FROM embeddings WHERE vec_id < $NumQueryVecs),
+       |luts AS MATERIALIZED (
+       |  SELECT q.qid, enc.nid, enc.m,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 9), j -> CAST(q.qv[enc.m * 8 + j] AS DOUBLE) * cb.cv[j])),
+       |      (acc, x) -> acc + x) AS subdot
+       |  FROM q, enc JOIN cb3 cb USING (m, code)
+       |  WHERE enc.nid <> q.qid),
+       |dots AS MATERIALIZED (
+       |  SELECT qid, nid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(subdot ORDER BY m)), (acc, x) -> acc + x) AS dot
+       |  FROM luts GROUP BY qid, nid),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT d.qid, d.nid,
+       |      row_number() OVER (PARTITION BY d.qid ORDER BY
+       |        CASE WHEN n.napprox > 0 THEN d.dot / n.napprox ELSE CAST(0.0 AS DOUBLE) END DESC,
+       |        d.nid) AS rn
+       |    FROM dots d JOIN nap n USING (nid)) WHERE rn <= 25),
+       |vecs AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normDuck("embedding")} AS norm FROM embeddings),
+       |p AS (
+       |  SELECT c.qid, c.nid, round(${dotDuck("x.embedding", "y.embedding")} / (x.norm * y.norm), 6) AS score
+       |  FROM cand c JOIN vecs x ON x.vec_id = c.qid JOIN vecs y ON y.vec_id = c.nid)
+       |SELECT qid, rn, nid, score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+       |  FROM p)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
   private val langidSql = {
     val scores = Stopwords.map { case (l, _) => s"${langScoreDuck("ws", l)} AS s_$l" }.mkString(", ")
     val cols = Stopwords.map(s => s"s_${s._1}").mkString(", ")
@@ -925,6 +1080,8 @@ object PipelineQueries {
     "q_sim_topk" -> simTopkSql,
     "q_sim_lsh" -> simLshSql,
     "q_sim_lsh_mp" -> simLshMpSql,
+    "q_sim_ivf" -> simIvfSql,
+    "q_sim_pq" -> simPqSql,
     "q_text_langid" -> langidSql,
     "q_text_quality" -> qualitySql,
     "q_text_tokens" -> tokensSql,
