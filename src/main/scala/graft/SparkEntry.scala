@@ -53,9 +53,10 @@ object SparkEntry {
     "q_pack_contexts", "q_corpus_fingerprint", "q_prep_training",
     "q_decontaminate", "q_text_repetition", "q_events_latest",
     "q_graph_commonneighbors", "q_inverted_index", "q_outlier_mad",
-    // ktruss is catalog+verify only: at sf0.1 the dense Mod-1000 cut makes
-    // even the triangle-once support pass too heavy for the per-round
-    // bench budget (the dense regime is k-core's job, not k-truss's)
+    // q_graph_ktruss (dense Mod-1000 cut) stays catalog+verify only — the
+    // dense regime is k-core's job and too heavy for the per-round bench
+    // budget; the sparse cut below is the tracked k-truss cost
+    "q_graph_ktruss_sparse",
     "q_assoc_rules", "q_dedup_containment",
     "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
   ).filter(queries.contains)

@@ -184,7 +184,18 @@ object Graphs {
     credits.groupBy("src", "dst").agg(count(lit(1)).as("sup"))
   }
 
-  def kTruss(edges: DataFrame, k: Int, maxIter: Int = DefaultKTrussRounds): DataFrame = {
+  /** Ordered-wedge budget above which [[kTruss]] refuses to peel by
+    * default. The wedge count (Σ_v in(v)·out(v) over the ordered half) is
+    * the per-round join fan-out — the quantity that actually prices the
+    * peel. ~1e8 wedges is tens of seconds PER ROUND on 32 cores; past it
+    * the graph is in the dense regime where k-core is the right cohesion
+    * screen (BASELINE.md), so the default fails fast with that guidance
+    * instead of silently burning a cluster. Callers who know their cost
+    * (benchmarks, small fixtures) pass an explicit budget. */
+  val DefaultKTrussWedgeBudget = 100000000L
+
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = DefaultKTrussRounds,
+      maxWedges: Long = DefaultKTrussWedgeBudget): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     def support(state: DataFrame): DataFrame = {
       val half = orderedEdgeSupport(state)
@@ -193,6 +204,22 @@ object Graphs {
         half.select(col("dst").as("src"), col("src").as("dst"), col("sup")))
     }
     val undirected = undirectedSized(edges)
+    // density guard: measure the first round's join fan-out before paying
+    // for it — one degree aggregate + one k-row-ish join on the cached
+    // state, negligible next to a single peel round
+    val h0 = undirected.filter(col("src") < col("dst"))
+    val wedges = h0.select(col("dst").as("v")).groupBy("v").agg(count(lit(1)).as("ind"))
+      .join(h0.select(col("src").as("v")).groupBy("v").agg(count(lit(1)).as("outd")), "v")
+      .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("w"))
+      .first().getLong(0)
+    if (wedges > maxWedges) {
+      undirected.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"kTruss: input has $wedges ordered wedges (> budget $maxWedges); " +
+          "this graph is in the dense regime where triangle peeling is " +
+          "quadratic-ish per round — use kCore for a cohesion screen, " +
+          "pre-filter hubs, or pass an explicit maxWedges to proceed anyway")
+    }
     val result = graft.iterate.Fixpoint.iterate(undirected, maxIter,
       converged = graft.iterate.Fixpoint.countUnchanged()) { (state, _) =>
       // edges with no triangle at all vanish from the support relation —

@@ -318,6 +318,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-truss wedge-budget guard: dense graph refused with k-core guidance, sparse peels") {
+    // dense: complete graph K12 — 12*11/2 = 66 edges, every vertex hub-like
+    val dense = (for (a <- 0L until 12L; b <- 0L until 12L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      graft.graph.Graphs.kTruss(dense, k = 3, maxWedges = 100)
+    }
+    assert(err.getMessage.contains("kCore"), err.getMessage)
+
+    // sparse: two disjoint triangles + a pendant chain, same tiny budget
+    val sparse = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (21L, 22L)).toDF("src", "dst")
+    val out = graft.graph.Graphs.kTruss(sparse, k = 3, maxWedges = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L)))
+
+    // the explicit opt-out lets the dense fixture run anyway
+    assert(graft.graph.Graphs.kTruss(dense, k = 3, maxWedges = Long.MaxValue)
+      .count() == 66)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
