@@ -36,6 +36,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ~2x faster — each group sort is trivial and this operator pays an
   * extra exchange plus a non-codegen pass. Pick by n/k per group.
   *
+  * Codegen boundary: the exec runs between two whole-stage-codegen spans
+  * (scan-project below, the exchange/sort machinery around it). Measured
+  * (Profile --topkboundary, stacked identity InternalRow layers on the
+  * bench input): one extra iterator boundary costs under timer noise at
+  * the 150k-row bench shape and ~0.3 ms at 15 million rows — two
+  * boundaries are ~0.2% of the operator's 0.28 s bench time, so a
+  * CodegenSupport implementation has nothing to win here; the exchange
+  * dominates. Re-measure before believing otherwise.
+  *
   * Memory contract: each pass holds O(k x distinct-keys-per-partition)
   * copied rows on-heap with NO spill path (the window formulation it
   * replaces spills through external sort). The final pass is bounded by

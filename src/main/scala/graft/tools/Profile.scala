@@ -85,6 +85,40 @@ object Profile {
         }
         println(f"[shuffle] $name%-24s shuffleWrite=${sw.get / 1048576.0}%8.2f MiB")
       }
+    } else if (args.contains("--topkboundary")) {
+      // marginal cost of one non-codegen InternalRow iterator boundary —
+      // the overhead TopKPerKeyExec's two passes add versus a hypothetical
+      // fused (whole-stage-codegen) implementation. Measured by stacking
+      // identity mapPartitions layers on the operator's own input shape
+      // and taking the per-layer slope; recorded in BASELINE.md.
+      val o = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
+      val nRows = o.count()
+      val base = o.queryExecution.toRdd
+      val Layers = 5
+      val layered = (1 to Layers).foldLeft(base)((r, _) => r.mapPartitions(identity))
+      def iterate(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): Unit =
+        rdd.foreachPartition { it => while (it.hasNext) it.next() }
+      iterate(base); iterate(layered) // warm
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tb = (1 to 5).map(_ => time(iterate(base))).min
+      val tl = (1 to 5).map(_ => time(iterate(layered))).min
+      val perLayerMs = (tl - tb) / Layers * 1000
+      println(f"[topkboundary] rows=$nRows base=$tb%.4f s +$Layers layers=$tl%.4f s" +
+        f" => per-boundary ~ $perLayerMs%.2f ms (x2 boundaries for the operator)")
+      // 100x the bench rows to resolve the per-row slope above timer noise
+      import org.apache.spark.sql.functions.col
+      val big = spark.range(0, 15000000L)
+        .select((col("id") % 1500).as("k"), col("id").as("v"), (col("id") * 7 % 1000).as("p"))
+      val bigRdd = big.queryExecution.toRdd
+      val bigLayered = (1 to Layers).foldLeft(bigRdd)((r, _) => r.mapPartitions(identity))
+      iterate(bigRdd); iterate(bigLayered)
+      val tb2 = (1 to 3).map(_ => time(iterate(bigRdd))).min
+      val tl2 = (1 to 3).map(_ => time(iterate(bigLayered))).min
+      println(f"[topkboundary] rows=15000000 base=$tb2%.4f s +$Layers layers=$tl2%.4f s" +
+        f" => per-boundary ~ ${(tl2 - tb2) / Layers * 1000}%.2f ms" +
+        f" (~${(tl2 - tb2) / Layers / 15e6 * 1e9}%.2f ns/row)")
     } else if (args.contains("--cold")) {
       t("full minhashDedup (cold)")(Dedup.minhashDedup(docs, 0.8).count())
     } else if (args.contains("--hot")) {
