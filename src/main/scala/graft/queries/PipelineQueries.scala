@@ -233,6 +233,36 @@ object PipelineQueries {
                FROM graft_documents ORDER BY doc_id""")
     }),
 
+    // pure-SQL surface for the HEADLINE dedup pipeline: shingle -> minhash
+    // -> banded LSH self-join -> exact-Jaccard verify, composed entirely
+    // in one spark.sql statement over the registered graft_* functions —
+    // a SQL-only user runs the same MinHash dedup the Column API offers,
+    // and the result hash-matches q_dedup_minhash's DuckDB oracle.
+    "q_sql_dedup" -> ((s, d) => {
+      graft.functions.GraftExtensions.installInto(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      val bandStructs = (0 until Bands).map(b =>
+        s"named_struct('band', $b, 'key', ${bandKeySpark("mh", b)})").mkString(", ")
+      s.sql(
+        s"""WITH sh AS (
+           |  SELECT doc_id, hs, graft_minhash(hs) AS mh FROM (
+           |    SELECT doc_id, graft_shingle_hashes(text) AS hs FROM graft_documents)
+           |  WHERE size(hs) > 0),
+           |bands AS (
+           |  SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+           |    SELECT doc_id, explode(array($bandStructs)) AS bk FROM sh)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jacc FROM (
+           |  SELECT c.doc_a, c.doc_b, graft_jaccard(x.hs, y.hs) AS jacc
+           |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+           |              JOIN sh y ON y.doc_id = c.doc_b)
+           |WHERE jacc >= $MinhashThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
     // corpus statistics: vocabulary with doc frequencies, TF-IDF top terms
     "q_text_vocab" -> ((s, d) =>
       Corpus.vocabulary(Tables.documents(s, d), VocabTopN)),
@@ -1089,6 +1119,9 @@ object PipelineQueries {
     "q_text_redact" -> redactSql,
     "q_text_chunks" -> chunksSql,
     "q_sql_textstats" -> sqlTextstatsSql,
+    // the SQL-surface pipeline must reproduce the Column-API pipeline
+    // exactly, so it shares q_dedup_minhash's oracle
+    "q_sql_dedup" -> minhashSql,
     "q_text_vocab" -> vocabSql,
     "q_text_tfidf" -> tfidfSql,
     "q_text_bigrams" -> bigramsSql,
