@@ -208,4 +208,32 @@ object VecImpl {
     }
     bits
   }
+
+  /** Per-band FULL-width near-dup bucket keys: element b is the
+    * NdMaxBits-bit key of band b, built from the dedicated coef2
+    * hyperplane family (t = b*NdMaxBits + r). Callers mask the keys down
+    * to the corpus-size-adaptive width — computing full width here keeps
+    * this kernel corpus-independent (and the DuckDB twin static). */
+  def nearDupKeys(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](graft.pipeline.Similarity.NdBands)
+    var b = 0
+    while (b < out.length) {
+      var key = 0L
+      var r = 0
+      while (r < graft.pipeline.Similarity.NdMaxBits) {
+        val t = b * graft.pipeline.Similarity.NdMaxBits + r
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) {
+          acc += v(i).toDouble * ((t * 73 + i * 151) % 31 - 15)
+          i += 1
+        }
+        if (acc >= 0.0) key |= 1L << r
+        r += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    out
+  }
 }

@@ -119,6 +119,26 @@ case class HyperplaneBitsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_hyperplane_bits"
 }
 
+/** array<float> -> array<bigint>: per-band full-width near-dup bucket keys
+  * (coef2 hyperplane family; element b = band b's NdMaxBits-bit key).
+  * Callers mask keys to the corpus-size-adaptive width. Bit-equivalence
+  * with the HOF twin (Similarity.ndKeySpark) is enforced by FunctionsSpec. */
+case class NearDupKeysExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(VecImpl.nearDupKeys(input.asInstanceOf[ArrayData].toFloatArray()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.VecImpl.nearDupKeys($c.toFloatArray()))")
+  override protected def withNewChildInternal(newChild: Expression): NearDupKeysExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_neardup_keys"
+}
+
 /** string -> array<bigint> [n_grams, n_uniq_grams, top_gram_n]: word-bigram
   * repetition statistics in one tokenize + one hash-count pass. Replaces
   * the HOF formulation (array_sort + run fold), which allocates the gram
@@ -223,6 +243,7 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column = c(DotProductExpr(ex(a), ex(b)))
   def vecNorm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotProduct(a, a))
   def hyperplaneBits(col: Column): Column = c(HyperplaneBitsExpr(ex(col)))
+  def nearDupKeys(col: Column): Column = c(NearDupKeysExpr(ex(col)))
   def bloomMightContain(col: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     c(BloomMightContainExpr(ex(col), filter))
   def cmsEstimate(col: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column =

@@ -20,10 +20,34 @@ import graft.functions.GraftFunctions
   * occupancy factor while recall is tunable via bands.
   */
 object Similarity {
-  /** hyperplane count = HpBands bands x HpBandBits bits */
+  /** hyperplane count = HpBands bands x HpBandBits bits (the fixed-width
+    * scheme used by the top-k search paths, where the query side is small
+    * by contract and bucket occupancy is not the scaling risk) */
   val HpBands = 4
   val HpBandBits = 4
   val NumHyperplanes: Int = HpBands * HpBandBits
+
+  /** Near-dup (corpus self-join) banding: corpus-size-ADAPTIVE band width.
+    * Fixed-width bands make the self-join quadratic — bucket occupancy is
+    * n/2^bits, so candidate pairs grow as n²/2^bits; the 10x inflation
+    * sweep measured exactly that (26x at 4 fixed bits). The key width
+    * instead follows the corpus: bits(n) = smallest b in [NdMinBits,
+    * NdMaxBits] with n <= NdTargetBucket << b, which pins expected bucket
+    * occupancy near NdTargetBucket and makes candidate generation
+    * O(n·NdTargetBucket) per band. The width is chosen IN-PLAN from a
+    * count(*) scalar (broadcast, pure integer ladder), so the static
+    * DuckDB oracle replays the identical decision from the same count —
+    * no driver action, no data-dependent SQL structure. NdBands=8 (vs 4)
+    * buys back band-level recall lost to narrower buckets at small n and
+    * keeps the candidate screen recall-primary at wide widths. */
+  val NdBands = 8
+  val NdMinBits = 4
+  val NdMaxBits = 16
+  val NdTargetBucket = 64
+  /** (corpus-count threshold, mask) ladder, smallest width first */
+  val NdMaskLadder: Seq[(Long, Int)] =
+    (NdMinBits until NdMaxBits).map(b => (NdTargetBucket.toLong << b, (1 << b) - 1))
+  val NdMaxMask: Int = (1 << NdMaxBits) - 1
 
   /** Deterministic integer hyperplane coefficient for (hyperplane t, dim d):
     * pseudo-random in [-14, 14], computable in SQL on both engines. */
@@ -57,6 +81,37 @@ object Similarity {
       val t = b * HpBandBits + r
       s"CASE WHEN ${hyperplaneDotDuck(v, t)} >= 0.0 THEN ${1 << r} ELSE 0 END"
     }.mkString(" + ")
+
+  // --- near-dup adaptive-band twins (coef2 family: (t*73 + d*151) % 31 - 15) ---
+
+  /** signed projection onto near-dup hyperplane t (Spark HOF form — the
+    * bit-equivalence twin of the codegen'd NearDupKeysExpr kernel) */
+  def ndHyperplaneDotSpark(v: String, t: Int): String =
+    s"aggregate(transform(sequence(1, size($v)), i -> CAST(element_at($v, i) AS DOUBLE) * ((($t * 73 + (i - 1) * 151) % 31) - 15)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+  def ndKeySpark(v: String, b: Int): String =
+    (0 until NdMaxBits).map { r =>
+      val t = b * NdMaxBits + r
+      s"IF(${ndHyperplaneDotSpark(v, t)} >= 0.0, ${1 << r}, 0)"
+    }.mkString(" + ")
+  def ndHyperplaneDotDuck(v: String, t: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), i -> CAST($v[i] AS DOUBLE) * ((($t * 73 + (i - 1) * 151) % 31) - 15))), (acc, x) -> acc + x)"
+  def ndKeyDuck(v: String, b: Int): String =
+    (0 until NdMaxBits).map { r =>
+      val t = b * NdMaxBits + r
+      s"CASE WHEN ${ndHyperplaneDotDuck(v, t)} >= 0.0 THEN ${1 << r} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** the adaptive width ladder as SQL over a corpus-count expression —
+    * identical integer CASE in both engines */
+  def ndMaskSql(n: String): String =
+    NdMaskLadder.map { case (thr, mask) => s"WHEN $n <= $thr THEN $mask" }
+      .mkString("CASE ", " ", s" ELSE $NdMaxMask END")
+
+  /** the same ladder as a Spark Column */
+  def ndMaskCol(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    NdMaskLadder.foldRight(lit(NdMaxMask)) { case ((thr, mask), rest) =>
+      when(n <= thr, mask).otherwise(rest)
+    }
 
   /** rank candidate pairs (qid, qv, nq, nid, nv, nn) by cosine and keep
     * the top k per query — shared by the brute-force and IVF paths */
@@ -155,13 +210,33 @@ object Similarity {
       k)
   }
 
+  /** (vec_id, band, key) with corpus-size-adaptive key width: one
+    * codegen'd NearDupKeysExpr evaluation emits every band's full-width
+    * key; the adaptive mask (broadcast count(*) scalar through the
+    * NdMaskLadder) narrows them in the same projection. */
+  def ndBuckets(emb: DataFrame): DataFrame = {
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val bandStructs = (0 until NdBands).map { b =>
+      struct(lit(b).as("band"),
+        element_at(col("__keys"), b + 1).bitwiseAND(col("__mask")).as("key"))
+    }
+    emb.select(col("vec_id"),
+        GraftFunctions.nearDupKeys(col("embedding")).as("__keys"))
+      .crossJoin(broadcast(n))
+      .withColumn("__mask", ndMaskCol(col("__n")).cast("long"))
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** Near-duplicate vector pairs: banded-LSH candidates verified by cosine
     * >= threshold. Output (id_a, id_b, score). Pairs are deduped on ids
-    * *before* re-joining vectors, so the distinct never shuffles embeddings. */
+    * *before* re-joining vectors, so the distinct never shuffles embeddings.
+    * Bands use the adaptive-width scheme (ndBuckets) — candidate volume
+    * stays O(n·NdTargetBucket) per band instead of n²/2^bits. */
   def lshNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     // eager: both sides of the band self-join consume the buckets; the
-    // barrier guarantees one hyperplaneBits pass over the corpus
-    val buckets = lshBuckets(emb).localCheckpoint(eager = true)
+    // barrier guarantees one nearDupKeys pass over the corpus
+    val buckets = ndBuckets(emb).localCheckpoint(eager = true)
     val cand = buckets.toDF("id_a", "band", "key")
       .join(buckets.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))

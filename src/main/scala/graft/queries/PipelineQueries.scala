@@ -676,11 +676,19 @@ object PipelineQueries {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |WHERE jacc >= $NgramThreshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Adaptive-band near-dup twin: full-width band keys (ndKeyDuck, coef2
+    * family) masked to the corpus-size-adaptive width — the same integer
+    * NdMaskLadder the engine evaluates in-plan, here as a CASE over a
+    * count(*) scalar, so both engines derive the identical bucket set. */
   private val embDedupSql = {
-    val bucketSelects = (0 until HpBands).map(b =>
-      s"SELECT vec_id, $b AS band, ${bucketKeyDuck("embedding", b)} AS bkey FROM embeddings")
+    val bucketSelects = (0 until Similarity.NdBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${ndKeyDuck("embedding", b)} AS fkey FROM embeddings")
       .mkString("\nUNION ALL ")
-    s"""WITH buckets AS MATERIALIZED ($bucketSelects),
+    s"""WITH msk AS MATERIALIZED (
+       |  SELECT ${Similarity.ndMaskSql("(SELECT count(*) FROM embeddings)")} AS mask),
+       |fullkeys AS MATERIALIZED ($bucketSelects),
+       |buckets AS MATERIALIZED (
+       |  SELECT vec_id, band, fkey & (SELECT mask FROM msk) AS bkey FROM fullkeys),
        |cand AS MATERIALIZED (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id

@@ -94,6 +94,16 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NearDupKeysExpr band elements == HOF near-dup keys") {
+    val withKeys = emb.select(col("embedding"),
+      GraftFunctions.nearDupKeys(col("embedding")).as("keys"))
+    for (b <- 0 until Similarity.NdBands) {
+      assertNoDiff(withKeys.select(
+        element_at(col("keys"), b + 1).cast("long").as("a"),
+        expr(Similarity.ndKeySpark("embedding", b)).cast("long").as("b")))
+    }
+  }
+
   test("text kernels == HOF forms on adversarial edge inputs") {
     import spark.implicits._
     val edge = Seq("", " ", "  ", "a", "a b", "a b c", "a  b", "x " * 500,
