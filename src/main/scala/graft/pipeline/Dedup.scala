@@ -158,24 +158,29 @@ object Dedup {
     docs.select(col("doc_id"), GraftFunctions.simHash(col("text")).as("sim"))
 
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
-    * generation via band equi-join is *exact* for maxHamming < SimBands
-    * (pigeonhole: fewer differing bits than bands leaves one band intact).
+    * generation via band equi-join, *exact* by pigeonhole (bands >
+    * maxHamming leaves one band intact), with the band count DERIVED from
+    * the radius (TextHash.simBandsFor): the fewest exact bands maximize
+    * key width, so raw candidate volume n²·bands/2^width is minimized for
+    * the identical output — radius 3 gets 4x12-bit bands (4096-value
+    * keys), not a fixed coarse banding.
     *
-    * Shape note (measured, sf0.1): the band join emits ~5M raw candidate
-    * rows of which only ~5k survive the hamming test, so the verify filter
-    * runs BEFORE the dedup shuffle — the signature rides the band rows at
-    * 8 B and hamming is two instructions, so verification is free at the
-    * join site and the distinct shuffles only survivors (1000x fewer
-    * rows). The opposite shape (distinct ids first, re-join signatures
-    * after — right for minhash, whose verify needs the full shingle sets)
-    * shuffles every raw pair and measures 4-5x slower. */
+    * Shape note (measured, sf0.1): even with derived bands the raw
+    * candidates outnumber survivors ~40:1, so the verify filter runs
+    * BEFORE the dedup shuffle — the signature rides the band rows at 8 B
+    * and hamming is two instructions, so verification is free at the join
+    * site and the distinct shuffles only survivors. The opposite shape
+    * (distinct ids first, re-join signatures after — right for minhash,
+    * whose verify needs the full shingle sets) shuffles every raw pair
+    * and measures 4-5x slower. */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // eager count pins the cache before both join sides race it — one
     // simhash kernel pass over the corpus
     val sigs = simhashSignatures(docs).persist()
     sigs.count()
-    val bandStructs = (0 until SimBands).map(b =>
-      struct(lit(b).as("band"), expr(simBandSpark("sim", b)).as("key")))
+    val nBands = simBandsFor(maxHamming)
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"), expr(simBandSpark("sim", b, nBands)).as("key")))
     val bands = sigs
       .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))

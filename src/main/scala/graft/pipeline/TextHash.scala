@@ -24,14 +24,25 @@ object TextHash {
   val As: IndexedSeq[Long] = (1 to NumHashes).map(j => (BigInt(Spread) * j % P).toLong)
   val Bs: IndexedSeq[Long] = (1 to NumHashes).map(j => ((BigInt(972663749L) * j + 12345) % P).toLong)
 
-  // SimHash configuration: 48-bit signatures, 6 bands of 8 bits; hamming
-  // distance <= 5 guarantees at least one identical band (pigeonhole), so
-  // band-join candidate generation is exact for radius <= 5. (16/32 bits
-  // are measurably too coarse on word-distribution-similar corpora; 48 is
-  // the widest that still fits signed-int64 arithmetic in both engines.)
+  // SimHash configuration: 48-bit signatures. (16/32 bits are measurably
+  // too coarse on word-distribution-similar corpora; 48 is the widest that
+  // still fits signed-int64 arithmetic in both engines.) Band-join
+  // candidate generation is exact whenever bands > radius (pigeonhole:
+  // fewer differing bits than bands leaves one band identical), so the
+  // band count DERIVES from the radius — the fewest exact bands, which
+  // maximizes key width and minimizes raw candidates (n²/2^width per
+  // band). A fixed 6x8 banding at radius 3 emitted ~24x the candidates of
+  // the derived 4x12 for the identical final output.
   val SimBits = 48
-  val SimBands = 6
-  val SimBandBits: Int = SimBits / SimBands
+  /** legal band counts: divisors of SimBits, so bands slice evenly */
+  private val SimBandChoices = (1 to SimBits).filter(SimBits % _ == 0)
+
+  /** fewest bands whose equi-join is exact at hamming radius `maxHamming` */
+  def simBandsFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < SimBits,
+      s"simhash radius must be in [0, ${SimBits - 1}], got $maxHamming")
+    SimBandChoices.find(_ > maxHamming).get
+  }
 
   // --- polynomial hash of a string expression: fold (acc*31 + code) % P ---
   // Spark's split(s, '') can emit empty strings (regex-split artifacts);
@@ -103,9 +114,13 @@ object TextHash {
       s"CASE WHEN list_sum(list_transform($wh, h -> 2 * ((h // $d) % 2) - 1)) > 0 THEN $d ELSE 0 END"
     }.mkString(" + ")
 
-  /** simhash band value b: SimBandBits-wide slice of the signature */
-  def simBandSpark(sim: String, b: Int): String =
-    s"(($sim) div ${1L << (b * SimBandBits)}) % ${1 << SimBandBits}"
-  def simBandDuck(sim: String, b: Int): String =
-    s"(($sim) // ${1L << (b * SimBandBits)}) % ${1 << SimBandBits}"
+  /** simhash band value b of `bands` equal slices of the signature */
+  def simBandSpark(sim: String, b: Int, bands: Int): String = {
+    val w = SimBits / bands
+    s"(($sim) div ${1L << (b * w)}) % ${1L << w}"
+  }
+  def simBandDuck(sim: String, b: Int, bands: Int): String = {
+    val w = SimBits / bands
+    s"(($sim) // ${1L << (b * w)}) % ${1L << w}"
+  }
 }

@@ -651,8 +651,10 @@ object PipelineQueries {
        |GROUP BY t.word, t.df ORDER BY t.word""".stripMargin
 
   private val simhashSql = {
-    val bandSelects = (0 until SimBands).map(b =>
-      s"SELECT doc_id, sim, $b AS band, ${simBandDuck("sim", b)} AS bkey FROM sg")
+    // radius-derived band count — must replay Dedup.simhashDedup's decision
+    val nBands = simBandsFor(SimhashMaxHamming)
+    val bandSelects = (0 until nBands).map(b =>
+      s"SELECT doc_id, sim, $b AS band, ${simBandDuck("sim", b, nBands)} AS bkey FROM sg")
       .mkString("\nUNION ALL ")
     s"""WITH $docsCte,
        |wh AS MATERIALIZED (SELECT doc_id, ${wordHashesDuck("ws")} AS wh FROM docs),

@@ -135,8 +135,9 @@ object Profile {
       import graft.pipeline.TextHash._
       val sigs = Dedup.simhashSignatures(docs).persist()
       t("sigs persist+count")(sigs.count())
-      val bandStructs = (0 until SimBands).map(b =>
-        struct(lit(b).as("band"), expr(simBandSpark("sim", b)).as("key")))
+      val nBands = simBandsFor(3)
+      val bandStructs = (0 until nBands).map(b =>
+        struct(lit(b).as("band"), expr(simBandSpark("sim", b, nBands)).as("key")))
       val bands = sigs
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
