@@ -27,12 +27,12 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles
 
-  /** Queries deliberately without oracle SQL, with the reason documented at
-    * each definition: path enumeration explodes in recursive SQL
-    * (sssp_path). Everything else must carry an oracle (enforced by
-    * QueriesSpec). */
-  def rowsOnlyQueries: Set[String] =
-    Set("q_graph_sssp_path")
+  /** Queries deliberately without oracle SQL, with the reason documented
+    * at each definition. Empty since round 6 (sssp_path gained an
+    * unrolled per-vertex-min BFS oracle); the mechanism stays for future
+    * genuinely SQL-inexpressible queries. Everything else must carry an
+    * oracle (enforced by QueriesSpec). */
+  def rowsOnlyQueries: Set[String] = Set.empty
 
   /** Headline subset timed by Bench (kept fast enough to run per-round
     * at sf0.1 while still covering scan/agg/join/window/graph/pipeline). */

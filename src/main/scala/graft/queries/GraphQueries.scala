@@ -232,9 +232,10 @@ object GraphQueries {
         .orderBy("seed", "vertex")),
 
     // SSSP with path payload (ShortestPathMR semantics). No SQL oracle:
-    // path enumeration in a recursive CTE explodes on dense cyclic graphs,
-    // so the driver records the weaker rows-only check; GraphSpec covers
-    // the semantics on hand-computed fixtures.
+    // oracle: unrolled per-vertex-min BFS (ssspPathSql) — one lex-min
+    // path per vertex per round, so the dense cyclic graph that explodes
+    // an all-walks recursive CTE stays linear; GraphSpec additionally
+    // covers the semantics on hand-computed fixtures.
     "q_graph_sssp_path" -> ((s, d) =>
       ShortestPath.runWithPath(Graphs.lineitemEdges(s, d, Mod), source = 1L, maxIter = SsspMaxHops)
         .filter(col("dist") =!= Double.PositiveInfinity)
@@ -695,6 +696,35 @@ object GraphQueries {
        |SELECT vertex, CAST(dist AS BIGINT) AS dist, path
        |FROM walk ORDER BY vertex""".stripMargin
 
+  /** Path-SSSP oracle on the dense CYCLIC graph. A recursive CTE that
+    * enumerates all walks explodes here — but the engine never holds more
+    * than ONE path per vertex (the lexicographically-smallest shortest
+    * path: min(struct(dist, path)) per BFS layer), and that per-vertex-min
+    * recurrence unrolls in linear work. Round k adds exactly the vertices
+    * first reached at depth k, each with min(pred_path || dst) over its
+    * depth-(k-1) predecessors — lex-min of equal-length BIGINT lists, the
+    * identical comparison Spark's array ordering performs. Vertices
+    * already reached never improve (unit weights: all round-k offers have
+    * dist k), matching the engine's strict dist-only improvement test.
+    * Unroll bound = SsspMaxHops, the engine's iteration cap. */
+  private def ssspPathSql = {
+    val rounds = (1 to SsspMaxHops).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT vertex, dist, path FROM r${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS vertex, $k AS dist, min(list_append(w.path, e.dst)) AS path
+         |  FROM r${k - 1} w JOIN edges e ON e.src = w.vertex AND w.dist = ${k - 1}
+         |  WHERE e.dst NOT IN (SELECT vertex FROM r${k - 1})
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |r0 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS vertex, 0 AS dist, [CAST(1 AS BIGINT)] AS path),
+       |$rounds
+       |SELECT vertex, CAST(dist AS BIGINT) AS dist, array_to_string(path, ' ') AS path
+       |FROM r$SsspMaxHops ORDER BY vertex""".stripMargin
+  }
+
   /** unrolled k-core peeling: each round computes degrees of the previous
     * edge set and keeps edges whose BOTH endpoints have degree >= k.
     * Deletion-only, so rounds past the fixpoint are no-ops — the fixed
@@ -807,6 +837,7 @@ object GraphQueries {
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),
+    "q_graph_sssp_path" -> ssspPathSql,
     "q_graph_sssp_path_tree" -> ssspPathTreeSql,
     "q_graph_degree" -> degreeSql,
     "q_graph_triangles" -> trianglesSql(200),
