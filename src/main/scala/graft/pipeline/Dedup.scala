@@ -94,17 +94,60 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Above this corpus size the verify-stage bloom reduction engages:
+    * ~10 MB of signature rows (shingle set + minhash, ~600 B/doc), the
+    * point where Spark stops broadcasting the signature relation and the
+    * unfiltered verify joins start shuffling the whole corpus. Below it
+    * the bloom's fixed cost (one checkpoint + count + build job, ~0.3 s)
+    * buys nothing — the join broadcasts anyway. */
+  val BloomVerifyCutoffDocs = 16384L
+
+  /** Exact-Jaccard verification of candidate pairs against the signature
+    * relation. At corpus sizes past BloomVerifyCutoffDocs the corpus side
+    * is REDUCED before it moves: a fixed-size bloom filter over the
+    * candidate doc ids (built distributed, broadcast as bits) filters
+    * `sigs` at its cached scan, so the verify joins shuffle
+    * O(candidate-doc) shingle sets instead of the whole corpus — the
+    * unfiltered shape measured 50 MiB of shuffled shingle arrays at 10x
+    * sf0.1 vs 15 MiB reduced (at 100 TB it would be the corpus, twice).
+    * Minhash-specific: band collisions are rare, so candidate docs are a
+    * small corpus fraction — the embedding near-dup path deliberately
+    * does NOT use this (see Similarity.lshNearDup: occupancy-targeted
+    * banding puts every vector in some pair, the filter removes nothing).
+    * The 1% false-positive rate only admits a few extra docs into the
+    * shuffle; the equi-join drops them, so the output — and the DuckDB
+    * oracle — is unchanged either way. */
+  private def verifiedJaccardPairs(candRaw: DataFrame, sigs: DataFrame,
+      threshold: Double, nDocs: Long): DataFrame = {
+    val (cand, candSigs) =
+      if (nDocs < BloomVerifyCutoffDocs) (candRaw, sigs)
+      else {
+        // materialize: the bloom build is an extra action over candidates
+        val c = candRaw.localCheckpoint(eager = true)
+        val nCand = c.count()
+        // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
+        if (nCand == 0L) (c, sigs)
+        else {
+          val ids = c.select(col("doc_a").as("id"))
+            .unionAll(c.select(col("doc_b").as("id")))
+          val bloom = ids.stat.bloomFilter("id", math.max(2L * nCand, 64L), 0.01)
+          (c, sigs.filter(GraftFunctions.bloomMightContain(col("doc_id"), bloom)))
+        }
+      }
+    cand
+      .join(candSigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(candSigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jacc", GraftFunctions.jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "jacc")
+  }
+
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard on the
     * shingle sets. Output (doc_a, doc_b, jacc) with jacc >= threshold. */
   def minhashDedup(docs: DataFrame, threshold: Double): DataFrame = {
     val sigs = minhashSignatures(docs).persist()
-    sigs.count() // pin the cache before the band and verify stages race it
-    val pairs = lshCandidates(sigs)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("jacc", GraftFunctions.jaccard(col("hs_a"), col("hs_b")))
-      .filter(col("jacc") >= threshold)
-      .select("doc_a", "doc_b", "jacc")
+    val nDocs = sigs.count() // pin the cache before the band and verify stages race it
+    val pairs = verifiedJaccardPairs(lshCandidates(sigs), sigs, threshold, nDocs)
     // the result (near-dup pairs) is tiny; materialize it eagerly so the
     // heavyweight signature cache can be released instead of leaking into
     // the session for the caller's lifetime
@@ -240,7 +283,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val all = existing.unionByName(incoming)
     val sigs = minhashSignatures(all).persist()
-    sigs.count() // pin before the band and verify stages race it
+    val nDocs = sigs.count() // pin before the band and verify stages race it
     val allBands = bandKeys(sigs)
     // the incoming side of the band join = stored index rows for new ids
     val newBands = allBands.join(
@@ -251,12 +294,7 @@ object Dedup {
       .select(least(col("na"), col("nb")).as("doc_a"),
         greatest(col("na"), col("nb")).as("doc_b"))
       .distinct()
-    val pairs = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("jacc", GraftFunctions.jaccard(col("hs_a"), col("hs_b")))
-      .filter(col("jacc") >= threshold)
-      .select("doc_a", "doc_b", "jacc")
+    val pairs = verifiedJaccardPairs(cand, sigs, threshold, nDocs)
       .localCheckpoint(eager = true)
     sigs.unpersist(blocking = false)
     val losers = dedupClusters(pairs)

@@ -241,6 +241,14 @@ object Similarity {
       .join(buckets.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // NO candidate-id bloom here, deliberately — unlike the minhash verify
+    // (Dedup.verifiedJaccardPairs), where band collisions are rare and the
+    // bloom cuts the corpus-side shuffle 3x: the adaptive banding targets
+    // ~NdTargetBucket occupancy, so essentially EVERY vector is in some
+    // candidate pair and a membership filter removes nothing (measured:
+    // adding it doubled shuffle bytes by forcing the wide pair relation
+    // through extra exchanges). Pairs outnumber vectors ~100:1 by design;
+    // re-joining the narrow vector relation twice is the cheap side.
     val vecs = emb.select(col("vec_id"), col("embedding"),
       GraftFunctions.vecNorm(col("embedding")).as("norm"))
     cand

@@ -82,11 +82,18 @@ object TextHash {
     }.mkString("[", ", ", "]")
 
   /** LSH band key b (0-based) of a minhash-array expr `mh`: the band's
-    * signature values joined as a string */
+    * RowsPerBand signature values folded into one BIGINT ((acc*31+v) % P,
+    * seeded with b). An 8-byte integer key instead of the previous
+    * concatenated string (~40 B): the band self-join is THE corpus-wide
+    * shuffle of the dedup pipeline, and key bytes are its width — the
+    * string keys measured 5x the shuffle volume at the 10x sweep scale.
+    * A fold collision can only create a false candidate pair, which
+    * exact-Jaccard verification rejects; both engines run the identical
+    * arithmetic, so candidate sets match regardless. */
   def bandKeySpark(mh: String, b: Int): String =
-    s"concat_ws('-', transform(slice($mh, ${b * RowsPerBand + 1}, $RowsPerBand), x -> CAST(x AS STRING)))"
+    s"aggregate(slice($mh, ${b * RowsPerBand + 1}, $RowsPerBand), CAST($b AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)"
   def bandKeyDuck(mh: String, b: Int): String =
-    s"array_to_string($mh[${b * RowsPerBand + 1}:${(b + 1) * RowsPerBand}], '-')"
+    s"list_reduce(list_prepend(CAST($b AS BIGINT), $mh[${b * RowsPerBand + 1}:${(b + 1) * RowsPerBand}]), (acc, x) -> (acc * 31 + x) % $P)"
 
   /** Jaccard similarity of two distinct-hash arrays (int arithmetic + one
     * double division — bit-identical across engines) */
