@@ -98,6 +98,12 @@ object PipelineQueries {
       Dedup.containmentDedup(Tables.documents(s, d), ContainmentThreshold)
         .orderBy("doc_a", "doc_b")),
 
+    // the PPJoin prefix-filtered scale path: identical output (same
+    // oracle SQL), candidates from rare-shingle prefixes only
+    "q_dedup_containment_pf" -> ((s, d) =>
+      Dedup.containmentDedupPrefix(Tables.documents(s, d), ContainmentThreshold)
+        .orderBy("doc_a", "doc_b")),
+
     // cross-source duplication matrix: where do the near-dup pairs come
     // from? The corpus-diagnostics view that decides which source to
     // drop/deprioritize when two feeds substantially overlap.
@@ -1105,6 +1111,9 @@ object PipelineQueries {
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_containment" -> containmentSql,
+    // prefix filtering changes candidate generation, not the result set —
+    // the all-pairs oracle checks the prefix path end to end
+    "q_dedup_containment_pf" -> containmentSql,
     "q_dedup_source_overlap" -> sourceOverlapSql,
     "q_multimodal_dedup" -> multimodalDedupSql,
     "q_dedup_priority" -> prioritySql,

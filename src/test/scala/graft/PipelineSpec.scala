@@ -39,6 +39,40 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.minhashDedup(d, 0.5).collect().isEmpty)
   }
 
+  test("prefix-filtered containment == all-pairs containment; hot shingles leave the prefixes") {
+    // boilerplate-heavy corpus: every doc opens with the same 12-word
+    // block (10 hot shingles with df = n_docs), then a unique tail; doc 50
+    // is doc 1 plus an unrelated tail (the true containment pair)
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val base = boiler + " " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val rows = (1L to 40L).map(i =>
+      i -> (boiler + " " + (1 to 20).map(j => s"t${i}x$j").mkString(" "))) ++
+      Seq(49L -> base, 50L -> (base + " " + (100 to 140).map(i => s"v$i").mkString(" ")))
+    val d = docs(rows: _*)
+    val thr = 0.9
+    def key(r: org.apache.spark.sql.Row) = ((r.getLong(0), r.getLong(1)), r.getDouble(2))
+    val full = Dedup.containmentDedup(d, thr).collect().map(key).toMap
+    val pf = Dedup.containmentDedupPrefix(d, thr).collect().map(key).toMap
+    assert(full.contains((49L, 50L)))
+    assert(pf == full) // identical pairs AND identical scores
+
+    // the scale property itself: candidate fan-out. All-pairs joins the
+    // full posting lists (hot shingles contribute df² each); the prefix
+    // join only emits pairs through each doc's rarest shingles, which the
+    // df=42 boilerplate shingles never reach at tau=0.9.
+    val sh = Dedup.shingleHashes(d).persist()
+    val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val allPairsFanout = posts.toDF("a", "h")
+      .join(posts.toDF("b", "h"), Seq("h")).filter(col("a") < col("b")).count()
+    val prefixFanout = Dedup.prefixPostings(posts, sizes, thr).toDF("a", "h", "n")
+      .join(posts.toDF("b", "h"), Seq("h")).filter(col("a") =!= col("b")).count()
+    sh.unpersist(blocking = false)
+    assert(allPairsFanout > 8000L, s"fixture not hot enough: $allPairsFanout")
+    assert(prefixFanout * 20 < allPairsFanout,
+      s"prefix fan-out $prefixFanout not << all-pairs $allPairsFanout")
+  }
+
   test("identical word multisets in different order share a simhash") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "delta gamma beta alpha",
       3L -> "epsilon zeta eta theta iota kappa")
