@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: the `row_number() <= k` top-k-per-key idiom becomes the
+  * sort-free heap operator ([[TopKPerKeyNode]]).
+  *
+  * Users write the universal SQL shape —
+  * `withColumn("rn", row_number().over(W.partitionBy(p).orderBy(o)))
+  * .filter(rn <= k).drop("rn")` — whose plan sorts every key's FULL row
+  * set just to discard everything past rank k. Spark's own
+  * InferWindowGroupLimit only bounds that sort's input (per-partition
+  * group limit, sort retained); this rewrite removes the Window and its
+  * sort entirely: bounded per-key heaps, partial pass under the exchange,
+  * shuffle capped at k rows/key/partition ([[TopKPerKeyExec]]).
+  *
+  * Fires ONLY when:
+  *  - the Window computes exactly one expression, a `row_number()` over a
+  *    non-empty partitionSpec with a non-empty orderSpec;
+  *  - the filter bounds it from above (`rn <= k`, `rn < k`, `rn = 1`) —
+  *    pagination shapes (`rn >= 2`) and rank-slice shapes (`rn = 3`) are
+  *    left alone;
+  *  - the projection above DROPS the row number, so no operator upstream
+  *    can observe the ranks (the heap emits rows unranked and unordered);
+  *  - k <= MaxRewriteK — the heap holds k rows per key per partition
+  *    on-heap with no spill path, so an unbounded k must stay with the
+  *    spilling window sort (operator memory contract, TopKPerKey.scala).
+  *
+  * Semantics: identical row set. Under a non-total orderSpec both
+  * formulations are tie-nondeterministic (Spark's window makes no tie
+  * promise either); every catalog query supplies a total order. Rows
+  * whose non-rank filter conjuncts remain are filtered ABOVE the top-k,
+  * exactly where the original filter sat relative to the ranking.
+  *
+  * In-catalog effect (all three rewritten sites are `rn = 1`, the
+  * operator's best regime): q_events_latest, q_agg_mode's per-group
+  * argmax, q_prep_training's fingerprint dedup step. The tf-idf-style
+  * queries that keep `rn` in their output are untouched by construction.
+  *
+  * Register together with [[TopKPerKeyStrategy]] (GraftExtensions injects
+  * both); the node cannot plan without the strategy. Kill switch:
+  * `spark.graft.windowTopKRewrite=false`.
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** memory-contract bound: past this, the spilling window sort is the
+    * right plan even when the pattern matches */
+  val MaxRewriteK = 10000
+
+  /** upper bound k implied by one rn-predicate, if it is one of the
+    * bounded-from-above forms */
+  private def boundOf(e: Expression, rn: ExprId): Option[Int] = e match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rn => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rn => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.exprId == rn => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.exprId == rn => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.exprId == rn => Some(1)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.exprId == rn => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString("spark.graft.windowTopKRewrite", "true") != "true") return plan
+    plan.transform {
+      case p @ Project(projectList,
+          Filter(cond,
+            Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+              partitionSpec, orderSpec, windowChild, _)))
+          if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+        val rnId = alias.exprId
+        val usesRn = projectList.exists(_.references.exists(_.exprId == rnId))
+        val (rnPreds, rest) =
+          splitConjunctivePredicates(cond).partition(_.references.exists(_.exprId == rnId))
+        val bounds = rnPreds.map(boundOf(_, rnId))
+        if (usesRn || rnPreds.isEmpty || bounds.contains(None)) p
+        else {
+          val k = bounds.flatten.min
+          if (k <= 0 || k > MaxRewriteK) p
+          else {
+            // InferWindowGroupLimit runs in a later batch, but strip its
+            // node defensively if one is ever underneath — the heap
+            // operator subsumes the group limit
+            val child = windowChild match {
+              case WindowGroupLimit(ps, os, _, _, c)
+                  if ps == partitionSpec && os == orderSpec => c
+              case c => c
+            }
+            val topk = TopKPerKeyNode(partitionSpec, orderSpec, k, child)
+            val body = if (rest.isEmpty) topk else Filter(rest.reduce(And), topk)
+            Project(projectList, body)
+          }
+        }
+    }
+  }
+}

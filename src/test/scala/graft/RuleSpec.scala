@@ -107,4 +107,107 @@ class RuleSpec extends SparkSpec {
       .drop("rn").collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
     assert(custom == window) // 7, 5, 1 kept; both nulls sort last and drop
   }
+
+  // --- WindowTopKRewrite: row_number <= k idiom -> heap operator ---
+
+  private def withTopKRewrite[T](f: => T): T = {
+    // the shared test session has no GraftExtensions (deliberate — see
+    // SparkSpec); register the rule AND the strategy the node needs,
+    // exactly as GraftExtensions pairs them
+    spark.experimental.extraOptimizations = Seq(graft.plans.WindowTopKRewrite)
+    val hadStrategy =
+      spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)
+    if (!hadStrategy)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    try f finally {
+      spark.experimental.extraOptimizations = Nil
+      if (!hadStrategy)
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies.filterNot(_ == graft.plans.TopKPerKeyStrategy)
+    }
+  }
+
+  private lazy val rankedPath: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topkrw").toString
+    (1 to 400).map(i => ((i % 7).toLong, (i * 31 % 101).toLong, i.toLong))
+      .toDF("k", "v", "id").write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def ranked = spark.read.parquet(rankedPath)
+
+  private def topkIdiom(kLimit: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+    ranked.withColumn("rn", row_number().over(w)).filter(col("rn") <= kLimit).drop("rn")
+  }
+
+  test("WindowTopKRewrite replaces the window with the heap operator, same rows") {
+    val without = topkIdiom(3).queryExecution.executedPlan.toString
+    assert(without.contains("Window") && !without.contains("TopKPerKey"), without)
+    withTopKRewrite {
+      val plan = topkIdiom(3).queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(withTopKRewrite(rows(topkIdiom(3))) == rows(topkIdiom(3)))
+    // the rn = 1 (latest-per-key) form rewrites too
+    withTopKRewrite {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+      val latest = ranked.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      assert(latest.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(latest.count() == 7)
+    }
+  }
+
+  test("WindowTopKRewrite leaves non-eligible shapes alone") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+    withTopKRewrite {
+      // rn kept in the output: ranks are observable, no rewrite
+      val keepsRn = ranked.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("k", "rn", "id")
+      assert(keepsRn.queryExecution.executedPlan.toString.contains("Window"))
+      // pagination lower bound: not a top-k
+      val pagination = ranked.withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 2 && col("rn") <= 4).drop("rn")
+      assert(pagination.queryExecution.executedPlan.toString.contains("Window"))
+      // rank(): duplicate ranks are not heap-representable, no rewrite
+      val rankFn = ranked.withColumn("rn", rank().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      assert(rankFn.queryExecution.executedPlan.toString.contains("Window"))
+      // kill switch
+      spark.conf.set("spark.graft.windowTopKRewrite", "false")
+      try assert(topkIdiom(3).queryExecution.executedPlan.toString.contains("Window"))
+      finally spark.conf.unset("spark.graft.windowTopKRewrite")
+    }
+  }
+
+  test("the catalog's latest-per-key query rewrites to the heap operator") {
+    withTopKRewrite {
+      val df = graft.SparkEntry.queries("q_events_latest")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+    }
+  }
+
+  test("WindowTopKRewrite keeps non-rank filter conjuncts above the top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+    def idiom = ranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("v") % 2 === 0).drop("rn")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rank over ALL rows, then the v-predicate — rewriting must not rank
+    // over the pre-filtered rows (which would admit lower-ranked evens)
+    val expected = rows(idiom)
+    withTopKRewrite {
+      assert(idiom.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(rows(idiom) == expected)
+    }
+  }
 }
