@@ -209,6 +209,19 @@ object VecImpl {
     bits
   }
 
+  /** coef2 hyperplane rows cached per t for dims up to NdCoefCacheDim —
+    * turns the kernel's inner-loop modulo chain into an array read. The
+    * cached values are the EXACT integers of the inline formula widened
+    * to double (ints are exact in double), so products and the sequential
+    * fold are bit-identical to the uncached path and to the HOF twin
+    * (FunctionsSpec enforces). ~64 KB total at 128 hyperplanes x 512. */
+  private val NdCoefCacheDim = 512
+  private lazy val ndCoefRows: Array[Array[Double]] = {
+    val nT = graft.pipeline.Similarity.NdBands * graft.pipeline.Similarity.NdMaxBits
+    Array.tabulate(nT)(t =>
+      Array.tabulate(NdCoefCacheDim)(i => ((t * 73 + i * 151) % 31 - 15).toDouble))
+  }
+
   /** Per-band FULL-width near-dup bucket keys: element b is the
     * NdMaxBits-bit key of band b, built from the dedicated coef2
     * hyperplane family (t = b*NdMaxBits + r). Callers mask the keys down
@@ -216,6 +229,7 @@ object VecImpl {
     * this kernel corpus-independent (and the DuckDB twin static). */
   def nearDupKeys(v: Array[Float]): Array[Long] = {
     val out = new Array[Long](graft.pipeline.Similarity.NdBands)
+    val cached = v.length <= NdCoefCacheDim
     var b = 0
     while (b < out.length) {
       var key = 0L
@@ -224,9 +238,14 @@ object VecImpl {
         val t = b * graft.pipeline.Similarity.NdMaxBits + r
         var acc = 0.0
         var i = 0
-        while (i < v.length) {
-          acc += v(i).toDouble * ((t * 73 + i * 151) % 31 - 15)
-          i += 1
+        if (cached) {
+          val row = ndCoefRows(t)
+          while (i < v.length) { acc += v(i) * row(i); i += 1 }
+        } else {
+          while (i < v.length) {
+            acc += v(i).toDouble * ((t * 73 + i * 151) % 31 - 15)
+            i += 1
+          }
         }
         if (acc >= 0.0) key |= 1L << r
         r += 1

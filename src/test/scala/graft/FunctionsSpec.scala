@@ -104,6 +104,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup bucket key width follows corpus size through the mask ladder") {
+    import spark.implicits._
+    def synth(n: Int) = (1 to n).map(i => (i.toLong,
+      Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
+    // 100 vecs <= 64<<4: narrowest (4-bit) keys — buckets stay populated
+    val smallMax = Similarity.ndBuckets(synth(100)).agg(max("key")).first().getLong(0)
+    assert(smallMax <= 15, s"4-bit mask expected at n=100, max key $smallMax")
+    // 5000 vecs: ladder steps to 7 bits (first b with 5000 <= 64<<b)
+    val largeMax = Similarity.ndBuckets(synth(5000)).agg(max("key")).first().getLong(0)
+    assert(largeMax > 15 && largeMax <= 127,
+      s"7-bit mask expected at n=5000, max key $largeMax")
+  }
+
   test("text kernels == HOF forms on adversarial edge inputs") {
     import spark.implicits._
     val edge = Seq("", " ", "  ", "a", "a b", "a b c", "a  b", "x " * 500,
