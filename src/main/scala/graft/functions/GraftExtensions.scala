@@ -41,6 +41,7 @@ object GraftExtensions {
     fn("graft_hyperplane_bits", "packed LSH hyperplane sign bits", 1)(a => HyperplaneBitsExpr(a.head)),
     fn("graft_jaccard", "Jaccard similarity of distinct-hash arrays", 2)(a => JaccardExpr(a(0), a(1))),
     fn("graft_bigram_stats", "[n, n_uniq, top] word-bigram repetition stats", 1)(a => BigramStatsExpr(a.head)),
+    fn("graft_neardup_keys", "per-band full-width near-dup bucket keys", 1)(a => NearDupKeysExpr(a.head)),
   )
 
   /** Register into a live session (the extensions path only applies at

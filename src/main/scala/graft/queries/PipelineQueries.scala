@@ -269,6 +269,42 @@ object PipelineQueries {
            |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
+    // pure-SQL surface for the EMBEDDING near-dup pipeline: the
+    // graft_neardup_keys kernel, the corpus-size-adaptive mask ladder (a
+    // CASE over a count(*) scalar — the identical in-plan decision
+    // Similarity.ndBuckets makes), the banded self-join, and a graft_dot
+    // cosine verify, composed in one spark.sql statement. A SQL-only user
+    // runs the same near-dup screen the Column API offers; hash-matches
+    // q_dedup_embedding's DuckDB oracle.
+    "q_sql_neardup" -> ((s, d) => {
+      graft.functions.GraftExtensions.installInto(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
+      val bandStructs = (0 until Similarity.NdBands).map(b =>
+        s"named_struct('band', $b, 'key', element_at(ks, ${b + 1}) & (SELECT mask FROM msk))")
+        .mkString(", ")
+      s.sql(
+        s"""WITH msk AS (
+           |  SELECT BIGINT(${Similarity.ndMaskSql("(SELECT count(*) FROM graft_embeddings)")}) AS mask),
+           |buckets AS (
+           |  SELECT vec_id, bk.band AS band, bk.key AS key FROM (
+           |    SELECT vec_id, explode(array($bandStructs)) AS bk FROM (
+           |      SELECT vec_id, graft_neardup_keys(embedding) AS ks FROM graft_embeddings))),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM buckets a JOIN buckets b
+           |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+           |vecs AS (
+           |  SELECT vec_id, embedding, SQRT(graft_dot(embedding, embedding)) AS nrm
+           |  FROM graft_embeddings)
+           |SELECT id_a, id_b, score FROM (
+           |  SELECT c.id_a, c.id_b,
+           |    ROUND(graft_dot(x.embedding, y.embedding) / (x.nrm * y.nrm), 6) AS score
+           |  FROM cand c JOIN vecs x ON x.vec_id = c.id_a
+           |              JOIN vecs y ON y.vec_id = c.id_b)
+           |WHERE score >= $EmbThreshold
+           |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
     // corpus statistics: vocabulary with doc frequencies, TF-IDF top terms
     "q_text_vocab" -> ((s, d) =>
       Corpus.vocabulary(Tables.documents(s, d), VocabTopN)),
@@ -1138,9 +1174,10 @@ object PipelineQueries {
     "q_text_redact" -> redactSql,
     "q_text_chunks" -> chunksSql,
     "q_sql_textstats" -> sqlTextstatsSql,
-    // the SQL-surface pipeline must reproduce the Column-API pipeline
-    // exactly, so it shares q_dedup_minhash's oracle
+    // the SQL-surface pipelines must reproduce the Column-API pipelines
+    // exactly, so they share the Column-API queries' oracles
     "q_sql_dedup" -> minhashSql,
+    "q_sql_neardup" -> embDedupSql,
     "q_text_vocab" -> vocabSql,
     "q_text_tfidf" -> tfidfSql,
     "q_text_bigrams" -> bigramsSql,
