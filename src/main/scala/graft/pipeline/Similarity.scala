@@ -228,6 +228,44 @@ object Similarity {
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Incremental near-dup: the pairs a new `incoming` batch adds to an
+    * `existing` corpus — exactly `lshNearDup(existing ∪ incoming)`
+    * restricted to pairs touching an incoming vector (the existing-vs-
+    * existing term, which dominates recomputation when |incoming| <<
+    * |existing|, is never generated: the band join runs incoming-side
+    * buckets against the full bucket relation only). PipelineSpec proves
+    * the restriction equality literally; the DuckDB oracle replays the
+    * union pipeline with the at-least-one-new filter.
+    *
+    * Index stability across growth: the stored index keeps the FULL
+    * NdMaxBits-wide keys the kernel emits (ndBuckets masks in-plan), so
+    * when the corpus-size ladder steps to a wider mask, yesterday's index
+    * rows re-mask with one integer AND — no re-hash, no re-scan of the
+    * existing corpus. That is why nearDupKeys computes full width
+    * unconditionally. The mask here derives from the UNION count, the
+    * same width the batch twin would choose. */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    val all = existing.unionByName(incoming)
+    val buckets = ndBuckets(all).localCheckpoint(eager = true)
+    val newBuckets = buckets.join(
+      incoming.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val cand = newBuckets.toDF("na", "band", "key")
+      .join(buckets.toDF("nb", "band", "key"), Seq("band", "key"))
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("id_a"),
+        greatest(col("na"), col("nb")).as("id_b"))
+      .distinct()
+    val vecs = all.select(col("vec_id"), col("embedding"),
+      GraftFunctions.vecNorm(col("embedding")).as("norm"))
+    cand
+      .join(vecs.toDF("id_a", "va", "na"), "id_a")
+      .join(vecs.toDF("id_b", "vb", "nb"), "id_b")
+      .withColumn("score", round(GraftFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
   /** Near-duplicate vector pairs: banded-LSH candidates verified by cosine
     * >= threshold. Output (id_a, id_b, score). Pairs are deduped on ids
     * *before* re-joining vectors, so the distinct never shuffles embeddings.

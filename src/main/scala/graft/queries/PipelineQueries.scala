@@ -161,6 +161,19 @@ object PipelineQueries {
       Similarity.lshNearDup(Tables.embeddings(s, d), EmbThreshold)
         .orderBy("id_a", "id_b")),
 
+    // incremental near-dup ingest: the pairs the odd-id vector batch adds
+    // to the even-id corpus — the band join runs incoming-vs-all only,
+    // never existing-vs-existing; must equal the batch pipeline on the
+    // union restricted to at-least-one-incoming (the oracle literally is
+    // that restriction)
+    "q_dedup_embedding_inc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.incrementalNearDup(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), EmbThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NumQueryVecs), TopK)
@@ -724,7 +737,7 @@ object PipelineQueries {
     * family) masked to the corpus-size-adaptive width — the same integer
     * NdMaskLadder the engine evaluates in-plan, here as a CASE over a
     * count(*) scalar, so both engines derive the identical bucket set. */
-  private val embDedupSql = {
+  private def embDedupSqlWhere(extra: String) = {
     val bucketSelects = (0 until Similarity.NdBands).map(b =>
       s"SELECT vec_id, $b AS band, ${ndKeyDuck("embedding", b)} AS fkey FROM embeddings")
       .mkString("\nUNION ALL ")
@@ -741,8 +754,13 @@ object PipelineQueries {
        |SELECT id_a, id_b, score FROM (
        |  SELECT id_a, id_b, round(${dotDuck("x.embedding", "y.embedding")} / (x.norm * y.norm), 6) AS score
        |  FROM cand JOIN vecs x ON x.vec_id = id_a JOIN vecs y ON y.vec_id = id_b)
-       |WHERE score >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
+       |WHERE score >= $EmbThreshold$extra ORDER BY id_a, id_b""".stripMargin
   }
+  private val embDedupSql = embDedupSqlWhere("")
+  /** the incremental contract, literally: the union pipeline's pairs
+    * restricted to at-least-one-incoming (odd) vector */
+  private val embDedupIncSql =
+    embDedupSqlWhere(" AND (id_a % 2 = 1 OR id_b % 2 = 1)")
 
   private val simTopkSql =
     s"""WITH q AS MATERIALIZED (
@@ -1162,6 +1180,7 @@ object PipelineQueries {
     "q_inverted_index" -> invertedIndexSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
+    "q_dedup_embedding_inc" -> embDedupIncSql,
     "q_sim_topk" -> simTopkSql,
     "q_sim_lsh" -> simLshSql,
     "q_sim_lsh_mp" -> simLshMpSql,

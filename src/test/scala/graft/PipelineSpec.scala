@@ -39,6 +39,20 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.minhashDedup(d, 0.5).collect().isEmpty)
   }
 
+  test("incremental near-dup == the union batch's at-least-one-incoming slice") {
+    val emb = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001/embeddings.parquet")
+    val existing = emb.filter(col("vec_id") % 2 === 0)
+    val incoming = emb.filter(col("vec_id") % 2 === 1)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val inc = graft.pipeline.Similarity.incrementalNearDup(existing, incoming, 0.4)
+      .collect().map(key).toSet
+    val batchSlice = graft.pipeline.Similarity.lshNearDup(emb, 0.4)
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      .collect().map(key).toSet
+    assert(inc == batchSlice)
+  }
+
   test("prefix-filtered containment == all-pairs containment; hot shingles leave the prefixes") {
     // boilerplate-heavy corpus: every doc opens with the same 12-word
     // block (10 hot shingles with df = n_docs), then a unique tail; doc 50
