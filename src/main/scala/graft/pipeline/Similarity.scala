@@ -228,6 +228,60 @@ object Similarity {
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Adaptive mask for a corpus of n vectors — the same ladder decision
+    * ndBuckets makes in-plan, evaluated on the driver for contexts (the
+    * streaming screen) where the index size is a known static scalar. */
+  def maskFor(n: Long): Long =
+    NdMaskLadder.collectFirst { case (thr, m) if n <= thr => m.toLong }
+      .getOrElse(NdMaxMask.toLong)
+
+  /** Streaming near-dup screen: (incoming vector, near-duplicate index
+    * vector, score) pairs for an unbounded vector stream probed against a
+    * STATIC indexed corpus — the ingest-time "have we already got this"
+    * gate. Stateless by construction (no watermark, no streaming state):
+    *  - band keys mask at the INDEX's width — the corpus whose bucket
+    *    occupancy matters; an unbounded stream has no count to ladder on;
+    *  - the static side carries (vector, norm, full key array) on every
+    *    band row, so cosine verification happens at the join site — the
+    *    per-band duplication (~NdBands x vector width) is the documented
+    *    price of statelessness;
+    *  - exact-once per pair WITHOUT a stateful distinct: a join row
+    *    survives only at the FIRST band where the pair collides (the
+    *    no-earlier-collision conjunction over the two key arrays), so a
+    *    pair sharing three buckets still emits one row.
+    * Incoming and index id spaces are the caller's contract to keep
+    * disjoint. Works identically on batch frames — the streaming≡batch
+    * spec drives the same function both ways. */
+  def nearDupScreen(incoming: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame = {
+    val mask = lit(maskFor(index.count())).cast("long")
+    def withKeys(df: DataFrame, id: String, v: String, nrm: String, ks: String) =
+      df.select(col("vec_id").as(id), col("embedding").as(v),
+        GraftFunctions.vecNorm(col("embedding")).as(nrm),
+        GraftFunctions.nearDupKeys(col("embedding")).as(ks))
+    def bandRows(df: DataFrame, ks: String) = {
+      val structs = (0 until NdBands).map(b => struct(lit(b).as("band"),
+        element_at(col(ks), b + 1).bitwiseAND(mask).as("key")))
+      df.withColumn("bk", explode(array(structs: _*)))
+        .withColumn("band", col("bk.band")).withColumn("key", col("bk.key"))
+        .drop("bk")
+    }
+    val idx = bandRows(withKeys(index, "idx_id", "iv", "inorm", "ikeys"), "ikeys")
+    val inc = bandRows(withKeys(incoming, "in_id", "nv", "nnorm", "nkeys"), "nkeys")
+    val noEarlierCollision = (0 until NdBands).map { b =>
+      when(col("band") > b,
+        element_at(col("nkeys"), b + 1).bitwiseAND(mask) =!=
+          element_at(col("ikeys"), b + 1).bitwiseAND(mask))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    inc.join(idx, Seq("band", "key"))
+      .filter(noEarlierCollision)
+      .withColumn("score", round(
+        GraftFunctions.dotProduct(col("nv"), col("iv")) / (col("nnorm") * col("inorm")), 6))
+      .filter(col("score") >= threshold)
+      .select("in_id", "idx_id", "score")
+  }
+
   /** Incremental near-dup: the pairs a new `incoming` batch adds to an
     * `existing` corpus — exactly `lshNearDup(existing ∪ incoming)`
     * restricted to pairs touching an incoming vector (the existing-vs-

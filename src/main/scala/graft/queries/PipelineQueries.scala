@@ -174,6 +174,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the ingest-time screen (streaming twin runs the same function over
+    // an unbounded stream): odd-id vectors probed against the even-id
+    // index at the INDEX's mask width, stateless exact-once
+    "q_dedup_screen" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.nearDupScreen(
+          emb.filter(col("vec_id") % 2 === 1),
+          emb.filter(col("vec_id") % 2 === 0), EmbThreshold)
+        .orderBy("in_id", "idx_id")
+    }),
+
     "q_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NumQueryVecs), TopK)
@@ -762,6 +773,31 @@ object PipelineQueries {
   private val embDedupIncSql =
     embDedupSqlWhere(" AND (id_a % 2 = 1 OR id_b % 2 = 1)")
 
+  /** Screen oracle: the engine's first-collision-band trick is an
+    * exact-once IMPLEMENTATION of "∃ a shared bucket", so the oracle
+    * states the semantics directly — DISTINCT (odd, even) pairs sharing
+    * any band bucket at the EVEN-corpus mask width, cosine-verified. */
+  private val embScreenSql = {
+    val bucketSelects = (0 until Similarity.NdBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${ndKeyDuck("embedding", b)} AS fkey FROM embeddings")
+      .mkString("\nUNION ALL ")
+    s"""WITH msk AS MATERIALIZED (
+       |  SELECT ${Similarity.ndMaskSql("(SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)")} AS mask),
+       |fullkeys AS MATERIALIZED ($bucketSelects),
+       |buckets AS MATERIALIZED (
+       |  SELECT vec_id, band, fkey & (SELECT mask FROM msk) AS bkey FROM fullkeys),
+       |cand AS MATERIALIZED (
+       |  SELECT i.vec_id AS in_id, x.vec_id AS idx_id
+       |  FROM buckets i JOIN buckets x ON i.band = x.band AND i.bkey = x.bkey
+       |  WHERE i.vec_id % 2 = 1 AND x.vec_id % 2 = 0
+       |  GROUP BY 1, 2),
+       |vecs AS MATERIALIZED (SELECT vec_id, embedding, ${normDuck("embedding")} AS norm FROM embeddings)
+       |SELECT in_id, idx_id, score FROM (
+       |  SELECT in_id, idx_id, round(${dotDuck("x.embedding", "y.embedding")} / (x.norm * y.norm), 6) AS score
+       |  FROM cand JOIN vecs x ON x.vec_id = in_id JOIN vecs y ON y.vec_id = idx_id)
+       |WHERE score >= $EmbThreshold ORDER BY in_id, idx_id""".stripMargin
+  }
+
   private val simTopkSql =
     s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qv, ${normDuck("embedding")} AS nq
@@ -1181,6 +1217,7 @@ object PipelineQueries {
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_dedup_embedding_inc" -> embDedupIncSql,
+    "q_dedup_screen" -> embScreenSql,
     "q_sim_topk" -> simTopkSql,
     "q_sim_lsh" -> simLshSql,
     "q_sim_lsh_mp" -> simLshMpSql,

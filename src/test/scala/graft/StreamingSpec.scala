@@ -201,6 +201,32 @@ class StreamingSpec extends SparkSpec {
     assert(viaBroadcast == viaLiteral && viaBroadcast == batch)
   }
 
+  test("streaming near-dup screen equals its batch execution") {
+    import graft.pipeline.Similarity
+    val embPath = sf("sf0.001") + "/embeddings.parquet"
+    val batchEmb = spark.read.parquet(embPath)
+    val index = batchEmb.filter(col("vec_id") % 2 === 0)
+    val dir = Files.createTempDirectory("graft-embs")
+    Files.copy(Paths.get(embPath), dir.resolve("embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(batchEmb.schema).parquet(dir.toString)
+      .filter(col("vec_id") % 2 === 1)
+    val q = Similarity.nearDupScreen(stream, index, 0.4)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ndscreen")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = spark.table("ndscreen").collect().map(key).toSet
+    val batch = Similarity.nearDupScreen(
+        batchEmb.filter(col("vec_id") % 2 === 1), index, 0.4)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // exact-once: no pair may appear twice even when it shares several buckets
+    val rows = spark.table("ndscreen").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
