@@ -58,6 +58,7 @@ object SparkEntry {
     // budget; the sparse cut below is the tracked k-truss cost
     "q_graph_ktruss_sparse",
     "q_assoc_rules", "q_dedup_containment", "q_dedup_containment_pf",
+    "q_dedup_embedding_inc", "q_dedup_screen",
     "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
   ).filter(queries.contains)
 }

@@ -180,6 +180,10 @@ class RuleSpec extends SparkSpec {
       val rankFn = ranked.withColumn("rn", rank().over(w))
         .filter(col("rn") <= 3).drop("rn")
       assert(rankFn.queryExecution.executedPlan.toString.contains("Window"))
+      // rn under a disjunction: the bound is not unconditional, no rewrite
+      val disjunct = ranked.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 || col("v") > 50).drop("rn")
+      assert(disjunct.queryExecution.executedPlan.toString.contains("Window"))
       // kill switch
       spark.conf.set("spark.graft.windowTopKRewrite", "false")
       try assert(topkIdiom(3).queryExecution.executedPlan.toString.contains("Window"))
