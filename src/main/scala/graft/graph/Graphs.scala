@@ -197,12 +197,6 @@ object Graphs {
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = DefaultKTrussRounds,
       maxWedges: Long = DefaultKTrussWedgeBudget): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
-    def support(state: DataFrame): DataFrame = {
-      val half = orderedEdgeSupport(state)
-      // mirror back to the symmetric-state convention
-      half.unionByName(
-        half.select(col("dst").as("src"), col("src").as("dst"), col("sup")))
-    }
     val undirected = undirectedSized(edges)
     // density guard: measure the first round's join fan-out before paying
     // for it — one degree aggregate + one k-row-ish join on the cached
@@ -220,15 +214,55 @@ object Graphs {
           "quadratic-ish per round — use kCore for a cohesion screen, " +
           "pre-filter hubs, or pass an explicit maxWedges to proceed anyway")
     }
-    val result = graft.iterate.Fixpoint.iterate(undirected, maxIter,
+    // Delta peeling. State = (src, dst, sup) over the ordered half, with
+    // sup exact for the CURRENT edge set. Init pays one full triangle-once
+    // support pass; after that no round recomputes support — it enumerates
+    // only the distinct triangles that contain an edge deleted this round
+    // (three joins, each with the deletion set on one side, so the fan-out
+    // is the deletion neighborhood rather than the whole graph) and debits
+    // each triangle's surviving edges by one. A triangle losing two edges
+    // in the same round is still one lost triangle — hence the distinct on
+    // (a,b,c) — so sup stays exact and deletions match the full-recompute
+    // formulation round for round; the unrolled oracle is unchanged. Edges
+    // in no triangle never enter the state (the same deletion round 1's
+    // sup >= k-2 filter implies, since k-2 >= 1), and the maintained sup
+    // of the final state IS its triangle support, so the output needs no
+    // final recompute either.
+    val init = orderedEdgeSupport(undirected)
+    val result = graft.iterate.Fixpoint.iterate(init, maxIter,
       converged = graft.iterate.Fixpoint.countUnchanged()) { (state, _) =>
-      // edges with no triangle at all vanish from the support relation —
-      // the same deletion the sup >= k-2 filter implies (k-2 >= 1)
-      support(state).filter(col("sup") >= k - 2).select("src", "dst")
+      val dead = state.filter(col("sup") < k - 2).select("src", "dst")
+      val alive = state.filter(col("sup") >= k - 2)
+      val all = state.select("src", "dst")
+      // triangles (a < b < c) of the current edge set containing at least
+      // one dead edge, one join pair per role the dead edge can play
+      val tAB = dead.toDF("a", "b")
+        .join(all.toDF("b2", "c"), col("b") === col("b2"))
+        .join(all.toDF("a3", "c3"), col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+      val tBC = dead.toDF("b", "c")
+        .join(all.toDF("a", "b2"), col("b2") === col("b"))
+        .join(all.toDF("a3", "c3"), col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+      val tAC = dead.toDF("a", "c")
+        .join(all.toDF("a2", "b"), col("a2") === col("a"))
+        .join(all.toDF("b3", "c3"), col("b") === col("b3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+      val lost = tAB.unionByName(tBC).unionByName(tAC).distinct()
+      val debits = lost.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("c").as("dst")),
+          struct(col("a").as("src"), col("c").as("dst")))).as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("lostc"))
+      alive.join(debits, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          (col("sup") - coalesce(col("lostc"), lit(0L))).as("sup"))
     }
-    val out = support(result)
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"), col("sup"))
+    // survivors whose support went to zero but were not yet peeled when the
+    // round bound hit: the full-recompute formulation's output support pass
+    // drops them (no triangle -> absent from the support relation)
+    val out = result.filter(col("sup") >= 1).select("src", "dst", "sup")
     undirected.unpersist(blocking = false)
     out
   }
