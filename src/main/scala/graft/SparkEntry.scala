@@ -59,6 +59,10 @@ object SparkEntry {
     "q_graph_ktruss_sparse",
     "q_assoc_rules", "q_dedup_containment", "q_dedup_containment_pf",
     "q_dedup_embedding_inc", "q_dedup_screen",
+    // stored-index ingest twins: _idx vs the recompute twin above prices
+    // what the stored index saves; embedding_idx is the steady-state
+    // (10% batch) number
+    "q_dedup_incremental_idx", "q_dedup_embedding_idx",
     "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
   ).filter(queries.contains)
 }

@@ -350,9 +350,27 @@ object Dedup {
     * checks this equality literally (dedup-of-union SQL).
     */
   def incrementalDeduplicate(existing: DataFrame, incoming: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    incrementalDeduplicate(existing, incoming, threshold, minhashSignatures(existing))
+
+  /** Stored-index variant: `existingIndex` is the persisted signature
+    * relation (doc_id, hs, mh) of `existing` — exactly what
+    * [[minhashSignatures]] produced when those documents were first
+    * ingested. Only the incoming batch is shingled and minhashed; the
+    * existing corpus's TEXT is never re-read by the signature stage (it is
+    * touched once more by the final survivor anti-join, which ships loser
+    * ids only). This is the steady-state 100 TB shape: per-batch cost is
+    * linear in the batch plus its candidates, and the recompute twin above
+    * is the equality oracle — q_dedup_incremental_idx hash-checks that
+    * stored-index and recompute produce the identical corpus. Band keys
+    * are re-derived from `mh` in-plan (a pure integer projection of the
+    * signature — no text involved); a pipeline that also stores the band
+    * relation can skip even that by keeping [[bandKeys]] output alongside. */
+  def incrementalDeduplicate(existing: DataFrame, incoming: DataFrame,
+      threshold: Double, existingIndex: DataFrame): DataFrame = {
     val all = existing.unionByName(incoming)
-    val sigs = minhashSignatures(all).persist()
+    val sigs = existingIndex.select("doc_id", "hs", "mh")
+      .unionByName(minhashSignatures(incoming)).persist()
     val nDocs = sigs.count() // pin before the band and verify stages race it
     val allBands = bandKeys(sigs)
     // the incoming side of the band join = stored index rows for new ids

@@ -210,23 +210,34 @@ object Similarity {
       k)
   }
 
-  /** (vec_id, band, key) with corpus-size-adaptive key width: one
-    * codegen'd NearDupKeysExpr evaluation emits every band's full-width
-    * key; the adaptive mask (broadcast count(*) scalar through the
-    * NdMaskLadder) narrows them in the same projection. */
-  def ndBuckets(emb: DataFrame): DataFrame = {
-    val n = emb.agg(count(lit(1)).as("__n"))
+  /** (vec_id, keys) — the FULL-width (NdMaxBits per band) key array for
+    * each vector: the stored index an incremental pipeline persists. Full
+    * width is the point: when the corpus-size ladder steps to a wider
+    * mask, stored rows re-mask with one integer AND ([[maskedBands]]) — no
+    * re-hash, no re-scan of the indexed corpus. */
+  def ndIndex(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), GraftFunctions.nearDupKeys(col("embedding")).as("keys"))
+
+  /** (vec_id, band, key) from a full-width key relation (vec_id, keys),
+    * masked to the adaptive width for ITS OWN count — the in-plan ladder
+    * decision (broadcast count(*) scalar) the static oracle replays. */
+  private def maskedBands(keyed: DataFrame): DataFrame = {
+    val n = keyed.agg(count(lit(1)).as("__n"))
     val bandStructs = (0 until NdBands).map { b =>
       struct(lit(b).as("band"),
-        element_at(col("__keys"), b + 1).bitwiseAND(col("__mask")).as("key"))
+        element_at(col("keys"), b + 1).bitwiseAND(col("__mask")).as("key"))
     }
-    emb.select(col("vec_id"),
-        GraftFunctions.nearDupKeys(col("embedding")).as("__keys"))
-      .crossJoin(broadcast(n))
+    keyed.crossJoin(broadcast(n))
       .withColumn("__mask", ndMaskCol(col("__n")).cast("long"))
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
+
+  /** (vec_id, band, key) with corpus-size-adaptive key width: one
+    * codegen'd NearDupKeysExpr evaluation emits every band's full-width
+    * key ([[ndIndex]]); the adaptive mask narrows them in the same
+    * projection ([[maskedBands]]). */
+  def ndBuckets(emb: DataFrame): DataFrame = maskedBands(ndIndex(emb))
 
   /** Adaptive mask for a corpus of n vectors — the same ladder decision
     * ndBuckets makes in-plan, evaluated on the driver for contexts (the
@@ -291,17 +302,30 @@ object Similarity {
     * the restriction equality literally; the DuckDB oracle replays the
     * union pipeline with the at-least-one-new filter.
     *
-    * Index stability across growth: the stored index keeps the FULL
-    * NdMaxBits-wide keys the kernel emits (ndBuckets masks in-plan), so
-    * when the corpus-size ladder steps to a wider mask, yesterday's index
-    * rows re-mask with one integer AND — no re-hash, no re-scan of the
-    * existing corpus. That is why nearDupKeys computes full width
-    * unconditionally. The mask here derives from the UNION count, the
-    * same width the batch twin would choose. */
+    * This 3-arg form RECOMPUTES the existing corpus's keys every call —
+    * correct, but the wrong steady-state cost; it exists as the equality
+    * twin. The stored-index overload below is the production shape. */
   def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    incrementalNearDup(existing, incoming, threshold, ndIndex(existing))
+
+  /** Stored-index variant: `existingIndex` is the persisted full-width key
+    * relation (vec_id, keys) of `existing` — [[ndIndex]] output from when
+    * those vectors were first ingested. Only the incoming batch pays the
+    * hyperplane kernel; the existing corpus's embeddings are re-read ONLY
+    * to verify candidate pairs (and candidates are what the band join
+    * already bounds). Index stability across growth is why the index
+    * stores FULL NdMaxBits-wide keys: the mask derives from the UNION
+    * count — the same width the batch twin would choose — and when the
+    * ladder steps wider, stored rows re-mask with one integer AND instead
+    * of a corpus re-hash. q_dedup_embedding_idx hash-checks stored-index
+    * ≡ recompute against the DuckDB union pipeline. */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
+      threshold: Double, existingIndex: DataFrame): DataFrame = {
     val all = existing.unionByName(incoming)
-    val buckets = ndBuckets(all).localCheckpoint(eager = true)
+    val buckets = maskedBands(
+        existingIndex.select("vec_id", "keys").unionByName(ndIndex(incoming)))
+      .localCheckpoint(eager = true)
     val newBuckets = buckets.join(
       incoming.select(col("vec_id")), Seq("vec_id"), "left_semi")
     val cand = newBuckets.toDF("na", "band", "key")

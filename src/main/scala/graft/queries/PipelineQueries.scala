@@ -77,6 +77,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the stored-index ingest path: identical split and oracle as
+    // q_dedup_incremental, but the existing corpus's signatures come from
+    // a materialized index frame — the overload never re-shingles existing
+    // text, proving stored-index ≡ recompute by hash
+    "q_dedup_incremental_idx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = Dedup.deduplicate(docs.filter(col("doc_id") % 2 === 0), MinhashThreshold)
+      // the "stored" index: materialized once, as a real pipeline would
+      // persist it at previous-ingest time
+      val index = Dedup.minhashSignatures(existing).localCheckpoint(eager = true)
+      Dedup.incrementalDeduplicate(existing, docs.filter(col("doc_id") % 2 === 1),
+          MinhashThreshold, index)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // same output as q_dedup_final, via the bloom-pruned anti-join (the
     // scale path when the loser set outgrows a broadcast) — oracle unchanged
     "q_dedup_final_bloom" -> ((s, d) => {
@@ -171,6 +187,20 @@ object PipelineQueries {
       Similarity.incrementalNearDup(
           emb.filter(col("vec_id") % 2 === 0),
           emb.filter(col("vec_id") % 2 === 1), EmbThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // stored-index incremental near-dup at the STEADY-STATE ratio
+    // (incoming = 10% of vectors): the existing 90%'s full-width keys come
+    // from a materialized index frame, so only the batch pays the
+    // hyperplane kernel — the per-batch cost a production ingest actually
+    // pays, vs q_dedup_embedding_inc's by-construction 50/50 split
+    "q_dedup_embedding_idx" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val existing = emb.filter(col("vec_id") % 10 =!= 9)
+      val index = Similarity.ndIndex(existing).localCheckpoint(eager = true)
+      Similarity.incrementalNearDup(existing, emb.filter(col("vec_id") % 10 === 9),
+          EmbThreshold, index)
         .orderBy("id_a", "id_b")
     }),
 
@@ -772,6 +802,11 @@ object PipelineQueries {
     * restricted to at-least-one-incoming (odd) vector */
   private val embDedupIncSql =
     embDedupSqlWhere(" AND (id_a % 2 = 1 OR id_b % 2 = 1)")
+  /** steady-state stored-index ingest: incoming = the 10% batch; the mask
+    * still derives from the full (union) count, which embDedupSqlWhere's
+    * msk CTE already is */
+  private val embDedupIdxSql =
+    embDedupSqlWhere(" AND (id_a % 10 = 9 OR id_b % 10 = 9)")
 
   /** Screen oracle: the engine's first-collision-band trick is an
     * exact-once IMPLEMENTATION of "∃ a shared bucket", so the oracle
@@ -1199,6 +1234,9 @@ object PipelineQueries {
     "q_dedup_final" -> dedupFinalSql,
     "q_dedup_final_bloom" -> dedupFinalSql,
     "q_dedup_incremental" -> incrementalSql,
+    // the stored-index path changes WHERE signatures come from, not what
+    // they are — same split, same oracle, hash equality IS the proof
+    "q_dedup_incremental_idx" -> incrementalSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_containment" -> containmentSql,
     // prefix filtering changes candidate generation, not the result set —
@@ -1217,6 +1255,7 @@ object PipelineQueries {
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_dedup_embedding_inc" -> embDedupIncSql,
+    "q_dedup_embedding_idx" -> embDedupIdxSql,
     "q_dedup_screen" -> embScreenSql,
     "q_sim_topk" -> simTopkSql,
     "q_sim_lsh" -> simLshSql,

@@ -53,6 +53,23 @@ class PipelineSpec extends SparkSpec {
     assert(inc == batchSlice)
   }
 
+  test("stored-index incremental near-dup == the recompute path, pair for pair") {
+    val emb = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001/embeddings.parquet")
+    val existing = emb.filter(col("vec_id") % 10 =!= 9)
+    val incoming = emb.filter(col("vec_id") % 10 === 9)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // the "stored" index: materialized full-width keys, as a pipeline
+    // would persist them at previous-ingest time
+    val index = Similarity.ndIndex(existing).localCheckpoint(eager = true)
+    val viaIndex = Similarity.incrementalNearDup(existing, incoming, 0.4, index)
+      .collect().map(key).toSet
+    val recompute = Similarity.incrementalNearDup(existing, incoming, 0.4)
+      .collect().map(key).toSet
+    assert(viaIndex == recompute)
+    assert(viaIndex.nonEmpty) // fixture sanity: the equality is not vacuous
+  }
+
   test("prefix-filtered containment == all-pairs containment; hot shingles leave the prefixes") {
     // boilerplate-heavy corpus: every doc opens with the same 12-word
     // block (10 hot shingles with df = n_docs), then a unique tail; doc 50
@@ -134,6 +151,24 @@ class PipelineSpec extends SparkSpec {
     assert(inc.sameElements(batch))
     // recalled pairs (2,5),(2,7) drop new docs 5 and 7 against existing 2
     assert(inc.sameElements(Array(2L, 4L, 6L, 9L)))
+  }
+
+  test("stored-index incremental dedup == the recompute path") {
+    // same geometry as the union-equality fixture above: (2,5) and (2,7)
+    // are the recalled cross-batch pairs
+    val base = (1 to 30).map(i => s"b$i").mkString(" ")
+    val other = (50 to 80).map(i => s"o$i").mkString(" ")
+    val d = docs(2L -> base, 4L -> other, 5L -> base, 7L -> base,
+      9L -> (90 to 99).map(i => s"q$i").mkString(" "))
+    val existing = Dedup.deduplicate(d.filter(col("doc_id") % 2 === 0), 0.8)
+    val incoming = d.filter(col("doc_id") % 2 === 1)
+    val index = Dedup.minhashSignatures(existing).localCheckpoint(eager = true)
+    val viaIndex = Dedup.incrementalDeduplicate(existing, incoming, 0.8, index)
+      .collect().map(_.getLong(0)).sorted
+    val recompute = Dedup.incrementalDeduplicate(existing, incoming, 0.8)
+      .collect().map(_.getLong(0)).sorted
+    assert(viaIndex.sameElements(recompute))
+    assert(viaIndex.sameElements(Array(2L, 4L, 9L))) // 5 and 7 drop against keeper 2
   }
 
   test("incremental dedup drops every new copy of an existing keeper (certain recall)") {
