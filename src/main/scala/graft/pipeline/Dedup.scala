@@ -175,12 +175,21 @@ object Dedup {
     * boilerplate shingles go hot is prefix filtering (PPJoin-style: only
     * each doc's (1-τ)·|A|+1 rarest shingles need to emit candidates),
     * with a lossy df cap as the blunter fallback. */
-  def containmentDedup(docs: DataFrame, threshold: Double): DataFrame = {
+  /** pin a shingle cache around `f` and eagerly materialize its (small,
+    * pair-shaped) result so the cache can release immediately — the
+    * lifecycle every containment path shares */
+  private def withShingles(docs: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val sh = shingleHashes(docs).persist()
-    sh.count() // pin the cache: sizes and postings both read it
+    sh.count() // pin the cache before the consumers race it
+    val out = f(sh).localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  private def containmentAllPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
     val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val pairs = posts.toDF("doc_a", "h")
+    posts.toDF("doc_a", "h")
       .join(posts.toDF("doc_b", "h"), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -190,10 +199,10 @@ object Dedup {
         col("inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
-    val out = pairs.localCheckpoint(eager = true)
-    sh.unpersist(blocking = false)
-    out
   }
+
+  def containmentDedup(docs: DataFrame, threshold: Double): DataFrame =
+    withShingles(docs)(containmentAllPairs(_, threshold))
 
   /** Each doc's L rarest shingles in the canonical global rarity order
     * (df, h), with L = n - floor(threshold·n) + 1. The +1 keeps the
@@ -235,9 +244,7 @@ object Dedup {
     * template sites) → prefix; already-clean text → [[containmentDedup]].
     * The honest scale default for raw web corpora is this one: one hot
     * shingle with df = 10^6 costs the all-pairs join 10^12 rows. */
-  def containmentDedupPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleHashes(docs).persist()
-    sh.count() // pin the cache: sizes, postings, and verify all read it
+  private def containmentPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
     val posts = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val cand = prefixPostings(posts, sizes, threshold).toDF("pd", "h", "n_p")
@@ -249,7 +256,7 @@ object Dedup {
       .select(least(col("pd"), col("fd")).as("doc_a"),
         greatest(col("pd"), col("fd")).as("doc_b"))
       .distinct()
-    val pairs = cand
+    cand
       .join(sh.toDF("doc_a", "hs_a"), "doc_a")
       .join(sh.toDF("doc_b", "hs_b"), "doc_b")
       .join(sizes.toDF("doc_a", "n_a"), "doc_a")
@@ -260,10 +267,55 @@ object Dedup {
         col("inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
-    val out = pairs.localCheckpoint(eager = true)
-    sh.unpersist(blocking = false)
-    out
   }
+
+  def containmentDedupPrefix(docs: DataFrame, threshold: Double): DataFrame =
+    withShingles(docs)(containmentPrefix(_, threshold))
+
+  /** Occupancy-weighted mean document frequency of the shingle postings,
+    * Σdf² / Σdf — the expected number of other postings a random posting
+    * meets in the all-pairs join, i.e. its per-row fan-out. The regime
+    * statistic: corpora whose dfs do NOT grow with corpus size (clean
+    * text; measured 2.1 at sf0.01, 10.7 at sf0.1, max df 25) keep it
+    * flat, while boilerplate corpora (hot shingles with df ∝ n_docs)
+    * send it to the corpus scale. One narrow (h, df) aggregate over the
+    * postings — 8-byte keys, partial-aggregated; the same df relation the
+    * prefix path's rarity ranking needs anyway. */
+  private[graft] def containmentFanoutRatio(sh: DataFrame): Double = {
+    val r = sh.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"),
+        coalesce(sum(col("df")), lit(0L)).as("s1"))
+      .first()
+    if (r.getLong(1) == 0L) 0.0 else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** Fan-out ratio above which [[containmentDedupAuto]] routes to the
+    * prefix-filtered path. Calibration (BASELINE.md): every corpus where
+    * all-pairs measured faster sits at ratio <= ~11 (sf0.1 documents:
+    * 10.7, all-pairs 1.9 s vs prefix 1.7 s — a tie; 10x replicas: same
+    * ratio, all-pairs 3x faster), while the regime prefix exists for —
+    * df ∝ n_docs boilerplate — crosses any fixed bound as the corpus
+    * grows (the PipelineSpec fixture measures in the hundreds). 32 leaves
+    * margin on the all-pairs side, where misrouting costs the measured
+    * ~3x, and trips early on genuinely hot corpora, where all-pairs is
+    * the quadratic cliff. */
+  val ContainmentAutoRatio = 32.0
+
+  /** Single containment entry point: measures [[containmentFanoutRatio]]
+    * on the corpus's shingle postings and routes to [[containmentDedup]]'s
+    * all-pairs posting join (low-df regime) or the PPJoin prefix path
+    * (hot-shingle regime). Output is identical either way — both verify
+    * against the full shingle sets — so the route is invisible to the
+    * result (and to the shared DuckDB oracle); only the join fan-out
+    * changes. The decision costs one postings aggregate on the pinned
+    * shingle cache, ~the prefix path's own df pass. */
+  def containmentDedupAuto(docs: DataFrame, threshold: Double): DataFrame =
+    withShingles(docs) { sh =>
+      if (containmentFanoutRatio(sh) > ContainmentAutoRatio)
+        containmentPrefix(sh, threshold)
+      else containmentAllPairs(sh, threshold)
+    }
 
   /** (doc_id, sim) — SimBits-bit simhash over the word multiset (order-
     * and permutation-insensitive), via the codegen'd SimHashExpr kernel. */

@@ -120,6 +120,13 @@ object PipelineQueries {
       Dedup.containmentDedupPrefix(Tables.documents(s, d), ContainmentThreshold)
         .orderBy("doc_a", "doc_b")),
 
+    // the single entry point: routes by the measured Σdf²/Σdf fan-out
+    // ratio (the documents table sits in the all-pairs regime at every
+    // sf); identical output and oracle whichever path it picks
+    "q_dedup_containment_auto" -> ((s, d) =>
+      Dedup.containmentDedupAuto(Tables.documents(s, d), ContainmentThreshold)
+        .orderBy("doc_a", "doc_b")),
+
     // cross-source duplication matrix: where do the near-dup pairs come
     // from? The corpus-diagnostics view that decides which source to
     // drop/deprioritize when two feeds substantially overlap.
@@ -1242,6 +1249,7 @@ object PipelineQueries {
     // prefix filtering changes candidate generation, not the result set —
     // the all-pairs oracle checks the prefix path end to end
     "q_dedup_containment_pf" -> containmentSql,
+    "q_dedup_containment_auto" -> containmentSql,
     "q_dedup_source_overlap" -> sourceOverlapSql,
     "q_multimodal_dedup" -> multimodalDedupSql,
     "q_dedup_priority" -> prioritySql,

@@ -104,6 +104,35 @@ class PipelineSpec extends SparkSpec {
       s"prefix fan-out $prefixFanout not << all-pairs $allPairsFanout")
   }
 
+  test("auto containment routes boilerplate to prefix, clean text to all-pairs, same output") {
+    val thr = 0.9
+    def key(r: org.apache.spark.sql.Row) = ((r.getLong(0), r.getLong(1)), r.getDouble(2))
+    // hot corpus: 150 docs sharing a 12-word boilerplate opener (10
+    // shingles with df = 150) + short unique tails -> ratio ≈ n/3 ≈ 50
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val base = boiler + " " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val hotRows = (1L to 148L).map(i =>
+      i -> (boiler + " " + (1 to 20).map(j => s"t${i}x$j").mkString(" "))) ++
+      Seq(149L -> base, 150L -> (base + " " + (100 to 140).map(i => s"v$i").mkString(" ")))
+    val hot = docs(hotRows: _*)
+    // clean corpus: fully unique tails, dfs never grow -> ratio ≈ 1
+    val clean = docs((1L to 40L).map(i =>
+      i -> (1 to 25).map(j => s"c${i}y$j").mkString(" ")): _*)
+
+    val hotRatio = Dedup.containmentFanoutRatio(Dedup.shingleHashes(hot))
+    val cleanRatio = Dedup.containmentFanoutRatio(Dedup.shingleHashes(clean))
+    assert(hotRatio > Dedup.ContainmentAutoRatio, s"hot fixture ratio $hotRatio")
+    assert(cleanRatio <= Dedup.ContainmentAutoRatio, s"clean fixture ratio $cleanRatio")
+
+    // the route is invisible in the result: auto == both explicit paths
+    val hotAuto = Dedup.containmentDedupAuto(hot, thr).collect().map(key).toMap
+    assert(hotAuto == Dedup.containmentDedup(hot, thr).collect().map(key).toMap)
+    assert(hotAuto.contains((149L, 150L)))
+    val cleanAuto = Dedup.containmentDedupAuto(clean, thr).collect().map(key).toMap
+    assert(cleanAuto == Dedup.containmentDedupPrefix(clean, thr).collect().map(key).toMap)
+    assert(cleanAuto.isEmpty) // nothing contained in the clean fixture
+  }
+
   test("identical word multisets in different order share a simhash") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "delta gamma beta alpha",
       3L -> "epsilon zeta eta theta iota kappa")
