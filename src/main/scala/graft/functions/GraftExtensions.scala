@@ -34,6 +34,7 @@ object GraftExtensions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("graft_polyhash", "polynomial codepoint hash mod 1e9+7", 1)(a => PolyHashExpr(a.head)),
+    fn("graft_polyhash2", "independent polynomial codepoint hash mod 998244353", 1)(a => PolyHash2Expr(a.head)),
     fn("graft_shingle_hashes", "distinct 3-word-shingle hashes", 1)(a => ShingleHashesExpr(a.head)),
     fn("graft_simhash", "48-bit word-multiset simhash", 1)(a => SimHashExpr(a.head)),
     fn("graft_minhash", "16-permutation minhash signature of a hash array", 1)(a => MinHashSigExpr(a.head)),

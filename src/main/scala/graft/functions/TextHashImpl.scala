@@ -26,6 +26,20 @@ object TextHashImpl {
     acc
   }
 
+  /** second independent polynomial hash: fold (acc*131 + cp) % P2 — the
+    * kernel of polyHash2Spark/polyHash2Duck (128-bit fingerprinting) */
+  def polyHash2(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131 + cp) % TextHash.P2
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** polyHash of words i..i+2 joined with ' ' — without building the
     * joined string */
   private def shingleHash(words: Array[String], i: Int): Long = {

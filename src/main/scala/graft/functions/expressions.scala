@@ -34,6 +34,22 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_polyhash"
 }
 
+/** string -> long: second independent polynomial hash mod TextHash.P2
+  * (128-bit fingerprinting's low half) */
+case class PolyHash2Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.polyHash2(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.polyHash2($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash2Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_polyhash2"
+}
+
 /** string -> array<long>: distinct 3-word-shingle hashes */
 case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -237,6 +253,7 @@ object GraftFunctions {
   private def ex(col: Column): Expression = org.apache.spark.sql.GraftBridge.expression(col)
 
   def polyHash(col: Column): Column = c(PolyHashExpr(ex(col)))
+  def polyHash2(col: Column): Column = c(PolyHash2Expr(ex(col)))
   def shingleHashes(col: Column): Column = c(ShingleHashesExpr(ex(col)))
   def simHash(col: Column): Column = c(SimHashExpr(ex(col)))
   def minHashSig(col: Column): Column = c(MinHashSigExpr(ex(col)))

@@ -52,6 +52,16 @@ object TextHash {
   def polyHashDuck(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
 
+  /** second, independent polynomial hash — different base AND modulus
+    * (131 mod P2), so a pair colliding under both hashes needs the same
+    * codepoint fold to land twice: pairwise collision odds drop from 1/P
+    * to ~1/(P·P2) ≈ 1e-18. 131·P2 < 2^37, so acc*131+cp stays in i64. */
+  val P2 = 998244353L
+  def polyHash2Spark(s: String): String =
+    s"aggregate(filter(split($s, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 131 + ascii(c)) % $P2)"
+  def polyHash2Duck(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 131 + x) % $P2)"
+
   // --- word arrays (whitespace tokenization; identical on both engines) ---
   def wordsSpark(text: String): String = s"split(trim($text), ' ')"
   def wordsDuck(text: String): String = s"string_split(trim($text), ' ')"

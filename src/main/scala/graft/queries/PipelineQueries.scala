@@ -46,6 +46,11 @@ object PipelineQueries {
     "q_dedup_exact_fp" -> ((s, d) =>
       Dedup.exactByFingerprint(Tables.documents(s, d)).orderBy("keeper")),
 
+    // the 128-bit widening: two independent fingerprints, pair-collision
+    // odds ~1/(P*P2) — the variant to trust before deleting data
+    "q_dedup_exact_fp128" -> ((s, d) =>
+      Dedup.exactByFingerprint128(Tables.documents(s, d)).orderBy("keeper")),
+
     // normalization-based dedup: casefold/punct-strip/space-collapse before
     // grouping — the cheap screen between byte-exact and MinHash
     "q_dedup_normtext" -> ((s, d) =>
@@ -1228,6 +1233,12 @@ object PipelineQueries {
       s"""SELECT fp, min(doc_id) AS keeper, count(*) AS n_copies
          FROM (SELECT doc_id, ${polyHashDuck("text")} AS fp, length(text) AS len FROM documents)
          GROUP BY fp, len ORDER BY keeper""",
+    "q_dedup_exact_fp128" ->
+      s"""SELECT fp_hi, fp_lo, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM (SELECT doc_id, ${polyHashDuck("text")} AS fp_hi,
+                 ${graft.pipeline.TextHash.polyHash2Duck("text")} AS fp_lo,
+                 length(text) AS len FROM documents)
+         GROUP BY fp_hi, fp_lo, len ORDER BY keeper""",
     "q_dedup_normtext" ->
       """WITH n AS MATERIALIZED (
         |  SELECT doc_id,

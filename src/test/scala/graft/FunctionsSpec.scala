@@ -26,6 +26,22 @@ class FunctionsSpec extends SparkSpec {
       expr(TextHash.polyHashSpark("trim(text)")).as("b")))
   }
 
+  test("PolyHash2Expr == HOF polyhash2 on the corpus and edge inputs") {
+    import spark.implicits._
+    assertNoDiff(docs.select(
+      GraftFunctions.polyHash2(trim(col("text"))).as("a"),
+      expr(TextHash.polyHash2Spark("trim(text)")).as("b")))
+    val edge = Seq("", " ", "a", "ünïcödé wörds hére", "x " * 500).toDF("text")
+    assertNoDiff(edge.select(
+      GraftFunctions.polyHash2(col("text")).as("a"),
+      expr(TextHash.polyHash2Spark("text")).as("b")))
+    // independence sanity: the two folds disagree on real text
+    val both = docs.limit(50).select(
+      GraftFunctions.polyHash(col("text")).as("h1"),
+      GraftFunctions.polyHash2(col("text")).as("h2"))
+    assert(both.filter(col("h1") === col("h2")).isEmpty)
+  }
+
   test("ShingleHashesExpr == HOF shingle hashes") {
     assertNoDiff(docs
       .withColumn("ws", expr(TextHash.wordsSpark("text")))
