@@ -42,6 +42,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Register together with [[TopKPerKeyStrategy]] (GraftExtensions injects
   * both); the node cannot plan without the strategy. Kill switch:
   * `spark.graft.windowTopKRewrite=false`.
+  *
+  * Known memory regime NOT guarded here: MaxRewriteK bounds k but not the
+  * per-partition DISTINCT-KEY count, so on a huge-cardinality partition
+  * (groups ≈ rows, each holding ≈ k rows) the heap map buffers roughly
+  * the whole partition on-heap with no spill path, where the window sort
+  * it replaced would have spilled (TopKPerKey.scala's memory contract
+  * spells the same bound out operator-side). That shape has no logical
+  * signature to match on — cardinality is a runtime property — so the
+  * escape hatch is the kill switch, not a pattern guard; a stats-based
+  * skip (estimated distinct keys per partition) is the upgrade path if a
+  * real workload ever hits it.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -81,10 +92,14 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
           else {
             // InferWindowGroupLimit runs in a later batch, but strip its
             // node defensively if one is ever underneath — the heap
-            // operator subsumes the group limit
+            // operator subsumes the group limit. Only a row_number() limit
+            // of at least k is subsumable: a rank()-based or tighter limit
+            // admits a different row set than the heap would rebuild, so
+            // anything else stays in place (the heap on top is then merely
+            // redundant, never wrong).
             val child = windowChild match {
-              case WindowGroupLimit(ps, os, _, _, c)
-                  if ps == partitionSpec && os == orderSpec => c
+              case WindowGroupLimit(ps, os, RowNumber(), limit, c)
+                  if ps == partitionSpec && os == orderSpec && limit >= k => c
               case c => c
             }
             val topk = TopKPerKeyNode(partitionSpec, orderSpec, k, child)

@@ -33,12 +33,34 @@ import org.apache.spark.sql.functions._
   *    K=10: every vector gets K identical twins, so TRUE duplicate pairs
   *    grow K²-fold — an inflation artifact, not a plan property.
   *
-  * Graph queries derive edges by MODULO cuts of lineitem, so inflation
-  * densifies their graphs instead of growing them — their sweep ratios
-  * measure saturation, not scale; annotated as such in BASELINE.md.
+  * Graph queries derive edges by MODULO cuts of lineitem, so inflation of
+  * the PARQUET tables densifies their graphs instead of growing them (a
+  * fixed modulus maps every replica into the same vertex space). Their
+  * scale curve is measured instead by the `--graphs` mode below, which
+  * replicates the DERIVED edge relations as K disjoint vertex-id-shifted
+  * copies (same degree distribution, K times the vertices — sparsity
+  * preserved) and times the graph algorithms on 1x vs Kx directly.
   */
 object Inflate {
+
+  /** K disjoint copies of an (src, dst) edge relation: every vertex id
+    * shifts by replica*(maxId+1), so each copy carries the original's
+    * exact degree distribution and component structure — "more graph",
+    * never "denser graph". The honest scale model for vertex-grouped
+    * algorithms (inflating a modulo-derived graph instead superimposes
+    * replicas and measures saturation). */
+  def replicateGraph(edges: DataFrame, k: Int): (DataFrame, Long) = {
+    val base = edges.agg(greatest(max(col("src")), max(col("dst"))))
+      .first().getLong(0) + 1L
+    val rep = (0 until k).map { i =>
+      edges.select((col("src") + lit(i * base)).as("src"),
+        (col("dst") + lit(i * base)).as("dst"))
+    }.reduce(_ unionByName _)
+    (rep, base)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--graphs")) { GraphScale.run(args.drop(1)); return }
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
@@ -49,19 +71,27 @@ object Inflate {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
 
-    def replicate(df: DataFrame, shifted: Seq[String]): DataFrame = {
-      val bases = shifted.map(c => c -> (df.agg(max(col(c))).first().getLong(0) + 1L)).toMap
+    // explicit per-column shift bases; FK-linked fact tables must share
+    // one base per logical key (orderkey below), or replica alignment
+    // silently relies on max(l_orderkey) == max(o_orderkey) — true for
+    // TPC-H-shaped data (every order has lineitems) but a join-selectivity
+    // skew for any input where it is not
+    def replicate(df: DataFrame, bases: Map[String, Long]): DataFrame =
       (0 until k).map { i =>
-        shifted.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * bases(c))))
+        bases.foldLeft(df) { case (d, (c, b)) => d.withColumn(c, col(c) + lit(i * b)) }
       }.reduce(_ unionByName _)
-    }
+    def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).first().getLong(0)
 
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       write(read(t), t)
     }
-    write(replicate(read("lineitem"), Seq("l_orderkey")), "lineitem")
-    write(replicate(read("orders"), Seq("o_orderkey")), "orders")
-    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+    val (li, ord) = (read("lineitem"), read("orders"))
+    val orderBase = math.max(maxOf(li, "l_orderkey"), maxOf(ord, "o_orderkey")) + 1L
+    write(replicate(li, Map("l_orderkey" -> orderBase)), "lineitem")
+    write(replicate(ord, Map("o_orderkey" -> orderBase)), "orders")
+    val ev = read("events")
+    write(replicate(ev, Map("event_id" -> (maxOf(ev, "event_id") + 1L),
+      "user_id" -> (maxOf(ev, "user_id") + 1L))), "events")
     // embeddings: shift ids + per-replica sign-flip isometry (see scaladoc)
     val emb = read("embeddings")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -92,6 +122,88 @@ object Inflate {
     write(replicas.reduce(_ unionByName _), "documents")
 
     println(s"[inflate] wrote ${k}x $inDir -> $outDir")
+    spark.stop()
+  }
+}
+
+/** The graph half of the scale sweep (`Inflate --graphs [sfDir] [k]`):
+  * times each graph algorithm on its bench-derived edge relation and on
+  * [[Inflate.replicateGraph]]'s K disjoint copies, printing per-algorithm
+  * ratios for BASELINE.md's measured 10x table. A disjoint K-copy graph is
+  * K independent instances of the same workload, so the ideal distributed
+  * ratio is ~K/parallel-headroom for flat algorithms and ~K·rounds-parity
+  * for iterative ones; any super-linear ratio is a plan defect, not an
+  * inflation artifact (degree distribution is preserved exactly).
+  *
+  * SSSP is seeded with one source PER REPLICA (the same vertex, shifted):
+  * a single source reaches only copy 0 of a disjoint graph and would
+  * measure 1/K of the workload — the multi-seed frontier is the honest
+  * K-times-the-work formulation. */
+object GraphScale {
+  def run(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.graph._
+
+    // the same derived relations the bench queries use (GraphQueries.scala
+    // constants: Mod=300 core graph, maxId-200 triangle cut, Mod-20000
+    // sparse k-truss cut)
+    val core = Graphs.lineitemEdges(spark, sfDir, 300).localCheckpoint(eager = true)
+    val triCut = core.filter(col("src") <= 200 && col("dst") <= 200)
+      .localCheckpoint(eager = true)
+    val sparse = graft.core.Tables.lineitem(spark, sfDir).select(
+        (col("l_orderkey") % 20000).cast("long").as("src"),
+        (col("l_partkey") % 20000).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+
+    def time2(label: String)(f: => DataFrame): Double = {
+      def once: Double = {
+        // release only state the run itself pinned: the shared edge
+        // relations are localCheckpoint'd (lineage truncated) and must
+        // survive across timings — a blanket unpersist kills them
+        val keep = spark.sparkContext.getPersistentRDDs.keySet
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+          if (!keep.contains(id)) r.unpersist(blocking = false)
+        }
+        dt
+      }
+      math.min(once, once) // repeat-min, same basis as Bench
+    }
+    def report(name: String, t1: Double, tk: Double): Unit =
+      println(f"[graphscale] $name%-18s 1x=$t1%.2fs ${k}x=$tk%.2fs ratio=${tk / t1}%.1fx")
+
+    val (core10, coreBase) = Inflate.replicateGraph(core, k)
+    val core10C = core10.localCheckpoint(eager = true)
+    val (tri10, _) = Inflate.replicateGraph(triCut, k)
+    val tri10C = tri10.localCheckpoint(eager = true)
+    val (sparse10, _) = Inflate.replicateGraph(sparse, k)
+    val sparse10C = sparse10.localCheckpoint(eager = true)
+
+    report("cc",
+      time2("cc")(Graphs.connectedComponents(core)),
+      time2("cc10")(Graphs.connectedComponents(core10C)))
+    report("pagerank_damped",
+      time2("pr")(PageRank.runDamped(core, 10)),
+      time2("pr10")(PageRank.runDamped(core10C, 10)))
+    report("sssp_bfs",
+      time2("sssp")(ShortestPath.multiSourceBfs(core, Seq(1L))),
+      time2("sssp10")(ShortestPath.multiSourceBfs(core10C,
+        (0 until k).map(i => 1L + i * coreBase))))
+    report("triangles",
+      time2("tri")(Triangles.countShuffle(triCut, maxId = Long.MaxValue)),
+      time2("tri10")(Triangles.countShuffle(tri10C, maxId = Long.MaxValue)))
+    // the sweep EXISTS to price the wedge growth, so it opts out of the
+    // density guard (10 disjoint copies = 10x the 1x wedge count, which
+    // crosses the fixed default budget by design, not by densification)
+    report("ktruss_sparse",
+      time2("kt")(Graphs.kTruss(sparse, 3, maxWedges = Long.MaxValue)),
+      time2("kt10")(Graphs.kTruss(sparse10C, 3, maxWedges = Long.MaxValue)))
     spark.stop()
   }
 }
