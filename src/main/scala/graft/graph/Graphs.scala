@@ -161,28 +161,67 @@ object Graphs {
     * even on an input the round bound has not converged (the oracle
     * unrolls the same rounds and recomputes the same final support).
     * Returns one row per undirected edge (src < dst, support). */
-  /** Triangle support per ORDERED undirected edge (src < dst), by
-    * triangle-once enumeration on the ordered half (a<b<c) with 3-way
-    * edge crediting — intermediate rows are the ordered wedges (Σ deg²/4)
-    * plus 3·|triangles|, versus the naive both-orientations wedge join's
-    * Σ deg² with every wedge surviving to the aggregate (~10x less
-    * shuffled data on dense derived graphs; identical counts). Input must
-    * be the symmetric closure; edges in no triangle are ABSENT from the
-    * output. Shared by [[kTruss]] (peeling) and the local-bridge screen. */
-  private[graft] def orderedEdgeSupport(und: DataFrame): DataFrame = {
-    val h = und.filter(col("src") < col("dst"))
-    val tri = h.toDF("a", "b")
-      .join(h.toDF("b2", "c"), col("b") === col("b2"))
-      .join(h.toDF("a3", "c3"),
+  /** One orientation per undirected edge, by the (degree, id) total order
+    * — every edge points from its lower-degree endpoint to its higher-
+    * degree one (ids break ties, so the order is total and deterministic).
+    * This is the classic triangle-enumeration orientation: a wedge's
+    * center must have both an in- and an out-edge, and out-neighbors all
+    * rank higher, so a vertex of degree d > √(2m) has < √(2m) out-edges —
+    * total wedge fan-out is O(m^1.5) REGARDLESS of skew, where id-
+    * ordering costs ~deg²/4 per hub whose neighbor ids straddle its own
+    * (a power-law graph's dominant term). Input must be the symmetric
+    * closure; output (src, dst) keeps ORIGINAL ids, π-oriented. */
+  private[graft] def orientByDegree(und: DataFrame): DataFrame = {
+    // symmetric closure => per-src row count IS the undirected degree
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    und
+      .join(deg.toDF("src", "ds"), "src")
+      .join(deg.toDF("dst", "dd"), "dst")
+      .filter(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
+      .select("src", "dst")
+  }
+
+  /** π-oriented wedge count (Σ_v in(v)·out(v) over the oriented edges) —
+    * the exact join fan-out of [[orderedEdgeSupport]]'s enumeration, and
+    * the quantity [[kTruss]]'s density guard budgets. */
+  private[graft] def wedgeCount(g: DataFrame): Long =
+    g.select(col("dst").as("v")).groupBy("v").agg(count(lit(1)).as("ind"))
+      .join(g.select(col("src").as("v")).groupBy("v").agg(count(lit(1)).as("outd")), "v")
+      .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("w"))
+      .first().getLong(0)
+
+  /** Triangle support per undirected edge from an ALREADY-ORIENTED edge
+    * relation ([[orientByDegree]]): triangle-once enumeration — the
+    * orientation makes every π-ordered wedge (a→b, b→c) unique per
+    * triangle candidate and the closing edge (a→c) is π-oriented by
+    * transitivity, so no comparisons appear in the joins at all. Credits
+    * map back to the id-ordered (src < dst) output convention, so the
+    * result is orientation-INVARIANT: identical support counts (and
+    * DuckDB oracles) whatever order enumerated them. */
+  private[graft] def orientedEdgeSupport(g: DataFrame): DataFrame = {
+    val tri = g.toDF("a", "b")
+      .join(g.toDF("b2", "c"), col("b") === col("b2"))
+      .join(g.toDF("a3", "c3"),
         col("a") === col("a3") && col("c") === col("c3"))
       .select("a", "b", "c")
     val credits = tri.select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("c").as("dst")),
-        struct(col("a").as("src"), col("c").as("dst")))).as("e"))
+        struct(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst")),
+        struct(least(col("b"), col("c")).as("src"), greatest(col("b"), col("c")).as("dst")),
+        struct(least(col("a"), col("c")).as("src"), greatest(col("a"), col("c")).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     credits.groupBy("src", "dst").agg(count(lit(1)).as("sup"))
   }
+
+  /** Triangle support per ORDERED undirected edge (src < dst), by
+    * degree-ordered triangle-once enumeration with 3-way edge crediting —
+    * intermediate rows are the π-oriented wedges (O(m^1.5) by the
+    * [[orientByDegree]] bound) plus 3·|triangles|, versus the naive
+    * both-orientations wedge join's Σ deg² with every wedge surviving to
+    * the aggregate. Input must be the symmetric closure; edges in no
+    * triangle are ABSENT from the output. Shared by [[kTruss]] (peeling)
+    * and the local-bridge screen. */
+  private[graft] def orderedEdgeSupport(und: DataFrame): DataFrame =
+    orientedEdgeSupport(orientByDegree(und))
 
   /** Ordered-wedge budget above which [[kTruss]] refuses to peel by
     * default. The wedge count (Σ_v in(v)·out(v) over the ordered half) is
@@ -198,18 +237,18 @@ object Graphs {
       maxWedges: Long = DefaultKTrussWedgeBudget): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     val undirected = undirectedSized(edges)
-    // density guard: measure the first round's join fan-out before paying
-    // for it — one degree aggregate + one k-row-ish join on the cached
-    // state, negligible next to a single peel round
-    val h0 = undirected.filter(col("src") < col("dst"))
-    val wedges = h0.select(col("dst").as("v")).groupBy("v").agg(count(lit(1)).as("ind"))
-      .join(h0.select(col("src").as("v")).groupBy("v").agg(count(lit(1)).as("outd")), "v")
-      .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("w"))
-      .first().getLong(0)
+    // degree-ordered orientation, computed once (checkpointed: the guard's
+    // wedge count and the init support pass both read it)
+    val g = orientByDegree(undirected).localCheckpoint(eager = true)
+    // density guard: measure the init join's exact fan-out before paying
+    // for it — one degree aggregate + one k-row-ish join, negligible next
+    // to a single support pass
+    val wedges = wedgeCount(g)
     if (wedges > maxWedges) {
+      g.unpersist(blocking = false)
       undirected.unpersist(blocking = false)
       throw new IllegalArgumentException(
-        s"kTruss: input has $wedges ordered wedges (> budget $maxWedges); " +
+        s"kTruss: input has $wedges oriented wedges (> budget $maxWedges); " +
           "this graph is in the dense regime where triangle peeling is " +
           "quadratic-ish per round — use kCore for a cohesion screen, " +
           "pre-filter hubs, or pass an explicit maxWedges to proceed anyway")
@@ -228,7 +267,7 @@ object Graphs {
     // sup >= k-2 filter implies, since k-2 >= 1), and the maintained sup
     // of the final state IS its triangle support, so the output needs no
     // final recompute either.
-    val init = orderedEdgeSupport(undirected)
+    val init = orientedEdgeSupport(g)
     val result = graft.iterate.Fixpoint.iterate(init, maxIter,
       converged = graft.iterate.Fixpoint.countUnchanged()) { (state, _) =>
       val dead = state.filter(col("sup") < k - 2).select("src", "dst")
@@ -263,6 +302,7 @@ object Graphs {
     // round bound hit: the full-recompute formulation's output support pass
     // drops them (no triangle -> absent from the support relation)
     val out = result.filter(col("sup") >= 1).select("src", "dst", "sup")
+    g.unpersist(blocking = false)
     undirected.unpersist(blocking = false)
     out
   }

@@ -232,6 +232,31 @@ class GraphSpec extends SparkSpec {
       (4L, 5L), (4L, 7L), (5L, 7L)))
   }
 
+  test("degree-ordered orientation: hub wedge fan-out collapses, support unchanged") {
+    // star with the hub at a MID-RANGE id (100): under id-ordering ~half
+    // the leaves are smaller and half larger, so the hub is a wedge center
+    // with in·out ≈ (n/2)² — the skew term degree-ordering exists to kill.
+    // Under (degree, id) orientation every star edge points AT the hub
+    // (leaves have degree 1), so the hub has no out-edges and the star
+    // contributes zero wedges. A K3 on high ids supplies real triangles.
+    val star = (1L to 99L).map(_ -> 100L) ++ (101L to 199L).map(100L -> _)
+    val tri = Seq(201L -> 202L, 202L -> 203L, 201L -> 203L)
+    val e = edges((star ++ tri): _*)
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+    val g = graft.graph.Graphs.orientByDegree(und)
+    // exactly one orientation per undirected edge
+    assert(g.count() == und.count() / 2)
+    // fan-out: the K3 contributes its 1 wedge; the 198-leaf star must
+    // contribute 0 (id-ordering would pay 99·99 ≈ 9801 here)
+    assert(graft.graph.Graphs.wedgeCount(g) == 1L)
+    // support is orientation-invariant: only the K3 edges, each sup 1
+    val sup = graft.graph.Graphs.orientedEdgeSupport(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup == Map((201L, 202L) -> 1L, (202L, 203L) -> 1L, (201L, 203L) -> 1L))
+  }
+
   test("lpa: bridged triangles stay separate communities; K4 collapses to min label") {
     // two triangles joined by one bridge edge — frequency-driven LPA keeps
     // two communities where reachability-driven CC would merge them
