@@ -100,6 +100,53 @@ object Graphs {
     result.select("vertex", "label")
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into an
+    * existing (vertex, label) labeling without touching the old edge set —
+    * the graph twin of the stored-index dedup ingest. The old labeling is
+    * a contraction of the old graph (one representative per component), so
+    * merging is CC over the QUOTIENT graph: each new edge (u, v) becomes
+    * an edge between label(u) and label(v) (new vertices label themselves),
+    * min-label CC runs over those quotient edges only — state is the
+    * handful of labels the batch touches, not the corpus — and the result
+    * relabels the full labeling through one remap join. The remap relation
+    * holds only labels that actually changed (merged components), so at
+    * 100 TB it broadcasts and the stored labeling never reshuffles.
+    *
+    * Exactly equals `connectedComponents(oldEdges ∪ newEdges)` whenever
+    * `labels` is a CONVERGED labeling (every label a component minimum):
+    * the quotient min over merged groups is the merged component's true
+    * minimum, and composing through the remap reaches every member. On an
+    * unconverged labeling the result still matches the oracle, which
+    * replays this exact two-stage formulation (GraphQueries ccIncSql).
+    * Output: (vertex, label) over old ∪ new vertices. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = DefaultCcRounds): DataFrame = {
+    val l = labels.select(col("vertex"), col("label"))
+    // touched vertices with their effective label (self for new vertices);
+    // checkpointed: both quotient-edge sides and the new-vertex union read it
+    val touched = vertices(newEdges)
+      .join(l, Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("label"), col("vertex")).as("lb"))
+      .localCheckpoint(eager = true)
+    val qEdges = newEdges
+      .join(touched.toDF("src", "ls"), "src")
+      .join(touched.toDF("dst", "ld"), "dst")
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // min-label CC over the quotient graph — tiny state, same machinery
+    val q = connectedComponents(qEdges, maxIter)
+    // only merged labels need rewriting; everything else passes through
+    val remap = q.filter(col("vertex") =!= col("label"))
+      .select(col("vertex").as("old_label"), col("label").as("new_label"))
+    val allV = l.unionByName(
+      touched.join(l, Seq("vertex"), "left_anti")
+        .select(col("vertex"), col("lb").as("label")))
+    // `touched` stays checkpointed: the output plan reads it lazily, and a
+    // localCheckpoint cannot recompute after unpersist (truncated lineage)
+    allV.join(broadcast(remap), allV("label") === remap("old_label"), "left")
+      .select(col("vertex"), coalesce(col("new_label"), col("label")).as("label"))
+  }
+
   /** default rounds for the doubling variant: reach grows as
     * d_t >= 2*d_{t-1} + 2, so 8 rounds cover component diameters past 500 */
   val DefaultDoublingRounds = 8

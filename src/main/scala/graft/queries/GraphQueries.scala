@@ -315,6 +315,18 @@ object GraphQueries {
       Graphs.connectedComponentsDoubling(Graphs.lineitemEdges(s, d, Mod), CcRounds)
         .orderBy("vertex")),
 
+    // incremental CC: label the ~80% "existing" edge set, then fold the
+    // ~20% batch in via quotient-graph CC + broadcast remap — the stored
+    // labeling never reshuffles. Oracle replays both stages unrolled.
+    "q_graph_cc_inc" -> ((s, d) => {
+      val e = Graphs.lineitemEdges(s, d, BridgeMod)
+      val labels = Graphs.connectedComponents(
+        e.filter((col("src") + col("dst")) % 5 =!= 0))
+      Graphs.incrementalComponents(labels,
+          e.filter((col("src") + col("dst")) % 5 === 0))
+        .orderBy("vertex")
+    }),
+
     // synchronous label-propagation communities (frequency-driven, unlike
     // CC's pure reachability): deterministic self-vote variant, fixed
     // round count shared with the oracle's unroll
@@ -678,6 +690,62 @@ object GraphQueries {
     sb.toString
   }
 
+  /** linear HashMin min-label unroll over edge relation `edgesRel`,
+    * prefixed CTEs ending in `${p}l$iters` — mirrors
+    * Graphs.connectedComponents round for round */
+  private def ccLinearChain(p: String, edgesRel: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}und AS MATERIALIZED (
+      |  SELECT src, dst FROM $edgesRel UNION SELECT dst AS src, src AS dst FROM $edgesRel),
+      |${p}l0 AS MATERIALIZED (
+      |  SELECT vertex, vertex AS label FROM (
+      |    SELECT src AS vertex FROM ${p}und UNION SELECT dst FROM ${p}und))""".stripMargin
+    for (i <- 1 to iters) {
+      val q = i - 1
+      sb ++= s""",
+        |${p}l$i AS MATERIALIZED (SELECT vertex, min(label) AS label FROM (
+        |  SELECT vertex, label FROM ${p}l$q
+        |  UNION ALL SELECT u.dst AS vertex, l.label FROM ${p}l$q l JOIN ${p}und u ON u.src = l.vertex)
+        |GROUP BY vertex)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** the incremental-CC contract, replayed literally: chain a labels the
+    * existing split; the quotient chain runs over (label(src), label(dst))
+    * of the incoming edges; the final select composes through the remap —
+    * the same two-stage formulation Graphs.incrementalComponents executes,
+    * so engine and oracle agree converged or not */
+  private val ccIncSql = {
+    val iters = Graphs.DefaultCcRounds
+    s"""WITH gb AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % $BridgeMod AS src, l_partkey % $BridgeMod AS dst
+       |  FROM lineitem WHERE l_orderkey % $BridgeMod <> l_partkey % $BridgeMod),
+       |ge AS MATERIALIZED (SELECT src, dst FROM gb WHERE (src + dst) % 5 <> 0),
+       |gi AS MATERIALIZED (SELECT src, dst FROM gb WHERE (src + dst) % 5 = 0),
+       |${ccLinearChain("a_", "ge", iters)},
+       |tv AS MATERIALIZED (SELECT src AS v FROM gi UNION SELECT dst FROM gi),
+       |tl AS MATERIALIZED (
+       |  SELECT tv.v, coalesce(a.label, tv.v) AS lb
+       |  FROM tv LEFT JOIN a_l$iters a ON a.vertex = tv.v),
+       |qg AS MATERIALIZED (
+       |  SELECT x.lb AS src, y.lb AS dst
+       |  FROM gi JOIN tl x ON x.v = gi.src JOIN tl y ON y.v = gi.dst
+       |  WHERE x.lb <> y.lb),
+       |${ccLinearChain("q_", "qg", iters)},
+       |av AS MATERIALIZED (
+       |  SELECT vertex, label FROM a_l$iters
+       |  UNION ALL
+       |  SELECT v AS vertex, v AS label FROM tl
+       |  WHERE v NOT IN (SELECT vertex FROM a_l$iters))
+       |SELECT av.vertex, coalesce(r.new_label, av.label) AS label
+       |FROM av LEFT JOIN (
+       |  SELECT vertex AS old_label, label AS new_label FROM q_l$iters
+       |  WHERE vertex <> label) r
+       |  ON r.old_label = av.label
+       |ORDER BY av.vertex""".stripMargin
+  }
+
   private def chainPathsCte(k: Int, chains: Int): String =
     s"""g AS MATERIALIZED (
        |  SELECT CAST(id AS BIGINT) AS src, CAST(id + 1 AS BIGINT) AS dst
@@ -857,5 +925,6 @@ object GraphQueries {
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),
+    "q_graph_cc_inc" -> ccIncSql,
   )
 }

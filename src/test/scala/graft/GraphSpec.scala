@@ -232,6 +232,31 @@ class GraphSpec extends SparkSpec {
       (4L, 5L), (4L, 7L), (5L, 7L)))
   }
 
+  test("incremental CC == batch CC of the union; batch edges bridge old components") {
+    // existing graph: components {1,2,3} and {10,11}, isolated-by-absence 20
+    val existing = edges(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val labels = Graphs.connectedComponents(existing)
+    // batch: bridges the two old components through NEW vertex 20, and
+    // adds a fresh component {30, 31}
+    val batch = edges(3L -> 20L, 20L -> 10L, 30L -> 31L)
+    val inc = Graphs.incrementalComponents(labels, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graphs.connectedComponents(existing.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("incremental CC with no merging edges leaves the labeling unchanged") {
+    val existing = edges(1L -> 2L, 10L -> 11L)
+    val labels = Graphs.connectedComponents(existing)
+    // batch edges stay inside existing components
+    val inc = Graphs.incrementalComponents(labels, edges(2L -> 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("degree-ordered orientation: hub wedge fan-out collapses, support unchanged") {
     // star with the hub at a MID-RANGE id (100): under id-ordering ~half
     // the leaves are smaller and half larger, so the hub is a wedge center
