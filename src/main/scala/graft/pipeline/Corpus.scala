@@ -217,6 +217,44 @@ object Corpus {
     out
   }
 
+  /** (word, df, postings) over the FULL vocabulary — the stored relation
+    * an incremental index pipeline keeps on disk. [[invertedIndex]]'s
+    * top-N cut is a VIEW over this (the ranking needs only df); the index
+    * must store every word's postings because a stored top-N cannot admit
+    * a word that newly climbs into the top N after a batch. */
+  def fullPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
+      .distinct()
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+
+  /** Merge an append-only document batch into a stored [[fullPostings]]
+    * index and emit the top-N view — the inverted-index twin of the
+    * stored-index dedup ingest. Only the batch is tokenized; the merge is
+    * keyed on the word (vocabulary-sized relation, not corpus-sized):
+    * df adds, posting lists splice numerically sorted, and the top-N
+    * ranking re-runs over merged dfs — so a word the batch pushes into
+    * the top N enters with its FULL postings, which is exactly why the
+    * stored relation is the full vocabulary. Output is identical to
+    * `invertedIndex(existing ∪ incoming, topN)` for disjoint doc ids
+    * (append-only contract); q_inverted_index_inc hash-checks that
+    * equality against the batch oracle. */
+  def incrementalInvertedIndex(storedIndex: DataFrame, incoming: DataFrame,
+      topN: Int): DataFrame = {
+    val merged = storedIndex.select("word", "df", "postings")
+      .unionByName(fullPostings(incoming))
+      .groupBy("word")
+      .agg(sum(col("df")).as("df"),
+        // splice: split both sides' sorted lists, numeric re-sort, rejoin
+        // (lexicographic would put "10" before "9")
+        expr("array_join(transform(array_sort(flatten(collect_list(" +
+          "transform(split(postings, ','), x -> CAST(x AS BIGINT))))), " +
+          "x -> CAST(x AS STRING)), ',')").as("postings"))
+    merged.orderBy(desc("df"), asc("word")).limit(topN)
+      .select("word", "df", "postings")
+  }
+
   /** Write a corpus partitioned by `partitionCol` with bounded file sizes:
     * maxRecordsPerFile caps the giant-file stragglers a skewed partition
     * column otherwise produces (one 2 TB `lang=en` file kills downstream

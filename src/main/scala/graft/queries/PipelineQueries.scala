@@ -420,6 +420,18 @@ object PipelineQueries {
     "q_inverted_index" -> ((s, d) =>
       Corpus.invertedIndex(Tables.documents(s, d), VocabTopN).orderBy("word")),
 
+    // stored-index ingest: merge the 10% batch into the 90%'s full-
+    // vocabulary postings relation — only the batch tokenizes, the merge
+    // is vocabulary-keyed; must equal the batch build over the union
+    "q_inverted_index_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stored = Corpus.fullPostings(docs.filter(col("doc_id") % 10 =!= 9))
+        .localCheckpoint(eager = true)
+      Corpus.incrementalInvertedIndex(stored,
+          docs.filter(col("doc_id") % 10 === 9), VocabTopN)
+        .orderBy("word")
+    }),
+
     // corpus bigram counts (n-gram LM statistics)
     "q_text_bigrams" -> ((s, d) =>
       Corpus.ngramCounts(Tables.documents(s, d), 2, VocabTopN)),
@@ -1271,6 +1283,9 @@ object PipelineQueries {
     "q_mixture_weights" -> mixtureSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_inverted_index" -> invertedIndexSql,
+    // stored-index merge == batch build over the union (disjoint doc ids):
+    // same oracle, hash equality is the proof
+    "q_inverted_index_inc" -> invertedIndexSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_dedup_embedding_inc" -> embDedupIncSql,

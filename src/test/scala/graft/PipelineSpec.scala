@@ -133,6 +133,23 @@ class PipelineSpec extends SparkSpec {
     assert(cleanAuto.isEmpty) // nothing contained in the clean fixture
   }
 
+  test("incremental inverted index == batch build; batch can promote a word into top-N") {
+    // existing: "aa" df=3, "bb" df=2, "rare" df=1 -> top-2 is {aa, bb}.
+    // batch: two docs with "rare" -> union dfs aa=3, rare=3, bb=2 ->
+    // top-2 is {aa, rare}, and rare must enter with its FULL postings
+    // (existing doc 3 included) — the case a stored top-N cut cannot serve.
+    val existing = docs(1L -> "aa bb", 2L -> "aa bb", 3L -> "aa rare")
+    val batch = docs(10L -> "rare x", 11L -> "rare y")
+    val stored = Corpus.fullPostings(existing).localCheckpoint(eager = true)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getString(2))
+    val inc = Corpus.incrementalInvertedIndex(stored, batch, topN = 2)
+      .collect().map(key).toSet
+    val full = Corpus.invertedIndex(existing.unionByName(batch), topN = 2)
+      .collect().map(key).toSet
+    assert(inc == full)
+    assert(inc == Set(("aa", 3L, "1,2,3"), ("rare", 3L, "3,10,11")))
+  }
+
   test("identical word multisets in different order share a simhash") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "delta gamma beta alpha",
       3L -> "epsilon zeta eta theta iota kappa")
