@@ -84,7 +84,17 @@ object ShortestPath {
       .select(col("vertex"),
         when(col("vertex") === source, lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
         (col("vertex") === source).as("changed"))
-    val result = Fixpoint.iterate(init, maxIter,
+    val result = weightedRelaxLoop(init, e, maxIter)
+    e.unpersist(false)
+    result.select("vertex", "dist")
+  }
+
+  /** The Bellman-Ford frontier loop shared by runWeighted and
+    * incrementalWeighted: relax out-edges of changed vertices, merge by
+    * per-vertex min, converge when no distance improves. `e` must be
+    * src-partitioned and persisted by the caller. */
+  private def weightedRelaxLoop(init: DataFrame, e: DataFrame, maxIter: Int): DataFrame =
+    Fixpoint.iterate(init, maxIter,
       converged = (_, next) => next.filter(col("changed")).isEmpty) { (state, _) =>
       val frontier = state.filter(col("changed"))
       val candidates = frontier
@@ -98,6 +108,52 @@ object ShortestPath {
           least(col("dist"), coalesce(col("cand"), lit(Double.PositiveInfinity))).as("dist"),
           (coalesce(col("cand"), lit(Double.PositiveInfinity)) < col("dist")).as("changed"))
     }
+
+  /** Incremental weighted SSSP: fold a batch of NEW edges into a stored
+    * distance table without re-relaxing the whole graph. Adding edges can
+    * only shorten shortest paths, so the stored distances remain exact
+    * UPPER bounds (the Bellman-Ford invariant: relaxation from any
+    * upper-bound labeling converges to the unique fixpoint). The state is
+    * seeded with the stored distances, and the initial frontier is one
+    * relaxation pass through the new edges ALONE — every shortening path
+    * must use at least one new edge, so the vertices improved by that pass
+    * are exactly the roots of every region that can change. The loop then
+    * runs over the merged edge set, but per round it touches only
+    * frontier-adjacent edges — on a small batch the re-relaxed region
+    * stays small while the result equals `runWeighted(old ∪ new)`
+    * bit-for-bit (integral weights; the oracle IS the batch SQL).
+    *
+    * At 100 TB: `dists` comes from the stored output of a prior run (no
+    * recompute — the stored-index pattern of Dedup/Similarity ingest);
+    * the merged edge relation is src-partitioned once and each round
+    * shuffles only the frontier.
+    *
+    * @param dists    stored (vertex LONG, dist DOUBLE) — a converged
+    *                 runWeighted output over the OLD edge set
+    * @param newEdges the appended batch (src LONG, dst LONG, w DOUBLE)
+    * @param allEdges old ∪ new (src LONG, dst LONG, w DOUBLE)
+    * @return (vertex LONG, dist DOUBLE), Infinity for unreached */
+  def incrementalWeighted(dists: DataFrame, newEdges: DataFrame,
+      allEdges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val width = Fixpoint.sizedPartitions(allEdges.sparkSession, allEdges.count())
+    val e = allEdges.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val inf = lit(Double.PositiveInfinity)
+    val stored = dists.select(col("vertex"), col("dist"))
+    // merged vertex set; vertices the batch introduces start unreached
+    val base = Graphs.vertices(e.select("src", "dst"))
+      .join(stored, Seq("vertex"), "left_outer")
+      .select(col("vertex"), coalesce(col("dist"), inf).as("dist"))
+    // one pass through the new edges from stored distances = the frontier
+    val seed = stored.select(col("vertex").as("u"), col("dist").as("du"))
+      .join(newEdges, col("u") === newEdges("src"))
+      .select(col("dst").as("vertex"), (col("du") + col("w")).as("cand"))
+      .groupBy("vertex").agg(min("cand").as("cand"))
+    val init = base.join(seed, Seq("vertex"), "left_outer")
+      .select(
+        col("vertex"),
+        least(col("dist"), coalesce(col("cand"), inf)).as("dist"),
+        (coalesce(col("cand"), inf) < col("dist")).as("changed"))
+    val result = weightedRelaxLoop(init, e, maxIter)
     e.unpersist(false)
     result.select("vertex", "dist")
   }

@@ -223,6 +223,27 @@ object GraphQueries {
         .orderBy("vertex")
     }),
 
+    // incremental weighted SSSP: relax the ~80% "old" edge cut to a
+    // stored distance table, then fold the ~20% batch in — stored
+    // distances stay exact upper bounds under edge additions (Bellman-
+    // Ford invariant), so the frontier seeds from one pass through the
+    // new edges alone and only the affected region re-relaxes. The
+    // fixpoint is unique, so the oracle IS the batch SQL on the full set.
+    "q_graph_sssp_weighted_inc" -> ((s, d) => {
+      val we = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % Mod).as("src"), (col("l_partkey") % Mod).as("dst"),
+          (lit(1.0) + col("l_quantity") % 5).as("w"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(min("w").as("w"))
+      val old = we.filter((col("src") + col("dst")) % 5 =!= 0)
+      val batch = we.filter((col("src") + col("dst")) % 5 === 0)
+      val stored = ShortestPath.runWeighted(old, source = 1L, maxIter = SsspWeightedMaxIter)
+      ShortestPath.incrementalWeighted(stored, batch, we, maxIter = SsspWeightedMaxIter)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("vertex"), col("dist").cast("long").as("dist"))
+        .orderBy("vertex")
+    }),
+
     // landmark distances: BFS from a seed SET in one fixpoint — the
     // distance-sketch / graph-feature building block ("how far is every
     // vertex from each hub")
@@ -916,6 +937,9 @@ object GraphQueries {
     "q_graph_sssp" -> ssspSql,
     "q_graph_landmarks" -> landmarksSql,
     "q_graph_sssp_weighted" -> ssspWeightedSql,
+    // incremental ≡ batch exactly (unique Bellman-Ford fixpoint), so the
+    // batch SQL is the oracle — the strongest possible equality proof
+    "q_graph_sssp_weighted_inc" -> ssspWeightedSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_hits" -> hitsSql,
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),

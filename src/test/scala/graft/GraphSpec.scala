@@ -322,6 +322,36 @@ class GraphSpec extends SparkSpec {
     assert(unit(4L) == 1.0)
   }
 
+  test("incremental weighted sssp == batch on the union; shortcut propagates through old edges") {
+    import spark.implicits._
+    // old graph: chain 1->2->3->4 (unit cost) plus expensive 1->6 (20);
+    // 4->5 continues the chain so improvements must PROPAGATE through
+    // old edges past the batch edge's endpoint
+    val old = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0),
+      (1L, 6L, 20.0)).toDF("src", "dst", "w")
+    // batch: a shortcut 1->4 (1.0) that improves 4, 5, and — via the new
+    // vertex 7 — a region the old graph never had
+    val batch = Seq((1L, 4L, 1.0), (4L, 7L, 2.0)).toDF("src", "dst", "w")
+    val all = old.unionByName(batch)
+    val stored = ShortestPath.runWeighted(old, source = 1L, maxIter = 10)
+    val inc = ShortestPath.incrementalWeighted(stored, batch, all, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = ShortestPath.runWeighted(all, source = 1L, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc == full)
+    assert(inc(4L) == 1.0 && inc(5L) == 2.0 && inc(7L) == 3.0 && inc(6L) == 20.0)
+  }
+
+  test("incremental weighted sssp: non-improving batch leaves distances unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val batch = Seq((1L, 3L, 5.0)).toDF("src", "dst", "w") // worse than 1->2->3
+    val stored = ShortestPath.runWeighted(old, source = 1L, maxIter = 10)
+    val inc = ShortestPath.incrementalWeighted(stored, batch, old.unionByName(batch), maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+  }
+
   test("common neighbors: non-adjacent pairs ranked by shared-neighbor count") {
     import spark.implicits._
     // 1 and 2 both point at {3,4,5}; 6 shares only {3} with them; edge
