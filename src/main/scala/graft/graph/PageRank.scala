@@ -111,7 +111,35 @@ object PageRank {
     * per-iteration dangling-mass scalar rides a 1-row broadcast inside the
     * single checkpoint sync point, union-merge keeps no-in-link vertices.
     */
-  def runDamped(edges: DataFrame, iterations: Int): DataFrame = {
+  def runDamped(edges: DataFrame, iterations: Int): DataFrame =
+    dampedCore(edges, iterations) { (verts, n) =>
+      verts.withColumn("rank", lit(1.0 / n))
+    }
+
+  /** Warm-start damped PageRank: continue the iteration from STORED ranks
+    * (a previous snapshot's result) on an updated edge relation, instead
+    * of restarting from uniform. Damped PageRank is an α-contraction
+    * toward its unique fixpoint regardless of the starting vector, so
+    * seeding from ranks that are already close means the same residual in
+    * far fewer rounds — on an evolving graph the steady state pays
+    * `iterations` ≪ the cold-start round count, at identical
+    * per-iteration cost. Vertices absent from `stored` (new this
+    * snapshot) start at the uniform 1/N of the UPDATED graph; the
+    * teleport and dangling terms also use the updated N. Exact-continuation
+    * law (spec-enforced): on an unchanged graph,
+    * `runDampedFrom(runDamped(g, a), g, b)` is bit-identical to
+    * `runDamped(g, a + b)`.
+    *
+    * @param stored (vertex LONG, rank DOUBLE) — ranks from the previous run
+    */
+  def runDampedFrom(stored: DataFrame, edges: DataFrame, iterations: Int): DataFrame =
+    dampedCore(edges, iterations) { (verts, n) =>
+      verts.join(stored.select(col("vertex"), col("rank")), Seq("vertex"), "left")
+        .select(col("vertex"), coalesce(col("rank"), lit(1.0 / n)).as("rank"))
+    }
+
+  private def dampedCore(edges: DataFrame, iterations: Int)(
+      initOf: (DataFrame, Long) => DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val nEdges = edges.count()
     val width = Fixpoint.sizedPartitions(spark, nEdges)
@@ -129,7 +157,7 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     dang.count() // materialize while verts/e are hot
 
-    val init = verts.withColumn("rank", lit(1.0 / n))
+    val init = initOf(verts, n)
     val result = Fixpoint.iterate(init, iterations) { (state, _) =>
       val dm = state.join(dang, Seq("vertex"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))

@@ -75,6 +75,53 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Top-`topN` bigram collocations ranked by pointwise mutual
+    * information — the phrase-mining statistic ("new york" scores far
+    * above what its unigram frequencies predict). Log-free per the corpus
+    * scoring policy (tfidf/bm25/commonness): the score is the PMI ratio
+    * p(w1 w2)·T / (c(w1)·c(w2)) itself, not its log — rankings are
+    * identical (log is monotone) and, evaluated as
+    * `(c12/c1) * (T/c2)`, it is two IEEE divisions and one multiply over
+    * exact int64 counts. That factored form is deliberate: every operand
+    * stays < 2^53 at any corpus size (c12·T would overflow int64 near
+    * ~10^13 tokens — exactly the 100 TB regime), so the expression is
+    * bit-identical across engines AND scale-safe with no decimal widening.
+    *
+    * Shuffle shape: the corpus is scanned twice (unigram and bigram
+    * tokenize passes — re-tokenizing is cheaper than materializing a
+    * corpus-sized token stream), but both shuffles carry only
+    * (token, partial count) with full map-side aggregation, i.e. they are
+    * vocab-sized, not corpus-sized. The unigram relation joins the
+    * minCount-filtered bigram relation on plain equi-joins — vocab×vocab,
+    * left to AQE, since a 100 TB corpus vocabulary is too large to
+    * assume broadcast — and the token total T rides a 1-row broadcast.
+    * Bigram keys reuse [[ngramCounts]]'s gram construction; tokens cannot
+    * contain ' ' (they are split on it), so the gram → (w1, w2) split is
+    * an exact round-trip. */
+  def pmiCollocations(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    val toks = docs.select(expr(wordsSpark("text")).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // vocab-sized; consumed by T and both joins
+    val t = uni.agg(sum("c").as("t"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .select(expr("split_part(gram, ' ', 1)").as("w1"),
+        expr("split_part(gram, ' ', 2)").as("w2"), col("c12"))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12").cast("double") / col("c1")) *
+          (col("t").cast("double") / col("c2"))).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(topN)
+  }
+
   // BM25 constants (k1 saturation, b length normalization)
   val Bm25K1 = 1.2
   val Bm25B = 0.75

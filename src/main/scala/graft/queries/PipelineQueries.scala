@@ -27,6 +27,8 @@ object PipelineQueries {
   private val NumQueryVecs = 8
   private val VocabTopN = 100
   private val TfidfTopK = 3
+  // collocations: minimum bigram occurrences before a PMI score is emitted
+  private val PmiMinCount = 3
   private val StratPerGroup = 20
   // curation thresholds (quality gate for the end-to-end pipeline)
   private val MinWords = 10
@@ -435,6 +437,11 @@ object PipelineQueries {
     // corpus bigram counts (n-gram LM statistics)
     "q_text_bigrams" -> ((s, d) =>
       Corpus.ngramCounts(Tables.documents(s, d), 2, VocabTopN)),
+
+    // PMI collocations (phrase mining: bigrams that co-occur far above
+    // their unigram frequencies)
+    "q_text_pmi" -> ((s, d) =>
+      Corpus.pmiCollocations(Tables.documents(s, d), PmiMinCount, VocabTopN)),
 
     // deterministic content-hash train/val/test split
     "q_split_hash" -> ((s, d) =>
@@ -1162,6 +1169,25 @@ object PipelineQueries {
        |SELECT gram, count(*) AS n FROM g
        |GROUP BY gram ORDER BY n DESC, gram LIMIT $VocabTopN""".stripMargin
 
+  /** PMI with the same factored float expression the Spark side evaluates:
+    * (c12/c1) * (T/c2) — two IEEE divisions + one multiply over exact
+    * int64 counts, in that exact order, so both engines round identically */
+  private val pmiSql =
+    s"""WITH d AS MATERIALIZED (SELECT ${wordsDuck("text")} AS ws FROM documents),
+       |uc AS MATERIALIZED (
+       |  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uc),
+       |g AS (SELECT unnest(list_transform(range(1, len(ws)),
+       |               i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS gram
+       |      FROM d WHERE len(ws) >= 2),
+       |bc AS (SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+       |              count(*) AS c12
+       |       FROM g GROUP BY gram HAVING count(*) >= $PmiMinCount)
+       |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+       |       (CAST(c12 AS DOUBLE) / u1.c) * (CAST((SELECT t FROM t) AS DOUBLE) / u2.c) AS pmi
+       |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+       |ORDER BY pmi DESC, w1, w2 LIMIT $VocabTopN""".stripMargin
+
   private val splitHashSql =
     s"""WITH d AS (SELECT doc_id, ${polyHashDuck("text")} % 10 AS slot, length(text) AS len
        |           FROM documents)
@@ -1310,6 +1336,7 @@ object PipelineQueries {
     "q_text_vocab" -> vocabSql,
     "q_text_tfidf" -> tfidfSql,
     "q_text_bigrams" -> bigramsSql,
+    "q_text_pmi" -> pmiSql,
     "q_split_hash" -> splitHashSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_curate" -> curateSql,

@@ -38,6 +38,20 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.ngramCounts(Seq((1L, "solo")).toDF("doc_id", "text"), 2, 10).isEmpty)
   }
 
+  test("pmi collocations: counts, minCount gate, factored IEEE score") {
+    // unigrams: a:3 b:2 c:1, T=6; bigrams: "a b":2 "b a":1 "a c":1
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val p = Corpus.pmiCollocations(d, minCount = 2, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // only "a b" survives minCount=2; score replays the exact expression
+    assert(p.toList == List(("a", "b", 2L, 3L, 2L, (2.0 / 3) * (6.0 / 2))))
+    // minCount=1 admits all three, ranked by pmi then (w1, w2)
+    val all = Corpus.pmiCollocations(d, 1, 10).collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(all.toSet == Set(("a", "b"), ("b", "a"), ("a", "c")))
+  }
+
   test("hash split is partition-invariant and covers every document") {
     val d = (1L to 200L).map(i => (i, s"document number $i with text")).toDF("doc_id", "text")
     val s1 = Corpus.hashSplit(d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
