@@ -7,6 +7,13 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = graft.core.Sessions.local()
     new java.io.File(outDir).mkdirs()
+    // Schema-drift canary: one named failure beats N opaque analysis errors
+    // (round 7 lost 19 queries to a silent events.ts re-encode).
+    val drift = graft.core.Tables.schemaDrift(spark, sfDir)
+    if (drift.nonEmpty) {
+      drift.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+      sys.error(s"testdata schema drift (${drift.size} contract violations) — see [verify] SCHEMA DRIFT lines")
+    }
     // Dev loop: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b dumps a subset (the oracle
     // checker reports the rest as MISSING — grep the names you changed).
     // The driver runs without the filter and always gets the full catalog.

@@ -125,10 +125,16 @@ object PageRank {
     * `iterations` ≪ the cold-start round count, at identical
     * per-iteration cost. Vertices absent from `stored` (new this
     * snapshot) start at the uniform 1/N of the UPDATED graph; the
-    * teleport and dangling terms also use the updated N. Exact-continuation
-    * law (spec-enforced): on an unchanged graph,
-    * `runDampedFrom(runDamped(g, a), g, b)` is bit-identical to
-    * `runDamped(g, a + b)`.
+    * teleport and dangling terms also use the updated N. Continuation law
+    * (GraphSpec-enforced at 1e-12; cross-engine via q_graph_pagerank_warm,
+    * whose oracle is the UNBROKEN run's unrolled SQL at round-9): on an
+    * unchanged graph,
+    * `runDampedFrom(runDamped(g, a), g, b)` equals `runDamped(g, a + b)`
+    * up to float accumulation-order noise — the dangling-mass scalar and
+    * per-vertex contribution sums are partition-order-dependent double
+    * folds, and the warm-start init (a join output) has a different
+    * physical layout than mid-run state, so bit-identity is NOT
+    * guaranteed, only ulp-level agreement.
     *
     * @param stored (vertex LONG, rank DOUBLE) — ranks from the previous run
     */

@@ -244,6 +244,28 @@ object GraphQueries {
         .orderBy("vertex")
     }),
 
+    // the stored-index twin (q_dedup_incremental_idx pattern): the old-cut
+    // distances are MATERIALIZED (as a real pipeline would persist the
+    // prior run's output), so this entry prices steady-state ingest — one
+    // seed pass over the 20% batch + the affected-region relax — with the
+    // batch build amortized away. Same oracle: the Bellman-Ford fixpoint
+    // is unique, so stored-seeded ≡ batch on the full edge set.
+    "q_graph_sssp_weighted_inc_idx" -> ((s, d) => {
+      val we = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % Mod).as("src"), (col("l_partkey") % Mod).as("dst"),
+          (lit(1.0) + col("l_quantity") % 5).as("w"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(min("w").as("w"))
+      val old = we.filter((col("src") + col("dst")) % 5 =!= 0)
+      val batch = we.filter((col("src") + col("dst")) % 5 === 0)
+      val stored = ShortestPath.runWeighted(old, source = 1L, maxIter = SsspWeightedMaxIter)
+        .localCheckpoint(eager = true)
+      ShortestPath.incrementalWeighted(stored, batch, we, maxIter = SsspWeightedMaxIter)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("vertex"), col("dist").cast("long").as("dist"))
+        .orderBy("vertex")
+    }),
+
     // landmark distances: BFS from a seed SET in one fixpoint — the
     // distance-sketch / graph-feature building block ("how far is every
     // vertex from each hub")
@@ -317,6 +339,21 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 9).as("pr"))
         .orderBy("vertex")),
 
+    // warm-start damped PageRank (the snapshot-resume ingest path): 4
+    // rounds to a stored snapshot, then runDampedFrom continues for the
+    // remaining 6 on the same graph. The continuation law says this
+    // equals the unbroken 10-round run up to float accumulation-order
+    // noise (~1e-14 here, 5 orders under the round-9 oracle grid), so
+    // the oracle IS the unbroken unrolled SQL — hash equality at round(9)
+    // is the continuation proof, run cross-engine every round.
+    "q_graph_pagerank_warm" -> ((s, d) => {
+      val e = Graphs.lineitemEdges(s, d, Mod)
+      val snapshot = PageRank.runDamped(e, 4).localCheckpoint(eager = true)
+      PageRank.runDampedFrom(snapshot, e, PrIters - 4)
+        .select(col("vertex"), round(col("rank"), 9).as("pr"))
+        .orderBy("vertex")
+    }),
+
     // personalized PageRank from a 3-seed set: proximity-to-seeds scores,
     // the graph-recommendation primitive ("vertices like these")
     "q_graph_ppr" -> ((s, d) =>
@@ -343,6 +380,20 @@ object GraphQueries {
       val e = Graphs.lineitemEdges(s, d, BridgeMod)
       val labels = Graphs.connectedComponents(
         e.filter((col("src") + col("dst")) % 5 =!= 0))
+      Graphs.incrementalComponents(labels,
+          e.filter((col("src") + col("dst")) % 5 === 0))
+        .orderBy("vertex")
+    }),
+
+    // stored-index twin: the existing labeling is MATERIALIZED (the prior
+    // run's persisted output), so only the quotient-graph fold is priced —
+    // the steady-state ingest cost the incremental design actually buys.
+    // Identical oracle (quotient CC + remap ≡ the two-stage replay).
+    "q_graph_cc_inc_idx" -> ((s, d) => {
+      val e = Graphs.lineitemEdges(s, d, BridgeMod)
+      val labels = Graphs.connectedComponents(
+          e.filter((col("src") + col("dst")) % 5 =!= 0))
+        .localCheckpoint(eager = true)
       Graphs.incrementalComponents(labels,
           e.filter((col("src") + col("dst")) % 5 === 0))
         .orderBy("vertex")
@@ -940,15 +991,19 @@ object GraphQueries {
     // incremental ≡ batch exactly (unique Bellman-Ford fixpoint), so the
     // batch SQL is the oracle — the strongest possible equality proof
     "q_graph_sssp_weighted_inc" -> ssspWeightedSql,
+    "q_graph_sssp_weighted_inc_idx" -> ssspWeightedSql,
     "q_graph_pagerank" -> pagerankSql(chainGraphCte(PrK), (PrK * PrK).toString, PrIters),
     "q_graph_hits" -> hitsSql,
     "q_graph_pagerank_general" -> pagerankSql(derivedGraphCte, "SELECT n FROM nr", PrIters),
     "q_graph_pagerank_damped" -> pagerankDampedSql(derivedGraphCte, PrIters),
+    // warm-start ≡ unbroken run (continuation law): same unrolled SQL
+    "q_graph_pagerank_warm" -> pagerankDampedSql(derivedGraphCte, PrIters),
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),
     "q_graph_cc_inc" -> ccIncSql,
+    "q_graph_cc_inc_idx" -> ccIncSql,
   )
 }

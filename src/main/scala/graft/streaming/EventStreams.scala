@@ -19,21 +19,30 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet schema with ts as raw nanosecond longs (the session
-    * reads TIMESTAMP(NANOS) via nanosAsLong; see Tables/Verify) */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events.parquet schema, parameterized on the physical ts dtype: raw
+    * nanosecond longs (TIMESTAMP(NANOS) under nanosAsLong) or a timestamp
+    * type (timestamp[us] testdata since Aug 2026) — see
+    * [[graft.core.Tables.normalizeEventTs]]. */
+  def eventsSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events parquet directory, with a proper
-    * microsecond timestamp column for event-time ops. */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
+  /** Streaming read of an events parquet directory. Streaming sources need
+    * a declared schema, so the physical ts dtype is sniffed with a batch
+    * metadata read at stream definition (footer-only, not a data scan);
+    * ts is then normalized to the engine's canonical nanos BIGINT and
+    * ts_utc derived, keeping every downstream transform schema-agnostic. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val tsType: DataType = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType).getOrElse(TimestampNTZType)
+    graft.core.Tables.normalizeEventTs(
+        spark.readStream.schema(eventsSchema(tsType)).parquet(dir))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Hourly tumbling-window counts per event type with a 2-hour watermark —
     * the streaming twin of q_events_window. */

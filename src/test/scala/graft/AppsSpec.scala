@@ -139,7 +139,9 @@ class AppsSpec extends SparkSpec {
 
   test("range-clustered write produces files with disjoint key ranges") {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    // normalized load: ts as canonical nanos BIGINT regardless of the
+    // testdata's physical encoding (see Tables.normalizeEventTs)
+    val events = graft.core.Tables.events(spark, sf("sf0.001"))
     val out = java.nio.file.Files.createTempDirectory("graft-cluster").toString + "/ev"
     graft.core.IO.writeRangeClustered(events, out, "ts", files = 4)
     val back = spark.read.parquet(out)

@@ -108,6 +108,34 @@ class GraphSpec extends SparkSpec {
     assert(result(3L) > result(1L) && result(1L) == result(2L))
   }
 
+  test("damped pagerank continuation law: warm-start from a snapshot equals the unbroken run") {
+    // runDampedFrom(runDamped(g,a), g, b) == runDamped(g, a+b) up to float
+    // accumulation-order noise (the folds are partition-order dependent —
+    // see the runDampedFrom scaladoc; 1e-12 is the enforced band)
+    val e = edges(1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 2L)
+    val unbroken = PageRank.runDamped(e, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val snapshot = PageRank.runDamped(e, iterations = 3)
+    val resumed = PageRank.runDampedFrom(snapshot, e, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(resumed.keySet == unbroken.keySet)
+    unbroken.foreach { case (v, r) =>
+      assert(math.abs(resumed(v) - r) < 1e-12, s"vertex $v: $r vs ${resumed(v)}")
+    }
+    // and a NEW vertex (absent from the snapshot) seeds at uniform 1/N of
+    // the updated graph. Warm-start mass on a GROWN graph is 1 + 1/N
+    // (snapshot mass + the new seed); each damped round contracts the
+    // excess by exactly α, so after k rounds total = 1 + α^k/N — assert
+    // the contraction law itself, the mechanism that re-normalizes an
+    // evolving graph's warm starts toward unit mass
+    val e2 = edges(1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 2L, 5L -> 3L)
+    val grown = PageRank.runDampedFrom(snapshot, e2, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectedMass = 1.0 + math.pow(PageRank.DampAlpha, 4) / 5.0
+    assert(grown.contains(5L) && math.abs(grown.values.sum - expectedMass) < 1e-9,
+      s"mass ${grown.values.sum} != $expectedMass")
+  }
+
   test("pagerank: graph without the dummy vertex keeps its ranks (delta = 0)") {
     val e = edges(1L -> 2L, 2L -> 1L)
     val r = PageRank.run(e, iterations = 3, dummy = 0L, realVertexCount = 2L)

@@ -16,6 +16,23 @@ class QueriesSpec extends SparkSpec {
     assert(both.isEmpty, s"rows-only entries that have an oracle: $both")
   }
 
+  test("testdata schemas match the engine's table contract (drift canary)") {
+    // Round 7 lost 19 queries to a silent events.ts re-encode
+    // (TIMESTAMP(NANOS) → timestamp[us]); this fails with a named drift
+    // message instead of N opaque analysis errors. Tables.normalizeEventTs
+    // absorbs the encodings the contract accepts.
+    val drift = graft.core.Tables.schemaDrift(spark, sf("sf0.001"))
+    assert(drift.isEmpty, drift.mkString("\n"))
+    // and the canonical contract holds post-normalization: ts is nanos BIGINT
+    val ev = graft.core.Tables.events(spark, sf("sf0.001"))
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val r = ev.selectExpr("min(ts)", "max(ts)").head
+    // nanos since epoch land in [2000, 2100) — µs/ms mistakes are 3-6
+    // orders of magnitude off and fail this range check
+    assert(r.getLong(0) > 946684800L * 1000000000L && r.getLong(1) < 4102444800L * 1000000000L,
+      s"events.ts not in nanos range: ${r.getLong(0)}..${r.getLong(1)}")
+  }
+
   test("every oracle key has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracles without queries: $dangling")

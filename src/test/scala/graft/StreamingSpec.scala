@@ -20,6 +20,11 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  /** Batch twin of fromParquetDir: same canonical ts normalization, so the
+    * spec's batch-vs-stream equalities are schema-encoding-agnostic. */
+  private def batchEvents(path: String): org.apache.spark.sql.DataFrame =
+    graft.core.Tables.normalizeEventTs(spark.read.parquet(path))
+
   test("hourly windowed counts: streaming result equals batch result") {
     val q = EventStreams.hourlyCounts(EventStreams.fromParquetDir(spark, eventsDir))
       .writeStream.outputMode(OutputMode.Append)
@@ -34,7 +39,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed.nonEmpty)
 
-    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+    val batch = batchEvents(s"$eventsDir/events.parquet")
       .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("string").as("b"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -55,7 +60,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
 
     // session_window also runs in batch — the same expression is its own twin
-    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+    val batch = batchEvents(s"$eventsDir/events.parquet")
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .groupBy(col("user_id"),
         session_window(col("ts_utc"), "1800000 milliseconds").as("sw"))
@@ -78,7 +83,7 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     val n = spark.table("deduped").count()
-    val distinct = spark.read.parquet(s"$eventsDir/events.parquet").count()
+    val distinct = batchEvents(s"$eventsDir/events.parquet").count()
     assert(n == distinct) // 2x input, each event_id exactly once
   }
 
@@ -115,7 +120,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("ckptjoin")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-    val base = spark.read.parquet(s"$eventsDir/events.parquet")
+    val base = batchEvents(s"$eventsDir/events.parquet")
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
     val e = base.filter(col("event_id") % 10 =!= 0)
       .select(col("event_id"), col("user_id"), col("ts_utc"))
@@ -138,7 +143,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("enriched")
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
-    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+    val batch = batchEvents(s"$eventsDir/events.parquet")
       .join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("c_mktsegment"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -152,7 +157,7 @@ class StreamingSpec extends SparkSpec {
       EventStreams.fromParquetDir(spark, eventsDir), target,
       base.resolve("ck1").toString)
     q1.processAllAvailable(); q1.stop()
-    val expected = spark.read.parquet(s"$eventsDir/events.parquet")
+    val expected = batchEvents(s"$eventsDir/events.parquet")
       .dropDuplicates("event_id").count()
     assert(spark.read.parquet(target).count() == expected)
 
@@ -241,7 +246,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("totals")
       .groupBy("user_id").agg(max("n_events").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val batch = spark.read.parquet(s"$eventsDir/events.parquet")
+    val batch = batchEvents(s"$eventsDir/events.parquet")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
