@@ -43,22 +43,59 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * both); the node cannot plan without the strategy. Kill switch:
   * `spark.graft.windowTopKRewrite=false`.
   *
-  * Known memory regime NOT guarded here: MaxRewriteK bounds k but not the
-  * per-partition DISTINCT-KEY count, so on a huge-cardinality partition
-  * (groups ≈ rows, each holding ≈ k rows) the heap map buffers roughly
-  * the whole partition on-heap with no spill path, where the window sort
-  * it replaced would have spilled (TopKPerKey.scala's memory contract
-  * spells the same bound out operator-side). That shape has no logical
-  * signature to match on — cardinality is a runtime property — so the
-  * escape hatch is the kill switch, not a pattern guard; a stats-based
-  * skip (estimated distinct keys per partition) is the upgrade path if a
-  * real workload ever hits it.
+  * Huge-cardinality memory regime (groups ≈ rows): MaxRewriteK bounds k
+  * but not the per-partition DISTINCT-KEY count, so a near-unique key
+  * would make the heap map buffer roughly the whole partition on-heap
+  * with no spill path, where the window sort it replaced would have
+  * spilled (TopKPerKey.scala's memory contract spells the same bound out
+  * operator-side). Guarded two ways:
+  *  - stats-based skip: when CBO column statistics are available for
+  *    every partition-key attribute (ANALYZE TABLE ... FOR COLUMNS +
+  *    spark.sql.cbo.enabled), the rule estimates the worst-case heap-map
+  *    footprint — ndv(keys) · k · avg-row-width, one task seeing every
+  *    key — and leaves the window plan alone past
+  *    `spark.graft.windowTopKRewrite.heapBudgetBytes` (default 256 MiB,
+  *    sized to stay a small fraction of a typical executor's on-heap
+  *    share). No stats (the parquet-scan default) → rewrite, the status
+  *    quo: cardinality is then a runtime property the optimizer cannot
+  *    see, and the kill switch remains the escape hatch.
+  *  - kill switch: `spark.graft.windowTopKRewrite=false`.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** memory-contract bound: past this, the spilling window sort is the
     * right plan even when the pattern matches */
   val MaxRewriteK = 10000
+
+  /** default worst-case heap-map budget for the stats-based skip */
+  val DefaultHeapBudgetBytes: Long = 256L << 20
+
+  /** Stats-based huge-cardinality guard: false only when column stats
+    * PROVE the heap map would outgrow the budget — ndv·k·rowWidth, the
+    * worst case of one task's partial pass seeing every key. Missing
+    * stats (any partition key without a distinctCount, or non-attribute
+    * key expressions) allow the rewrite: the estimate errs toward the
+    * established behavior, never toward a silent plan change on
+    * stats-less inputs. */
+  private def heapFitsBudget(
+      child: LogicalPlan, partitionSpec: Seq[Expression], k: Int): Boolean = {
+    val budget = conf.getConfString(
+      "spark.graft.windowTopKRewrite.heapBudgetBytes",
+      DefaultHeapBudgetBytes.toString).toLong
+    val stats = child.stats
+    val attrs = partitionSpec.collect { case a: Attribute => a }
+    if (attrs.size != partitionSpec.size) return true
+    val ndvs = attrs.map(a => stats.attributeStats.get(a).flatMap(_.distinctCount))
+    if (ndvs.exists(_.isEmpty)) return true
+    // composite-key ndv: capped product (independence upper bound), never
+    // above the row count when that is known
+    val product = ndvs.flatten.product
+    val ndv = stats.rowCount.filter(_ > 0).map(product.min).getOrElse(product)
+    val rowWidth = stats.rowCount.filter(_ > 0)
+      .map(rc => (stats.sizeInBytes / rc).max(BigInt(16)))
+      .getOrElse(BigInt(64))
+    ndv * k * rowWidth <= budget
+  }
 
   /** upper bound k implied by one rn-predicate, if it is one of the
     * bounded-from-above forms */
@@ -88,20 +125,23 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (usesRn || rnPreds.isEmpty || bounds.contains(None)) p
         else {
           val k = bounds.flatten.min
-          if (k <= 0 || k > MaxRewriteK) p
+          // InferWindowGroupLimit (main optimizer batches, before this
+          // rule) usually sits underneath by now; strip it — the heap
+          // operator subsumes the group limit. Only a row_number() limit
+          // of at least k is subsumable: a rank()-based or tighter limit
+          // admits a different row set than the heap would rebuild, so
+          // anything else stays in place (the heap on top is then merely
+          // redundant, never wrong). Stripping FIRST also matters for the
+          // stats guard: the stats visitor doesn't propagate column stats
+          // through WindowGroupLimit (attributeStats would read empty and
+          // the guard would silently fall into its missing-stats branch).
+          val child = windowChild match {
+            case WindowGroupLimit(ps, os, RowNumber(), limit, c)
+                if ps == partitionSpec && os == orderSpec && limit >= k => c
+            case c => c
+          }
+          if (k <= 0 || k > MaxRewriteK || !heapFitsBudget(child, partitionSpec, k)) p
           else {
-            // InferWindowGroupLimit runs in a later batch, but strip its
-            // node defensively if one is ever underneath — the heap
-            // operator subsumes the group limit. Only a row_number() limit
-            // of at least k is subsumable: a rank()-based or tighter limit
-            // admits a different row set than the heap would rebuild, so
-            // anything else stays in place (the heap on top is then merely
-            // redundant, never wrong).
-            val child = windowChild match {
-              case WindowGroupLimit(ps, os, RowNumber(), limit, c)
-                  if ps == partitionSpec && os == orderSpec && limit >= k => c
-              case c => c
-            }
             val topk = TopKPerKeyNode(partitionSpec, orderSpec, k, child)
             val body = if (rest.isEmpty) topk else Filter(rest.reduce(And), topk)
             Project(projectList, body)

@@ -191,6 +191,36 @@ class RuleSpec extends SparkSpec {
     }
   }
 
+  test("WindowTopKRewrite stats-based skip: proven huge-cardinality keys keep the window") {
+    import org.apache.spark.sql.expressions.Window
+    // column stats only exist through the catalog (ANALYZE ... FOR COLUMNS)
+    // with CBO on; the parquet-path idiom tests above run stats-less and
+    // must keep rewriting (the status-quo branch of heapFitsBudget)
+    spark.sql("DROP TABLE IF EXISTS graft_topk_stats")
+    (1 to 400).map(i => ((i % 7).toLong, (i * 31 % 101).toLong, i.toLong))
+      .toDF("k", "v", "id").write.saveAsTable("graft_topk_stats")
+    spark.sql("ANALYZE TABLE graft_topk_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try withTopKRewrite {
+      def idiom = {
+        val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+        spark.table("graft_topk_stats")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      }
+      // 7 keys x 3 x tiny rows fits any sane budget: rewrite fires
+      assert(idiom.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      // with a budget the stats PROVE the heap exceeds, the window stays
+      spark.conf.set("spark.graft.windowTopKRewrite.heapBudgetBytes", "64")
+      try {
+        val plan = idiom.queryExecution.executedPlan.toString
+        assert(plan.contains("Window") && !plan.contains("TopKPerKey"), plan)
+      } finally spark.conf.unset("spark.graft.windowTopKRewrite.heapBudgetBytes")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft_topk_stats")
+    }
+  }
+
   test("the catalog's latest-per-key query rewrites to the heap operator") {
     withTopKRewrite {
       val df = graft.SparkEntry.queries("q_events_latest")(spark, "/root/testdata/sf0.001")
