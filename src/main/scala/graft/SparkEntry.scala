@@ -48,7 +48,7 @@ object SparkEntry {
     "q_graph_sssp_weighted",
     "q_graph_pagerank", "q_graph_kmeans", "q_graph_cc",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
-    "q_dedup_embedding", "q_sim_topk", "q_sim_lsh",
+    "q_dedup_embedding", "q_dedup_semantic", "q_sim_topk", "q_sim_lsh",
     "q_text_quality", "q_text_fingerprint", "q_text_tfidf", "q_curate",
     "q_pack_contexts", "q_corpus_fingerprint", "q_prep_training",
     "q_decontaminate", "q_text_repetition", "q_events_latest",

@@ -349,6 +349,77 @@ object Similarity {
     * *before* re-joining vectors, so the distinct never shuffles embeddings.
     * Bands use the adaptive-width scheme (ndBuckets) — candidate volume
     * stays O(n·NdTargetBucket) per band instead of n²/2^bits. */
+  /** SemDeDup-style semantic near-dup pairs (the pruning semantics of
+    * SemDeDup, Abbas et al. 2023, arXiv:2303.09540): k-means topic
+    * clusters scope the search — only SAME-CLUSTER pairs count as
+    * semantic duplicates — and the adaptive LSH banding bounds candidate
+    * enumeration inside each cluster, so the pair space is never
+    * Σ|cluster|² even when clusters are huge.
+    *
+    * Clustering is [[VecKMeans.train]]: deterministic seeding + quantized
+    * exact-int64 centroid updates make the assignment bit-reproducible
+    * across partitionings AND replayable by the DuckDB oracle (the same
+    * property q_sim_ivf certifies). Candidates join on
+    * (cluster, band, masked key); exact cosine verifies at the pair.
+    *
+    * At 100 TB: k scales with corpus size (cluster occupancy held
+    * roughly constant), assignment is one broadcast-centroid map pass,
+    * candidates shuffle by (band, key) exactly like [[lshNearDup]] — the
+    * cluster conjunction only REMOVES candidate rows. Returns
+    * (cluster, id_a, id_b, score). */
+  def semanticNearDupPairs(emb: DataFrame, k: Int, iterations: Int,
+      threshold: Double): DataFrame = {
+    val cents = VecKMeans.train(emb, k, iterations)
+    val assigned = VecKMeans.assign(emb, cents)
+    val buckets = ndBuckets(emb).join(assigned, "vec_id")
+      .localCheckpoint(eager = true)
+    val cand = buckets.toDF("id_a", "band", "key", "cluster")
+      .join(buckets.toDF("id_b", "band", "key", "cluster"),
+        Seq("band", "key", "cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select("cluster", "id_a", "id_b").distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      GraftFunctions.vecNorm(col("embedding")).as("norm"))
+    cand
+      .join(vecs.toDF("id_a", "va", "na"), "id_a")
+      .join(vecs.toDF("id_b", "vb", "nb"), "id_b")
+      .withColumn("score", round(
+        GraftFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("score") >= threshold)
+      .select("cluster", "id_a", "id_b", "score")
+  }
+
+  /** Semantic deduplication: the surviving corpus after SemDeDup-style
+    * pruning — a vector is dropped when ANY same-cluster near-dup with a
+    * smaller vec_id exists (pair-wise ε-ball pruning, deliberately NOT
+    * the transitive-closure clustering of [[graft.pipeline.Dedup]]:
+    * SemDeDup removes all-but-one of each tight neighborhood; chaining
+    * a–b, b–c with cos(a,c) < t keeps a AND c here). Returns
+    * (vec_id, cluster) for every survivor. */
+  def semanticDedup(emb: DataFrame, k: Int, iterations: Int,
+      threshold: Double): DataFrame = {
+    val cents = VecKMeans.train(emb, k, iterations)
+    val assigned = VecKMeans.assign(emb, cents)
+    val buckets = ndBuckets(emb).join(assigned, "vec_id")
+      .localCheckpoint(eager = true)
+    val cand = buckets.toDF("id_a", "band", "key", "cluster")
+      .join(buckets.toDF("id_b", "band", "key", "cluster"),
+        Seq("band", "key", "cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      GraftFunctions.vecNorm(col("embedding")).as("norm"))
+    val losers = cand
+      .join(vecs.toDF("id_a", "va", "na"), "id_a")
+      .join(vecs.toDF("id_b", "vb", "nb"), "id_b")
+      .filter(round(
+        GraftFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(losers, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cluster")
+  }
+
   def lshNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     // eager: both sides of the band self-join consume the buckets; the
     // barrier guarantees one nearDupKeys pass over the corpus

@@ -23,6 +23,10 @@ object PipelineQueries {
   private val NgramThreshold = 0.02
   private val NgramSampleMod = 5
   private val EmbThreshold = 0.40
+  // SemDeDup clustering: same k/iteration constants as the IVF replay so
+  // the oracle's unrolled-Lloyd cost stays proven at both scale factors
+  private val SemK = 8
+  private val SemIters = 3
   private val TopK = 5
   private val NumQueryVecs = 8
   private val VocabTopN = 100
@@ -190,6 +194,20 @@ object PipelineQueries {
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.lshNearDup(Tables.embeddings(s, d), EmbThreshold)
         .orderBy("id_a", "id_b")),
+
+    // SemDeDup-style semantic dedup: k-means topic clusters scope the
+    // near-dup pruning (only same-cluster pairs prune), LSH banding
+    // bounds candidate enumeration inside clusters; the oracle replays
+    // the quantized Lloyd training + assignment + banded pair pipeline
+    "q_dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), SemK, SemIters, EmbThreshold)
+        .orderBy("vec_id")),
+
+    // the pair view of the same pipeline (which cluster produced each
+    // near-dup pair, at what cosine) — the corpus-diagnostics face
+    "q_dedup_semantic_pairs" -> ((s, d) =>
+      Similarity.semanticNearDupPairs(Tables.embeddings(s, d), SemK, SemIters, EmbThreshold)
+        .orderBy("cluster", "id_a", "id_b")),
 
     // incremental near-dup ingest: the pairs the odd-id vector batch adds
     // to the even-id corpus — the band join runs incoming-vs-all only,
@@ -934,6 +952,84 @@ object PipelineQueries {
   private def sqdistDuck(v: String, c: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i]))), (acc, x) -> acc + x)"
 
+  /** Unrolled quantized-Lloyd clustering CTEs, ending in
+    * `clusters(vec_id, cluster)` — the shared replay of VecKMeans.train +
+    * assign (same deterministic seeding, same int64-quantized updates,
+    * same strict-< argmin tie-break as simIvfSql's training block). */
+  private def lloydClustersCte(k: Int, iters: Int): String = {
+    val qsum = "CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)"
+    def iter(t: Int) =
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
+         |    FROM e, c${t - 1} c) WHERE rn = 1),
+         |s$t AS MATERIALIZED (
+         |  SELECT cluster, d.i AS i, $qsum AS s, count(*) AS n
+         |  FROM a$t, dims d GROUP BY cluster, d.i),
+         |c$t AS MATERIALIZED (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) ORDER BY i) AS cv
+         |  FROM s$t GROUP BY cluster
+         |  UNION ALL
+         |  SELECT p.cluster, p.cv FROM c${t - 1} p
+         |  WHERE p.cluster NOT IN (SELECT cluster FROM s$t))""".stripMargin
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |dims AS MATERIALIZED (
+       |  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(rn AS INT) - 1 AS cluster,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+       |  WHERE rn <= $k),
+       |${(1 to iters).map(iter).mkString(",\n")},
+       |clusters AS MATERIALIZED (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
+       |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The semantic-dedup pair pipeline: Lloyd clusters + adaptive-mask
+    * banded candidates restricted to same-cluster + exact cosine verify
+    * (the embDedupSql bucket pattern with the cluster conjunction). */
+  private def semanticPairsCte: String = {
+    val bucketSelects = (0 until Similarity.NdBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${ndKeyDuck("embedding", b)} AS fkey FROM embeddings")
+      .mkString("\nUNION ALL ")
+    s"""${lloydClustersCte(SemK, SemIters)},
+       |msk AS MATERIALIZED (
+       |  SELECT ${Similarity.ndMaskSql("(SELECT count(*) FROM embeddings)")} AS mask),
+       |fullkeys AS MATERIALIZED ($bucketSelects),
+       |buckets AS MATERIALIZED (
+       |  SELECT f.vec_id, f.band, f.fkey & (SELECT mask FROM msk) AS bkey, cl.cluster
+       |  FROM fullkeys f JOIN clusters cl ON cl.vec_id = f.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.cluster = b.cluster
+       |  WHERE a.vec_id < b.vec_id GROUP BY 1, 2, 3),
+       |vecs AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normDuck("embedding")} AS norm FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT cluster, id_a, id_b,
+       |    round(${dotDuck("x.embedding", "y.embedding")} / (x.norm * y.norm), 6) AS score
+       |  FROM cand JOIN vecs x ON x.vec_id = id_a JOIN vecs y ON y.vec_id = id_b)""".stripMargin
+  }
+
+  private val dedupSemanticSql =
+    s"""WITH $semanticPairsCte
+       |SELECT cl.vec_id, cl.cluster FROM clusters cl
+       |WHERE cl.vec_id NOT IN (SELECT id_b FROM pairs WHERE score >= $EmbThreshold)
+       |ORDER BY cl.vec_id""".stripMargin
+
+  private val dedupSemanticPairsSql =
+    s"""WITH $semanticPairsCte
+       |SELECT cluster, id_a, id_b, score FROM pairs
+       |WHERE score >= $EmbThreshold
+       |ORDER BY cluster, id_a, id_b""".stripMargin
+
   /** Unrolled Lloyd training + IVF search — the full q_sim_ivf replay.
     * Training is replayable in SQL because the engine's update step uses
     * QUANTIZED exact int64 sums (VecKMeans.QuantScale): round(v * 2^20)
@@ -1314,6 +1410,8 @@ object PipelineQueries {
     "q_inverted_index_inc" -> invertedIndexSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_embedding" -> embDedupSql,
+    "q_dedup_semantic" -> dedupSemanticSql,
+    "q_dedup_semantic_pairs" -> dedupSemanticPairsSql,
     "q_dedup_embedding_inc" -> embDedupIncSql,
     "q_dedup_embedding_idx" -> embDedupIdxSql,
     "q_dedup_screen" -> embScreenSql,

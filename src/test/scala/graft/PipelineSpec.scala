@@ -333,6 +333,33 @@ class PipelineSpec extends SparkSpec {
     assert(top(1L) == "rare")
   }
 
+  test("semantic dedup: survivors = corpus minus smaller-id near-dup losers, cluster-scoped") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val n = emb.count()
+    val pairs = Similarity.semanticNearDupPairs(emb, 8, 3, 0.4).collect()
+    assert(pairs.nonEmpty)
+    val survivors = Similarity.semanticDedup(emb, 8, 3, 0.4)
+      .collect().map(_.getLong(0)).toSet
+    // pair-wise pruning contract: losers are exactly the distinct id_b side
+    val losers = pairs.map(_.getLong(2)).toSet
+    assert(survivors.size + losers.size == n)
+    assert(losers.intersect(survivors).isEmpty)
+    // every pair is ordered and scored at/above threshold
+    pairs.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2) && r.getDouble(3) >= 0.4)
+    }
+    // cluster-scoping: semantic pairs are a subset of the unscoped banded
+    // near-dup pairs (the cluster conjunction only removes candidates)
+    val unscoped = Similarity.lshNearDup(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSet.subsetOf(unscoped))
+    // determinism across partitionings (quantized k-means + banded join)
+    val again = Similarity.semanticDedup(emb.repartition(13), 8, 3, 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == survivors)
+  }
+
   test("multimodal: stub features are deterministic; metadata path prunes payload") {
     val d = Seq((1L, "hello", "en", "src1", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
