@@ -238,6 +238,38 @@ object Corpus {
       .select("source", "rn", "doc_id", "h")
   }
 
+  /** Budget-constrained mixture realization: turn the sqrt-temperature
+    * mixture weights into an actual document selection under a TOTAL
+    * token budget — the allocation pass a training run does when the
+    * budget is tokens, not documents. quota(source) =
+    * floor(weight · budget) tokens; each source contributes its
+    * content-hash-ordered document prefix while the running BPE-ish token
+    * count ([[TextAnalysis.tokenCounts]]'s ceil(len/4)-per-word estimate)
+    * stays within quota — the first overflowing document is excluded
+    * (quotas are hard caps, not targets).
+    *
+    * Determinism: token counts and running sums are exact int64 (window
+    * running sum over a total (hash, doc_id) order); the only float step
+    * is floor(weight · budget), identical IEEE arithmetic in both
+    * engines. Scale: one window per source, hash-partitioned — no global
+    * sort, no driver state; the cut is a per-row comparison against the
+    * broadcast quota row. */
+  def tokenBudgetMixture(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = mixtureWeights(docs)
+      .select(col("source"),
+        floor(col("weight") * budget).cast("long").as("quota_tokens"))
+    val toks = docs.select(col("source"), col("doc_id"),
+      GraftFunctions.polyHash(col("text")).as("h"),
+      expr(s"aggregate(${wordsSpark("text")}, CAST(0 AS BIGINT), " +
+        "(acc, w) -> acc + (length(w) + 3) div 4)").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))
+    toks.join(broadcast(quotas), "source")
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= col("quota_tokens"))
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+  }
+
   /** Inverted index over the `topN` highest-document-frequency terms:
     * (word, df, postings) with the posting list as a sorted comma-joined
     * doc-id string. The shuffle carries distinct (doc, word) pairs with

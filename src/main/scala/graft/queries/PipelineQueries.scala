@@ -436,6 +436,19 @@ object PipelineQueries {
     "q_mixture_sample" -> ((s, d) =>
       Corpus.mixtureSample(Tables.documents(s, d)).orderBy("source", "rn")),
 
+    // budget-constrained mixture: quotas in TOKENS (half the corpus's
+    // BPE-ish total), each source's hash-ordered prefix while the running
+    // token sum fits — the allocation pass when the training budget is
+    // tokens, not documents
+    "q_mixture_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val total = docs.select(
+        sum(expr(s"aggregate(${graft.pipeline.TextHash.wordsSpark("text")}, " +
+          "CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) div 4)")).as("t"))
+        .first().getLong(0)
+      Corpus.tokenBudgetMixture(docs, total / 2).orderBy("source", "doc_id")
+    }),
+
     // inverted index over the top-df terms (retrieval-side build)
     "q_inverted_index" -> ((s, d) =>
       Corpus.invertedIndex(Tables.documents(s, d), VocabTopN).orderBy("word")),
@@ -783,6 +796,32 @@ object PipelineQueries {
        |    CAST(row_number() OVER (PARTITION BY hh.source ORDER BY hh.h, doc_id) AS BIGINT) AS rn
        |  FROM hh JOIN t USING (source))
        |WHERE rn <= target_n ORDER BY source, rn""".stripMargin
+
+  /** token-budget mixture: same weight CTEs; quotas are floor(weight ·
+    * budget) tokens with budget = half the corpus's exact BPE-ish token
+    * total; the per-source prefix cut is an int64 running sum over the
+    * total (hash, doc_id) order — identical arithmetic to
+    * Corpus.tokenBudgetMixture */
+  private val mixtureBudgetSql = {
+    val bpe = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(${wordsDuck("text")}, w -> CAST((length(w) + 3) // 4 AS BIGINT))), (acc, x) -> acc + x)"
+    s"""WITH $mixtureCtes,
+       |tok AS MATERIALIZED (
+       |  SELECT source, doc_id, ${polyHashDuck("text")} AS h, $bpe AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM tok),
+       |q AS MATERIALIZED (
+       |  SELECT source,
+       |    CAST(floor(round(w / (SELECT z FROM z), 6) * (SELECT budget FROM b)) AS BIGINT) AS quota
+       |  FROM c),
+       |r AS MATERIALIZED (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM tok)
+       |SELECT r.source, doc_id, n_tokens, cum_tokens
+       |FROM r JOIN q USING (source) WHERE cum_tokens <= quota
+       |ORDER BY source, doc_id""".stripMargin
+  }
 
   private val invertedIndexSql =
     s"""WITH p AS MATERIALIZED (
@@ -1404,6 +1443,7 @@ object PipelineQueries {
     "q_source_signature" -> sourceSignatureSql,
     "q_mixture_weights" -> mixtureSql,
     "q_mixture_sample" -> mixtureSampleSql,
+    "q_mixture_budget" -> mixtureBudgetSql,
     "q_inverted_index" -> invertedIndexSql,
     // stored-index merge == batch build over the union (disjoint doc ids):
     // same oracle, hash equality is the proof

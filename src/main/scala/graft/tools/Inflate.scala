@@ -204,6 +204,39 @@ object GraphScale {
     report("ktruss_sparse",
       time2("kt")(Graphs.kTruss(sparse, 3, maxWedges = Long.MaxValue)),
       time2("kt10")(Graphs.kTruss(sparse10C, 3, maxWedges = Long.MaxValue)))
+
+    // incremental algorithms, steady-state slice: the stored state (labels
+    // / distances over the 80% cut) is MATERIALIZED outside the clock —
+    // only the fold of the 20% batch is timed, pricing exactly what a
+    // production ingest pays. The batch split replicates per-copy, so the
+    // Kx fold sees K times the touched region.
+    def cut(e: DataFrame, keep: Boolean): DataFrame =
+      e.filter(((col("src") + col("dst")) % 5 =!= 0) === keep)
+    val cc1Stored = Graphs.connectedComponents(cut(core, true))
+      .localCheckpoint(eager = true)
+    val cc10Stored = Graphs.connectedComponents(cut(core10C, true))
+      .localCheckpoint(eager = true)
+    report("cc_inc_fold",
+      time2("cci")(Graphs.incrementalComponents(cc1Stored, cut(core, false))),
+      time2("cci10")(Graphs.incrementalComponents(cc10Stored, cut(core10C, false))))
+    def weighted(e: DataFrame): DataFrame = e
+      .withColumn("w", lit(1.0) + (col("src") + col("dst")) % 5)
+    val w1 = weighted(core).localCheckpoint(eager = true)
+    val w10 = weighted(core10C).localCheckpoint(eager = true)
+    val sw1Stored = ShortestPath.runWeighted(cut(w1, true), 1L, 50)
+      .localCheckpoint(eager = true)
+    // multi-seed twin of the sssp_bfs sweep: one source per replica, else
+    // the fold reaches only copy 0 and measures 1/K of the work — seeds
+    // ride as zero-distance rows in the stored relation
+    val sw10Seeds = (0 until k).map(i => 1L + i * coreBase)
+    val sw10Stored = sw10Seeds.map(s => ShortestPath.runWeighted(cut(w10, true), s, 50)
+        .filter(col("dist") =!= Double.PositiveInfinity))
+      .reduce(_ unionByName _)
+      .groupBy("vertex").agg(min("dist").as("dist"))
+      .localCheckpoint(eager = true)
+    report("sssp_w_inc_fold",
+      time2("swi")(ShortestPath.incrementalWeighted(sw1Stored, cut(w1, false), w1, 50)),
+      time2("swi10")(ShortestPath.incrementalWeighted(sw10Stored, cut(w10, false), w10, 50)))
     spark.stop()
   }
 }

@@ -93,6 +93,27 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.mixtureSample(d).collect().map(_.toString).sorted.sameElements(again))
   }
 
+  test("token-budget mixture: quotas are hard caps, prefix cut by running token sum") {
+    // s_big: 9 docs x 1 token ("abc" -> ceil(3/4)=1); s_small: 1 doc x 1
+    val d = ((1 to 9).map(i => (i.toLong, "abc", "s_big")) ++ Seq((10L, "abc", "s_small")))
+      .toDF("doc_id", "text", "source")
+    // weights 0.75/0.25; budget 8 -> quotas floor(6.0)=6 and floor(2.0)=2
+    val got = Corpus.tokenBudgetMixture(d, 8L)
+      .groupBy("source").agg(count(lit(1)).as("n"), max("cum_tokens").as("cum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("s_big") == ((6L, 6L)))   // 6 of 9 docs fit the 6-token quota
+    assert(got("s_small") == ((1L, 1L))) // quota 2, only 1 doc exists
+    // the first OVERFLOWING doc is excluded, not truncated: quota 6 with
+    // 4-token docs ("abcdefgh ijklmnop" -> 2+2) keeps 1 doc (4 <= 6), the
+    // next lands at 8 > 6 and drops
+    val wide = (1 to 3).map(i => (i.toLong, "abcdefgh ijklmnop", "s")).toDF("doc_id", "text", "source")
+    val w = Corpus.tokenBudgetMixture(wide, 6L).collect()
+    assert(w.length == 1 && w.head.getLong(3) == 4L)
+    // determinism across partitionings
+    val again = Corpus.tokenBudgetMixture(d.repartition(7), 8L).collect().map(_.toString).sorted
+    assert(Corpus.tokenBudgetMixture(d, 8L).collect().map(_.toString).sorted.sameElements(again))
+  }
+
   test("inverted index: sorted postings, cut to the top-df terms") {
     val d = Seq((3L, "a b"), (1L, "a c"), (2L, "a b")).toDF("doc_id", "text")
     val ix = Corpus.invertedIndex(d, 2).collect()
