@@ -170,4 +170,55 @@ object VecKMeans {
 
     Similarity.rankTopK(probes.join(assigned, "cluster"), k)
   }
+
+  /** Cluster-partitioned ANN layout: persist the corpus PARTITIONED BY its
+    * IVF cluster assignment, so a probe batch reads only its probed
+    * cluster directories — the on-disk face of [[ivfTopK]]'s in-memory
+    * cell restriction. At 100 TB the inverted file IS the directory
+    * structure: a query batch scans ~nprobe/k of the corpus, the
+    * `cluster` IN-list becomes a PartitionFilter (directory pruning, files
+    * of unprobed cells never listed), and re-clustering is a rewrite of
+    * individual cluster directories, not the corpus. One broadcast-
+    * centroid map pass computes the assignment; no shuffle before the
+    * partitioned write beyond the writer's own file split. */
+  def writeClusterPartitioned(corpus: DataFrame, cents: Array[Array[Double]],
+      path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearest(v, cs)) }
+      }.toDF("vec_id", "embedding", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** IVF search over a [[writeClusterPartitioned]] layout: probes rank the
+    * SAME centroid matrix the layout was written with, the probed-cell
+    * IN-list prunes at the directory level, and the per-query (qid,
+    * cluster) join restricts each query to its own nprobe cells. Exact
+    * same arithmetic as [[ivfTopK]] (parquet float roundtrip is lossless),
+    * so results are bit-identical — ScaleOpsSpec asserts both the
+    * equality and the PartitionFilters pruning. */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, cents: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        cs.indices.sortBy(c => sqDist(v, cs(c))).take(nprobe).map(c => (id, c))
+      }.toDF("qid", "cluster")
+      .join(Similarity.queriesWithNorm(queries), "qid")
+    // the union of probed cells is at most |cents| values — a literal
+    // IN-list the scan turns into a directory-pruning PartitionFilter
+    val probedCells = probes.select("cluster").distinct().as[Int].collect().toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("cluster").isin(probedCells: _*))
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("cluster"))
+      .withColumn("nn", graft.functions.GraftFunctions.vecNorm(col("nv")))
+    Similarity.rankTopK(probes.join(corpus, "cluster"), k)
+  }
 }

@@ -339,6 +339,27 @@ class ScaleOpsSpec extends SparkSpec {
       .count() == 66)
   }
 
+  test("cluster-partitioned ANN layout: probes prune directories, results equal in-memory IVF") {
+    import graft.pipeline.VecKMeans
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = VecKMeans.train(emb, 8, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString + "/corpus"
+    VecKMeans.writeClusterPartitioned(emb, cents, dir)
+    val onDisk = VecKMeans.ivfTopKPartitioned(spark, dir, queries, cents, 5, 3)
+    // bit-identical to the in-memory (oracle-checked) path: parquet float
+    // roundtrip is lossless and the arithmetic is shared
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(onDisk) == rows(VecKMeans.ivfTopK(emb, queries, cents, 5, 3)))
+    assert(rows(onDisk).nonEmpty)
+    // the probed-cell IN-list must reach the scan as a PartitionFilter
+    // (directory pruning) — at 100 TB this is reading nprobe cells, not
+    // the corpus
+    val plan = onDisk.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
