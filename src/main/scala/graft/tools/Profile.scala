@@ -70,7 +70,9 @@ object Profile {
       val names = Seq("q_tpch_q1", "q_tpch_q5", "q_tpch_q18", "q_join_broadcast",
         "q_dedup_minhash", "q_dedup_exact_fp", "q_decontaminate", "q_heavy_hitters",
         "q_topk_per_key", "q_corpus_fingerprint",
-        "q_dedup_simhash", "q_dedup_embedding")
+        "q_dedup_simhash", "q_dedup_embedding",
+        "q_events_window", "q_events_sessionize", "q_events_pairs", "q_asof_join",
+        "q_dedup_semantic", "q_mixture_budget")
       names.foreach { name =>
         graft.SparkEntry.queries(name)(spark, sfDir) // plan once to warm catalogs
         sw.set(0)
