@@ -170,6 +170,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         col("col").as("chunk"), length(col("col")).cast("long").as("chunk_len"))
 
+  /** Cross-document chunk duplication stats — the INTER-document verbatim-
+    * repetition signal (the line/paragraph-level dedup pass of CCNet/
+    * RefinedWeb-style pipelines, at fixed char-window granularity): a doc
+    * whose disjoint chunks largely appear verbatim in OTHER documents is
+    * boilerplate or a partial copy that whole-document near-dup misses.
+    *
+    * Unit of counting is the DISTINCT (doc, chunk-hash) pair (a doc
+    * repeating its own chunk internally counts once — that is the
+    * intra-doc [[repetition]] metric's job); a hash is "shared" when it
+    * occurs in >= 2 distinct docs. Scale: the explode is shuffle-free,
+    * the only shuffle carries (hash, doc_id) pairs (16 B/chunk) with
+    * map-side partial distinct; payload text never moves past the scan.
+    * Output (doc_id, n_chunks, n_shared, dup_frac), dup_frac one IEEE
+    * division of exact int64 counts. */
+  def chunkDupStats(docs: DataFrame, size: Int = ChunkSize): DataFrame = {
+    val pairs = chunk(docs, size, size)
+      .select(col("doc_id"), graft.functions.GraftFunctions.polyHash(col("chunk")).as("h"))
+      .distinct()
+    val freq = pairs.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    pairs.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("ndocs") >= 2, 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_chunks"), 6).as("dup_frac"))
+  }
+
   // DuckDB twins for the query layer
   def qualityHitCondition: String = hitCondition(Stopwords.flatMap(_._2))
 }

@@ -314,6 +314,12 @@ object PipelineQueries {
       TextAnalysis.chunk(Tables.documents(s, d).filter(col("doc_id") < 100))
         .orderBy("doc_id", "chunk_idx")),
 
+    // inter-document verbatim repetition: fraction of each doc's disjoint
+    // chunks appearing verbatim in OTHER docs — the line-level-dedup
+    // quality signal whole-document near-dup misses
+    "q_text_chunk_dup" -> ((s, d) =>
+      TextAnalysis.chunkDupStats(Tables.documents(s, d)).orderBy("doc_id")),
+
     // pure-SQL surface: the registered graft_* functions driven entirely
     // through spark.sql — a SQL-only user gets the same engine
     "q_sql_textstats" -> ((s, d) => {
@@ -1265,6 +1271,25 @@ object PipelineQueries {
        |FROM t ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** chunk-hash cross-doc duplication: distinct (doc, hash) pairs, a hash
+    * is shared when >= 2 docs carry it; same disjoint windows (step =
+    * size) and polyhash as TextAnalysis.chunkDupStats */
+  private val chunkDupSql = {
+    val size = TextAnalysis.ChunkSize
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, text, unnest(range(0, (length(text) - 1) // $size + 1)) AS i
+       |  FROM documents),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    ${polyHashDuck(s"substring(text, CAST(i * $size + 1 AS INT), $size)")} AS h
+       |  FROM t),
+       |f AS MATERIALIZED (SELECT h, count(*) AS ndocs FROM p GROUP BY h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) FILTER (ndocs >= 2) AS BIGINT) AS n_shared,
+       |  round(CAST(count(*) FILTER (ndocs >= 2) AS DOUBLE) / count(*), 6) AS dup_frac
+       |FROM p JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val sqlTextstatsSql =
     s"""WITH $docsCte,
        |wh AS MATERIALIZED (SELECT doc_id, ${wordHashesDuck("ws")} AS wh FROM docs)
@@ -1466,6 +1491,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> fingerprintSql,
     "q_text_redact" -> redactSql,
     "q_text_chunks" -> chunksSql,
+    "q_text_chunk_dup" -> chunkDupSql,
     "q_sql_textstats" -> sqlTextstatsSql,
     // the SQL-surface pipelines must reproduce the Column-API pipelines
     // exactly, so they share the Column-API queries' oracles

@@ -333,6 +333,20 @@ class PipelineSpec extends SparkSpec {
     assert(top(1L) == "rare")
   }
 
+  test("chunk duplication: shared chunks counted cross-doc, self-repeats ignored") {
+    import graft.pipeline.TextAnalysis
+    val a = "x" * 100 + "y" * 100            // two chunks
+    val b = "x" * 100 + "z" * 100            // shares chunk 1 with a
+    val c = "w" * 100 + "w" * 100 + "q" * 50 // self-repeat + unique tail
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDupStats(d, size = 100).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))  // x-chunk shared with doc 2
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    // doc 3's repeated w-chunk is ONE distinct hash in one doc: not shared
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("semantic dedup: survivors = corpus minus smaller-id near-dup losers, cluster-scoped") {
     import graft.pipeline.Similarity
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
