@@ -1105,6 +1105,17 @@ object AnalyticsQueries {
     // rollups). open/close ride an explicit unbounded frame with a unique
     // (ts_us, event_id) order, so they are deterministic under ties; the
     // day total runs in DECIMAL (money-sum policy).
+    // gaps-and-islands: each event opens a deterministic 1-10 minute
+    // interval; overlapping/touching intervals per user merge into
+    // maximal disjoint spans (availability/outage-merge semantics)
+    "q_interval_coalesce" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        expr("ts div 1000000").as("s_ms"),
+        (expr("ts div 1000000") + (lit(1L) + col("event_id") % 10) * 60000L).as("e_ms"))
+      graft.ops.Intervals.coalesce(iv, "user_id", "s_ms", "e_ms")
+        .orderBy("user_id", "island")
+    }),
+
     "q_time_downsample" -> ((s, d) => {
       val wf = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1988,6 +1999,29 @@ object AnalyticsQueries {
         |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
         |FROM seq WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "q_interval_coalesce" ->
+      """WITH iv AS MATERIALIZED (
+        |  SELECT user_id, epoch_ms(ts) AS s_ms,
+        |    epoch_ms(ts) + (1 + event_id % 10) * 60000 AS e_ms
+        |  FROM events),
+        |m AS MATERIALIZED (
+        |  SELECT user_id, s_ms, e_ms,
+        |    max(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, e_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |f AS MATERIALIZED (
+        |  SELECT user_id, s_ms, e_ms,
+        |    CASE WHEN pme IS NULL OR s_ms > pme THEN 1 ELSE 0 END AS opens
+        |  FROM m),
+        |g AS MATERIALIZED (
+        |  SELECT user_id, s_ms, e_ms,
+        |    CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY s_ms, e_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM f)
+        |SELECT user_id, island, min(s_ms) AS t_start, max(e_ms) AS t_end,
+        |  count(*) AS n_intervals
+        |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
 
     "q_time_downsample" ->
       """WITH e AS MATERIALIZED (

@@ -360,6 +360,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("interval coalesce: overlapping and touching intervals merge, gaps split") {
+    import graft.ops.Intervals
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),   // overlap -> one island
+      (1L, 12L, 20L),                 // touching (start == running max end) -> merges
+      (1L, 25L, 30L),                 // gap -> new island
+      (2L, 0L, 100L), (2L, 10L, 20L), // contained interval -> same island
+      (2L, 101L, 102L))               // strictly past -> new island
+      .toDF("k", "s", "e")
+    val got = Intervals.coalesce(iv, "k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 20L, 3L), (1L, 2L, 25L, 30L, 1L),
+      (2L, 1L, 0L, 100L, 2L), (2L, 2L, 101L, 102L, 1L)))
+    // invariance under physical tie/partition order
+    val again = Intervals.coalesce(iv.repartition(5), "k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(again == got)
+    // both window passes and the aggregation share one (k, s, e) sort —
+    // Catalyst must plan a single exchange + sort for the whole sweep
+    val plan = Intervals.coalesce(iv, "k", "s", "e").queryExecution.executedPlan.toString
+    assert("(?s)Sort".r.findAllIn(plan).length <= 1, plan)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
