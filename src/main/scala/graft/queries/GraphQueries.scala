@@ -354,6 +354,21 @@ object GraphQueries {
         .orderBy("vertex")
     }),
 
+    // warm-start on a GROWN graph — the evolving-graph ingest path: rank
+    // the 80% cut to a stored snapshot, then fold the full graph in from
+    // those ranks (new vertices seed at the updated graph's uniform, the
+    // teleport/dangling terms switch to the full graph). No fixpoint
+    // equality shortcut exists here (the old and full graphs have
+    // different fixpoints), so the oracle is BOTH stages fully unrolled.
+    "q_graph_pagerank_grown" -> ((s, d) => {
+      val e = Graphs.lineitemEdges(s, d, Mod)
+      val old = e.filter((col("src") + col("dst")) % 5 =!= 0)
+      val snapshot = PageRank.runDamped(old, 4).localCheckpoint(eager = true)
+      PageRank.runDampedFrom(snapshot, e, PrIters - 4)
+        .select(col("vertex"), round(col("rank"), 9).as("pr"))
+        .orderBy("vertex")
+    }),
+
     // personalized PageRank from a 3-seed set: proximity-to-seeds scores,
     // the graph-recommendation primitive ("vertices like these")
     "q_graph_ppr" -> ((s, d) =>
@@ -597,6 +612,51 @@ object GraphQueries {
         |              GROUP BY vertex) m)""".stripMargin
     }
     sb ++= s"\nSELECT vertex, round(pr, 9) AS pr FROM r$iters ORDER BY vertex"
+    sb.toString
+  }
+
+  /** Warm-start damped PageRank on a GROWN graph, fully unrolled: aRounds
+    * of damped iteration over the old cut ((src+dst)%5 <> 0), then the
+    * stored ranks seed bRounds over the FULL graph — vertices the growth
+    * introduces start at the UPDATED graph's uniform 1/N, and the
+    * teleport/dangling terms switch to the full graph's structures,
+    * exactly [[graft.graph.PageRank.runDampedFrom]]'s contract. Iteration
+    * arithmetic is pagerankDampedSql's, parameterized by graph alias. */
+  private def pagerankGrownSql(graphCte: String, aRounds: Int, bRounds: Int): String = {
+    def iterOver(g: String, od: String, nr: String, dang: String,
+        prev: String, cur: String, tag: String) =
+      s"""dm$tag AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS dm FROM $prev JOIN $dang USING (vertex)),
+         |c$tag AS MATERIALIZED (SELECT $g.dst AS vertex, sum(r.pr / $od.outdeg) AS c
+         |        FROM $g JOIN $od ON $g.src = $od.src JOIN $prev r ON $g.src = r.vertex
+         |        GROUP BY $g.dst),
+         |$cur AS MATERIALIZED (SELECT m.vertex,
+         |        CAST(${PageRank.DampTeleport} AS DOUBLE)/(SELECT n FROM $nr)
+         |          + CAST(${PageRank.DampAlpha} AS DOUBLE) * (m.c + (SELECT dm FROM dm$tag)/(SELECT n FROM $nr)) AS pr
+         |        FROM (SELECT vertex, sum(c) AS c FROM (
+         |                SELECT vertex, 0.0 AS c FROM $prev
+         |                UNION ALL SELECT vertex, c FROM c$tag)
+         |              GROUP BY vertex) m)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |go AS MATERIALIZED (SELECT * FROM g WHERE (src + dst) % 5 <> 0),
+      |odo AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM go GROUP BY src),
+      |vo AS MATERIALIZED (SELECT src AS vertex FROM go UNION SELECT dst FROM go),
+      |nro AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM vo),
+      |dango AS MATERIALIZED (SELECT vertex FROM vo WHERE vertex NOT IN (SELECT src FROM go)),
+      |r0 AS MATERIALIZED (SELECT vertex, CAST(1.0 AS DOUBLE)/(SELECT n FROM nro) AS pr FROM vo)""".stripMargin
+    for (i <- 1 to aRounds)
+      sb ++= ",\n" + iterOver("go", "odo", "nro", "dango", s"r${i - 1}", s"r$i", s"a$i")
+    sb ++= s""",
+      |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
+      |v AS MATERIALIZED (SELECT src AS vertex FROM g UNION SELECT dst FROM g),
+      |nr AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |dang AS MATERIALIZED (SELECT vertex FROM v WHERE vertex NOT IN (SELECT src FROM g)),
+      |s0 AS MATERIALIZED (
+      |  SELECT v.vertex, coalesce(r.pr, CAST(1.0 AS DOUBLE)/(SELECT n FROM nr)) AS pr
+      |  FROM v LEFT JOIN r$aRounds r USING (vertex))""".stripMargin
+    for (i <- 1 to bRounds)
+      sb ++= ",\n" + iterOver("g", "od", "nr", "dang", s"s${i - 1}", s"s$i", s"b$i")
+    sb ++= s"\nSELECT vertex, round(pr, 9) AS pr FROM s$bRounds ORDER BY vertex"
     sb.toString
   }
 
@@ -998,6 +1058,7 @@ object GraphQueries {
     "q_graph_pagerank_damped" -> pagerankDampedSql(derivedGraphCte, PrIters),
     // warm-start ≡ unbroken run (continuation law): same unrolled SQL
     "q_graph_pagerank_warm" -> pagerankDampedSql(derivedGraphCte, PrIters),
+    "q_graph_pagerank_grown" -> pagerankGrownSql(derivedGraphCte, 4, PrIters - 4),
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
