@@ -197,6 +197,33 @@ object TextAnalysis {
         round(col("n_shared").cast("double") / col("n_chunks"), 6).as("dup_frac"))
   }
 
+  /** Deterministic hash-projection text featurizer: text → dense
+    * `dim`-float vector, the documents→embeddings bridge that lets every
+    * vector operator (ANN, near-dup, k-means, SemDeDup) run on raw text
+    * with no model in the loop. Feature d is the bag-of-words sum of a
+    * per-(word, d) pseudo-random integer coefficient in [-14, 14]
+    * (word-hash mixed per dimension — the same integer-coefficient trick
+    * as Similarity's hyperplanes): shared vocabulary ⇒ correlated
+    * vectors, disjoint vocabulary ⇒ near-orthogonal. Sums are exact
+    * int64 (order-free; |v[d]| ≤ 14·words ≪ 2^24) and the final
+    * float cast is exact, so the output is bit-reproducible on any
+    * partitioning and replayable in SQL by the oracle. One generator-free
+    * projection per row — no shuffle, no UDF. */
+  def featurize(docs: DataFrame, dim: Int = 16): DataFrame = {
+    import graft.pipeline.TextHash
+    // word hashes computed ONCE per row, then projected to all dims
+    docs
+      .select(col("doc_id"), expr(
+        s"transform(${TextHash.wordsSpark("text")}, w -> " +
+          "aggregate(filter(split(w, ''), c -> c <> ''), CAST(0 AS BIGINT), " +
+          s"(acc, c) -> (acc * 31 + ascii(c)) % ${TextHash.P}) % 100003)").as("hs"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${dim - 1}), d -> " +
+          "CAST(aggregate(hs, CAST(0 AS BIGINT), " +
+          "(acc, h) -> acc + (h * (131 * (d + 1)) + 137 * d) % 29 - 14) AS FLOAT))")
+        .as("embedding"))
+  }
+
   // DuckDB twins for the query layer
   def qualityHitCondition: String = hitCondition(Stopwords.flatMap(_._2))
 }

@@ -314,6 +314,19 @@ object PipelineQueries {
       TextAnalysis.chunk(Tables.documents(s, d).filter(col("doc_id") < 100))
         .orderBy("doc_id", "chunk_idx")),
 
+    // hash-projection text featurizer: documents → dense float vectors,
+    // the model-free bridge that lets the whole vector stack (ANN,
+    // near-dup, k-means, SemDeDup) run on raw text
+    // (the driver compare cannot sort nested list columns, so the catalog
+    // face joins the exactly-integer feature values into a CSV string;
+    // the float cast is lossless both ways)
+    "q_text_embed" -> ((s, d) =>
+      TextAnalysis.featurize(Tables.documents(s, d))
+        .select(col("doc_id"),
+          expr("array_join(transform(embedding, x -> CAST(x AS BIGINT)), ',')")
+            .as("embedding_csv"))
+        .orderBy("doc_id")),
+
     // inter-document verbatim repetition: fraction of each doc's disjoint
     // chunks appearing verbatim in OTHER docs — the line-level-dedup
     // quality signal whole-document near-dup misses
@@ -1290,6 +1303,22 @@ object PipelineQueries {
        |FROM p JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** hash-projection featurizer replay: per-word polyhash % 100003 once,
+    * then per-dim integer coefficient sums, exact int64 → exact float */
+  private val textEmbedSql = {
+    val dim = 16
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(${wordsDuck("text")}, w -> ${polyHashDuck("w")} % 100003) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(range(0, $dim), d ->
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(hs, x -> (x * (131 * (d + 1)) + 137 * d) % 29 - 14)),
+       |      (acc, v) -> acc + v) AS BIGINT)), ',') AS embedding_csv
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   private val sqlTextstatsSql =
     s"""WITH $docsCte,
        |wh AS MATERIALIZED (SELECT doc_id, ${wordHashesDuck("ws")} AS wh FROM docs)
@@ -1492,6 +1521,7 @@ object PipelineQueries {
     "q_text_redact" -> redactSql,
     "q_text_chunks" -> chunksSql,
     "q_text_chunk_dup" -> chunkDupSql,
+    "q_text_embed" -> textEmbedSql,
     "q_sql_textstats" -> sqlTextstatsSql,
     // the SQL-surface pipelines must reproduce the Column-API pipelines
     // exactly, so they share the Column-API queries' oracles

@@ -333,6 +333,34 @@ class PipelineSpec extends SparkSpec {
     assert(top(1L) == "rare")
   }
 
+  test("text featurizer: vocabulary overlap drives cosine; composes with the vector stack") {
+    import graft.pipeline.{Similarity, TextAnalysis}
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // identical -> cos 1
+      (3L, "alpha beta gamma delta epsilon eta"),   // near-identical vocab
+      (4L, "one two three four five six"))          // disjoint vocab
+      .toDF("doc_id", "text")
+    val emb = TextAnalysis.featurize(d).withColumnRenamed("doc_id", "vec_id")
+    def cos(a: Long, b: Long): Double = {
+      val m = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      dot(m(a), m(b)) / math.sqrt(dot(m(a), m(a)) * dot(m(b), m(b)))
+    }
+    assert(math.abs(cos(1L, 2L) - 1.0) < 1e-12)   // identical text, identical vector
+    assert(cos(1L, 3L) > cos(1L, 4L))             // shared vocab > disjoint vocab
+    // composes with the ANN/near-dup stack unchanged: the exact duplicate
+    // pair must surface through the banded near-dup pipeline
+    val pairs = Similarity.lshNearDup(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // bit-determinism across partitionings (exact int64 sums)
+    val v1 = TextAnalysis.featurize(d).collect().map(_.toString).sorted
+    val v2 = TextAnalysis.featurize(d.repartition(5)).collect().map(_.toString).sorted
+    assert(v1.sameElements(v2))
+  }
+
   test("chunk duplication: shared chunks counted cross-doc, self-repeats ignored") {
     import graft.pipeline.TextAnalysis
     val a = "x" * 100 + "y" * 100            // two chunks
