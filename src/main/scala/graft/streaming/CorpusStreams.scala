@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming corpus-ingest operators — the incremental faces of the batch
+  * Corpus allocation passes, for the pipeline shape where documents arrive
+  * continuously and admission decisions cannot wait for a corpus scan.
+  */
+object CorpusStreams {
+
+  final case class DocTokens(doc_id: Long, source: String, n_tokens: Long)
+  final case class Admitted(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming token-budget admission — the stateful twin of
+    * [[graft.pipeline.Corpus.tokenBudgetMixture]]: documents stream in and
+    * each source admits while its RUNNING token total stays within a
+    * static quota (the batch pass owns its order via content hash; a
+    * stream must decide online, so arrival order is the contract —
+    * within one micro-batch, doc_id order makes the decision
+    * deterministic and replayable). Per-source state is ONE long (tokens
+    * used), hash-partitioned by source — bounded regardless of stream
+    * length, the smallest possible streaming state. A doc that would
+    * overflow the quota is dropped, but smaller later docs may still fit
+    * (first-fit, not prefix — a stream cannot reorder what it has not
+    * seen); docs from sources without a quota are dropped.
+    *
+    * At 100 TB-ingest: admission is where over-represented sources get
+    * throttled at the door instead of paying storage + a later mixture
+    * pass; the state store holds |sources| longs.
+    */
+  def admitWithinBudget(docs: Dataset[DocTokens],
+      quotas: Map[String, Long]): Dataset[Admitted] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[DocTokens], state: GroupState[Long]) =>
+          val quota = quotas.getOrElse(src, 0L)
+          var used = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Admitted]
+          // micro-batch iterators carry no order promise; doc_id order
+          // makes the within-batch decision deterministic
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (used + d.n_tokens <= quota) {
+              used += d.n_tokens
+              out += Admitted(d.doc_id, src, d.n_tokens, used)
+            }
+          }
+          state.update(used)
+          out.result().iterator
+      }
+  }
+
+  /** documents frame → (doc_id, source, n_tokens) with the same BPE-ish
+    * token estimate as the batch allocator; works on static AND streaming
+    * frames (pure projection). */
+  def withTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      expr(s"aggregate(${graft.pipeline.TextHash.wordsSpark("text")}, " +
+        "CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) div 4)").as("n_tokens"))
+}

@@ -171,6 +171,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == expected)
   }
 
+  test("streaming token-budget admission: quotas bind across micro-batches") {
+    import graft.streaming.CorpusStreams
+    import org.apache.spark.sql.expressions.Window
+    val docsPath = sf("sf0.001") + "/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath)
+    val quotas = batchDocs.select("source").distinct()
+      .collect().map(_.getString(0) -> 500L).toMap
+    // two files -> two deterministic micro-batches (maxFilesPerTrigger=1):
+    // state must carry each source's used-token total across the boundary
+    val dir = Files.createTempDirectory("graft-admit")
+    batchDocs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.resolve("b0").toString)
+    batchDocs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(dir.resolve("b1").toString)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+    val q = CorpusStreams.admitWithinBudget(
+        CorpusStreams.withTokenCounts(stream).as[CorpusStreams.DocTokens], quotas)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("admitted")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("admitted")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // quotas are hard caps across the whole run
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= quotas(src), s"source $src over quota")
+      assert(rows.map(_._4).max == rows.map(_._3).sum) // cum == running total
+    }
+    // replay: batch-wise first-fit in (batch, doc_id) order — file b0's
+    // evens (doc_id order) then b1's odds, per source. AvailableNow with
+    // maxFilesPerTrigger=1 processes files in discovery order; replicate
+    // exactly and require equality.
+    val toks = CorpusStreams.withTokenCounts(batchDocs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fileOrder = toks.sortBy(t => (t._1 % 2, t._1)) // evens (b0) then odds (b1)
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val used = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    fileOrder.foreach { case (id, src, n) =>
+      if (used(src) + n <= quotas(src)) {
+        used(src) += n
+        expect += ((id, src, n, used(src)))
+      }
+    }
+    assert(got.toSet == expect.toSet,
+      s"streaming admission diverged: extra=${(got.toSet -- expect.toSet).take(3)} missing=${(expect.toSet -- got.toSet).take(3)}")
+  }
+
   test("streaming decontamination equals batch decontamination") {
     import graft.pipeline.Decontam
     // documents stream; eval slice = doc_id % 50 == 0 (the batch query's split)
