@@ -189,6 +189,31 @@ object TextHashImpl {
     }
     inter.toDouble / (a.length + b.length - inter)
   }
+
+  /** dim-float hash-projection text features — the kernel twin of
+    * TextAnalysis.featurize's HOF formulation (FunctionsSpec enforces
+    * bit-equivalence; change both together): per word h = polyHash(w)
+    * % 100003, feature d accumulates (h*(131*(d+1)) + 137*d) % 29 - 14
+    * in exact int64, cast to float at the end (lossless: |sum| << 2^24).
+    */
+  def textFeatures(s: String, dim: Int): Array[Float] = {
+    val words = tokenize(s)
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < words.length) {
+      val h = polyHash(words(i)) % 100003L
+      var d = 0
+      while (d < dim) {
+        acc(d) += (h * (131L * (d + 1)) + 137L * d) % 29L - 14L
+        d += 1
+      }
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) { out(k) = acc(k).toFloat; k += 1 }
+    out
+  }
 }
 
 /** Vector kernels for the embedding operators — strictly sequential folds

@@ -248,6 +248,24 @@ case class CountMinEstimateExpr(child: Expression,
 }
 
 /** Column-API entry points (the library surface). */
+/** string -> array<float>: dim hash-projection text features (the
+  * documents→vectors featurizer kernel; TextAnalysis.featurize docs the
+  * arithmetic, FunctionsSpec pins bit-equivalence to the HOF twin) */
+case class TextFeaturesExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashImpl.textFeatures(input.asInstanceOf[UTF8String].toString, dim))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextHashImpl.textFeatures($c.toString(), $dim))")
+  override protected def withNewChildInternal(newChild: Expression): TextFeaturesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_text_features"
+}
+
 object GraftFunctions {
   private def c(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
   private def ex(col: Column): Expression = org.apache.spark.sql.GraftBridge.expression(col)
@@ -267,4 +285,5 @@ object GraftFunctions {
     c(CountMinEstimateExpr(ex(col), sketch))
   def jaccard(a: Column, b: Column): Column = c(JaccardExpr(ex(a), ex(b)))
   def bigramStats(col: Column): Column = c(BigramStatsExpr(ex(col)))
+  def textFeatures(col: Column, dim: Int): Column = c(TextFeaturesExpr(ex(col), dim))
 }

@@ -209,7 +209,16 @@ object TextAnalysis {
     * float cast is exact, so the output is bit-reproducible on any
     * partitioning and replayable in SQL by the oracle. One generator-free
     * projection per row — no shuffle, no UDF. */
-  def featurize(docs: DataFrame, dim: Int = 16): DataFrame = {
+  def featurize(docs: DataFrame, dim: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.textFeatures(col("text"), dim).as("embedding"))
+
+  /** HOF twin of [[featurize]] — the SQL-expressible formulation the
+    * codegen'd kernel must stay bit-equivalent to (FunctionsSpec), and
+    * the arithmetic the DuckDB oracle replays. ~8x slower than the
+    * kernel at sf0.1 (per-char split arrays per word, per-dim lambda
+    * folds) — exists for the equivalence proof, not the hot path. */
+  private[graft] def featurizeHof(docs: DataFrame, dim: Int = 16): DataFrame = {
     import graft.pipeline.TextHash
     // word hashes computed ONCE per row, then projected to all dims
     docs

@@ -20,6 +20,17 @@ class FunctionsSpec extends SparkSpec {
     assert(d.isEmpty, d.limit(3).collect().mkString("; "))
   }
 
+  test("TextFeaturesExpr == HOF featurizer on the corpus (bitwise, every dim)") {
+    val kernel = TextAnalysis.featurize(docs).withColumnRenamed("embedding", "ka")
+    val hof = TextAnalysis.featurizeHof(docs).withColumnRenamed("embedding", "hb")
+    val joined = kernel.join(hof, "doc_id")
+    for (d <- 0 until 16) {
+      assertNoDiff(joined.select(
+        element_at(col("ka"), d + 1).as("a"),
+        element_at(col("hb"), d + 1).as("b")))
+    }
+  }
+
   test("PolyHashExpr == HOF polyhash on the corpus") {
     assertNoDiff(docs.select(
       GraftFunctions.polyHash(trim(col("text"))).as("a"),
