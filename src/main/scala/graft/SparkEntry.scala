@@ -66,7 +66,7 @@ object SparkEntry {
     "q_graph_cc_inc", "q_inverted_index_inc", "q_graph_sssp_weighted_inc",
     "q_graph_cc_inc_idx", "q_graph_sssp_weighted_inc_idx",
     "q_graph_pagerank_grown",
-    "q_interval_coalesce", "q_text_chunk_dup", "q_text_embed",
+    "q_interval_coalesce", "q_text_chunk_dup", "q_text_embed", "q_scd2_join",
     "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
   ).filter(queries.contains)
 }

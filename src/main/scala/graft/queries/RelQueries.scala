@@ -453,6 +453,31 @@ object RelQueries {
         .orderBy("event_id")
     }),
 
+    // SCD2 point-in-time dimension join: orders open per-customer validity
+    // intervals ([orderdate, next orderdate), priority as the tracked
+    // attribute); each event picks the attribute valid at its timestamp.
+    // ENGINE side runs the as-of composition (union + one window — the
+    // scale-correct plan, no interval range join); the ORACLE states the
+    // validity-interval semantics directly, so the hash equality proves
+    // as-of ≡ SCD2-interval cross-engine (intervals are consecutive, so
+    // "greatest start <= ts" and "ts ∈ [start, next)" coincide, including
+    // the boundary ts == next start).
+    "q_scd2_join" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+          col("o_orderkey"), col("o_orderpriority"))
+        .groupBy("user_id", "ts_us")
+        .agg(max(struct(col("o_orderkey"), col("o_orderpriority"))).as("m"))
+        .select(col("user_id"), col("ts_us"), col("m.o_orderpriority").as("prio_asof"))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.ops.AsOfJoin.asOf(ev, dim, "user_id", "ts_us")
+        .filter(col("prio_asof").isNotNull)
+        .select("event_id", "user_id", "ts_us", "prio_asof")
+        .orderBy("event_id")
+    }),
+
     // correlation from exact integer moments: both operands are integral,
     // so every sum is exact and the final double expression is evaluated
     // in the same op order on both engines — bit-identical without any
@@ -817,6 +842,28 @@ object RelQueries {
            SELECT l_partkey AS k FROM lineitem
            INTERSECT ALL SELECT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 0)
          GROUP BY k ORDER BY k""",
+
+    // validity-interval (SCD2) formulation — deliberately NOT the as-of
+    // form the engine runs; hash equality is the semantics proof
+    "q_scd2_join" ->
+      """WITH dim0 AS (
+        |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS vfrom,
+        |    o_orderkey, o_orderpriority
+        |  FROM orders),
+        |dim1 AS (
+        |  SELECT user_id, vfrom, o_orderpriority FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, vfrom
+        |      ORDER BY o_orderkey DESC) AS rn FROM dim0) WHERE rn = 1),
+        |dim AS (
+        |  SELECT user_id, vfrom,
+        |    lead(vfrom) OVER (PARTITION BY user_id ORDER BY vfrom) AS vto,
+        |    o_orderpriority
+        |  FROM dim1),
+        |ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id, ev.user_id, ts_us, o_orderpriority AS prio_asof
+        |FROM ev JOIN dim ON ev.user_id = dim.user_id
+        |  AND ts_us >= vfrom AND (vto IS NULL OR ts_us < vto)
+        |ORDER BY event_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
