@@ -787,6 +787,7 @@ object RelQueries {
          sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+
     // the TRUE literal is the certificate: a hash match means every
     // group's HLL++ estimate fell inside the 5% band around the exact
     // count that both engines compute independently
