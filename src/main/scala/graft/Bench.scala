@@ -94,6 +94,21 @@ object Bench {
         java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // BENCH_LAST.json is overwritten every run, and the driver's per-round
+    // artifact has repeatedly recorded only a truncated stdout tail
+    // ("parsed": null) — so round-over-round comparison of the FULL
+    // per-query map used to hang off one overwritable file. Append-only
+    // history (committed with the repo) makes every full-catalog run a
+    // permanent record. Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev-loop
+    // probes, not round records — skipped to keep the history comparable.
+    if (only.isEmpty) try {
+      val entry = s"""{"ts_ms":${System.currentTimeMillis()},""" + json.stripPrefix("{")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (entry + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable => System.err.println(s"[bench] history append failed: $e") }
     spark.stop()
   }
 }

@@ -65,8 +65,12 @@ object SparkEntry {
     "q_dedup_incremental_idx", "q_dedup_embedding_idx",
     "q_graph_cc_inc", "q_inverted_index_inc", "q_graph_sssp_weighted_inc",
     "q_graph_cc_inc_idx", "q_graph_sssp_weighted_inc_idx",
-    "q_graph_pagerank_grown",
+    // warm vs grown vs cold prices the snapshot-resume claim directly:
+    // warm (same graph, stored ranks) should sit well under grown
+    // (changed graph) which sits under 2x cold (both stages priced)
+    "q_graph_pagerank_grown", "q_graph_pagerank_warm",
     "q_interval_coalesce", "q_text_chunk_dup", "q_text_embed", "q_scd2_join",
+    "q_dedup_substring",
     "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
   ).filter(queries.contains)
 }

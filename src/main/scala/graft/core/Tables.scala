@@ -17,8 +17,34 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeDate(load(spark, sfDir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeDate(load(spark, sfDir, "orders"), "o_orderdate")
+
+  /** Date-column twin of [[normalizeEventTs]]. The catalog's contract for
+    * o_orderdate / l_shipdate is a timestamp-typed column (string-literal
+    * range filters, `date_format`, `datediff`, interval arithmetic all
+    * assume it). The driver has already re-encoded `events.ts` once to raw
+    * TIMESTAMP(NANOS)-as-BIGINT; if the date columns ever follow, every
+    * date filter in the catalog would silently compare a raw long against a
+    * date string while the schema canary stayed green (the accepted-type
+    * set includes LongType precisely because this choke point lifts it).
+    * Lifting here — ns → µs integer division, then `timestamp_micros` —
+    * keeps the whole catalog encoding-agnostic, fused into the scan stage.
+    */
+  def normalizeDate(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos (nanosAsLong=true)
+        // `div` (integral) — a double-valued `/` would lose precision above
+        // 2^53, and ns-epoch values are ~1.8e18.
+        df.withColumn(colName, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$colName div 1000")))
+      case TimestampType | TimestampNTZType => df // already the contract type
+      case other => throw new IllegalStateException(
+        s"$colName drifted to unsupported type $other — expected BIGINT (nanos), " +
+          "TIMESTAMP, or TIMESTAMP_NTZ; update Tables.normalizeDate")
+    }
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")

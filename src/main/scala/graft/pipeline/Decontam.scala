@@ -38,6 +38,37 @@ object Decontam {
     trainDocs.join(overlapCounts(trainDocs, evalDocs).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** Bloom-pruned decontamination for eval sets PAST the broadcast
+    * threshold (the [[graft.ops.BloomPrune]] pattern applied at gram
+    * grain). A 100M-distinct-gram benchmark suite is ~800 MB of raw longs —
+    * too big to broadcast-join comfortably — but its 1%-fpp bloom is ~8x
+    * smaller and FIXED-size, shipped once per executor inside the codegen'd
+    * probe expression. Exactness-preserving in both directions: blooms have
+    * no false negatives (no contaminated doc escapes), and the surviving
+    * ~1% of train grams are confirmed against the true gram relation with
+    * an exact shuffle join (false positives die there), so the output is
+    * row-identical to [[decontaminate]] — ScaleOpsSpec asserts equality.
+    * Shuffle volume: fpp·|train grams| + true overlaps, instead of every
+    * train gram. */
+  def decontaminateBloom(trainDocs: DataFrame, evalDocs: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = Dedup.shingleHashes(evalDocs)
+      .select(explode(col("hs")).as("g")).distinct()
+      .localCheckpoint(eager = true) // bloom build + confirm join reuse it
+    val nGrams = evalGrams.count()
+    val contaminated =
+      if (nGrams == 0L) evalGrams.select(col("g").as("doc_id")) // empty ids
+      else {
+        val bloom = evalGrams.stat.bloomFilter("g", math.max(nGrams, 64L), fpp)
+        Dedup.shingleHashes(trainDocs)
+          .select(col("doc_id"), explode(col("hs")).as("g"))
+          .filter(graft.functions.GraftFunctions.bloomMightContain(col("g"), bloom))
+          .join(evalGrams, Seq("g")) // exact confirm — deliberately NOT broadcast
+          .select("doc_id").distinct()
+      }
+    trainDocs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** The benchmark's distinct gram-hash set, collected to the driver for
     * the streaming filter (benchmark suites are thousands of docs — the
     * collect is small by the same argument that lets batch decontamination

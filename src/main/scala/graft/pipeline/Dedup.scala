@@ -478,6 +478,69 @@ object Dedup {
       .agg(min_by(col("doc_id"), col("okey")).as("canonical"),
         count(lit(1)).as("n_members"))
 
+  /** Exact-substring dedup (the Lee-et-al. "Deduplicating Training Data
+    * Makes Language Models Better" signal, suffix-array-free): maximal
+    * word spans of >= `minLen` words shared VERBATIM between two
+    * documents, at ANY offset. Fixed-window chunk hashing
+    * ([[TextAnalysis.chunkDupStats]]) only sees window-ALIGNED copies — a
+    * span shifted by a few characters straddles different window
+    * boundaries in each doc and every chunk hash differs; this operator is
+    * shift-invariant by construction (PipelineSpec pins a shifted span the
+    * chunk pass provably misses).
+    *
+    * Formulation (seed-and-extend on diagonals, the sorted-k-gram-run
+    * equivalent of a suffix-array scan, distributed as joins):
+    *   1. per-position k-word gram keys (double-fold int64,
+    *      [[TextHash.gramKeysSpark]] — collision ~1e-18/pair, the 128-bit
+    *      fingerprint exactness convention);
+    *   2. postings cap: gram keys occurring > `maxOcc` times corpus-wide
+    *      are dropped from anchoring (the join blowup per gram is
+    *      occurrences², so the cap bounds the self-join exactly like
+    *      PPJoin's prefix bound; boilerplate a span THROUGH a dropped
+    *      gram splits into shorter runs — a documented regime boundary,
+    *      the k-truss density-guard pattern. The hot set itself is tiny,
+    *      so it ships as a broadcast anti-join);
+    *   3. cross-doc equi-join on the gram key (doc_a < doc_b);
+    *   4. runs: matches at constant diagonal (pos_a - pos_b) with
+    *      consecutive positions form maximal runs — one window + one
+    *      groupBy on (doc_a, doc_b, diagonal); a run of c grams is a
+    *      shared span of c + k - 1 words.
+    *
+    * Scale: the only corpus-wide shuffles carry (key, doc, pos) triples
+    * (24 B/word — the price every substring-level method pays; a suffix
+    * array is 8+ B/TOKEN plus a global sort) and the join output, which
+    * the postings cap bounds. Payload text never moves.
+    * Output (doc_a, doc_b, a_start, b_start, span_words), 1-based word
+    * positions, totally ordered. */
+  def substringSpans(docs: DataFrame, k: Int = 8, minLen: Int = 16,
+      maxOcc: Long = 1000L): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    val ws = wordsSpark("text")
+    val grams = docs
+      .select(col("doc_id"),
+        expr(wordPolyHashesSpark(ws)).as("wh1"),
+        expr(wordPolyHashes2Spark(ws)).as("wh2"))
+      .select(col("doc_id"), posexplode(expr(gramKeysSpark("wh1", "wh2", k))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val hot = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc).select("h")
+    val kept = grams.join(broadcast(hot), Seq("h"), "left_anti")
+    val matches = kept.toDF("h", "doc_a", "pa")
+      .join(kept.toDF("h", "doc_b", "pb"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "pa", "doc_b", "pb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy("pa")
+    matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg(min("pa").as("a_start"), (count(lit(1)) + (k - 1)).as("span_words"))
+      .filter(col("span_words") >= minLen)
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"), col("span_words"))
+  }
+
   /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the
     * didactic quadratic baseline the LSH path replaces at scale. `sampleMod`
     * bounds the pair space (docs with doc_id % sampleMod == 0). */

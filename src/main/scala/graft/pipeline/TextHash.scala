@@ -81,6 +81,39 @@ object TextHash {
   def shingleHashesDuck(ws: String): String =
     s"list_distinct(list_transform(${shinglesDuck(ws)}, sh -> ${polyHashDuck("sh")}))"
 
+  // --- per-word polynomial hash arrays (exact-substring dedup input) ---
+  def wordPolyHashesSpark(ws: String): String =
+    s"transform($ws, w -> ${polyHashSpark("w")})"
+  def wordPolyHashesDuck(ws: String): String =
+    s"list_transform($ws, w -> ${polyHashDuck("w")})"
+  def wordPolyHashes2Spark(ws: String): String =
+    s"transform($ws, w -> ${polyHash2Spark("w")})"
+  def wordPolyHashes2Duck(ws: String): String =
+    s"list_transform($ws, w -> ${polyHash2Duck("w")})"
+
+  /** Per-position k-gram keys over precomputed word-hash arrays `wh1`/`wh2`
+    * (column/CTE names, NOT inline exprs — inlining would recompute the
+    * char-level fold k times per position). Position i's key combines two
+    * independent word-hash folds into one BIGINT:
+    *   g1 = fold_{j=i..i+k-1} (acc*31 + wh1[j]) % P     (base 31, mod P)
+    *   g2 = fold_{j=i..i+k-1} (acc*131 + wh2[j]) % P2   (base 131, mod P2)
+    *   key = g1 * P2 + g2   (< P·P2 ≈ 1e18, fits i64)
+    * Two grams colliding need BOTH folds equal: ~1/(P·P2) ≈ 1e-18 pairwise
+    * — the same double-hash exactness convention as the 128-bit
+    * fingerprint dedup. Cost O(k) integer ops per position over the
+    * precomputed word hashes (O(n·k) per doc, not O(n·k·chars)). */
+  def gramKeysSpark(wh1: String, wh2: String, k: Int): String =
+    s"IF(size($wh1) >= $k, transform(sequence(1, size($wh1) - ${k - 1}), i -> " +
+      s"aggregate(slice($wh1, i, $k), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P) * $P2 + " +
+      s"aggregate(slice($wh2, i, $k), CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % $P2)), " +
+      s"CAST(array() AS ARRAY<BIGINT>))"
+
+  /** DuckDB twin of one position's gram key — scalar form, `pos` is a
+    * 1-based position expr (the SQL unnests positions before keying). */
+  def gramKeyDuck(wh1: String, wh2: String, pos: String, k: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $wh1[$pos:$pos+${k - 1}]), (acc, x) -> (acc * 31 + x) % $P) * $P2 + " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $wh2[$pos:$pos+${k - 1}]), (acc, x) -> (acc * 131 + x) % $P2)"
+
   /** minhash signature array (NumHashes entries) over a hash-array expr `hs` */
   def minhashSpark(hs: String): String =
     (0 until NumHashes).map { j =>

@@ -79,9 +79,12 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * stats-less inputs. */
   private def heapFitsBudget(
       child: LogicalPlan, partitionSpec: Seq[Expression], k: Int): Boolean = {
-    val budget = conf.getConfString(
+    // fail-open on a malformed user-set value (matching the rule's
+    // conservative posture) rather than surfacing NumberFormatException as
+    // an opaque planner stack trace
+    val budget = scala.util.Try(conf.getConfString(
       "spark.graft.windowTopKRewrite.heapBudgetBytes",
-      DefaultHeapBudgetBytes.toString).toLong
+      DefaultHeapBudgetBytes.toString).toLong).getOrElse(DefaultHeapBudgetBytes)
     val stats = child.stats
     val attrs = partitionSpec.collect { case a: Attribute => a }
     if (attrs.size != partitionSpec.size) return true

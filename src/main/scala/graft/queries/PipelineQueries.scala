@@ -44,6 +44,11 @@ object PipelineQueries {
   private val ResizeFactor = 4
   // decontamination: docs with doc_id % EvalMod == 0 play the benchmark set
   private val EvalMod = 50
+  // exact-substring dedup: 8-word gram seeds, spans >= 16 words, postings
+  // capped at 64 occurrences (never engages on testdata — max df is 3)
+  private val SubstrK = 8
+  private val SubstrMinLen = 16
+  private val SubstrMaxOcc = 64L
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -103,6 +108,15 @@ object PipelineQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // exact-substring dedup (Lee et al. 2022, suffix-array-free): maximal
+    // verbatim word spans >= SubstrMinLen shared between two docs at ANY
+    // offset — the shift-invariant dedup signal fixed-window chunk hashing
+    // (q_text_chunk_dup) misses by construction (PipelineSpec proves the
+    // miss on a shifted-span fixture)
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.substringSpans(Tables.documents(s, d), SubstrK, SubstrMinLen, SubstrMaxOcc)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")),
 
     // same output as q_dedup_final, via the bloom-pruned anti-join (the
     // scale path when the loser set outgrows a broadcast) — oracle unchanged
@@ -1452,7 +1466,41 @@ object PipelineQueries {
        |       ${polyHashDuck("chunk")} AS fp
        |FROM c ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** exact-substring replay: same double-fold gram keys (TextHash
+    * constants), same postings cap, same diagonal-run grouping — integer
+    * arithmetic end to end, so the span sets match bit-for-bit */
+  private val substringSql = {
+    val k = SubstrK
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, ${wordPolyHashesDuck(wordsDuck("text"))} AS wh1,
+       |         ${wordPolyHashes2Duck(wordsDuck("text"))} AS wh2
+       |  FROM documents),
+       |p AS MATERIALIZED (
+       |  SELECT doc_id, wh1, wh2, unnest(range(1, len(wh1) - $k + 2)) AS pos FROM w),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         ${gramKeyDuck("wh1", "wh2", "pos", k)} AS h
+       |  FROM p),
+       |hot AS MATERIALIZED (SELECT h FROM g GROUP BY h HAVING count(*) > $SubstrMaxOcc),
+       |kept AS MATERIALIZED (SELECT * FROM g WHERE h NOT IN (SELECT h FROM hot)),
+       |m AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, a.pos AS pa, b.doc_id AS doc_b, b.pos AS pb
+       |  FROM kept a JOIN kept b USING (h) WHERE a.doc_id < b.doc_id),
+       |r AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |  FROM m),
+       |runs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, diag, min(pa) AS a_start,
+       |         CAST(count(*) + $k - 1 AS BIGINT) AS span_words
+       |  FROM r GROUP BY doc_a, doc_b, diag, grp)
+       |SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
+       |FROM runs WHERE span_words >= $SubstrMinLen
+       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_substring" -> substringSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper""",

@@ -29,6 +29,16 @@ object CorpusStreams {
     * At 100 TB-ingest: admission is where over-represented sources get
     * throttled at the door instead of paying storage + a later mixture
     * pass; the state store holds |sources| longs.
+    *
+    * MEMORY CONTRACT (transient, distinct from the one-long state claim):
+    * the deterministic within-batch ordering buffers ONE source's slice of
+    * ONE micro-batch on the owning task (`it.toSeq.sortBy`) — ~48 B/doc of
+    * (id, src-ref, tokens) triples, so ~2M docs/source/trigger per GiB of
+    * task heap. A skewed source in an unbounded trigger can exceed that;
+    * bound the trigger (`maxFilesPerTrigger` / rate limit) so
+    * docs-per-source-per-batch stays under ~10M, the same kill-switch
+    * discipline as TopKPerKey's heap budget. StreamingSpec pins a
+    * deliberately large single-source batch (50k docs, one group) green.
     */
   def admitWithinBudget(docs: Dataset[DocTokens],
       quotas: Map[String, Long]): Dataset[Admitted] = {

@@ -36,9 +36,25 @@ object EventStreams {
     * metadata read at stream definition (footer-only, not a data scan);
     * ts is then normalized to the engine's canonical nanos BIGINT and
     * ts_utc derived, keeping every downstream transform schema-agnostic. */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    val tsType: DataType = scala.util.Try(
-      spark.read.parquet(dir).schema("ts").dataType).getOrElse(TimestampNTZType)
+  def fromParquetDir(spark: SparkSession, dir: String,
+      tsTypeOverride: Option[DataType] = None): DataFrame = {
+    val tsType: DataType = tsTypeOverride.getOrElse(
+      scala.util.Try(spark.read.parquet(dir).schema("ts").dataType) match {
+        case scala.util.Success(t) => t
+        case scala.util.Failure(e) =>
+          // Bootstrap case: the directory exists but has no footers yet (or
+          // is unreadable). Defaulting silently would make a later schema
+          // mismatch untraceable — if nanos-encoded int64 files arrive
+          // after the stream starts, the declared schema is wrong with no
+          // hint of the cause. Name the fallback loudly; callers that know
+          // the encoding pass tsTypeOverride.
+          System.err.println(
+            s"[graft] EventStreams.fromParquetDir: could not sniff ts dtype from $dir " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); defaulting to TIMESTAMP_NTZ. " +
+              "If nanos-encoded (int64) files arrive later the stream will fail or misread — " +
+              "pass tsTypeOverride=Some(LongType) for a nanos bootstrap.")
+          TimestampNTZType
+      })
     graft.core.Tables.normalizeEventTs(
         spark.readStream.schema(eventsSchema(tsType)).parquet(dir))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))

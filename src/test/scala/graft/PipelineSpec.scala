@@ -375,6 +375,59 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("substring dedup catches a shifted span that chunk hashing misses") {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    // a 20-word verbatim span, at word 6 in doc 1 but word 4 in doc 2: the
+    // differing preambles shift the copy by 13 chars, so every fixed
+    // 100-char window cuts it differently in each doc
+    val span = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val a = "alpha beta gamma delta epsilon " + span + " " +
+      (1 to 30).map(i => s"atail$i").mkString(" ")
+    val b = "one two three " + span + " " +
+      (1 to 30).map(i => s"btail$i").mkString(" ")
+    val c = (1 to 50).map(i => s"noise$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+
+    // fixed-window chunk hashing sees NOTHING shared (the miss this
+    // operator exists to close)
+    val chunkStats = TextAnalysis.chunkDupStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunkStats.values.forall(_ == 0L), s"chunk pass should miss: $chunkStats")
+
+    // substring dedup recovers the exact span, offsets and length included
+    val spans = Dedup.substringSpans(docs, k = 8, minLen = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((1L, 2L, 6L, 4L, 20L)), spans.mkString(", "))
+
+    // a sub-minLen overlap stays silent: truncate the shared span
+    val b2 = "one two three " + (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs2 = Seq((1L, a), (2L, b2)).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(docs2, k = 8, minLen = 16).isEmpty)
+
+    // shift-invariance: any preamble length yields the same span length
+    val b3 = (1 to 7).map(i => s"pre$i").mkString(" ") + " " + span
+    val docs3 = Seq((1L, a), (2L, b3)).toDF("doc_id", "text")
+    val s3 = Dedup.substringSpans(docs3, k = 8, minLen = 16).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(s3.toSeq == Seq((6L, 8L, 20L)))
+  }
+
+  test("substring dedup: postings cap drops hot grams, splitting their spans") {
+    import graft.pipeline.Dedup
+    // the same 24-word span in 4 docs: with maxOcc = 3 every gram of the
+    // span occurs 4 times > cap, so NO span anchors anywhere (regime
+    // boundary documented on the operator); with the default cap all
+    // C(4,2)=6 pairs report the full span
+    val span = (1 to 24).map(i => s"hot$i").mkString(" ")
+    val docs = (1L to 4L).map(i =>
+      (i, s"p${i}a p${i}b p${i}c " + span + s" t${i}")).toDF("doc_id", "text")
+    val full = Dedup.substringSpans(docs, k = 8, minLen = 16)
+    assert(full.count() == 6L)
+    assert(full.collect().forall(_.getLong(4) == 24L))
+    val capped = Dedup.substringSpans(docs, k = 8, minLen = 16, maxOcc = 3L)
+    assert(capped.isEmpty)
+  }
+
   test("semantic dedup: survivors = corpus minus smaller-id near-dup losers, cluster-scoped") {
     import graft.pipeline.Similarity
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")

@@ -384,6 +384,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert("(?s)Sort".r.findAllIn(plan).length <= 1, plan)
   }
 
+  test("bloom decontamination equals broadcast decontamination exactly") {
+    import graft.pipeline.Decontam
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 50 === 0)
+    val viaBroadcast = Decontam.decontaminate(train, eval_)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a coarse fpp maximizes bloom false positives — the exact confirm
+    // join must still remove every one of them
+    val viaBloom = Decontam.decontaminateBloom(train, eval_, fpp = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == viaBroadcast && viaBloom.nonEmpty)
+    assert(viaBloom.size < train.count()) // something was actually scrubbed
+
+    // empty eval set: nothing is contaminated, everything survives
+    val viaEmptyEval = Decontam.decontaminateBloom(train, eval_.limit(0))
+    assert(viaEmptyEval.count() == train.count())
+  }
+
   test("salted join equals plain join on a skewed key") {
     val left = ((1 to 500).map(_ => 1L) ++ Seq(2L, 3L)).toDF("k").repartition(8)
     val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")

@@ -221,6 +221,37 @@ class StreamingSpec extends SparkSpec {
       s"streaming admission diverged: extra=${(got.toSet -- expect.toSet).take(3)} missing=${(expect.toSet -- got.toSet).take(3)}")
   }
 
+  test("streaming admission: one deliberately large single-source group") {
+    import graft.streaming.CorpusStreams
+    // the memory-contract case from the admitWithinBudget scaladoc: ONE
+    // source's entire 50k-doc micro-batch slice is buffered and sorted on
+    // one task — must complete and stay first-fit-deterministic
+    val nDocs = 50000L
+    val big = spark.range(nDocs).select(
+      col("id").as("doc_id"), lit("s0").as("source"),
+      (col("id") % 7 + 1).as("n_tokens"))
+    val dir = Files.createTempDirectory("graft-admit-big")
+    big.coalesce(1).write.parquet(dir.resolve("b0").toString)
+    val quota = 100000L // ~half the ~200k total tokens
+    val stream = spark.readStream.schema(big.schema).parquet(dir.toString + "/*")
+    val q = CorpusStreams.admitWithinBudget(
+        stream.as[CorpusStreams.DocTokens], Map("s0" -> quota))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("admitted_big")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("admitted_big")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // replicate first-fit in doc_id order exactly
+    var used = 0L
+    val expect = (0L until nDocs).flatMap { id =>
+      val n = id % 7 + 1
+      if (used + n <= quota) { used += n; Some((id, n, used)) } else None
+    }
+    assert(got.sortBy(_._1).toSeq == expect)
+    assert(got.map(_._2).sum == used && used <= quota)
+  }
+
   test("streaming decontamination equals batch decontamination") {
     import graft.pipeline.Decontam
     // documents stream; eval slice = doc_id % 50 == 0 (the batch query's split)
