@@ -125,10 +125,11 @@ object PageRank {
     * `iterations` ≪ the cold-start round count, at identical
     * per-iteration cost. Vertices absent from `stored` (new this
     * snapshot) start at the uniform 1/N of the UPDATED graph; the
-    * teleport and dangling terms also use the updated N. Continuation law
-    * (GraphSpec-enforced at 1e-12; cross-engine via q_graph_pagerank_warm,
-    * whose oracle is the UNBROKEN run's unrolled SQL at round-9): on an
-    * unchanged graph,
+    * teleport and dangling terms also use the updated N. Cross-engine
+    * correctness: q_graph_pagerank_warm's oracle replays BOTH stages fully
+    * unrolled (snapshot rounds, then continuation rounds from those ranks),
+    * proving this path directly. Continuation law (GraphSpec-enforced at
+    * 1e-12): on an unchanged graph,
     * `runDampedFrom(runDamped(g, a), g, b)` equals `runDamped(g, a + b)`
     * up to float accumulation-order noise — the dangling-mass scalar and
     * per-vertex contribution sums are partition-order-dependent double

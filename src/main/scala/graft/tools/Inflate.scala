@@ -184,8 +184,16 @@ object GraphScale {
     def report(name: String, t1: Double, tk: Double): Unit =
       println(f"[graphscale] $name%-18s 1x=$t1%.2fs ${k}x=$tk%.2fs ratio=${tk / t1}%.1fx")
 
+    // Materialized on first use, but ALWAYS dereferenced outside time2's
+    // timed closure (the `val _ = core10C` lines below): time2's cleanup
+    // unpersists every RDD not pinned before the timing, so a checkpoint
+    // first materialized INSIDE a sample loses its blocks before sample 2
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
     lazy val (core10, coreBase) = Inflate.replicateGraph(core, k)
     lazy val core10C = core10.localCheckpoint(eager = true)
+    def needsCore10: Boolean = Seq("cc", "pagerank_damped", "pagerank_grown",
+      "sssp_bfs", "cc_inc_fold", "sssp_w_inc_fold").exists(want)
+    if (needsCore10) core10C.count() // pin the checkpoint before any timing
 
     if (want("cc")) report("cc",
       time2("cc")(Graphs.connectedComponents(core)),
