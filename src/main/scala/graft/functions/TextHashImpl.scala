@@ -96,6 +96,43 @@ object TextHashImpl {
     out
   }
 
+  /** Per-position k-gram combined keys over the whitespace tokenization —
+    * the kernel of TextHash.gramKeysSpark (exact-substring dedup): for
+    * 1-based position i,
+    *   g1 = fold (acc*31  + polyHash(w_j))  % P   over words i..i+k-1
+    *   g2 = fold (acc*131 + polyHash2(w_j)) % P2
+    *   key = g1 * P2 + g2.
+    * Per-word hashes computed once (the HOF twin re-folds each word's
+    * chars at every covering position); O(n·k) long ops after that. */
+  def gramKeys(s: String, k: Int): Array[Long] = {
+    val words = tokenize(s)
+    val n = words.length
+    if (n < k) return Array.emptyLongArray
+    val wh1 = new Array[Long](n)
+    val wh2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wh1(i) = polyHash(words(i))
+      wh2(i) = polyHash2(words(i))
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var p = 0
+    while (p <= n - k) {
+      var g1 = 0L
+      var g2 = 0L
+      var j = p
+      while (j < p + k) {
+        g1 = (g1 * 31 + wh1(j)) % P
+        g2 = (g2 * 131 + wh2(j)) % TextHash.P2
+        j += 1
+      }
+      out(p) = g1 * TextHash.P2 + g2
+      p += 1
+    }
+    out
+  }
+
   /** SimBits-bit simhash over a word-hash multiset: majority vote per bit */
   def simHash(wh: Array[Long]): Long = {
     val bits = TextHash.SimBits

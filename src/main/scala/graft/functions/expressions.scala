@@ -266,6 +266,24 @@ case class TextFeaturesExpr(child: Expression, dim: Int) extends UnaryExpression
   override def prettyName: String = "graft_text_features"
 }
 
+/** string -> array<long>: per-position k-word gram keys (exact-substring
+  * dedup seeds; TextHash.gramKeysSpark documents the double-fold
+  * arithmetic, FunctionsSpec pins bit-equivalence to the HOF twin) */
+case class GramKeysExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashImpl.gramKeys(input.asInstanceOf[UTF8String].toString, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextHashImpl.gramKeys($c.toString(), $k))")
+  override protected def withNewChildInternal(newChild: Expression): GramKeysExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_keys"
+}
+
 object GraftFunctions {
   private def c(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
   private def ex(col: Column): Expression = org.apache.spark.sql.GraftBridge.expression(col)
@@ -286,4 +304,5 @@ object GraftFunctions {
   def jaccard(a: Column, b: Column): Column = c(JaccardExpr(ex(a), ex(b)))
   def bigramStats(col: Column): Column = c(BigramStatsExpr(ex(col)))
   def textFeatures(col: Column, dim: Int): Column = c(TextFeaturesExpr(ex(col), dim))
+  def gramKeys(col: Column, k: Int): Column = c(GramKeysExpr(ex(col), k))
 }

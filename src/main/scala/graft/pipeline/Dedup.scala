@@ -515,12 +515,11 @@ object Dedup {
   def substringSpans(docs: DataFrame, k: Int = 8, minLen: Int = 16,
       maxOcc: Long = 1000L): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
-    val ws = wordsSpark("text")
+    // codegen'd kernel (GramKeysExpr — one pass, word hashes computed once);
+    // FunctionsSpec pins bit-equivalence to the TextHash.gramKeysSpark HOF
+    // twin the oracle replays
     val grams = docs
-      .select(col("doc_id"),
-        expr(wordPolyHashesSpark(ws)).as("wh1"),
-        expr(wordPolyHashes2Spark(ws)).as("wh2"))
-      .select(col("doc_id"), posexplode(expr(gramKeysSpark("wh1", "wh2", k))))
+      .select(col("doc_id"), posexplode(GraftFunctions.gramKeys(col("text"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
     val hot = grams.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc).select("h")

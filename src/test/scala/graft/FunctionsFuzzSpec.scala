@@ -64,6 +64,15 @@ class FunctionsFuzzSpec extends SparkSpec {
         expr(TextAnalysis.topRunHof(gs)).cast("long")).as("b")))
   }
 
+  test("gram keys: expression == HOF unguarded (short docs -> empty array)") {
+    for (k <- Seq(3, 8)) assertNoDiff(fuzzDocs
+      .withColumn("wh1", expr(TextHash.wordPolyHashesSpark(TextHash.wordsSpark("text"))))
+      .withColumn("wh2", expr(TextHash.wordPolyHashes2Spark(TextHash.wordsSpark("text"))))
+      .select(
+        GraftFunctions.gramKeys(col("text"), k).as("a"),
+        expr(TextHash.gramKeysSpark("wh1", "wh2", k)).as("b")))
+  }
+
   test("minhash: expression == HOF on possibly-empty shingle sets") {
     assertNoDiff(fuzzDocs
       .withColumn("hs", GraftFunctions.shingleHashes(col("text")))

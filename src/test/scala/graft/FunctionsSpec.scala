@@ -62,6 +62,26 @@ class FunctionsSpec extends SparkSpec {
         expr(TextHash.shingleHashesSpark("ws")).as("b")))
   }
 
+  test("GramKeysExpr == HOF gram keys on the corpus (k=8 and k=3, edges)") {
+    import spark.implicits._
+    for (k <- Seq(8, 3)) {
+      assertNoDiff(docs
+        .withColumn("wh1", expr(TextHash.wordPolyHashesSpark(TextHash.wordsSpark("text"))))
+        .withColumn("wh2", expr(TextHash.wordPolyHashes2Spark(TextHash.wordsSpark("text"))))
+        .select(
+          GraftFunctions.gramKeys(col("text"), k).as("a"),
+          expr(TextHash.gramKeysSpark("wh1", "wh2", k)).as("b")))
+    }
+    // short/degenerate docs: below k words both sides yield empty arrays
+    val edge = Seq("", " ", "a", "a b c d e f g", "a  b").toDF("text")
+    assertNoDiff(edge
+      .withColumn("wh1", expr(TextHash.wordPolyHashesSpark(TextHash.wordsSpark("text"))))
+      .withColumn("wh2", expr(TextHash.wordPolyHashes2Spark(TextHash.wordsSpark("text"))))
+      .select(
+        GraftFunctions.gramKeys(col("text"), 8).as("a"),
+        expr(TextHash.gramKeysSpark("wh1", "wh2", 8)).as("b")))
+  }
+
   test("MinHashSigExpr == HOF minhash") {
     assertNoDiff(docs
       .withColumn("ws", expr(TextHash.wordsSpark("text")))
