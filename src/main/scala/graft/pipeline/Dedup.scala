@@ -515,19 +515,32 @@ object Dedup {
   def substringSpans(docs: DataFrame, k: Int = 8, minLen: Int = 16,
       maxOcc: Long = 1000L): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
-    // codegen'd kernel (GramKeysExpr — one pass, word hashes computed once);
-    // FunctionsSpec pins bit-equivalence to the TextHash.gramKeysSpark HOF
-    // twin the oracle replays
+    val kept = anchorGrams(docs, k, maxOcc)
+    val matches = kept.toDF("h", "doc_a", "pa")
+      .join(kept.toDF("h", "doc_b", "pb"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "pa", "doc_b", "pb")
+    diagonalRuns(matches, k, minLen)
+  }
+
+  /** (h, doc_id, pos) per-position gram keys with the hot-gram postings cap
+    * applied — the shared anchor relation of the substring-dedup family.
+    * Codegen'd kernel (GramKeysExpr — one pass, word hashes computed once);
+    * FunctionsSpec pins bit-equivalence to the TextHash.gramKeysSpark HOF
+    * twin the oracle replays. */
+  private def anchorGrams(docs: DataFrame, k: Int, maxOcc: Long): DataFrame = {
     val grams = docs
       .select(col("doc_id"), posexplode(GraftFunctions.gramKeys(col("text"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
     val hot = grams.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc).select("h")
-    val kept = grams.join(broadcast(hot), Seq("h"), "left_anti")
-    val matches = kept.toDF("h", "doc_a", "pa")
-      .join(kept.toDF("h", "doc_b", "pb"), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "pa", "doc_b", "pb")
+    grams.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
+  /** maximal diagonal runs over (doc_a, pa, doc_b, pb) gram matches: one
+    * window + one groupBy on (doc_a, doc_b, pa - pb); a run of c grams is
+    * a span of c + k - 1 words. */
+  private def diagonalRuns(matches: DataFrame, k: Int, minLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
       .orderBy("pa")
@@ -538,6 +551,61 @@ object Dedup {
       .filter(col("span_words") >= minLen)
       .select(col("doc_a"), col("doc_b"), col("a_start"),
         (col("a_start") - col("diag")).as("b_start"), col("span_words"))
+  }
+
+  /** Per-document duplicated-span coverage — the quality-filter face of
+    * [[substringSpans]]: for every document, how many of its words sit
+    * inside SOME cross-doc shared span ≥ minLen (both sides of every span
+    * count), as an absolute count and a fraction. The span intervals per
+    * doc can overlap (one region shared with many partners), so they are
+    * coalesced ([[graft.ops.Intervals]] gaps-and-islands — same single-
+    * sort shape) before summing. A doc with high cov_frac is boilerplate
+    * or a stitched copy even when no single partner makes it a near-dup —
+    * the per-doc decision signal the pairwise span list doesn't directly
+    * give. Output (doc_id, n_words, n_cov, cov_frac) for EVERY doc
+    * (zero-coverage docs included — it's a filter signal), cov_frac one
+    * IEEE division of exact int64 counts. */
+  def substringCoverage(docs: DataFrame, k: Int = 8, minLen: Int = 16,
+      maxOcc: Long = 1000L): DataFrame = {
+    val spans = substringSpans(docs, k, minLen, maxOcc)
+    val sides = spans.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
+        (col("a_start") + col("span_words") - 1).as("e"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_words") - 1).as("e")))
+    val cov = graft.ops.Intervals.coalesce(sides, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(sum(col("t_end") - col("t_start") + 1).as("n_cov"))
+    docs.select(col("doc_id"),
+        expr(s"size(${wordsSpark("text")})").cast("long").as("n_words"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        round(coalesce(col("n_cov"), lit(0L)).cast("double") / col("n_words"), 6)
+          .as("cov_frac"))
+  }
+
+  /** Intra-document repeated spans — the self-similarity twin of
+    * [[substringSpans]] (the "model loops" / copy-paste-within-doc signal
+    * [[TextAnalysis.repetition]]'s bigram fractions summarize; this gives
+    * the actual spans): maximal word spans ≥ minLen occurring at least
+    * twice WITHIN one document. Same anchor grams; the join pairs
+    * positions of the SAME doc (pa < pb), so each repeat reports the
+    * earlier occurrence at a_start and the later at b_start. A doc
+    * repeating with period p < span length shows as overlapping spans on
+    * diagonal −p — reported as-is (the period is readable from
+    * b_start − a_start). Output (doc_id, a_start, b_start, span_words),
+    * totally ordered by the caller's ORDER BY. */
+  def selfRepeatSpans(docs: DataFrame, k: Int = 8, minLen: Int = 12,
+      maxOcc: Long = 1000L): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    val kept = anchorGrams(docs, k, maxOcc)
+    val matches = kept.toDF("h", "doc_a", "pa")
+      .join(kept.toDF("h", "doc_b", "pb"), "h")
+      .filter(col("doc_a") === col("doc_b") && col("pa") < col("pb"))
+      .select("doc_a", "pa", "doc_b", "pb")
+    diagonalRuns(matches, k, minLen)
+      .select(col("doc_a").as("doc_id"), col("a_start"), col("b_start"),
+        col("span_words"))
   }
 
   /** Brute-force n-gram Jaccard over a deterministic doc_id sample — the

@@ -49,6 +49,18 @@ object PipelineQueries {
   private val SubstrK = 8
   private val SubstrMinLen = 16
   private val SubstrMaxOcc = 64L
+  // self-repeat: the augmented corpus re-appends each doc's first
+  // SelfRepPrefix words, guaranteeing an intra-doc span for the detector
+  private val SelfRepMinLen = 12
+  private val SelfRepPrefix = 20
+  /** augmented (doc_id, text) — the Spark face; trim'd so both engines
+    * tokenize the identical string */
+  private def augDocsSpark(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"concat(trim(text), ' ', array_join(slice(split(trim(text), ' '), 1, $SelfRepPrefix), ' '))")
+        .as("text"))
+  private def augDocsSqlDuck: String =
+    s"SELECT doc_id, concat(trim(text), ' ', array_to_string((string_split(trim(text), ' '))[1:$SelfRepPrefix], ' ')) AS text FROM documents"
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -117,6 +129,21 @@ object PipelineQueries {
     "q_dedup_substring" -> ((s, d) =>
       Dedup.substringSpans(Tables.documents(s, d), SubstrK, SubstrMinLen, SubstrMaxOcc)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")),
+
+    // per-doc duplicated-span coverage: fraction of each doc's words inside
+    // some cross-doc shared span — the quality-filter decision signal
+    // (span intervals coalesced via the gaps-and-islands sweep)
+    "q_dedup_substring_cov" -> ((s, d) =>
+      Dedup.substringCoverage(Tables.documents(s, d), SubstrK, SubstrMinLen, SubstrMaxOcc)
+        .orderBy("doc_id")),
+
+    // intra-doc repeated spans on the deterministically augmented corpus
+    // (each doc's first 20 words re-appended — the synthetic face that
+    // guarantees repeats on testdata, like q_graph_cc_chain's chain)
+    "q_text_selfrepeat" -> ((s, d) =>
+      Dedup.selfRepeatSpans(augDocsSpark(Tables.documents(s, d)),
+          SubstrK, SelfRepMinLen, SubstrMaxOcc)
+        .orderBy("doc_id", "a_start", "b_start")),
 
     // same output as q_dedup_final, via the bloom-pruned anti-join (the
     // scale path when the loser set outgrows a broadcast) — oracle unchanged
@@ -1468,24 +1495,31 @@ object PipelineQueries {
 
   /** exact-substring replay: same double-fold gram keys (TextHash
     * constants), same postings cap, same diagonal-run grouping — integer
-    * arithmetic end to end, so the span sets match bit-for-bit */
-  private val substringSql = {
-    val k = SubstrK
-    s"""WITH w AS MATERIALIZED (
+    * arithmetic end to end, so the span sets match bit-for-bit.
+    * `docsSql` selects the (doc_id, text) input relation; `selfJoin`
+    * switches the anchor join from cross-doc (doc_a < doc_b) to
+    * intra-doc (same doc, pa < pb). Yields CTEs through `runs`. */
+  private def substringCtes(k: Int, maxOcc: Long, docsSql: String,
+      selfJoin: Boolean): String = {
+    val joinCond =
+      if (selfJoin) "a.doc_id = b.doc_id AND a.pos < b.pos"
+      else "a.doc_id < b.doc_id"
+    s"""WITH d AS MATERIALIZED ($docsSql),
+       |w AS MATERIALIZED (
        |  SELECT doc_id, ${wordPolyHashesDuck(wordsDuck("text"))} AS wh1,
        |         ${wordPolyHashes2Duck(wordsDuck("text"))} AS wh2
-       |  FROM documents),
+       |  FROM d),
        |p AS MATERIALIZED (
        |  SELECT doc_id, wh1, wh2, unnest(range(1, len(wh1) - $k + 2)) AS pos FROM w),
        |g AS MATERIALIZED (
        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |         ${gramKeyDuck("wh1", "wh2", "pos", k)} AS h
        |  FROM p),
-       |hot AS MATERIALIZED (SELECT h FROM g GROUP BY h HAVING count(*) > $SubstrMaxOcc),
+       |hot AS MATERIALIZED (SELECT h FROM g GROUP BY h HAVING count(*) > $maxOcc),
        |kept AS MATERIALIZED (SELECT * FROM g WHERE h NOT IN (SELECT h FROM hot)),
        |m AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, a.pos AS pa, b.doc_id AS doc_b, b.pos AS pb
-       |  FROM kept a JOIN kept b USING (h) WHERE a.doc_id < b.doc_id),
+       |  FROM kept a JOIN kept b USING (h) WHERE $joinCond),
        |r AS MATERIALIZED (
        |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
        |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
@@ -1493,14 +1527,70 @@ object PipelineQueries {
        |runs AS MATERIALIZED (
        |  SELECT doc_a, doc_b, diag, min(pa) AS a_start,
        |         CAST(count(*) + $k - 1 AS BIGINT) AS span_words
-       |  FROM r GROUP BY doc_a, doc_b, diag, grp)
-       |SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
-       |FROM runs WHERE span_words >= $SubstrMinLen
-       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+       |  FROM r GROUP BY doc_a, doc_b, diag, grp)""".stripMargin
   }
+
+  private val plainDocsSql = "SELECT doc_id, text FROM documents"
+
+  private val substringSql =
+    substringCtes(SubstrK, SubstrMaxOcc, plainDocsSql, selfJoin = false) +
+      s"""
+         |SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
+         |FROM runs WHERE span_words >= $SubstrMinLen
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
+  /** coverage replay: both sides of every qualifying span become per-doc
+    * intervals, coalesced by the gaps-and-islands sweep (running max of
+    * prior ends — the Intervals.coalesce arithmetic), then summed;
+    * zero-coverage docs ride in via the left join */
+  private val substringCovSql =
+    substringCtes(SubstrK, SubstrMaxOcc, plainDocsSql, selfJoin = false) +
+      s""",
+         |spans AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
+         |  FROM runs WHERE span_words >= $SubstrMinLen),
+         |sides AS MATERIALIZED (
+         |  SELECT doc_a AS doc_id, a_start AS s, a_start + span_words - 1 AS e FROM spans
+         |  UNION ALL
+         |  SELECT doc_b, b_start, b_start + span_words - 1 FROM spans),
+         |marked AS MATERIALIZED (
+         |  SELECT doc_id, s, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM sides),
+         |islands AS MATERIALIZED (
+         |  SELECT doc_id, s, e,
+         |         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY s, e
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM marked),
+         |cov AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(ie - is_ + 1) AS BIGINT) AS n_cov FROM (
+         |    SELECT doc_id, island, min(s) AS is_, max(e) AS ie
+         |    FROM islands GROUP BY doc_id, island)
+         |  GROUP BY doc_id),
+         |nw AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(${wordsDuck("text")}) AS BIGINT) AS n_words FROM d)
+         |SELECT nw.doc_id, nw.n_words, coalesce(cov.n_cov, 0) AS n_cov,
+         |       round(CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / nw.n_words, 6) AS cov_frac
+         |FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id
+         |ORDER BY nw.doc_id""".stripMargin
+
+  /** self-repeat replay on the deterministically augmented corpus (text
+    * plus its own first 20 words re-appended — the synthetic face that
+    * guarantees intra-doc repeats on testdata, the q_graph_cc_chain
+    * precedent); intra-doc anchor join, same runs machinery */
+  private val selfRepeatSql =
+    substringCtes(SubstrK, SubstrMaxOcc, augDocsSqlDuck, selfJoin = true) +
+      s"""
+         |SELECT doc_a AS doc_id, a_start, a_start - diag AS b_start, span_words
+         |FROM runs WHERE span_words >= $SelfRepMinLen
+         |ORDER BY doc_id, a_start, b_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_substring" -> substringSql,
+    "q_dedup_substring_cov" -> substringCovSql,
+    "q_text_selfrepeat" -> selfRepeatSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper""",

@@ -412,6 +412,37 @@ class PipelineSpec extends SparkSpec {
     assert(s3.toSeq == Seq((6L, 8L, 20L)))
   }
 
+  test("substring coverage: overlapping spans coalesce; zero-cov docs included") {
+    import graft.pipeline.Dedup
+    val w = (1 to 30).map(i => s"w$i")
+    val a = (w ++ (1 to 10).map(i => s"atail$i")).mkString(" ")      // 40 words
+    val b = (w.take(20) ++ (1 to 20).map(i => s"btail$i")).mkString(" ")
+    val c = (w.drop(9) ++ (1 to 20).map(i => s"ctail$i")).mkString(" ") // w10..w30
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, (1 to 25).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // doc 1 shares words 1-20 with doc 2 and words 10-30 with doc 3; the
+    // two intervals overlap and must coalesce to 1..30 = 30 words, not 41
+    val got = Dedup.substringCoverage(docs, k = 8, minLen = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((40L, 30L, 0.75)), got(1L).toString)
+    assert(got(2L) == ((40L, 20L, 0.5)))
+    assert(got(3L) == ((41L, 21L, round6(21.0 / 41))))
+    assert(got(4L) == ((25L, 0L, 0.0))) // no spans, still reported
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("self-repeat spans: an internal copy is found; clean docs are silent") {
+    import graft.pipeline.Dedup
+    val span = (1 to 20).map(i => s"rep$i").mkString(" ")
+    val looped = span + " " + (1 to 5).map(i => s"mid$i").mkString(" ") + " " + span
+    val clean = (1 to 60).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, looped), (2L, clean)).toDF("doc_id", "text")
+    val got = Dedup.selfRepeatSpans(docs, k = 8, minLen = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 26L, 20L)), got.mkString(", "))
+  }
+
   test("substring dedup: postings cap drops hot grams, splitting their spans") {
     import graft.pipeline.Dedup
     // the same 24-word span in 4 docs: with maxOcc = 3 every gram of the
