@@ -584,6 +584,41 @@ object Dedup {
           .as("cov_frac"))
   }
 
+  /** Substring SCRUB — the dedup ACTION over [[substringSpans]] (Lee et
+    * al. 2022 remove all but one copy of each duplicated span; this is
+    * that, at word granularity with the dedup family's min-id-keeper
+    * convention): every span's LATER side (doc_b — doc_a < doc_b by
+    * construction, so the lowest doc id always keeps its copy; a chain
+    * doc1~doc2~doc3 sharing one span scrubs it from 2 and 3, keeping
+    * exactly one surviving occurrence) has its covered word positions
+    * removed from the text. Loser intervals per doc are coalesced
+    * ([[graft.ops.Intervals]]) and shipped as a per-doc array (spans per
+    * doc are few — bounded by partners × regions, not corpus size), and
+    * the rewrite is one codegen'd filter-by-position projection per row —
+    * payload text is touched exactly once, at its own scan.
+    * Output (doc_id, n_words, n_removed, text_scrubbed) for EVERY doc
+    * (untouched docs ride through with n_removed = 0). */
+  def substringScrub(docs: DataFrame, k: Int = 8, minLen: Int = 16,
+      maxOcc: Long = 1000L): DataFrame = {
+    val spans = substringSpans(docs, k, minLen, maxOcc)
+    val loserIv = spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+      (col("b_start") + col("span_words") - 1).as("e"))
+    val ivList = graft.ops.Intervals.coalesce(loserIv, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      // membership test below is order-independent, so collect_list's
+      // nondeterministic order is harmless
+      .agg(collect_list(struct(col("t_start"), col("t_end"))).as("iv"))
+    docs.join(ivList, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("iv"))
+      .withColumn("kept", expr(
+        """filter(transform(split(trim(text), ' '), (w, i) -> named_struct('w', w, 'p', CAST(i + 1 AS BIGINT))),
+          |       s -> iv IS NULL OR NOT exists(iv, r -> s.p >= r.t_start AND s.p <= r.t_end))""".stripMargin))
+      .select(col("doc_id"),
+        expr(s"size(${wordsSpark("text")})").cast("long").as("n_words"),
+        (expr(s"size(${wordsSpark("text")})") - size(col("kept"))).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(kept, s -> s.w))").as("text_scrubbed"))
+  }
+
   /** Intra-document repeated spans — the self-similarity twin of
     * [[substringSpans]] (the "model loops" / copy-paste-within-doc signal
     * [[TextAnalysis.repetition]]'s bigram fractions summarize; this gives

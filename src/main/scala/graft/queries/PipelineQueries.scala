@@ -137,6 +137,12 @@ object PipelineQueries {
       Dedup.substringCoverage(Tables.documents(s, d), SubstrK, SubstrMinLen, SubstrMaxOcc)
         .orderBy("doc_id")),
 
+    // the dedup ACTION: remove every duplicated span's later (higher
+    // doc_id) occurrence, keeping exactly one surviving copy corpus-wide
+    "q_dedup_substring_scrub" -> ((s, d) =>
+      Dedup.substringScrub(Tables.documents(s, d), SubstrK, SubstrMinLen, SubstrMaxOcc)
+        .orderBy("doc_id")),
+
     // intra-doc repeated spans on the deterministically augmented corpus
     // (each doc's first 20 words re-appended — the synthetic face that
     // guarantees repeats on testdata, like q_graph_cc_chain's chain)
@@ -1576,6 +1582,52 @@ object PipelineQueries {
          |FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id
          |ORDER BY nw.doc_id""".stripMargin
 
+  /** scrub replay: loser-side (doc_b) intervals per doc, coalesced by the
+    * same islands sweep, then a positional word filter + ordered
+    * re-concatenation; untouched docs keep their text verbatim */
+  private val substringScrubSql =
+    substringCtes(SubstrK, SubstrMaxOcc, plainDocsSql, selfJoin = false) +
+      s""",
+         |spans AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
+         |  FROM runs WHERE span_words >= $SubstrMinLen),
+         |sides AS MATERIALIZED (
+         |  SELECT doc_b AS doc_id, b_start AS s, b_start + span_words - 1 AS e FROM spans),
+         |marked AS MATERIALIZED (
+         |  SELECT doc_id, s, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM sides),
+         |islands AS MATERIALIZED (
+         |  SELECT doc_id, s, e,
+         |         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY s, e
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM marked),
+         |ig AS MATERIALIZED (
+         |  SELECT doc_id, island, min(s) AS is_, max(e) AS ie
+         |  FROM islands GROUP BY doc_id, island),
+         |ws2 AS MATERIALIZED (
+         |  SELECT doc_id, ${wordsDuck("text")} AS ws FROM d),
+         |wpos AS MATERIALIZED (
+         |  SELECT doc_id, unnest(ws) AS w,
+         |         CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS p
+         |  FROM ws2),
+         |keptw AS MATERIALIZED (
+         |  SELECT doc_id, w, p FROM wpos
+         |  WHERE NOT EXISTS (SELECT 1 FROM ig
+         |                    WHERE ig.doc_id = wpos.doc_id
+         |                      AND wpos.p BETWEEN ig.is_ AND ig.ie)),
+         |agg AS MATERIALIZED (
+         |  SELECT doc_id, coalesce(string_agg(w, ' ' ORDER BY p), '') AS text_scrubbed,
+         |         CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM keptw GROUP BY doc_id)
+         |SELECT ws2.doc_id, CAST(len(ws2.ws) AS BIGINT) AS n_words,
+         |       CAST(len(ws2.ws) AS BIGINT) - coalesce(agg.n_kept, 0) AS n_removed,
+         |       coalesce(agg.text_scrubbed, '') AS text_scrubbed
+         |FROM ws2 LEFT JOIN agg ON ws2.doc_id = agg.doc_id
+         |ORDER BY ws2.doc_id""".stripMargin
+
   /** self-repeat replay on the deterministically augmented corpus (text
     * plus its own first 20 words re-appended — the synthetic face that
     * guarantees intra-doc repeats on testdata, the q_graph_cc_chain
@@ -1590,6 +1642,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_dedup_substring" -> substringSql,
     "q_dedup_substring_cov" -> substringCovSql,
+    "q_dedup_substring_scrub" -> substringScrubSql,
     "q_text_selfrepeat" -> selfRepeatSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies

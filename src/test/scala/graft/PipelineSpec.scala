@@ -443,6 +443,25 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 26L, 20L)), got.mkString(", "))
   }
 
+  test("substring scrub: one surviving copy per span chain, min-id keeps") {
+    import graft.pipeline.Dedup
+    val span = (1 to 20).map(i => s"s$i")
+    def doc(tag: String) = (span ++ (1 to 15).map(i => s"$tag$i")).mkString(" ")
+    // three docs share the same 20-word span; doc 1 must keep it, docs 2
+    // and 3 must lose exactly those 20 words and nothing else
+    val docs = Seq((1L, doc("a")), (2L, doc("b")), (3L, doc("c")),
+      (4L, (1 to 40).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(docs, k = 8, minLen = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((35L, 0L, doc("a"))))
+    assert(got(2L) == ((35L, 20L, (1 to 15).map(i => s"b$i").mkString(" "))))
+    assert(got(3L) == ((35L, 20L, (1 to 15).map(i => s"c$i").mkString(" "))))
+    assert(got(4L) == ((40L, 0L, (1 to 40).map(i => s"u$i").mkString(" "))))
+    // corpus-wide: exactly one copy of the span survives
+    val survivors = got.values.count(_._3.contains(span.mkString(" ")))
+    assert(survivors == 1)
+  }
+
   test("substring dedup: postings cap drops hot grams, splitting their spans") {
     import graft.pipeline.Dedup
     // the same 24-word span in 4 docs: with maxOcc = 3 every gram of the
