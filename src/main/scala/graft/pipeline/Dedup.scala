@@ -523,18 +523,63 @@ object Dedup {
     diagonalRuns(matches, k, minLen)
   }
 
-  /** (h, doc_id, pos) per-position gram keys with the hot-gram postings cap
-    * applied — the shared anchor relation of the substring-dedup family.
-    * Codegen'd kernel (GramKeysExpr — one pass, word hashes computed once);
-    * FunctionsSpec pins bit-equivalence to the TextHash.gramKeysSpark HOF
-    * twin the oracle replays. */
-  private def anchorGrams(docs: DataFrame, k: Int, maxOcc: Long): DataFrame = {
-    val grams = docs
+  /** (h, doc_id, pos) raw per-position gram keys — the substring-dedup
+    * family's STORED INDEX relation (uncapped; the postings cap is a
+    * query-time decision over combined counts, so the index stays
+    * split-agnostic). Codegen'd kernel (GramKeysExpr — one pass, word
+    * hashes computed once); FunctionsSpec pins bit-equivalence to the
+    * TextHash.gramKeysSpark HOF twin the oracle replays. */
+  def substringIndex(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(GraftFunctions.gramKeys(col("text"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+
+  /** [[substringIndex]] with the hot-gram postings cap applied — the
+    * shared anchor relation of the batch substring-dedup operators. */
+  private def anchorGrams(docs: DataFrame, k: Int, maxOcc: Long): DataFrame = {
+    val grams = substringIndex(docs, k)
     val hot = grams.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc).select("h")
     grams.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
+  /** Incremental exact-substring dedup — the append-only-ingest face of
+    * [[substringSpans]] (the family's q_dedup_incremental_idx pattern):
+    * spans between the incoming batch and an EXISTING corpus represented
+    * by its stored gram index ([[substringIndex]] — only the incoming
+    * batch is ever tokenized/keyed per ingest), plus incoming-incoming
+    * spans; existing-existing pairs are never re-examined. Provably
+    * equals the batch run over the union RESTRICTED to pairs touching at
+    * least one incoming doc (PipelineSpec enforces; the oracle replays
+    * the union with that restriction), because the postings cap is
+    * computed over the UNION's combined gram counts — the stored index's
+    * counts plus the batch's — exactly as the batch run would see them
+    * (a per-side cap would diverge the moment a gram is hot only in the
+    * union; a spec fixture pins this).
+    * Scale: per ingest, gram-keying cost is batch-sized; the join ships
+    * index rows only for gram keys the batch actually carries. */
+  def incrementalSubstringSpans(index: DataFrame, incoming: DataFrame,
+      k: Int = 8, minLen: Int = 16, maxOcc: Long = 1000L): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    val inc = substringIndex(incoming, k)
+    val unionCounts = index.groupBy("h").agg(count(lit(1)).as("c1"))
+      .join(inc.groupBy("h").agg(count(lit(1)).as("c2")), Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("c1"), lit(0L)) + coalesce(col("c2"), lit(0L))).as("occ"))
+    val hot = unionCounts.filter(col("occ") > maxOcc).select("h")
+    val keptInc = inc.join(broadcast(hot), Seq("h"), "left_anti")
+    val keptEx = index.join(broadcast(hot), Seq("h"), "left_anti")
+    val keptAll = keptEx.unionByName(keptInc)
+    // each qualifying unordered pair exactly once: (incoming as the lower
+    // id) vs everything, plus (existing as the lower id) vs incoming —
+    // never existing-existing
+    val mA = keptInc.toDF("h", "doc_a", "pa")
+      .join(keptAll.toDF("h", "doc_b", "pb"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+    val mB = keptEx.toDF("h", "doc_a", "pa")
+      .join(keptInc.toDF("h", "doc_b", "pb"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+    diagonalRuns(mA.unionByName(mB).select("doc_a", "pa", "doc_b", "pb"), k, minLen)
   }
 
   /** maximal diagonal runs over (doc_a, pa, doc_b, pb) gram matches: one

@@ -137,6 +137,31 @@ object PipelineQueries {
       Dedup.substringCoverage(Tables.documents(s, d), SubstrK, SubstrMinLen, SubstrMaxOcc)
         .orderBy("doc_id")),
 
+    // incremental substring ingest: spans touching the odd-id batch
+    // against the even-id existing corpus — existing-existing pairs never
+    // re-examined; oracle = batch union replay restricted to batch-touching
+    // pairs (the q_dedup_incremental equality convention)
+    "q_dedup_substring_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalSubstringSpans(
+          Dedup.substringIndex(docs.filter(col("doc_id") % 2 === 0), SubstrK),
+          docs.filter(col("doc_id") % 2 === 1),
+          SubstrK, SubstrMinLen, SubstrMaxOcc)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
+
+    // the stored-index twin: identical split and oracle, but the existing
+    // corpus's gram index is MATERIALIZED — the ingest never re-keys
+    // existing text; hash equality proves stored-index == recompute
+    "q_dedup_substring_inc_idx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.substringIndex(docs.filter(col("doc_id") % 2 === 0), SubstrK)
+        .localCheckpoint(eager = true)
+      Dedup.incrementalSubstringSpans(index, docs.filter(col("doc_id") % 2 === 1),
+          SubstrK, SubstrMinLen, SubstrMaxOcc)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
+
     // the dedup ACTION: remove every duplicated span's later (higher
     // doc_id) occurrence, keeping exactly one surviving copy corpus-wide
     "q_dedup_substring_scrub" -> ((s, d) =>
@@ -1582,6 +1607,18 @@ object PipelineQueries {
          |FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id
          |ORDER BY nw.doc_id""".stripMargin
 
+  /** incremental replay: the batch union's spans restricted to pairs
+    * touching the odd-id ingest batch — the restriction IS the contract
+    * (hot cap over union counts included, since the engine computes it
+    * from stored-index + batch counts) */
+  private val substringIncSql =
+    substringCtes(SubstrK, SubstrMaxOcc, plainDocsSql, selfJoin = false) +
+      s"""
+         |SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
+         |FROM runs
+         |WHERE span_words >= $SubstrMinLen AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
   /** scrub replay: loser-side (doc_b) intervals per doc, coalesced by the
     * same islands sweep, then a positional word filter + ordered
     * re-concatenation; untouched docs keep their text verbatim */
@@ -1643,6 +1680,10 @@ object PipelineQueries {
     "q_dedup_substring" -> substringSql,
     "q_dedup_substring_cov" -> substringCovSql,
     "q_dedup_substring_scrub" -> substringScrubSql,
+    "q_dedup_substring_inc" -> substringIncSql,
+    // the stored-index path changes WHERE grams come from, not what they
+    // are — same split, same oracle, hash equality IS the proof
+    "q_dedup_substring_inc_idx" -> substringIncSql,
     "q_text_selfrepeat" -> selfRepeatSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies

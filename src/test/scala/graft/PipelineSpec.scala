@@ -443,6 +443,45 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 26L, 20L)), got.mkString(", "))
   }
 
+  test("incremental substring == batch union restricted to batch-touching pairs") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalSubstringSpans(
+        Dedup.substringIndex(existing), incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = Dedup.substringSpans(docs)
+      .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(inc == batch && inc.nonEmpty,
+      s"extra=${(inc -- batch).take(3)} missing=${(batch -- inc).take(3)}")
+    // no existing-existing pair ever surfaces
+    assert(inc.forall(t => t._1 % 2 == 1 || t._2 % 2 == 1))
+  }
+
+  test("incremental substring: postings cap uses UNION counts, not per-side") {
+    import graft.pipeline.Dedup
+    // the shared 24-word span occurs twice on each side: per-side count 2
+    // <= cap 3, union count 4 > cap — a per-side cap would anchor spans,
+    // the union cap must drop every gram (matching the batch run)
+    val span = (1 to 24).map(i => s"hot$i").mkString(" ")
+    val mk = (i: Long) => (i, s"p${i}a p${i}b p${i}c " + span + s" t$i")
+    val docs = Seq(mk(1L), mk(2L), mk(3L), mk(4L)).toDF("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalSubstringSpans(
+      Dedup.substringIndex(existing), incoming, k = 8, minLen = 16, maxOcc = 3L)
+    assert(inc.isEmpty) // union-hot grams anchor nothing, like the batch run
+    val batch = Dedup.substringSpans(docs, k = 8, minLen = 16, maxOcc = 3L)
+      .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+    assert(batch.isEmpty)
+    // sanity: below the cap the same split reports the cross-side spans
+    val loose = Dedup.incrementalSubstringSpans(
+      Dedup.substringIndex(existing), incoming, k = 8, minLen = 16, maxOcc = 64L)
+    assert(loose.count() == 5L) // pairs (1,2),(1,3),(1,4),(2,3),(3,4): all but even-even (2,4)
+  }
+
   test("substring scrub: one surviving copy per span chain, min-id keeps") {
     import graft.pipeline.Dedup
     val span = (1 to 20).map(i => s"s$i")
