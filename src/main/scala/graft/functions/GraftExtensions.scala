@@ -43,6 +43,15 @@ object GraftExtensions {
     fn("graft_jaccard", "Jaccard similarity of distinct-hash arrays", 2)(a => JaccardExpr(a(0), a(1))),
     fn("graft_bigram_stats", "[n, n_uniq, top] word-bigram repetition stats", 1)(a => BigramStatsExpr(a.head)),
     fn("graft_neardup_keys", "per-band full-width near-dup bucket keys", 1)(a => NearDupKeysExpr(a.head)),
+    fn("graft_gram_keys", "per-position k-word gram keys (exact-substring dedup seeds)", 2)(a => {
+      val k = a(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_gram_keys: k must be an INT literal, got $other")
+      }
+      GramKeysExpr(a(0), k)
+    }),
   )
 
   /** Register into a live session (the extensions path only applies at

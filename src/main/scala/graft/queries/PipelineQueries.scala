@@ -162,6 +162,33 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     }),
 
+    // pure-SQL surface for the substring-dedup pipeline: gram keys ->
+    // postings cap -> cross-doc join -> diagonal runs, composed entirely
+    // in one spark.sql statement over graft_gram_keys — a SQL-only user
+    // runs the same exact-substring dedup, hash-matching the same oracle
+    "q_sql_substring" -> ((s, d) => {
+      graft.functions.GraftExtensions.installInto(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      s.sql(
+        s"""WITH g AS (
+           |  SELECT doc_id, CAST(p + 1 AS BIGINT) AS pos, h
+           |  FROM graft_documents
+           |  LATERAL VIEW posexplode(graft_gram_keys(text, $SubstrK)) t AS p, h),
+           |hot AS (SELECT h FROM g GROUP BY h HAVING count(*) > $SubstrMaxOcc),
+           |kept AS (SELECT g.* FROM g LEFT ANTI JOIN hot ON g.h = hot.h),
+           |m AS (SELECT a.doc_id AS doc_a, a.pos AS pa, b.doc_id AS doc_b, b.pos AS pb
+           |      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+           |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+           |      FROM m),
+           |runs AS (SELECT doc_a, doc_b, diag, min(pa) AS a_start,
+           |           count(*) + ${SubstrK - 1} AS span_words
+           |         FROM r GROUP BY doc_a, doc_b, diag, grp)
+           |SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
+           |FROM runs WHERE span_words >= $SubstrMinLen
+           |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin)
+    }),
+
     // the dedup ACTION: remove every duplicated span's later (higher
     // doc_id) occurrence, keeping exactly one surviving copy corpus-wide
     "q_dedup_substring_scrub" -> ((s, d) =>
@@ -1681,6 +1708,8 @@ object PipelineQueries {
     "q_dedup_substring_cov" -> substringCovSql,
     "q_dedup_substring_scrub" -> substringScrubSql,
     "q_dedup_substring_inc" -> substringIncSql,
+    // the SQL-composed pipeline is the same computation — same oracle
+    "q_sql_substring" -> substringSql,
     // the stored-index path changes WHERE grams come from, not what they
     // are — same split, same oracle, hash equality IS the proof
     "q_dedup_substring_inc_idx" -> substringIncSql,

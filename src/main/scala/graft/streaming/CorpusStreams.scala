@@ -63,6 +63,51 @@ object CorpusStreams {
       }
   }
 
+  /** Streaming substring-dedup ingest: each micro-batch of documents is
+    * checked against the stored gram index
+    * ([[graft.pipeline.Dedup.substringIndex]]) for verbatim shared spans —
+    * the batch-vs-index join of
+    * [[graft.pipeline.Dedup.incrementalSubstringSpans]], run per trigger
+    * via foreachBatch (diagonal-run detection needs a window function, so
+    * the per-batch relational form IS the production shape; the stream
+    * holds NO state — the index is the state, owned by the caller's
+    * storage). Spans found per batch are appended to `spansDir`; the
+    * micro-batch's own grams are appended to `indexDir` AFTER the span
+    * check, so later batches see earlier batches through the growing
+    * index (exactly the incremental contract, one batch at a time) —
+    * the union of all batches' spans equals the full batch run's span
+    * set. One caveat, documented as the online-decision contract (the
+    * admitWithinBudget convention): the hot-gram postings cap is computed
+    * per trigger over PREFIX counts (index-so-far + batch), so a gram
+    * that only becomes hot in the final union can anchor early-batch
+    * spans the one-shot run would drop; with the cap effectively off the
+    * stream total is exactly the batch total (StreamingSpec proves it). */
+  def substringIngest(docs: DataFrame, indexDir: String, spansDir: String,
+      checkpointDir: String, k: Int = 8, minLen: Int = 16,
+      maxOcc: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint(eager = true)
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(idxPath)) sp.read.parquet(indexDir)
+          else sp.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("pos"),
+            lit(0L).as("h")).limit(0)
+        val spans = graft.pipeline.Dedup
+          .incrementalSubstringSpans(index, b, k, minLen, maxOcc)
+          .localCheckpoint(eager = true)
+        spans.write.mode("append").parquet(spansDir)
+        // index grows only after the check: a batch never matches itself
+        // through the index (its internal pairs come from the batch side)
+        graft.pipeline.Dedup.substringIndex(b, k)
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
+
   /** documents frame → (doc_id, source, n_tokens) with the same BPE-ish
     * token estimate as the batch allocator; works on static AND streaming
     * frames (pure projection). */

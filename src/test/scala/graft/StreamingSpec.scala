@@ -252,6 +252,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._2).sum == used && used <= quota)
   }
 
+  test("streaming substring ingest: union of per-batch spans equals the batch run") {
+    import graft.streaming.CorpusStreams
+    import graft.pipeline.Dedup
+    val docsPath = sf("sf0.001") + "/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath).select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-ss-stream")
+    // two deterministic micro-batches: evens land first, odds second
+    batchDocs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.resolve("in/b0").toString)
+    batchDocs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(dir.resolve("in/b1").toString)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.substringIngest(stream,
+      dir.resolve("index").toString, dir.resolve("spans").toString,
+      dir.resolve("ck").toString)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(dir.resolve("spans").toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = Dedup.substringSpans(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    // the grown index is the full corpus's gram relation
+    assert(spark.read.parquet(dir.resolve("index").toString).count() ==
+      Dedup.substringIndex(batchDocs).count())
+  }
+
   test("streaming decontamination equals batch decontamination") {
     import graft.pipeline.Decontam
     // documents stream; eval slice = doc_id % 50 == 0 (the batch query's split)
