@@ -70,7 +70,7 @@ object SparkEntry {
     // (changed graph) which sits under 2x cold (both stages priced)
     "q_graph_pagerank_grown", "q_graph_pagerank_warm",
     "q_interval_coalesce", "q_text_chunk_dup", "q_text_embed", "q_scd2_join",
-    "q_dedup_substring",
+    "q_dedup_substring", "q_dedup_substring_inc", "q_dedup_substring_inc_idx",
     "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
   ).filter(queries.contains)
 }

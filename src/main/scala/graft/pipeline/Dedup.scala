@@ -515,7 +515,11 @@ object Dedup {
   def substringSpans(docs: DataFrame, k: Int = 8, minLen: Int = 16,
       maxOcc: Long = 1000L): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
-    val kept = anchorGrams(docs, k, maxOcc)
+    // materialize the anchor relation once: the self-join's two sides would
+    // otherwise each re-run the scan + gram kernel + hot-count aggregation
+    // (the minhash pipeline's sigs-checkpoint precedent) — at corpus scale
+    // text is the dominant read and must be touched once
+    val kept = anchorGrams(docs, k, maxOcc).localCheckpoint(eager = true)
     val matches = kept.toDF("h", "doc_a", "pa")
       .join(kept.toDF("h", "doc_b", "pb"), "h")
       .filter(col("doc_a") < col("doc_b"))
@@ -561,7 +565,8 @@ object Dedup {
   def incrementalSubstringSpans(index: DataFrame, incoming: DataFrame,
       k: Int = 8, minLen: Int = 16, maxOcc: Long = 1000L): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
-    val inc = substringIndex(incoming, k)
+    // batch text gram-keyed ONCE (counts + kept + two join sides reuse it)
+    val inc = substringIndex(incoming, k).localCheckpoint(eager = true)
     val unionCounts = index.groupBy("h").agg(count(lit(1)).as("c1"))
       .join(inc.groupBy("h").agg(count(lit(1)).as("c2")), Seq("h"), "full_outer")
       .select(col("h"),
