@@ -70,14 +70,14 @@ object VecKMeans {
   def centroidOf(vs: VecSum): Array[Double] =
     vs.sum.map(s => s.toDouble / (vs.n * QuantScale).toDouble)
 
-  private def sqDist(v: Array[Float], c: Array[Double]): Double = {
+  private[pipeline] def sqDist(v: Array[Float], c: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
     acc
   }
 
-  private def nearest(v: Array[Float], cents: Array[Array[Double]]): Int = {
+  private[pipeline] def nearest(v: Array[Float], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

@@ -394,6 +394,22 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
+    // IVF+PQ composite ANN (the FAISS-IVFPQ shape, raw-vector codes): a
+    // k-means coarse quantizer prunes each query's ADC scan to nprobe
+    // cells, PQ codes bound per-candidate cost to M table reads, exact
+    // rerank makes emitted scores true cosines. Both trainings share the
+    // quantized-update determinism, so the ENTIRE composite — two
+    // trainings, cell probe ranking, restricted ADC scan, rerank — is
+    // oracle-checked (simIvfPqSql); recall measured in VecKMeansSpec.
+    "q_sim_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.pipeline.VecKMeans.train(emb, k = 8, iterations = 3)
+      val cb = graft.pipeline.ProductQuant.train(emb, iterations = 3)
+      graft.pipeline.ProductQuant.ivfpqTopK(emb, emb.filter(col("vec_id") < NumQueryVecs),
+          cents, cb, TopK, nprobe = 3, refine = 25)
+        .orderBy("qid", "rn")
+    }),
+
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -1109,11 +1125,15 @@ object PipelineQueries {
   private def sqdistDuck(v: String, c: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i]))), (acc, x) -> acc + x)"
 
-  /** Unrolled quantized-Lloyd clustering CTEs, ending in
-    * `clusters(vec_id, cluster)` — the shared replay of VecKMeans.train +
-    * assign (same deterministic seeding, same int64-quantized updates,
-    * same strict-< argmin tie-break as simIvfSql's training block). */
-  private def lloydClustersCte(k: Int, iters: Int): String = {
+  /** Shared unrolled quantized-Lloyd TRAINING block: `e`, `dims`,
+    * `c0`..`c$iters` — the replay of VecKMeans.train (deterministic
+    * lowest-vec_id seeding, int64-quantized updates, strict-< argmin
+    * tie-break). Training is replayable in SQL because the engine's
+    * update step uses QUANTIZED exact int64 sums (VecKMeans.QuantScale):
+    * round(v * 2^20) is identical arithmetic in both engines, integer
+    * sums are order-free, and the mean is one IEEE division. Callers
+    * append their own assignment/probe CTEs over `c$iters`. */
+  private def ivfTrainCte(k: Int, iters: Int): String = {
     val qsum = "CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)"
     def iter(t: Int) =
       s"""a$t AS MATERIALIZED (
@@ -1139,14 +1159,20 @@ object PipelineQueries {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
        |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
        |  WHERE rn <= $k),
-       |${(1 to iters).map(iter).mkString(",\n")},
+       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  /** [[ivfTrainCte]] plus the final assignment, ending in
+    * `clusters(vec_id, cluster)` — the shared replay of VecKMeans.train +
+    * assign used by the semantic-dedup pipeline. */
+  private def lloydClustersCte(k: Int, iters: Int): String =
+    s"""${ivfTrainCte(k, iters)},
        |clusters AS MATERIALIZED (
        |  SELECT vec_id, cluster FROM (
        |    SELECT e.vec_id, c.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
        |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
-  }
 
   /** The semantic-dedup pair pipeline: Lloyd clusters + adaptive-mask
     * banded candidates restricted to same-cluster + exact cosine verify
@@ -1196,34 +1222,7 @@ object PipelineQueries {
     * strict-< scan / stable sort. 3 iterations, k=8, nprobe=3 — the same
     * constants as the query. */
   private val simIvfSql = {
-    val qsum = "CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)"
-    def iter(t: Int) =
-      s"""a$t AS MATERIALIZED (
-         |  SELECT vec_id, embedding, cluster FROM (
-         |    SELECT e.vec_id, e.embedding, c.cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
-         |    FROM e, c${t - 1} c) WHERE rn = 1),
-         |s$t AS MATERIALIZED (
-         |  SELECT cluster, d.i AS i, $qsum AS s, count(*) AS n
-         |  FROM a$t, dims d GROUP BY cluster, d.i),
-         |c$t AS MATERIALIZED (
-         |  SELECT cluster, list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) ORDER BY i) AS cv
-         |  FROM s$t GROUP BY cluster
-         |  UNION ALL
-         |  SELECT p.cluster, p.cv FROM c${t - 1} p
-         |  WHERE p.cluster NOT IN (SELECT cluster FROM s$t))""".stripMargin
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-       |dims AS MATERIALIZED (
-       |  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-       |c0 AS MATERIALIZED (
-       |  SELECT CAST(rn AS INT) - 1 AS cluster,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
-       |  WHERE rn <= 8),
-       |${iter(1)},
-       |${iter(2)},
-       |${iter(3)},
+    s"""WITH ${ivfTrainCte(8, 3)},
        |asg AS MATERIALIZED (
        |  SELECT vec_id AS nid, embedding AS nv, cluster, ${normDuck("embedding")} AS nn FROM (
        |    SELECT e.vec_id, e.embedding, c.cluster,
@@ -1258,7 +1257,13 @@ object PipelineQueries {
     * matching the engine's partition-capped heaps + global window cut;
     * ADC dot is a fold over m of per-subspace sequential-fold dots,
     * byte-matching the engine's lut accumulation order. */
-  private val simPqSql = {
+  /** Shared unrolled PQ TRAINING block: `sdims`, `ms`, `cb0`..`cb3`,
+    * `enc(nid, m, code)`, `nap(nid, napprox)` — the replay of
+    * ProductQuant.train + encode, with the same quantized-update
+    * determinism as [[ivfTrainCte]] per (subspace m, code) codebook cell;
+    * M=8 subspaces x dsub=8 dims (the 64-dim testdata layout), KSub=16
+    * codes, 3 iterations. Assumes `e(vec_id, embedding)` is defined. */
+  private val pqTrainCte = {
     def subdist(v: String, m: String, c: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), j -> (CAST($v[$m * 8 + j] AS DOUBLE) - $c[j]) * (CAST($v[$m * 8 + j] AS DOUBLE) - $c[j]))), (acc, x) -> acc + x)"
     val qsum = "CAST(sum(CAST(round(CAST(embedding[m * 8 + d.j] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)"
@@ -1278,8 +1283,7 @@ object PipelineQueries {
          |  UNION ALL
          |  SELECT p.m, p.code, p.cv FROM cb${t - 1} p
          |  WHERE NOT EXISTS (SELECT 1 FROM ps$t x WHERE x.m = p.m AND x.code = p.code))""".stripMargin
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-       |sdims AS MATERIALIZED (SELECT unnest(range(1, 9)) AS j),
+    s"""sdims AS MATERIALIZED (SELECT unnest(range(1, 9)) AS j),
        |ms AS MATERIALIZED (SELECT unnest(range(0, 8)) AS m),
        |cb0 AS MATERIALIZED (
        |  SELECT m.m, s.code,
@@ -1299,8 +1303,18 @@ object PipelineQueries {
        |nap AS MATERIALIZED (
        |  SELECT nid, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(flatten(list(cb.cv ORDER BY enc.m)), x -> x * x)), (acc, x) -> acc + x)) AS napprox
-       |  FROM enc JOIN cb3 cb USING (m, code) GROUP BY nid),
-       |q AS MATERIALIZED (
+       |  FROM enc JOIN cb3 cb USING (m, code) GROUP BY nid)""".stripMargin
+  }
+
+  /** ADC search + exact rerank over [[pqTrainCte]]'s codes — `lutsFrom`
+    * supplies the FROM/WHERE of the per-(query, candidate, subspace)
+    * lut join, the only clause the IVF cell restriction changes. The
+    * candidate set is the top-refine(25) by (ADC score DESC, nid),
+    * matching the engine's partition-capped heaps + global window cut;
+    * the ADC dot is a fold over m of per-subspace sequential-fold dots,
+    * byte-matching the engine's lut accumulation order. */
+  private def pqSearchSql(lutsFrom: String): String =
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qv, ${normDuck("embedding")} AS nq
        |  FROM embeddings WHERE vec_id < $NumQueryVecs),
        |luts AS MATERIALIZED (
@@ -1308,8 +1322,7 @@ object PipelineQueries {
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(1, 9), j -> CAST(q.qv[enc.m * 8 + j] AS DOUBLE) * cb.cv[j])),
        |      (acc, x) -> acc + x) AS subdot
-       |  FROM q, enc JOIN cb3 cb USING (m, code)
-       |  WHERE enc.nid <> q.qid),
+       |  $lutsFrom),
        |dots AS MATERIALIZED (
        |  SELECT qid, nid,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(subdot ORDER BY m)), (acc, x) -> acc + x) AS dot
@@ -1331,7 +1344,44 @@ object PipelineQueries {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
        |  FROM p)
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
-  }
+
+  private val simPqSql =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |$pqTrainCte,
+       |${pqSearchSql(
+        """FROM q, enc JOIN cb3 cb USING (m, code)
+          |  WHERE enc.nid <> q.qid""".stripMargin)}""".stripMargin
+
+  /** Unrolled IVF+PQ composite replay — the q_sim_ivfpq oracle: the IVF
+    * training block assigns every vector a cell and ranks each query's
+    * nprobe=3 probe cells (exactly simIvfSql's CTEs), the PQ block
+    * trains codebooks and encodes the corpus (exactly simPqSql's CTEs —
+    * codes quantize RAW vectors, not residuals, so the two blocks
+    * compose unchanged), and the only new clause is the lut join's cell
+    * restriction: a candidate is scored for a query iff its cell is one
+    * of the query's probed cells. Everything downstream (ADC fold,
+    * top-refine cut, exact rerank) is byte-identical to simPqSql. */
+  private val simIvfPqSql =
+    s"""WITH ${ivfTrainCte(8, 3)},
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id AS nid, cluster FROM (
+       |    SELECT e.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
+       |    FROM e, c3 c) WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT qid, cluster FROM (
+       |    SELECT e.vec_id AS qid, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqdistDuck("e.embedding", "c.cv")}, c.cluster) AS rn
+       |    FROM e, c3 c WHERE e.vec_id < $NumQueryVecs) WHERE rn <= 3),
+       |$pqTrainCte,
+       |${pqSearchSql(
+        """FROM q JOIN probes pr ON pr.qid = q.qid
+          |    JOIN cells cl ON cl.cluster = pr.cluster
+          |    JOIN enc ON enc.nid = cl.nid
+          |    JOIN cb3 cb USING (m, code)
+          |  WHERE enc.nid <> q.qid""".stripMargin)}""".stripMargin
 
   private val langidSql = {
     val scores = Stopwords.map { case (l, _) => s"${langScoreDuck("ws", l)} AS s_$l" }.mkString(", ")
@@ -1775,6 +1825,7 @@ object PipelineQueries {
     "q_sim_lsh_mp" -> simLshMpSql,
     "q_sim_ivf" -> simIvfSql,
     "q_sim_pq" -> simPqSql,
+    "q_sim_ivfpq" -> simIvfPqSql,
     "q_text_langid" -> langidSql,
     "q_text_quality" -> qualitySql,
     "q_text_tokens" -> tokensSql,

@@ -55,6 +55,43 @@ class VecKMeansSpec extends SparkSpec {
     assert(again == pq)
   }
 
+  test("IVF+PQ composite: candidates respect the probed-cell restriction, recall measured") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = VecKMeans.train(emb, k = 8, iterations = 3)
+    val cb = ProductQuant.train(emb, iterations = 3)
+    val ivfpq = ProductQuant.ivfpqTopK(emb, queries, cents, cb, k = 5, nprobe = 3, refine = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+    info(f"IVF+PQ recall@5 (nprobe=3/8 cells, refine=25): $recall%.2f")
+    assert(recall >= 0.4, s"recall $recall too low")
+    assert(ivfpq.size <= 8 * 5)
+
+    // every returned neighbor lies in one of its query's probed cells —
+    // the IVF restriction is real, not advisory
+    val cellOf = VecKMeans.assign(emb, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probedOf = queries.select("vec_id", "embedding").collect().map { r =>
+      val qv = r.getSeq[Float](1).toArray
+      val byDist = cents.indices.sortBy { c =>
+        var acc = 0.0; var i = 0
+        while (i < qv.length) { val d = qv(i) - cents(c)(i); acc += d * d; i += 1 }
+        acc
+      }
+      r.getLong(0) -> byDist.take(3).toSet
+    }.toMap
+    ivfpq.foreach { case (qid, nid) =>
+      assert(probedOf(qid).contains(cellOf(nid)),
+        s"neighbor $nid of query $qid came from unprobed cell ${cellOf(nid)}")
+    }
+
+    // deterministic: a second run reproduces the result exactly
+    val again = ProductQuant.ivfpqTopK(emb, queries, cents, cb, k = 5, nprobe = 3, refine = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == ivfpq)
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force on bucket-local scans") {
     val queries = emb.filter(col("vec_id") < 8)
     val lsh = Similarity.lshTopK(emb, queries, k = 5)
