@@ -173,6 +173,32 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("len").as("n_chars"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
 
+  /** Cluster-aware leak-free train/val/test split: membership is decided
+    * by the content hash of each document's NEAR-DUP CLUSTER KEEPER, not
+    * its own — a whole duplicate family lands in one split, so no
+    * near-duplicate pair straddles train/test (the contamination path a
+    * per-document [[hashSplit]] leaves open: a paraphrased copy of a
+    * training document scoring as held-out test data). Singletons hash
+    * their own text (keeper = self), so on a duplicate-free corpus this
+    * degrades to exactly [[hashSplit]]'s assignment.
+    *
+    * Scale design: `pairs` -> CC is the dedup clustering already priced
+    * by q_dedup_clusters; the split itself adds one (doc_id, slot) hash
+    * projection and two id-keyed joins — document payloads never move
+    * for the assignment. */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = Dedup.dedupClusters(pairs)
+    val withKeeper = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("keeper", coalesce(col("keeper"), col("doc_id")))
+    val keeperSlot = docs.select(col("doc_id").as("keeper"),
+      (GraftFunctions.polyHash(col("text")) % 10).as("slot"))
+    withKeeper.join(keeperSlot, "keeper")
+      .withColumn("split",
+        when(col("slot") < 8, "train").when(col("slot") === 8, "val").otherwise("test"))
+      .select("doc_id", "keeper", "split")
+  }
+
   /** Single-scan curation gate: quality metrics AND language scores from
     * one words-array evaluation per document (quality() + langId() each
     * re-tokenize; at 100 TB the tokenization pass dominates, so the fused

@@ -612,6 +612,15 @@ object PipelineQueries {
     "q_split_hash" -> ((s, d) =>
       Corpus.hashSplit(Tables.documents(s, d)).orderBy("split")),
 
+    // leak-free split: split membership hashes the near-dup cluster
+    // KEEPER's text, so duplicate families never straddle train/test —
+    // the eval-contamination guard a per-doc hash split cannot give
+    "q_split_leakfree" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.leakFreeSplit(docs, Dedup.minhashDedup(docs, MinhashThreshold))
+        .orderBy("doc_id")
+    }),
+
     // deterministic per-language stratified sample
     "q_sample_stratified" -> ((s, d) =>
       Corpus.stratifiedSample(Tables.documents(s, d), "lang", StratPerGroup)
@@ -1534,6 +1543,24 @@ object PipelineQueries {
        |       min(doc_id) AS min_id, max(doc_id) AS max_id
        |FROM d GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** clustersSql's CC chain + keeper-hash split assignment: every doc
+    * takes the split its cluster keeper's own text hashes to (singletons
+    * are their own keeper) — the q_split_leakfree replay. */
+  private val splitLeakfreeSql = {
+    val iters = graft.graph.Graphs.DefaultCcRounds
+    clustersSql.substring(0, clustersSql.lastIndexOf("SELECT vertex AS doc_id")) +
+      s""",
+         |wk AS MATERIALIZED (
+         |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS keeper
+         |  FROM documents d LEFT JOIN l$iters l ON l.vertex = d.doc_id),
+         |ks AS MATERIALIZED (
+         |  SELECT doc_id AS keeper, ${polyHashDuck("text")} % 10 AS slot FROM documents)
+         |SELECT wk.doc_id, wk.keeper,
+         |       CASE WHEN slot < 8 THEN 'train' WHEN slot = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM wk JOIN ks ON ks.keeper = wk.keeper
+         |ORDER BY doc_id""".stripMargin
+  }
+
   private val stratifiedSql =
     s"""SELECT lang, rn, doc_id, h FROM (
        |  SELECT lang, doc_id, h,
@@ -1844,6 +1871,7 @@ object PipelineQueries {
     "q_text_bigrams" -> bigramsSql,
     "q_text_pmi" -> pmiSql,
     "q_split_hash" -> splitHashSql,
+    "q_split_leakfree" -> splitLeakfreeSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_curate" -> curateSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -172,6 +172,30 @@ class PipelineSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("leak-free split: duplicate families never straddle splits; singletons = hashSplit") {
+    // 1 and 2 are near-dups (transitively 1-2 via shared shingles); 3 is
+    // unrelated. Whatever split 1's text hashes to, 2 must land there too.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashDedup(d, 0.5)
+    val split = Corpus.leakFreeSplit(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.keySet == Set(1L, 2L, 3L))
+    // the duplicate family shares keeper AND split — no pair straddles
+    assert(split(1L) == split(2L))
+    assert(split(1L)._1 == 1L)
+    // the singleton keeps its own-hash assignment (keeper = self), so a
+    // duplicate-free corpus degrades to exactly hashSplit's decision
+    assert(split(3L)._1 == 3L)
+    val ownSlot = d.filter(col("doc_id") === 3L)
+      .select((graft.functions.GraftFunctions.polyHash(col("text")) % 10).as("slot"))
+      .collect().head.getLong(0)
+    val expected = if (ownSlot < 8) "train" else if (ownSlot == 8) "val" else "test"
+    assert(split(3L)._2 == expected)
+  }
+
   test("incremental dedup equals batch dedup of the union") {
     val a = (1 to 30).map(i => s"a$i")
     val c = (1 to 8).map(i => s"c$i")
