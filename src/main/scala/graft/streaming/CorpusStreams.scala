@@ -63,6 +63,50 @@ object CorpusStreams {
       }
   }
 
+  final case class DocFp(doc_id: Long, fp_hi: Long, fp_lo: Long, len: Long)
+
+  /** Streaming exact-dedup admission — the stateful twin of
+    * [[graft.pipeline.Dedup.exactByFingerprint128]]: documents stream in
+    * and the FIRST occurrence of each content fingerprint is admitted;
+    * every later copy (same micro-batch or any later one) is dropped at
+    * the door. Within a micro-batch the lowest doc_id wins, so the
+    * decision is deterministic and replayable (the admitWithinBudget
+    * convention); across batches arrival order is the contract — a
+    * stream cannot prefer a copy it has not seen. Keyed by the 128-bit
+    * fingerprint + length (the same no-payload-shuffle trick as the
+    * batch pass: only 32 B/doc reaches the state store lookup, never
+    * text). Group memory is O(1): the winner is a running min over the
+    * iterator, nothing buffers.
+    *
+    * STATE CONTRACT: one long (keeper doc_id) per DISTINCT fingerprint —
+    * unlike admitWithinBudget's |sources| longs this grows with the
+    * corpus, which is the irreducible cost of exact online dedup. At
+    * 100 TB that is ~8 GB of state per 10^9 distinct documents (fine for
+    * a state store, partitioned by fingerprint hash); when the corpus
+    * outgrows that, the production shape is the stored-index batch fold
+    * ([[graft.pipeline.Dedup.incrementalDeduplicate]] per trigger via
+    * foreachBatch, the substringIngest pattern), or a state TTL when
+    * "duplicate within a window" is the actual requirement. */
+  def exactDedupScreen(docs: DataFrame): Dataset[DocFp] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.polyHash(col("text")).as("fp_hi"),
+        graft.functions.GraftFunctions.polyHash2(col("text")).as("fp_lo"),
+        length(col("text")).cast("long").as("len"))
+      .as[DocFp]
+      .groupByKey(d => (d.fp_hi, d.fp_lo, d.len))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, Long, Long), it: Iterator[DocFp], state: GroupState[Long]) =>
+          if (state.exists) { it.foreach(_ => ()); Iterator.empty }
+          else {
+            val first = it.minBy(_.doc_id)
+            state.update(first.doc_id)
+            Iterator.single(first)
+          }
+      }
+  }
+
   /** Streaming substring-dedup ingest: each micro-batch of documents is
     * checked against the stored gram index
     * ([[graft.pipeline.Dedup.substringIndex]]) for verbatim shared spans —

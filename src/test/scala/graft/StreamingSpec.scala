@@ -252,6 +252,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._2).sum == used && used <= quota)
   }
 
+  test("streaming exact-dedup screen: first occurrence wins within and across batches") {
+    import graft.streaming.CorpusStreams
+    // b0: docs 1,2 are copies (1 wins), 3 unique; b1: 4 copies b0's "a"
+    // (cross-batch drop), 6 copies b0's "b", 5 and 7 are new
+    val dir = Files.createTempDirectory("graft-dedupscreen")
+    Seq(1L -> "a a a", 2L -> "a a a", 3L -> "b b").toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("b0").toString)
+    Seq(4L -> "a a a", 5L -> "c", 6L -> "b b", 7L -> "d d d").toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    val schema = spark.read.parquet(dir.resolve("b0").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+    val q = CorpusStreams.exactDedupScreen(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_screen")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val admitted = spark.table("dedup_screen")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L, 5L, 7L))
+
+    // streaming admitted set == the batch fingerprint dedup's keepers
+    val union = Seq(1L -> "a a a", 2L -> "a a a", 3L -> "b b", 4L -> "a a a",
+      5L -> "c", 6L -> "b b", 7L -> "d d d").toDF("doc_id", "text")
+    val batchKeepers = graft.pipeline.Dedup.exactByFingerprint128(union)
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert(admitted == batchKeepers)
+  }
+
   test("streaming substring ingest: union of per-batch spans equals the batch run") {
     import graft.streaming.CorpusStreams
     import graft.pipeline.Dedup
