@@ -369,6 +369,173 @@ object Graphs {
       .join(orderedEdgeSupport(und).select("src", "dst"), Seq("src", "dst"), "left_anti")
   }
 
+  /** default MIS/matching rounds — bounds the symmetry-breaking peel depth;
+    * the oracle unrolls exactly this many, and post-convergence rounds are
+    * no-ops in both engines (no active vertices -> no updates) */
+  val DefaultMisRounds = 15
+  val DefaultMatchingRounds = 15
+
+  /** Materialize AND re-bind a mid-round relation of a fixpoint step:
+    * `localCheckpoint` cuts the lineage but carries the producing plan's
+    * size ESTIMATE into the checkpointed relation, so a step that
+    * references the state several times (self-joins, union fan-out)
+    * snowballs the estimate multiplicatively across checkpointed rounds
+    * until size-only stats planning grinds on astronomic BigIntegers.
+    * Re-binding the checkpointed RDD under a fresh LogicalRDD (the
+    * Fixpoint seed re-bind trick) resets the estimate to the session
+    * default, keeping per-round planning O(plan size). */
+  private def cutStats(df: DataFrame): DataFrame = {
+    val cut = df.localCheckpoint(eager = true)
+    df.sparkSession.createDataFrame(cut.rdd, cut.schema)
+  }
+
+  /** Deterministic per-vertex priority for symmetry breaking, packed with
+    * the vertex id into ONE comparable int64: the high 31 bits are a
+    * multiplicative hash of the id (Knuth constant, Mersenne-31 modulus),
+    * the low 32 bits the id itself — so priority order is pseudo-random
+    * but total (hash ties fall back to id order), one `<` compares the
+    * pair, and the identical integer arithmetic runs in any engine
+    * (assumes vertex ids < 2^32; the id tail would truncate beyond). */
+  private[graft] def priorityKey(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    v % 2147483647L * 2654435761L % 2147483647L * 4294967296L + v
+
+  /** Maximal independent set, deterministic Luby style: each round every
+    * ACTIVE vertex whose priority key is a strict local minimum among its
+    * active neighbors joins the set; its neighbors become dominated; both
+    * leave the active frontier. Two adjacent vertices can never both win
+    * a round (priority order is total), so the result is independent;
+    * an active vertex with no active neighbors wins unconditionally, so
+    * every vertex is eventually decided — maximality. The classic
+    * symmetry-breaking primitive behind distributed coloring/scheduling,
+    * here as the peel that picks one representative per neighborhood.
+    *
+    * Scale: state is vertex-sized (vertex, pkey, status, round); each
+    * round is two joins + one aggregation over the sized undirected edge
+    * cache, and the active frontier only shrinks. Rounds are O(log n)
+    * with high probability under the hash priorities; the fixed bound
+    * plus the monotone-status convergence test stops early once decided.
+    * Returns (vertex, round) for set members, round = the 1-based round
+    * that admitted the vertex. */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = DefaultMisRounds): DataFrame = {
+    val undirected = undirectedSized(edges)
+    val init = vertices(undirected)
+      .withColumn("pkey", priorityKey(col("vertex")))
+      .withColumn("status", lit(0)) // 0 active, 1 in set, 2 dominated
+      .withColumn("round", lit(-1L))
+    val result = graft.iterate.Fixpoint.iterate(init, rounds,
+      converged = graft.iterate.Fixpoint.monotoneSumUnchanged("status")) { (state, i) =>
+      val active = state.filter(col("status") === 0).select("vertex", "pkey")
+      val nbrMin = active.join(undirected, active("vertex") === undirected("src"))
+        .groupBy(col("dst").as("nv")).agg(min("pkey").as("nbr_min"))
+      // materialized + stats-cut: consumed on both sides (domination scan
+      // + status merge) — the connectedComponentsDoubling barrier pattern
+      // plus the estimate reset that keeps rounds planning-stable
+      val winners = cutStats(active
+        .join(nbrMin, active("vertex") === nbrMin("nv"), "left")
+        .filter(col("nbr_min").isNull || col("pkey") < col("nbr_min"))
+        .select(col("vertex"), lit(1).as("newstat")))
+      val dominated = winners.join(undirected, winners("vertex") === undirected("src"))
+        .select(col("dst").as("vertex")).distinct()
+        .withColumn("newstat", lit(2))
+      // a vertex is never winner AND dominated (winners are non-adjacent);
+      // a vertex dominated by several winners dedups via the distinct
+      val updates = winners.unionByName(dominated)
+      state.join(updates, Seq("vertex"), "left")
+        .select(col("vertex"), col("pkey"),
+          when(col("status") === 0 && col("newstat").isNotNull, col("newstat"))
+            .otherwise(col("status")).as("status"),
+          when(col("status") === 0 && col("newstat").isNotNull, lit((i + 1).toLong))
+            .otherwise(col("round")).as("round"))
+    }
+    undirected.unpersist(blocking = false)
+    result.filter(col("status") === 1).select("vertex", "round")
+  }
+
+  /** Maximal matching, deterministic Israeli–Itai style: each round a
+    * round-salted hash splits active vertices into SENDERS and
+    * RECEIVERS; every sender with a receiver neighbor proposes to the
+    * one minimizing a round-salted pair hash, every receiver accepts
+    * its minimum-hash proposer, accepted pairs marry and leave the
+    * frontier, and actives with no active neighbor left are decided
+    * unmatched. Proposal targets are pseudo-random and re-drawn every
+    * round, so dense neighborhoods marry many pairs per round — a
+    * MUTUAL-MINIMUM handshake degenerates to ONE marriage per round on
+    * a dense graph (every vertex's argmin is the same global minimum),
+    * and raw min-id proposals serialize the same way around low-id
+    * hubs. Expected O(log n) rounds; the round bound plus the
+    * maximality spec over the real graph pin convergence. The
+    * distributed pairing primitive behind graph coarsening and
+    * two-phase aggregation trees.
+    *
+    * Same state/round discipline as [[maximalIndependentSet]]. Returns
+    * matched pairs (a, b, round) with a < b, round 1-based. */
+  def maximalMatching(edges: DataFrame, rounds: Int = DefaultMatchingRounds): DataFrame = {
+    val undirected = undirectedSized(edges)
+    val init = vertices(undirected)
+      .withColumn("status", lit(0)) // 0 active, 1 matched, 2 unmatched
+      .withColumn("mate", lit(-1L))
+      .withColumn("round", lit(-1L))
+    // convergence = empty frontier, NOT "no change": an unlucky coin
+    // round legitimately changes nothing while actives remain, and the
+    // monotone-sum test would mistake that idle round for completion
+    val result = graft.iterate.Fixpoint.iterate(init, rounds,
+      converged = (_, next) =>
+        next.filter(col("status") === 0).limit(1).count() == 0L) { (state, i) =>
+      import org.apache.spark.sql.Column
+      // round-salted hashes: same Mersenne-31 multiplicative mix as
+      // priorityKey, salted by the round so every round re-draws roles
+      // and targets (static priorities serialize dense neighborhoods)
+      val salt = lit((i + 1).toLong * 1000000007L)
+      def hp(c: Column): Column = c % 2147483647L * 2654435761L % 2147483647L
+      def coin(c: Column): Column = hp(c + salt) % 2L
+      def pairKey(u: Column, v: Column): Column = hp(hp(u + salt) + v)
+
+      val active = state.filter(col("status") === 0).select("vertex")
+      val ae = undirected
+        .join(active.select(col("vertex").as("src")), "src")
+        .join(active.select(col("vertex").as("dst")), "dst")
+        .select("src", "dst")
+      // sender -> receiver proposals: min pair hash picks the target;
+      // the key's low 32 bits carry the id (the priorityKey packing)
+      val prop = ae
+        .filter(coin(col("src")) === 0L && coin(col("dst")) === 1L)
+        .groupBy("src")
+        .agg((min(pairKey(col("src"), col("dst")) * 4294967296L + col("dst"))
+          % 4294967296L).as("dst"))
+      // each receiver accepts its min-hash proposer: every sender appears
+      // in at most one proposal and no sender is a receiver this round,
+      // so accepted pairs are vertex-disjoint by construction.
+      // Materialized + stats-cut: consumed twice by the status merge (the
+      // connectedComponentsDoubling barrier pattern; the cut keeps the
+      // round's size estimate from snowballing through the checkpointed
+      // state)
+      val acc = cutStats(prop.groupBy("dst")
+        .agg((min(pairKey(col("dst"), col("src")) * 4294967296L + col("src"))
+          % 4294967296L).as("src")))
+      val matched = acc.select(col("src").as("vertex"), col("dst").as("newmate"))
+        .unionByName(acc.select(col("dst").as("vertex"), col("src").as("newmate")))
+        .withColumn("newstat", lit(1))
+      val lonely = active
+        .join(ae.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
+        .select(col("vertex"), lit(-1L).as("newmate"), lit(2).as("newstat"))
+      // lonely still references the state-derived active-edge relation, so
+      // the merged update set gets the stats cut before it meets the state
+      val updates = cutStats(matched.unionByName(lonely))
+      state.join(updates, Seq("vertex"), "left")
+        .select(col("vertex"),
+          when(col("status") === 0 && col("newstat").isNotNull, col("newstat"))
+            .otherwise(col("status")).as("status"),
+          when(col("status") === 0 && col("newstat").isNotNull, col("newmate"))
+            .otherwise(col("mate")).as("mate"),
+          when(col("status") === 0 && col("newstat").isNotNull, lit((i + 1).toLong))
+            .otherwise(col("round")).as("round"))
+    }
+    undirected.unpersist(blocking = false)
+    result.filter(col("status") === 1 && col("vertex") < col("mate"))
+      .select(col("vertex").as("a"), col("mate").as("b"), col("round"))
+  }
+
   /** default synchronous LPA rounds — the oracle unrolls exactly this many,
     * so engine and oracle agree even where sync LPA has not stabilized */
   val DefaultLpaRounds = 5

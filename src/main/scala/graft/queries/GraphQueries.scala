@@ -427,6 +427,22 @@ object GraphQueries {
       Graphs.kCore(Graphs.lineitemEdges(s, d, KCoreMod), KCoreK, KCoreRounds)
         .orderBy("vertex")),
 
+    // deterministic Luby MIS: hash-priority local minima join the set,
+    // neighbors drop out; the classic distributed symmetry breaker —
+    // the whole peel (priorities, winners, domination, rounds) replays
+    // in the oracle's unrolled CTEs
+    "q_graph_mis" -> ((s, d) =>
+      Graphs.maximalIndependentSet(Graphs.lineitemEdges(s, d, Mod))
+        .orderBy("vertex")),
+
+    // deterministic Israeli-Itai maximal matching: round-salted coins
+    // split senders/receivers, hash-chosen proposals + min-hash
+    // acceptance marry disjoint pairs — the distributed pairing
+    // primitive behind graph coarsening
+    "q_graph_matching" -> ((s, d) =>
+      Graphs.maximalMatching(Graphs.lineitemEdges(s, d, Mod))
+        .orderBy("a")),
+
     "q_graph_kmeans" -> ((s, d) => {
       val pts = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).cast("double").as("x"))
@@ -722,6 +738,103 @@ object GraphQueries {
         |        FROM c$i) WHERE rn = 1)""".stripMargin
     }
     sb ++= s"\nSELECT vertex, label FROM l$rounds ORDER BY vertex"
+    sb.toString
+  }
+
+  /** Unrolled deterministic Luby MIS — one (active, neighbor-min,
+    * winners, dominated, state) CTE block per round, mirroring
+    * Graphs.maximalIndependentSet: the packed priority key (mult-hash
+    * high bits, id low bits) is pure int64 arithmetic, so winner
+    * selection, domination, and the round stamp replay exactly.
+    * Post-convergence rounds are no-ops in both engines. */
+  private def misSql(graphCte: String, rounds: Int): String = {
+    val pkey = "vertex % 2147483647 * 2654435761 % 2147483647 * 4294967296 + vertex"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |und AS MATERIALIZED (SELECT DISTINCT * FROM (
+      |  SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g)),
+      |st0 AS MATERIALIZED (
+      |  SELECT vertex, $pkey AS pkey, 0 AS status, CAST(-1 AS BIGINT) AS rnd
+      |  FROM (SELECT src AS vertex FROM und UNION SELECT dst FROM und))""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |a$i AS MATERIALIZED (SELECT vertex, pkey FROM st$p WHERE status = 0),
+        |nm$i AS MATERIALIZED (
+        |  SELECT u.dst AS vertex, min(a.pkey) AS nbr_min
+        |  FROM und u JOIN a$i a ON a.vertex = u.src GROUP BY u.dst),
+        |w$i AS MATERIALIZED (
+        |  SELECT a.vertex FROM a$i a LEFT JOIN nm$i n ON n.vertex = a.vertex
+        |  WHERE n.nbr_min IS NULL OR a.pkey < n.nbr_min),
+        |dm$i AS MATERIALIZED (
+        |  SELECT DISTINCT u.dst AS vertex FROM und u JOIN w$i w ON w.vertex = u.src),
+        |st$i AS MATERIALIZED (
+        |  SELECT s.vertex, s.pkey,
+        |    CASE WHEN s.status = 0 AND w.vertex IS NOT NULL THEN 1
+        |         WHEN s.status = 0 AND d.vertex IS NOT NULL THEN 2
+        |         ELSE s.status END AS status,
+        |    CASE WHEN s.status = 0 AND (w.vertex IS NOT NULL OR d.vertex IS NOT NULL)
+        |         THEN CAST($i AS BIGINT) ELSE s.rnd END AS rnd
+        |  FROM st$p s LEFT JOIN w$i w ON w.vertex = s.vertex
+        |  LEFT JOIN dm$i d ON d.vertex = s.vertex)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT vertex, rnd AS "round" FROM st$rounds WHERE status = 1 ORDER BY vertex""".stripMargin
+    sb.toString
+  }
+
+  /** Unrolled deterministic Israeli-Itai matching — per round: the
+    * round-salted coin split, sender->receiver min-pair-hash proposals,
+    * receiver min-hash acceptance, lonely-vertex retirement, and the
+    * status merge, mirroring Graphs.maximalMatching arithmetic-for-
+    * arithmetic (same Mersenne-31 mix, same id packing in the low 32
+    * bits). */
+  private def matchingSql(graphCte: String, rounds: Int): String = {
+    def hp(x: String) = s"($x) % 2147483647 * 2654435761 % 2147483647"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |und AS MATERIALIZED (SELECT DISTINCT * FROM (
+      |  SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g)),
+      |st0 AS MATERIALIZED (
+      |  SELECT vertex, 0 AS status, CAST(-1 AS BIGINT) AS mate, CAST(-1 AS BIGINT) AS rnd
+      |  FROM (SELECT src AS vertex FROM und UNION SELECT dst FROM und))""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      val salt = (i.toLong * 1000000007L).toString
+      def coin(x: String) = s"(${hp(s"$x + $salt")}) % 2"
+      def pk(u: String, v: String) = hp(s"(${hp(s"$u + $salt")}) + $v")
+      sb ++= s""",
+        |a$i AS MATERIALIZED (SELECT vertex FROM st$p WHERE status = 0),
+        |ae$i AS MATERIALIZED (
+        |  SELECT u.src, u.dst FROM und u
+        |  JOIN a$i x ON x.vertex = u.src JOIN a$i y ON y.vertex = u.dst),
+        |pr$i AS MATERIALIZED (
+        |  SELECT src, min((${pk("src", "dst")}) * 4294967296 + dst) % 4294967296 AS dst
+        |  FROM ae$i WHERE (${coin("src")}) = 0 AND (${coin("dst")}) = 1 GROUP BY src),
+        |ac$i AS MATERIALIZED (
+        |  SELECT dst, min((${pk("dst", "src")}) * 4294967296 + src) % 4294967296 AS src
+        |  FROM pr$i GROUP BY dst),
+        |lo$i AS MATERIALIZED (
+        |  SELECT x.vertex FROM a$i x
+        |  LEFT JOIN (SELECT DISTINCT src AS vertex FROM ae$i) t ON t.vertex = x.vertex
+        |  WHERE t.vertex IS NULL),
+        |st$i AS MATERIALIZED (
+        |  SELECT s.vertex,
+        |    CASE WHEN s.status = 0 AND m.mate IS NOT NULL THEN 1
+        |         WHEN s.status = 0 AND l.vertex IS NOT NULL THEN 2
+        |         ELSE s.status END AS status,
+        |    CASE WHEN s.status = 0 AND m.mate IS NOT NULL THEN m.mate ELSE s.mate END AS mate,
+        |    CASE WHEN s.status = 0 AND (m.mate IS NOT NULL OR l.vertex IS NOT NULL)
+        |         THEN CAST($i AS BIGINT) ELSE s.rnd END AS rnd
+        |  FROM st$p s
+        |  LEFT JOIN (SELECT src AS vertex, dst AS mate FROM ac$i
+        |             UNION ALL SELECT dst AS vertex, src AS mate FROM ac$i) m
+        |    ON m.vertex = s.vertex
+        |  LEFT JOIN lo$i l ON l.vertex = s.vertex)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT vertex AS a, mate AS b, rnd AS "round" FROM st$rounds
+      |WHERE status = 1 AND vertex < mate ORDER BY a""".stripMargin
     sb.toString
   }
 
@@ -1067,6 +1180,8 @@ object GraphQueries {
     "q_graph_pagerank_grown" -> pagerankGrownSql(derivedGraphCte, 4, PrIters - 4),
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
+    "q_graph_mis" -> misSql(derivedGraphCte, Graphs.DefaultMisRounds),
+    "q_graph_matching" -> matchingSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),

@@ -209,6 +209,74 @@ class GraphSpec extends SparkSpec {
     assert(lin(100L) != 1L)
   }
 
+  test("maximal independent set: independent, maximal, deterministic") {
+    // path 1-2-3-4-5 plus an isolated-ish pendant 6-1 and a triangle 7-8-9
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 6L -> 1L,
+      7L -> 8L, 8L -> 9L, 9L -> 7L)
+    val mis = Graphs.maximalIndependentSet(e).collect()
+      .map(_.getLong(0)).toSet
+    val und = e.collect().flatMap(r =>
+      Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0))).toSet
+    // independence: no edge inside the set
+    und.foreach { case (a, b) =>
+      assert(!(mis.contains(a) && mis.contains(b)), s"edge ($a,$b) inside MIS")
+    }
+    // maximality: every non-member has a member neighbor
+    val all = und.map(_._1)
+    (all -- mis).foreach { v =>
+      assert(und.exists { case (a, b) => a == v && mis.contains(b) },
+        s"non-member $v has no MIS neighbor — not maximal")
+    }
+    // triangle contributes exactly one member; deterministic re-run
+    assert(mis.intersect(Set(7L, 8L, 9L)).size == 1)
+    val again = Graphs.maximalIndependentSet(e).collect().map(_.getLong(0)).toSet
+    assert(again == mis)
+  }
+
+  test("maximal matching: pairs are disjoint edges, no active edge survives") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 6L -> 1L,
+      7L -> 8L, 8L -> 9L, 9L -> 7L)
+    val pairs = Graphs.maximalMatching(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val und = e.collect().flatMap(r =>
+      Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0))).toSet
+    // every pair is a real edge; endpoints are disjoint across pairs
+    pairs.foreach { case (a, b) => assert(und.contains(a -> b), s"($a,$b) not an edge") }
+    val touched = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(touched.size == pairs.size * 2, "matched pairs share a vertex")
+    // maximality: every edge has at least one matched endpoint
+    und.foreach { case (a, b) =>
+      assert(touched.contains(a) || touched.contains(b),
+        s"edge ($a,$b) between two unmatched vertices — not maximal")
+    }
+  }
+
+  test("mis/matching on the derived graph: maximality holds within the round bound") {
+    // maximality over the REAL graph doubles as the decidedness check: a
+    // vertex left active past the last round surfaces as a maximality
+    // violation (no MIS neighbor / an edge between two unmatched ends)
+    val e = Graphs.lineitemEdges(spark, sf("sf0.001"), 300)
+    val und = e.collect().flatMap(r =>
+      Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0))).toSet
+    val all = und.map(_._1)
+
+    val mis = Graphs.maximalIndependentSet(e).collect().map(_.getLong(0)).toSet
+    und.foreach { case (a, b) => assert(!(mis.contains(a) && mis.contains(b))) }
+    (all -- mis).foreach { v =>
+      assert(und.exists { case (a, b) => a == v && mis.contains(b) },
+        s"vertex $v undecided or non-maximal at ${Graphs.DefaultMisRounds} rounds")
+    }
+
+    val pairs = Graphs.maximalMatching(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touched = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(touched.size == pairs.size * 2)
+    und.foreach { case (a, b) =>
+      assert(touched.contains(a) || touched.contains(b),
+        s"edge ($a,$b) unmatched-unmatched at ${Graphs.DefaultMatchingRounds} rounds")
+    }
+  }
+
   test("clustering coefficient: K4 vertices score 1.0, path vertices 0.0") {
     val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
     val cc4 = Triangles.clusteringCoefficient(k4, maxId = 10)
