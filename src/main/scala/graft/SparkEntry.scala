@@ -72,5 +72,8 @@ object SparkEntry {
     "q_interval_coalesce", "q_text_chunk_dup", "q_text_embed", "q_scd2_join",
     "q_dedup_substring", "q_dedup_substring_inc", "q_dedup_substring_inc_idx",
     "q_feature_zscore", "q_agg_ivm", "q_cdc_apply", "q_topk_per_key",
+    // round 9: IVF+PQ composite ANN, cluster-aware split, and the two
+    // symmetry-breaking graph primitives
+    "q_sim_ivfpq", "q_split_leakfree", "q_graph_mis", "q_graph_matching",
   ).filter(queries.contains)
 }
