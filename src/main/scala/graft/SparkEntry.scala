@@ -75,5 +75,6 @@ object SparkEntry {
     // round 9: IVF+PQ composite ANN, cluster-aware split, and the two
     // symmetry-breaking graph primitives
     "q_sim_ivfpq", "q_split_leakfree", "q_graph_mis", "q_graph_matching",
+    "q_graph_scc",
   ).filter(queries.contains)
 }

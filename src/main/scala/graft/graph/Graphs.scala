@@ -536,6 +536,86 @@ object Graphs {
       .select(col("vertex").as("a"), col("mate").as("b"), col("round"))
   }
 
+  /** default SCC phases / per-phase propagation rounds — rounds bounds the
+    * ACTIVE subgraph's diameter (the DefaultCcRounds contract), phases
+    * bounds the peel depth (each phase decides every current color root's
+    * whole SCC); the oracle unrolls exactly these, and post-convergence
+    * rounds/phases are no-ops in both engines */
+  val DefaultSccPhases = 3
+  val DefaultSccRounds = 8
+
+  /** Strongly connected components of a DIRECTED graph, coloring
+    * algorithm (Orzan): each phase (1) propagates colors FORWARD along
+    * edges for `rounds` rounds — color(v) = max undecided id that
+    * reaches v; (2) propagates a root flag BACKWARD within each color
+    * class — flag(v) = v reaches its color's root c through vertices of
+    * the same color; (3) decides scc = color for flagged vertices and
+    * peels them. Soundness of the per-phase cut: every member x of the
+    * SCC of a root c has color EXACTLY c (x is reachable from c so
+    * color(x) >= c; if some d > c reached x, then d would reach c
+    * through x's path back to c, contradicting color(c) = c), so the
+    * backward sweep confined to the color class finds the whole SCC and
+    * nothing else. Mutual reachability is certified bidirectionally, so
+    * decided labels are true SCCs; `rounds` must cover the active
+    * subgraph's diameter and `phases` the peel depth for ALL vertices to
+    * decide (GraphSpec pins full decision + equality with a driver-side
+    * Tarjan on the derived graph). The one classic component analysis CC
+    * cannot express — directionality matters (citation flow, link farms,
+    * dependency cycles).
+    *
+    * Scale: state is vertex-sized; each phase runs two bounded fixpoints
+    * over the phase's active edge slice (localCheckpoint'd once per
+    * phase), and the active set only shrinks — the giant SCC of a dense
+    * graph falls in phase 1 and later phases run on the residue.
+    * Returns (vertex, scc); scc = -1 marks a vertex left undecided by an
+    * insufficient phase/round budget. */
+  def stronglyConnectedComponents(edges: DataFrame,
+      phases: Int = DefaultSccPhases, rounds: Int = DefaultSccRounds): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var state = vertices(e).withColumn("scc", lit(-1L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to phases) {
+      val active = state.filter(col("scc") < 0).select("vertex")
+      // the phase's active edge slice, materialized once: both fixpoints
+      // scan it every round
+      val ae = e.join(active.select(col("vertex").as("src")), "src")
+        .join(active.select(col("vertex").as("dst")), "dst")
+        .select("src", "dst").localCheckpoint(eager = true)
+      // forward color propagation: max undecided id reaching each vertex
+      val colors = graft.iterate.Fixpoint.iterate(
+        active.withColumn("color", col("vertex")), rounds,
+        converged = graft.iterate.Fixpoint.monotoneSumUnchanged("color")) { (st, _) =>
+        val msgs = st.join(ae, st("vertex") === ae("src"))
+          .select(col("dst").as("vertex"), col("color"))
+        st.select("vertex", "color").unionByName(msgs)
+          .groupBy("vertex").agg(max("color").as("color"))
+      }
+      // backward root-reachability within the color class
+      val flags = graft.iterate.Fixpoint.iterate(
+        colors.withColumn("flag", (col("color") === col("vertex")).cast("int")),
+        rounds,
+        converged = graft.iterate.Fixpoint.monotoneSumUnchanged("flag")) { (st, _) =>
+        val msgs = st.filter(col("flag") === 1)
+          .join(ae, st("vertex") === ae("dst"))
+          .select(col("src"), col("color")).distinct()
+          .toDF("mv", "mc")
+        st.join(msgs, st("vertex") === col("mv") && st("color") === col("mc"), "left")
+          .select(st("vertex"), st("color"),
+            greatest(st("flag"), when(col("mv").isNotNull, 1).otherwise(0)).as("flag"))
+      }
+      val decided = flags.filter(col("flag") === 1)
+        .select(col("vertex").as("dv"), col("color").as("dscc"))
+      state = cutStats(state.join(decided, state("vertex") === col("dv"), "left")
+        .select(state("vertex"),
+          when(col("scc") < 0 && col("dv").isNotNull, col("dscc"))
+            .otherwise(col("scc")).as("scc")))
+    }
+    e.unpersist(blocking = false)
+    state
+  }
+
   /** default synchronous LPA rounds — the oracle unrolls exactly this many,
     * so engine and oracle agree even where sync LPA has not stabilized */
   val DefaultLpaRounds = 5

@@ -443,6 +443,13 @@ object GraphQueries {
       Graphs.maximalMatching(Graphs.lineitemEdges(s, d, Mod))
         .orderBy("a")),
 
+    // strongly connected components (coloring algorithm): the DIRECTED
+    // component analysis CC cannot express; phase peel of forward
+    // max-color + backward root-reach, GraphSpec-pinned against Tarjan
+    "q_graph_scc" -> ((s, d) =>
+      Graphs.stronglyConnectedComponents(Graphs.lineitemEdges(s, d, Mod))
+        .orderBy("vertex")),
+
     "q_graph_kmeans" -> ((s, d) => {
       val pts = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).cast("double").as("x"))
@@ -838,6 +845,63 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Unrolled SCC coloring replay — per phase: active slice, `rounds`
+    * forward max-color CTEs, `rounds` backward same-color root-reach
+    * CTEs, and the decide/peel merge, mirroring
+    * Graphs.stronglyConnectedComponents round for round (integer max and
+    * boolean-or messages are order-free, so both engines agree exactly;
+    * post-convergence rounds are no-ops on both sides). */
+  private def sccSql(graphCte: String, phases: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |st0 AS MATERIALIZED (
+      |  SELECT vertex, CAST(-1 AS BIGINT) AS scc
+      |  FROM (SELECT src AS vertex FROM g UNION SELECT dst FROM g))""".stripMargin
+    for (p <- 1 to phases) {
+      val q = p - 1
+      sb ++= s""",
+        |ap$p AS MATERIALIZED (SELECT vertex FROM st$q WHERE scc < 0),
+        |ae$p AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM g e
+        |  JOIN ap$p x ON x.vertex = e.src JOIN ap$p y ON y.vertex = e.dst),
+        |c${p}_0 AS MATERIALIZED (SELECT vertex, vertex AS color FROM ap$p)""".stripMargin
+      for (r <- 1 to rounds) {
+        sb ++= s""",
+          |c${p}_$r AS MATERIALIZED (
+          |  SELECT vertex, max(color) AS color FROM (
+          |    SELECT vertex, color FROM c${p}_${r - 1}
+          |    UNION ALL
+          |    SELECT e.dst AS vertex, c.color FROM ae$p e
+          |    JOIN c${p}_${r - 1} c ON c.vertex = e.src)
+          |  GROUP BY vertex)""".stripMargin
+      }
+      sb ++= s""",
+        |f${p}_0 AS MATERIALIZED (
+        |  SELECT vertex, color, CASE WHEN color = vertex THEN 1 ELSE 0 END AS flag
+        |  FROM c${p}_$rounds)""".stripMargin
+      for (r <- 1 to rounds) {
+        sb ++= s""",
+          |f${p}_$r AS MATERIALIZED (
+          |  SELECT s.vertex, s.color,
+          |    CASE WHEN s.flag = 1 OR m.mv IS NOT NULL THEN 1 ELSE 0 END AS flag
+          |  FROM f${p}_${r - 1} s LEFT JOIN (
+          |    SELECT DISTINCT e.src AS mv, w.color AS mc
+          |    FROM ae$p e JOIN f${p}_${r - 1} w ON w.vertex = e.dst AND w.flag = 1) m
+          |  ON m.mv = s.vertex AND m.mc = s.color)""".stripMargin
+      }
+      sb ++= s""",
+        |st$p AS MATERIALIZED (
+        |  SELECT s.vertex,
+        |    CASE WHEN s.scc < 0 AND d.vertex IS NOT NULL THEN d.color ELSE s.scc END AS scc
+        |  FROM st$q s LEFT JOIN
+        |    (SELECT vertex, color FROM f${p}_$rounds WHERE flag = 1) d
+        |  ON d.vertex = s.vertex)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT vertex, scc FROM st$phases ORDER BY vertex""".stripMargin
+    sb.toString
+  }
+
   private def chainGraphCte(k: Int): String =
     s"""g AS MATERIALIZED (
        |  SELECT CAST(id AS BIGINT) AS src,
@@ -1182,6 +1246,7 @@ object GraphQueries {
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
     "q_graph_mis" -> misSql(derivedGraphCte, Graphs.DefaultMisRounds),
     "q_graph_matching" -> matchingSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
+    "q_graph_scc" -> sccSql(derivedGraphCte, Graphs.DefaultSccPhases, Graphs.DefaultSccRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),

@@ -277,6 +277,55 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("scc: two cycles joined one-way plus a tail resolve to the right components") {
+    // cycle A {1,2,3}, cycle B {4,5,6}, one-way bridge 3->4, tail 6->7
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L, 6L -> 4L,
+      3L -> 4L, 6L -> 7L)
+    val scc = Graphs.stronglyConnectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc.values.forall(_ >= 0), s"undecided vertices in $scc")
+    // component label = the coloring root = max id of the SCC
+    assert(scc(1L) == 3L && scc(2L) == 3L && scc(3L) == 3L)
+    assert(scc(4L) == 6L && scc(5L) == 6L && scc(6L) == 6L)
+    assert(scc(7L) == 7L) // trivial SCC
+  }
+
+  test("scc on the derived graph equals driver-side Tarjan, all decided") {
+    val e = Graphs.lineitemEdges(spark, sf("sf0.001"), 300)
+    val got = Graphs.stronglyConnectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ >= 0),
+      s"${got.count(_._2 < 0)} vertices undecided at ${Graphs.DefaultSccPhases} phases")
+
+    // reference: recursive Tarjan over the collected edge list
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toList }
+    val vs = es.flatMap(p => Seq(p._1, p._2)).distinct
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    def strongconnect(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      adj.getOrElse(v, Nil).foreach { w =>
+        if (!index.contains(w)) { strongconnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), index(w))
+      }
+      if (low(v) == index(v)) {
+        val members = scala.collection.mutable.ListBuffer[Long]()
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; members += w; w != v }) ()
+        val label = members.max // the coloring algorithm labels by max id
+        members.foreach(comp(_) = label)
+      }
+    }
+    vs.foreach(v => if (!index.contains(v)) strongconnect(v))
+    assert(got == comp.toMap)
+  }
+
   test("clustering coefficient: K4 vertices score 1.0, path vertices 0.0") {
     val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
     val cc4 = Triangles.clusteringCoefficient(k4, maxId = 10)
