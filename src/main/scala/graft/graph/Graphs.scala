@@ -616,6 +616,18 @@ object Graphs {
     state
   }
 
+  /** 2-approximate minimum vertex cover: the endpoints of a maximal
+    * matching. Maximality means every edge has a matched endpoint, so
+    * the set covers all edges; any cover needs at least one vertex per
+    * matched pair, so the size is within 2x of optimal — the classic
+    * guarantee, computed distributed for free from [[maximalMatching]].
+    * Returns (vertex), one row per cover member. */
+  def vertexCover(edges: DataFrame, rounds: Int = DefaultMatchingRounds): DataFrame = {
+    val m = maximalMatching(edges, rounds)
+    m.select(col("a").as("vertex"))
+      .unionByName(m.select(col("b").as("vertex")))
+  }
+
   /** default synchronous LPA rounds — the oracle unrolls exactly this many,
     * so engine and oracle agree even where sync LPA has not stabilized */
   val DefaultLpaRounds = 5

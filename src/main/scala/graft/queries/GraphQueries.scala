@@ -443,6 +443,13 @@ object GraphQueries {
       Graphs.maximalMatching(Graphs.lineitemEdges(s, d, Mod))
         .orderBy("a")),
 
+    // 2-approximate minimum vertex cover = matched endpoints; maximality
+    // of the matching IS the cover property, the 2x bound is the
+    // textbook guarantee
+    "q_graph_vcover" -> ((s, d) =>
+      Graphs.vertexCover(Graphs.lineitemEdges(s, d, Mod))
+        .orderBy("vertex")),
+
     // strongly connected components (coloring algorithm): the DIRECTED
     // component analysis CC cannot express; phase peel of forward
     // max-color + backward root-reach, GraphSpec-pinned against Tarjan
@@ -843,6 +850,14 @@ object GraphQueries {
       |SELECT vertex AS a, mate AS b, rnd AS "round" FROM st$rounds
       |WHERE status = 1 AND vertex < mate ORDER BY a""".stripMargin
     sb.toString
+  }
+
+  /** matchingSql's round chain with the final select swapped: the cover
+    * is every matched vertex (status 1), the q_graph_vcover replay. */
+  private def vcoverSql(graphCte: String, rounds: Int): String = {
+    val m = matchingSql(graphCte, rounds)
+    m.substring(0, m.lastIndexOf("SELECT vertex AS a")) +
+      s"SELECT vertex FROM st$rounds WHERE status = 1 ORDER BY vertex"
   }
 
   /** Unrolled SCC coloring replay — per phase: active slice, `rounds`
@@ -1247,6 +1262,7 @@ object GraphQueries {
     "q_graph_mis" -> misSql(derivedGraphCte, Graphs.DefaultMisRounds),
     "q_graph_matching" -> matchingSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
     "q_graph_scc" -> sccSql(derivedGraphCte, Graphs.DefaultSccPhases, Graphs.DefaultSccRounds),
+    "q_graph_vcover" -> vcoverSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),

@@ -249,6 +249,10 @@ class GraphSpec extends SparkSpec {
       assert(touched.contains(a) || touched.contains(b),
         s"edge ($a,$b) between two unmatched vertices — not maximal")
     }
+    // the derived 2-approx vertex cover IS the touched set, and it covers
+    val cover = Graphs.vertexCover(e).collect().map(_.getLong(0)).toSet
+    assert(cover == touched)
+    und.foreach { case (a, b) => assert(cover.contains(a) || cover.contains(b)) }
   }
 
   test("mis/matching on the derived graph: maximality holds within the round bound") {
