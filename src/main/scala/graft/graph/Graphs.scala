@@ -616,6 +616,44 @@ object Graphs {
     state
   }
 
+  /** default condensation-layering rounds — bounds the SCC DAG's depth;
+    * the oracle unrolls exactly this many */
+  val DefaultSccLevelRounds = 10
+
+  /** Topological layering of the SCC condensation: contract each strongly
+    * connected component to one node, then level(C) = length of the
+    * longest path from any source component — the dependency-scheduling
+    * number (level-k components can only start after level-(k-1) ones;
+    * cycles collapse into their SCC so the layering is well-defined on
+    * any directed graph). Levels grow by bounded max-propagation over the
+    * condensation edges, which is acyclic by construction, so
+    * `levelRounds` >= DAG depth reaches the fixpoint. Returns
+    * (vertex, scc, level) — every vertex tagged with its component and
+    * the component's scheduling layer. */
+  def sccCondensationLevels(edges: DataFrame,
+      phases: Int = DefaultSccPhases, rounds: Int = DefaultSccRounds,
+      levelRounds: Int = DefaultSccLevelRounds): DataFrame = {
+    val scc = stronglyConnectedComponents(edges, phases, rounds)
+      .localCheckpoint(eager = true)
+    val bySrc = scc.select(col("vertex").as("src"), col("scc").as("csrc"))
+    val byDst = scc.select(col("vertex").as("dst"), col("scc").as("cdst"))
+    val ce = edges.select("src", "dst").distinct()
+      .join(bySrc, "src").join(byDst, "dst")
+      .select("csrc", "cdst").filter(col("csrc") =!= col("cdst")).distinct()
+      .localCheckpoint(eager = true)
+    val init = scc.select(col("scc").as("comp")).distinct()
+      .withColumn("level", lit(0L))
+    val levels = graft.iterate.Fixpoint.iterate(init, levelRounds,
+      converged = graft.iterate.Fixpoint.monotoneSumUnchanged("level")) { (st, _) =>
+      val msgs = st.join(ce, st("comp") === ce("csrc"))
+        .select(col("cdst").as("comp"), (col("level") + 1L).as("level"))
+      st.select("comp", "level").unionByName(msgs)
+        .groupBy("comp").agg(max("level").as("level"))
+    }
+    scc.join(levels, scc("scc") === levels("comp"))
+      .select(col("vertex"), col("scc"), col("level"))
+  }
+
   /** 2-approximate minimum vertex cover: the endpoints of a maximal
     * matching. Maximality means every edge has a matched endpoint, so
     * the set covers all edges; any cover needs at least one vertex per

@@ -457,6 +457,13 @@ object GraphQueries {
       Graphs.stronglyConnectedComponents(Graphs.lineitemEdges(s, d, Mod))
         .orderBy("vertex")),
 
+    // condensation layering: contract SCCs, longest-path level over the
+    // acyclic condensation — the dependency-scheduling number, well-
+    // defined on cyclic graphs because cycles collapse into their SCC
+    "q_graph_scc_levels" -> ((s, d) =>
+      Graphs.sccCondensationLevels(Graphs.lineitemEdges(s, d, Mod))
+        .orderBy("vertex")),
+
     "q_graph_kmeans" -> ((s, d) => {
       val pts = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).cast("double").as("x"))
@@ -917,6 +924,38 @@ object GraphQueries {
     sb.toString
   }
 
+  /** sccSql's phase chain + condensation edges + unrolled longest-path
+    * layering — the q_graph_scc_levels replay (integer max messages over
+    * an acyclic relation: order-free, exact in both engines). */
+  private def sccLevelsSql(graphCte: String, phases: Int, rounds: Int,
+      levelRounds: Int): String = {
+    val base = sccSql(graphCte, phases, rounds)
+    val sb = new StringBuilder
+    sb ++= base.substring(0, base.lastIndexOf("SELECT vertex, scc")).trim.stripSuffix(",")
+    sb ++= s""",
+      |cond AS MATERIALIZED (
+      |  SELECT DISTINCT s1.scc AS csrc, s2.scc AS cdst
+      |  FROM g e JOIN st$phases s1 ON s1.vertex = e.src
+      |  JOIN st$phases s2 ON s2.vertex = e.dst
+      |  WHERE s1.scc <> s2.scc),
+      |lv0 AS MATERIALIZED (
+      |  SELECT DISTINCT scc AS comp, CAST(0 AS BIGINT) AS level FROM st$phases)""".stripMargin
+    for (r <- 1 to levelRounds) {
+      sb ++= s""",
+        |lv$r AS MATERIALIZED (
+        |  SELECT comp, max(level) AS level FROM (
+        |    SELECT comp, level FROM lv${r - 1}
+        |    UNION ALL
+        |    SELECT c.cdst AS comp, l.level + 1 AS level
+        |    FROM cond c JOIN lv${r - 1} l ON l.comp = c.csrc)
+        |  GROUP BY comp)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT s.vertex, s.scc, l.level FROM st$phases s
+      |JOIN lv$levelRounds l ON l.comp = s.scc ORDER BY s.vertex""".stripMargin
+    sb.toString
+  }
+
   private def chainGraphCte(k: Int): String =
     s"""g AS MATERIALIZED (
        |  SELECT CAST(id AS BIGINT) AS src,
@@ -1263,6 +1302,8 @@ object GraphQueries {
     "q_graph_matching" -> matchingSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
     "q_graph_scc" -> sccSql(derivedGraphCte, Graphs.DefaultSccPhases, Graphs.DefaultSccRounds),
     "q_graph_vcover" -> vcoverSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
+    "q_graph_scc_levels" -> sccLevelsSql(derivedGraphCte, Graphs.DefaultSccPhases,
+      Graphs.DefaultSccRounds, Graphs.DefaultSccLevelRounds),
     "q_graph_kmeans" -> kmeansSql(KmInit, KmIters),
     "q_graph_cc_chain" -> ccDoublingSql(chainPathsCte(CcChainLen, CcChains), CcRounds),
     "q_graph_cc" -> ccDoublingSql(derivedGraphCte, CcRounds),

@@ -294,6 +294,17 @@ class GraphSpec extends SparkSpec {
     assert(scc(7L) == 7L) // trivial SCC
   }
 
+  test("scc condensation levels: cycles collapse, layers follow the DAG") {
+    // A {1,2,3} -> B {4,5,6} -> {7}: levels 0, 1, 2
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L, 6L -> 4L,
+      3L -> 4L, 6L -> 7L)
+    val lv = Graphs.sccCondensationLevels(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq(1L, 2L, 3L).forall(lv(_) == (3L, 0L)))
+    assert(Seq(4L, 5L, 6L).forall(lv(_) == (6L, 1L)))
+    assert(lv(7L) == (7L, 2L))
+  }
+
   test("scc on the derived graph equals driver-side Tarjan, all decided") {
     val e = Graphs.lineitemEdges(spark, sf("sf0.001"), 300)
     val got = Graphs.stronglyConnectedComponents(e).collect()
