@@ -192,7 +192,8 @@ object GraphScale {
     lazy val (core10, coreBase) = Inflate.replicateGraph(core, k)
     lazy val core10C = core10.localCheckpoint(eager = true)
     def needsCore10: Boolean = Seq("cc", "pagerank_damped", "pagerank_grown",
-      "sssp_bfs", "cc_inc_fold", "sssp_w_inc_fold").exists(want)
+      "sssp_bfs", "cc_inc_fold", "sssp_w_inc_fold",
+      "mis", "matching", "scc").exists(want)
     if (needsCore10) core10C.count() // pin the checkpoint before any timing
 
     if (want("cc")) report("cc",
@@ -214,6 +215,20 @@ object GraphScale {
         time2("prg")(grown(core)),
         time2("prg10")(grown(core10C)))
     }
+    // symmetry-breaking primitives: disjoint copies keep each replica's
+    // degree structure, and the id-dependent hash priorities give every
+    // copy its own (equally valid) peel — rounds = max over copies, so
+    // the ideal curve is near-flat (round count dominates, work per
+    // round is K-parallel)
+    if (want("mis")) report("mis",
+      time2("mis")(Graphs.maximalIndependentSet(core)),
+      time2("mis10")(Graphs.maximalIndependentSet(core10C)))
+    if (want("matching")) report("matching",
+      time2("mm")(Graphs.maximalMatching(core)),
+      time2("mm10")(Graphs.maximalMatching(core10C)))
+    if (want("scc")) report("scc",
+      time2("scc")(Graphs.stronglyConnectedComponents(core)),
+      time2("scc10")(Graphs.stronglyConnectedComponents(core10C)))
     if (want("sssp_bfs")) report("sssp_bfs",
       time2("sssp")(ShortestPath.multiSourceBfs(core, Seq(1L))),
       time2("sssp10")(ShortestPath.multiSourceBfs(core10C,
