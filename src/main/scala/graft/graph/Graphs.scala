@@ -701,6 +701,45 @@ object Graphs {
     result.select("vertex", "label")
   }
 
+  /** Newman modularity of a vertex partition, in exact-integer form: for
+    * each community c returns (label, intra_edges L_c, degree_sum d_c,
+    * q_num = 4m·L_c − d_c²) where m is the undirected edge count. The
+    * partition's modularity is Σ q_num / (2m)² — returning the integer
+    * numerators keeps the score rational so both engines hash-match
+    * exactly (the repo's log-free/float-free determinism rule); callers
+    * divide once at the edge if they want the float.
+    *
+    * Scale: two edge-sized hash joins against the vertex-sized label
+    * relation (broadcastable when communities fit, hash-partitioned
+    * otherwise) + two partial-aggregated groupBys — no per-pair work, no
+    * iteration; the natural "score this LPA/CC clustering" follow-up.
+    */
+  def modularityByCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = undirectedSized(edges)
+    val twoM = und.count() // und holds both directions: |und| = 2m
+    val lab = labels.select(col("vertex"), col("label"))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degSum = deg.join(lab, deg("src") === lab("vertex"))
+      .groupBy("label").agg(sum("deg").as("degree_sum"))
+    val ls = lab.select(col("vertex").as("sv"), col("label").as("sl"))
+    val ld = lab.select(col("vertex").as("dv"), col("label").as("dl"))
+    // every undirected intra-community edge appears in und once per
+    // direction, so the filtered count is exactly 2·L_c (always even)
+    val intra = und.join(ls, col("src") === col("sv"))
+      .join(ld, col("dst") === col("dv"))
+      .filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("label"))
+      .agg((count(lit(1)) / 2).cast("long").as("intra_edges"))
+    val out = degSum.join(intra, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(2L * twoM) * coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_num"))
+    und.unpersist(blocking = false)
+    out
+  }
+
   def connectedComponentsDoubling(
       edges: DataFrame, maxIter: Int = DefaultDoublingRounds): DataFrame = {
     val undirected = undirectedSized(edges)

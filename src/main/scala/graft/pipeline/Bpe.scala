@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextHash.wordsSpark
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the tokenizer-
+  * construction step of an LLM data pipeline, run where the data is.
+  *
+  * Semantics (the reference algorithm, relationalized):
+  *  - train on the corpus WORD FREQUENCY table, not raw text: merges act
+  *    within words, never across them (no end-of-word marker — merges are
+  *    word-internal only, a documented simplification);
+  *  - each round counts all adjacent symbol pairs weighted by word
+  *    frequency (overlapping occurrences included, as in the reference
+  *    implementation's get_stats), picks the max pair with a total
+  *    (count DESC, left ASC, right ASC) tie-break, and rewrites every
+  *    word by greedy left-to-right non-overlapping replacement — in a
+  *    run of consecutive matches only every other one merges, exactly
+  *    what sequential replacement does.
+  *
+  * Determinism: pair counts are exact int64 sums; tie-breaks are total
+  * orders over ASCII strings (the vocabulary is gated to ^[a-z]+$); the
+  * greedy keep-set is pure integer window arithmetic. The DuckDB oracle
+  * unrolls the same rounds CTE-for-CTE, so merges, vocabularies, and
+  * tokenizations hash-match across engines.
+  *
+  * Scale: after the one corpus-sized word-count aggregation, the working
+  * state is the VOCABULARY position table (Σ|word| rows over distinct
+  * words) — corpus text never moves again, which is why BPE training at
+  * 100 TB is feasible at all. Each round is two window passes + one agg
+  * over that state, hash-partitioned by word; the argmax is a 1-row
+  * collect per round (the k-row contract, as in KMeans). State is
+  * localCheckpoint'd per round (Fixpoint's lineage-cut discipline).
+  */
+object Bpe {
+
+  /** Default merge-round count shared by engine queries and oracle
+    * unrolls (they must agree — the oracle replays exactly this many). */
+  val DefaultMerges = 10
+
+  /** Longest word admitted to training; bounds the position explode in
+    * both engines (the oracle's range() cross join uses the same cap). */
+  val MaxWordLen = 24
+
+  /** Corpus word-frequency table gated to clean lowercase words:
+    * (word, freq). The one corpus-sized pass. */
+  def wordFreqs(docs: DataFrame, maxWordLen: Int = MaxWordLen): DataFrame =
+    docs.select(explode(expr(wordsSpark("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** (merges, finalState): merges as (rank, lhs, rhs, pair_count) rows in
+    * merge order; finalState as the trained tokenization (word, freq,
+    * pos, tok). */
+  def train(docs: DataFrame, merges: Int = DefaultMerges,
+      maxWordLen: Int = MaxWordLen): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = wordFreqs(docs, maxWordLen)
+    // initial state: one row per character position of each word
+    var state = vocab
+      .join(spark.range(maxWordLen).toDF("pos"), expr("pos < length(word)"))
+      .select(col("word"), col("freq"), col("pos"),
+        expr("substring(word, CAST(pos AS INT) + 1, 1)").as("tok"))
+      .localCheckpoint(eager = true)
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    val learned = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to merges) {
+      val withNext = state.withColumn("ntok", lead("tok", 1).over(byWord))
+      val top = withNext.filter(col("ntok").isNotNull)
+        .groupBy(col("tok").as("a"), col("ntok").as("b"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .head() // 1-row argmax collect per round (k-row contract)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      learned += ((r.toLong, a, b, c))
+      // match positions, then the greedy left-to-right keep set: within a
+      // run of consecutive matches, keep even offsets from the run start
+      val matches = withNext
+        .filter(col("tok") === lit(a) && col("ntok") === lit(b))
+        .select(col("word"), col("pos"))
+        .withColumn("grp", col("pos") - row_number().over(byWord))
+      val kept = matches
+        .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
+        .filter(col("off") % 2 === 0)
+        .select(col("word").as("kw"), col("pos").as("kp"))
+        .localCheckpoint(eager = true) // consumed on both sides below
+      val merged = state
+        .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
+        .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), lit(b)))
+          .otherwise(col("tok")))
+        .select(col("word"), col("freq"), col("pos"), col("tok2").as("tok"))
+      val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
+      state = merged.join(consumed, Seq("word", "pos"), "left_anti")
+        .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+        .localCheckpoint(eager = true)
+    }
+    (learned.toSeq.toDF("rank", "lhs", "rhs", "pair_count"), state)
+  }
+
+  /** Trained subword vocabulary: (tok, n_words, n_occurrences) where
+    * n_occurrences is frequency-weighted. */
+  def subwordVocab(finalState: DataFrame): DataFrame =
+    finalState.groupBy("tok")
+      .agg(count(lit(1)).as("n_words"), sum("freq").as("n_occurrences"))
+
+  /** Tokenize with a learned merge table: replays the merge list in rank
+    * order over the given words — the ENCODE path, shaped exactly like
+    * one training round minus the argmax (the merge table is the input,
+    * typically broadcast; rows here are (rank, lhs, rhs) collected at
+    * k-row scale). */
+  def encode(words: DataFrame, merges: Seq[(String, String)],
+      maxWordLen: Int = MaxWordLen): DataFrame = {
+    val spark = words.sparkSession
+    var state = words.select(col("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+      .distinct()
+      .join(spark.range(maxWordLen).toDF("pos"), expr("pos < length(word)"))
+      .select(col("word"), col("pos"),
+        expr("substring(word, CAST(pos AS INT) + 1, 1)").as("tok"))
+      .localCheckpoint(eager = true)
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    for ((a, b) <- merges) {
+      val withNext = state.withColumn("ntok", lead("tok", 1).over(byWord))
+      val matches = withNext
+        .filter(col("tok") === lit(a) && col("ntok") === lit(b))
+        .select(col("word"), col("pos"))
+        .withColumn("grp", col("pos") - row_number().over(byWord))
+      val kept = matches
+        .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
+        .filter(col("off") % 2 === 0)
+        .select(col("word").as("kw"), col("pos").as("kp"))
+        .localCheckpoint(eager = true)
+      val merged = state
+        .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
+        .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), lit(b)))
+          .otherwise(col("tok")))
+        .select(col("word"), col("pos"), col("tok2").as("tok"))
+      val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
+      state = merged.join(consumed, Seq("word", "pos"), "left_anti")
+        .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+        .localCheckpoint(eager = true)
+    }
+    state
+  }
+}

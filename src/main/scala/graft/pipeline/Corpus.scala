@@ -375,6 +375,52 @@ object Corpus {
   /** Deterministic stratified sample: `perGroup` documents per value of
     * `groupCol`, ordered by content hash (ties by doc_id) — an unbiased,
     * reproducible per-stratum pick with no driver-side randomness. */
+  /** Deterministic systematic PPS (probability-proportional-to-size)
+    * sample: lay documents on a weight line in id order, drop `n`
+    * equally-spaced probes at the stride midpoints
+    * pos_j = floor((2j+1)·W / 2n), and keep the document whose cumulative
+    * interval [cum−w, cum) contains each probe. The classic systematic
+    * sampler with zero randomness — heavy documents can repeat (that IS
+    * PPS), light ones are skipped proportionally, and the whole selection
+    * is exact int64 arithmetic, so it replays identically across engines,
+    * runs, and cluster widths.
+    *
+    * Scale: the prefix sum is the textbook two-phase scan — range-
+    * partition by id, per-partition subtotals to the driver (P rows, the
+    * k-row collect contract), broadcast the partition offsets back, and
+    * window only WITHIN partitions. No global single-partition window
+    * ever materializes, so the cumsum holds at any corpus size; the probe
+    * join broadcasts n rows against the cumsum relation (interval
+    * predicate, map-side). */
+  def systematicSample(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "sample size must be positive")
+    val spark = docs.sparkSession
+    val w = docs.select(col(idCol).as("doc_id"), col(weightCol).cast("long").as("wt"))
+    val parts = spark.sparkContext.defaultParallelism.max(1).min(32)
+    // pin partition ids before the double consumption (subtotals + window)
+    val ranged = w.repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val subtotals = ranged.groupBy("pid").agg(sum("wt").as("s"))
+      .orderBy("pid").collect() // ≤ parts rows by contract
+    val offsets = subtotals.map(_.getLong(1)).scanLeft(0L)(_ + _).init
+    val total = subtotals.map(_.getLong(1)).sum
+    require(total > 0, "total weight must be positive")
+    import spark.implicits._
+    val offDf = subtotals.map(_.getInt(0)).zip(offsets).toSeq.toDF("pid", "off")
+    val win = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged.join(broadcast(offDf), "pid")
+      .withColumn("cum", sum("wt").over(win) + col("off"))
+    val probes = spark.range(n).select(col("id").as("sample_idx"),
+      expr(s"((id * 2 + 1) * ${total}L) div ${2L * n}L").as("pos"))
+    cum.join(broadcast(probes),
+        probes("pos") >= cum("cum") - cum("wt") && probes("pos") < cum("cum"))
+      .select(col("sample_idx"), col("doc_id"), col("wt").as("weight"), col("pos"))
+  }
+
   def stratifiedSample(docs: DataFrame, groupCol: String, perGroup: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy(asc("h"), asc("doc_id"))

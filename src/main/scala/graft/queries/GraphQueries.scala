@@ -464,6 +464,45 @@ object GraphQueries {
       Graphs.sccCondensationLevels(Graphs.lineitemEdges(s, d, Mod))
         .orderBy("vertex")),
 
+    // modularity of the LPA partition, exact-integer numerators:
+    // Q = Σ q_num / (2m)² — "how good is this clustering", the score that
+    // turns labelPropagation from a transform into a measurable result
+    "q_graph_modularity" -> ((s, d) => {
+      val edges = Graphs.lineitemEdges(s, d, Mod)
+      val labels = Graphs.labelPropagation(edges, LpaRounds)
+      Graphs.modularityByCommunity(edges, labels).orderBy("label")
+    }),
+
+    // landmark closeness: aggregate the multi-source BFS sketch into
+    // per-vertex (reached-seed count, distance sum) — the centrality
+    // feature computed from k BFS passes instead of n (k = |seeds|)
+    "q_graph_closeness" -> ((s, d) =>
+      ShortestPath.multiSourceBfs(Graphs.lineitemEdges(s, d, Mod), LandmarkSeeds,
+          maxIter = SsspMaxHops)
+        .groupBy("vertex")
+        .agg(count(lit(1)).as("nseeds"), sum("dist").as("sumdist"))
+        .orderBy("vertex")),
+
+    // diameter lower bound by double sweep: BFS from a fixed start, BFS
+    // again from the farthest vertex found (ties → smallest id); the
+    // second eccentricity is the classic 2-BFS diameter estimate. The
+    // argmax hop is a 1-row collect (k-row contract, like KMeans).
+    "q_graph_diameter" -> ((s, d) => {
+      val edges = Graphs.lineitemEdges(s, d, Mod)
+      val d1 = ShortestPath.run(edges, source = 1L, maxIter = SsspMaxHops)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("vertex"), col("dist").cast("long").as("dist"))
+      val far = d1.orderBy(col("dist").desc, col("vertex").asc).head()
+      val farV = far.getLong(0)
+      val ecc1 = far.getLong(1)
+      ShortestPath.run(edges, source = farV, maxIter = SsspMaxHops)
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .agg(max(col("dist").cast("long")).as("ecc2"))
+        .select(lit(1L).as("start"), lit(farV).as("far_vertex"),
+          lit(ecc1).as("ecc1"), col("ecc2"),
+          greatest(lit(ecc1), col("ecc2")).as("diameter_lb"))
+    }),
+
     "q_graph_kmeans" -> ((s, d) => {
       val pts = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).cast("double").as("x"))
@@ -739,7 +778,9 @@ object GraphQueries {
   /** Unrolled synchronous LPA — mirrors Graphs.labelPropagation: per round,
     * neighbor labels over the undirected edge set plus a self-vote, then
     * per-vertex argmax by (count DESC, label ASC). */
-  private def lpaSql(graphCte: String, rounds: Int): String = {
+  /** shared LPA unroll body (WITH … l$rounds) — lpaSql selects from it
+    * directly; modularitySql appends the scoring CTEs on top of it */
+  private def lpaCtes(graphCte: String, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH $graphCte,
       |und AS MATERIALIZED (SELECT DISTINCT * FROM (
@@ -758,9 +799,76 @@ object GraphQueries {
         |               row_number() OVER (PARTITION BY vertex ORDER BY c DESC, label ASC) AS rn
         |        FROM c$i) WHERE rn = 1)""".stripMargin
     }
-    sb ++= s"\nSELECT vertex, label FROM l$rounds ORDER BY vertex"
     sb.toString
   }
+
+  private def lpaSql(graphCte: String, rounds: Int): String =
+    lpaCtes(graphCte, rounds) + s"\nSELECT vertex, label FROM l$rounds ORDER BY vertex"
+
+  /** Modularity oracle: the LPA unroll + exact-integer scoring. und holds
+    * both directions, so count(*) of intra-community directed pairs is
+    * 2·L_c (even, the /2 is exact) and |und| = 2m. */
+  private def modularitySql(graphCte: String, rounds: Int): String =
+    s"""${lpaCtes(graphCte, rounds)},
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       |tm AS MATERIALIZED (SELECT count(*) AS twom FROM und),
+       |dsum AS MATERIALIZED (
+       |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS degree_sum
+       |  FROM deg d JOIN l$rounds l ON l.vertex = d.src GROUP BY l.label),
+       |intra AS MATERIALIZED (
+       |  SELECT ls.label, CAST(count(*) / 2 AS BIGINT) AS intra_edges
+       |  FROM und u JOIN l$rounds ls ON ls.vertex = u.src
+       |  JOIN l$rounds ld ON ld.vertex = u.dst
+       |  WHERE ls.label = ld.label GROUP BY ls.label)
+       |SELECT d.label, COALESCE(i.intra_edges, 0) AS intra_edges, d.degree_sum,
+       |  2 * (SELECT twom FROM tm) * COALESCE(i.intra_edges, 0)
+       |    - d.degree_sum * d.degree_sum AS q_num
+       |FROM dsum d LEFT JOIN intra i ON i.label = d.label
+       |ORDER BY d.label""".stripMargin
+
+  /** landmark-closeness oracle: the landmarksSql walk aggregated to
+    * per-vertex (reached-seed count, distance sum) */
+  private def closenessSql = {
+    val seedRows = LandmarkSeeds.map(s => s"(CAST($s AS BIGINT))").mkString(", ")
+    s"""WITH RECURSIVE $edgesSql,
+       |seeds(seed) AS (VALUES $seedRows),
+       |walk(seed, vertex, dist) AS (
+       |  SELECT seed, seed AS vertex, 0 AS dist FROM seeds
+       |  UNION
+       |  SELECT w.seed, e.dst AS vertex, w.dist + 1 AS dist
+       |  FROM walk w JOIN edges e ON e.src = w.vertex
+       |  WHERE w.dist < $SsspMaxHops),
+       |d AS (SELECT seed, vertex, min(dist) AS dist FROM walk GROUP BY seed, vertex)
+       |SELECT vertex, count(*) AS nseeds, CAST(sum(dist) AS BIGINT) AS sumdist
+       |FROM d GROUP BY vertex ORDER BY vertex""".stripMargin
+  }
+
+  /** double-sweep oracle: two chained recursive BFS walks; the second's
+    * seed reads the first's argmax row (dist DESC, vertex ASC — the
+    * engine's exact tie-break) */
+  private def diameterSql =
+    s"""WITH RECURSIVE $edgesSql,
+       |w1(vertex, dist) AS (
+       |  SELECT CAST(1 AS BIGINT) AS vertex, 0 AS dist
+       |  UNION
+       |  SELECT e.dst AS vertex, w.dist + 1 AS dist
+       |  FROM w1 w JOIN edges e ON e.src = w.vertex
+       |  WHERE w.dist < $SsspMaxHops),
+       |d1 AS MATERIALIZED (SELECT vertex, min(dist) AS dist FROM w1 GROUP BY vertex),
+       |far AS MATERIALIZED (SELECT vertex, dist FROM d1 ORDER BY dist DESC, vertex LIMIT 1),
+       |w2(vertex, dist) AS (
+       |  SELECT vertex, 0 AS dist FROM far
+       |  UNION
+       |  SELECT e.dst AS vertex, w.dist + 1 AS dist
+       |  FROM w2 w JOIN edges e ON e.src = w.vertex
+       |  WHERE w.dist < $SsspMaxHops),
+       |d2 AS (SELECT vertex, min(dist) AS dist FROM w2 GROUP BY vertex)
+       |SELECT CAST(1 AS BIGINT) AS start,
+       |  (SELECT vertex FROM far) AS far_vertex,
+       |  (SELECT CAST(dist AS BIGINT) FROM far) AS ecc1,
+       |  (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS ecc2,
+       |  greatest((SELECT CAST(dist AS BIGINT) FROM far),
+       |           (SELECT CAST(max(dist) AS BIGINT) FROM d2)) AS diameter_lb""".stripMargin
 
   /** Unrolled deterministic Luby MIS — one (active, neighbor-min,
     * winners, dominated, state) CTE block per round, mirroring
@@ -1298,6 +1406,9 @@ object GraphQueries {
     "q_graph_pagerank_grown" -> pagerankGrownSql(derivedGraphCte, 4, PrIters - 4),
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
+    "q_graph_modularity" -> modularitySql(derivedGraphCte, LpaRounds),
+    "q_graph_closeness" -> closenessSql,
+    "q_graph_diameter" -> diameterSql,
     "q_graph_mis" -> misSql(derivedGraphCte, Graphs.DefaultMisRounds),
     "q_graph_matching" -> matchingSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
     "q_graph_scc" -> sccSql(derivedGraphCte, Graphs.DefaultSccPhases, Graphs.DefaultSccRounds),

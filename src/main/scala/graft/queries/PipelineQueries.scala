@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Corpus, Decontam, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Corpus, Decontam, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.TextHash._
 import graft.pipeline.Similarity._
 import graft.pipeline.TextAnalysis._
@@ -34,6 +34,8 @@ object PipelineQueries {
   // collocations: minimum bigram occurrences before a PMI score is emitted
   private val PmiMinCount = 3
   private val StratPerGroup = 20
+  // systematic PPS sample size (engine and oracle share the stride math)
+  private val PpsSampleN = 50
   // curation thresholds (quality gate for the end-to-end pipeline)
   private val MinWords = 10
   private val MinUniqRatio = 0.3
@@ -625,6 +627,25 @@ object PipelineQueries {
     "q_sample_stratified" -> ((s, d) =>
       Corpus.stratifiedSample(Tables.documents(s, d), "lang", StratPerGroup)
         .orderBy("lang", "rn")),
+
+    // deterministic systematic PPS sample: n stride-midpoint probes on
+    // the n_chars weight line — size-proportional selection with zero
+    // randomness, built on the two-phase distributed prefix sum
+    "q_sample_weighted" -> ((s, d) =>
+      Corpus.systematicSample(Tables.documents(s, d), PpsSampleN)
+        .orderBy("sample_idx")),
+
+    // BPE merge training (Sennrich et al.): the learned merge table in
+    // rank order — tokenizer construction as a corpus operator. After
+    // the one word-count pass, every round works on the vocabulary
+    // position table; corpus text never moves again.
+    "q_bpe_train" -> ((s, d) =>
+      Bpe.train(Tables.documents(s, d))._1.orderBy("rank")),
+
+    // the subword vocabulary the merge rounds produce: per final token,
+    // how many distinct words contain it and its frequency-weighted count
+    "q_bpe_vocab" -> ((s, d) =>
+      Bpe.subwordVocab(Bpe.train(Tables.documents(s, d))._2).orderBy("tok")),
 
     // end-to-end curation: fused quality+langid gate (one tokenization
     // pass) + near-dup cluster removal
@@ -1568,6 +1589,79 @@ object PipelineQueries {
        |  FROM (SELECT lang, doc_id, ${polyHashDuck("text")} AS h FROM documents))
        |WHERE rn <= $StratPerGroup ORDER BY lang, rn""".stripMargin
 
+  /** systematic-PPS oracle: single-window cumsum (the oracle may pay the
+    * global sort; the engine does the two-phase scan) + stride-midpoint
+    * probes, pure int64 so selection replays exactly */
+  private val sampleWeightedSql =
+    s"""WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+       |c AS (SELECT doc_id, wt,
+       |        CAST(sum(wt) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM w),
+       |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+       |p AS (SELECT CAST(j AS BIGINT) AS sample_idx,
+       |        CAST(((2 * j + 1) * (SELECT tot FROM t)) // (2 * $PpsSampleN) AS BIGINT) AS pos
+       |      FROM range(0, $PpsSampleN) r(j))
+       |SELECT p.sample_idx, c.doc_id, c.wt AS weight, p.pos
+       |FROM p JOIN c ON p.pos >= c.cum - c.wt AND p.pos < c.cum
+       |ORDER BY p.sample_idx""".stripMargin
+
+  /** BPE oracle unroll: per round, the pair-count window (nx), the argmax
+    * winner (win, total tie-break), the greedy non-overlapping keep set
+    * (kp — even offsets within runs of consecutive matches), and the
+    * rewritten state (s) — CTE-for-CTE the engine's Bpe.train round. */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(${wordsDuck("text")}) AS word FROM documents)
+       |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= ${Bpe.MaxWordLen}
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, CAST(j AS BIGINT) AS pos,
+       |         substr(word, CAST(j + 1 AS INT), 1) AS tok
+       |  FROM w0 CROSS JOIN range(0, ${Bpe.MaxWordLen}) r(j)
+       |  WHERE j < length(word))""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |nx$i AS MATERIALIZED (
+        |  SELECT word, freq, pos, tok,
+        |         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
+        |  FROM s$p),
+        |win$i AS MATERIALIZED (
+        |  SELECT tok AS a, ntok AS b, CAST(sum(freq) AS BIGINT) AS c
+        |  FROM nx$i WHERE ntok IS NOT NULL GROUP BY 1, 2
+        |  ORDER BY c DESC, a, b LIMIT 1),
+        |kp$i AS MATERIALIZED (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, grp) AS off
+        |    FROM (SELECT t.word, t.pos,
+        |            t.pos - row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS grp
+        |          FROM nx$i t, win$i w WHERE t.tok = w.a AND t.ntok = w.b))
+        |  WHERE off % 2 = 0),
+        |s$i AS MATERIALIZED (
+        |  SELECT s.word, s.freq,
+        |    CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+        |    CASE WHEN k.pos IS NOT NULL THEN s.tok || (SELECT b FROM win$i)
+        |         ELSE s.tok END AS tok
+        |  FROM s$p s
+        |  LEFT JOIN kp$i k ON k.word = s.word AND k.pos = s.pos
+        |  LEFT JOIN kp$i k2 ON k2.word = s.word AND k2.pos + 1 = s.pos
+        |  WHERE k2.pos IS NULL)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val bpeTrainSql = bpeCtes(Bpe.DefaultMerges) + "\n" +
+    (1 to Bpe.DefaultMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs, c AS pair_count FROM win$i")
+      .mkString("\nUNION ALL\n") + "\nORDER BY rank"
+
+  private val bpeVocabSql = bpeCtes(Bpe.DefaultMerges) +
+    s"""\nSELECT tok, count(*) AS n_words, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |FROM s${Bpe.DefaultMerges} GROUP BY tok ORDER BY tok""".stripMargin
+
   /** clustersSql's CC chain + a quality/langid CTE: the curated corpus is
     * quality-passing docs that are not near-dup cluster losers */
   private val curateSql = {
@@ -1873,6 +1967,9 @@ object PipelineQueries {
     "q_split_hash" -> splitHashSql,
     "q_split_leakfree" -> splitLeakfreeSql,
     "q_sample_stratified" -> stratifiedSql,
+    "q_sample_weighted" -> sampleWeightedSql,
+    "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_vocab" -> bpeVocabSql,
     "q_curate" -> curateSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,

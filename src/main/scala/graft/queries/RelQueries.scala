@@ -28,6 +28,9 @@ object RelQueries {
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast(DecimalType(18, 2))).cast("double")
 
+  // autocorrelation lag bound (engine banded self-join and oracle share it)
+  private val AcfMaxLag = 7
+
   val defs: Map[String, Q] = Map(
     // ---- aggregations (SURVEY §2.4: A1-A5 grouped count) ----
     // the reference headline query: follower count == grouped count
@@ -508,6 +511,38 @@ object RelQueries {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
         .orderBy("y", "m")),
 
+    // autocorrelation of the daily event-count series at lags 1..7,
+    // exact-integer scaled: r_k = num_scaled/den_scaled with both sides
+    // multiplied by n² so no float (or mean) is ever materialized — the
+    // repo's log/float-free determinism rule applied to a second-moment
+    // time-series statistic. The series is tiny after the daily rollup,
+    // so the row_number window and the banded self-join run on the
+    // aggregate, never on raw events.
+    "q_time_acf" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val serie = Tables.events(s, d)
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("day"), col("x"), row_number().over(w).cast("long").as("rn"))
+        .localCheckpoint(eager = true) // consumed by stats + both join sides
+      val stats = serie.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val a = serie.select(col("rn").as("arn"), col("x").as("ax"))
+      val b = serie.select(col("rn").as("brn"), col("x").as("bx"))
+      a.join(b, col("brn") > col("arn") && col("brn") <= col("arn") + AcfMaxLag)
+        .groupBy((col("brn") - col("arn")).as("lag"))
+        .agg(count(lit(1)).as("npairs"), sum(col("ax") * col("bx")).as("sxy"),
+          sum("ax").as("sh"), sum("bx").as("st"))
+        .crossJoin(broadcast(stats))
+        .select(col("lag"), col("npairs"),
+          (col("n") * col("n") * col("sxy")
+            - col("n") * col("sx") * (col("sh") + col("st"))
+            + col("npairs") * col("sx") * col("sx")).as("num_scaled"),
+          (col("n") * col("n") * col("sxx")
+            - col("n") * col("sx") * col("sx")).as("den_scaled"))
+        .orderBy("lag")
+    }),
+
     "q_time_funcs" -> ((s, d) =>
       Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -912,6 +947,24 @@ object RelQueries {
          CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS m,
          count(*) AS n, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY y, m ORDER BY y, m""",
+
+    "q_time_acf" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS x
+         |  FROM events GROUP BY day),
+         |s AS (SELECT day, CAST(x AS BIGINT) AS x,
+         |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(x*x) AS BIGINT) AS sxx FROM s),
+         |p AS (SELECT b.rn - a.rn AS lag, count(*) AS npairs,
+         |        CAST(sum(a.x*b.x) AS BIGINT) AS sxy,
+         |        CAST(sum(a.x) AS BIGINT) AS sh, CAST(sum(b.x) AS BIGINT) AS stt
+         |      FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + $AcfMaxLag
+         |      GROUP BY 1)
+         |SELECT p.lag, p.npairs,
+         |  st.n*st.n*p.sxy - st.n*st.sx*(p.sh+p.stt) + p.npairs*st.sx*st.sx AS num_scaled,
+         |  st.n*st.n*st.sxx - st.n*st.sx*st.sx AS den_scaled
+         |FROM p, st ORDER BY p.lag""".stripMargin,
 
     "q_time_funcs" ->
       """SELECT l_orderkey, l_linenumber,

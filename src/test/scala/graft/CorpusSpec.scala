@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.Corpus
+import graft.pipeline.{Bpe, Corpus}
 import graft.ops.RangeJoin
 
 /** Hand-computed fixtures for corpus statistics, deterministic splits,
@@ -69,6 +69,64 @@ class CorpusSpec extends SparkSpec {
     assert(s1.length == 10)
     val s2 = Corpus.stratifiedSample(d.repartition(9), "lang", 5).collect().map(_.toString).sorted
     assert(s1.sameElements(s2))
+  }
+
+  test("systematic PPS sample: heavy doc repeats, zero-weight never drawn, partition-invariant") {
+    // weights 1/100/1, W=102, n=2 -> probes at 102/4=25 and 3*102/4=76,
+    // both inside doc 2's interval [1, 101) -> doc 2 drawn twice (PPS)
+    val d = Seq((1L, "a", 1L), (2L, "b", 100L), (3L, "c", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val s = Corpus.systematicSample(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(s.toList == List((0L, 2L, 100L, 25L), (1L, 2L, 100L, 76L)))
+    // zero-weight docs have empty intervals: never selected, and the
+    // result is exactly n rows regardless of physical partitioning
+    val z = Seq((1L, "a", 0L), (2L, "b", 10L), (3L, "c", 0L), (4L, "d", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val r1 = Corpus.systematicSample(z, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val r2 = Corpus.systematicSample(z.repartition(7), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(r1.length == 4 && r1.forall(p => p._2 == 2L || p._2 == 4L))
+    assert(r1.sameElements(r2))
+  }
+
+  test("bpe: classic low/lower/lowest merge sequence") {
+    val d = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (m, st) = Bpe.train(d, merges = 4)
+    val ms = m.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // (l,o) beats (o,w) on the lexicographic tie at count 5; then the
+    // chain lo+w, low+e, and lowe+r (ties at 1 break by (lhs, rhs))
+    assert(ms.toList == List(("l", "o", 5L), ("lo", "w", 5L),
+      ("low", "e", 2L), ("lowe", "r", 1L)))
+    val lowest = st.filter(col("word") === "lowest").orderBy("pos")
+      .collect().map(_.getString(3))
+    assert(lowest.toList == List("lowe", "s", "t"))
+  }
+
+  test("bpe: overlapping run merges greedily left-to-right") {
+    // "aaaa": pair (a,a) counts 3 (overlapping occurrences, as in the
+    // reference get_stats) but only positions 0 and 2 merge
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val (m, st) = Bpe.train(d, merges = 1)
+    val head = m.collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    assert(head == (("a", "a", 3L)))
+    assert(st.orderBy("pos").collect().map(_.getString(3)).toList == List("aa", "aa"))
+  }
+
+  test("bpe: encode with the learned merges reproduces the training tokenization") {
+    val d = Seq((1L, "banana band bans"), (2L, "banana banana bandana"))
+      .toDF("doc_id", "text")
+    val (m, st) = Bpe.train(d, merges = 5)
+    val merges = m.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encode(st.select("word").distinct(), merges)
+    val a = st.select("word", "pos", "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    val b = enc.select("word", "pos", "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(a.sameElements(b))
   }
 
   test("mixture weights: sqrt temperature damps the head source") {

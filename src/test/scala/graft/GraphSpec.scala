@@ -545,4 +545,22 @@ class GraphSpec extends SparkSpec {
     // k above the max degree peels everything
     assert(Graphs.kCore(e, k = 4).isEmpty)
   }
+
+  test("modularity: two bridged triangles — exact integer numerators") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge; m = 7 undirected edges.
+    // Community {1,2,3}: L=3, d=2+2+3=7 -> q_num = 4*7*3 - 49 = 35 (and
+    // symmetrically for {4,5,6}); Q = (35+35)/(2m)^2 = 70/196 ~ 0.357
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 40L),
+      (6L, 40L)).toDF("vertex", "label")
+    val m = Graphs.modularityByCommunity(e, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m == Map(10L -> ((3L, 7L, 35L)), 40L -> ((3L, 7L, 35L))))
+    // the trivial one-community partition has Q = 0 exactly
+    val one = labels.select(col("vertex"), lit(0L).as("label"))
+    val q0 = Graphs.modularityByCommunity(e, one).agg(sum("q_num")).first().getLong(0)
+    assert(q0 == 0L)
+  }
 }
