@@ -85,6 +85,27 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
     println(json)
+    // The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
+    // what it finds there; the full line above (~5 KB with samples) overflows
+    // that window, so rounds 6-9 recorded "parsed": null. Emit a second,
+    // size-budgeted line LAST: full per-query map when it fits, else the
+    // slowest queries first (the informative ones) plus an omission count —
+    // the complete record still lands in BENCH_LAST.json + BENCH_HISTORY.jsonl.
+    val budget = 1800 // 2000-char window minus sbt's trailing [success] line
+    def compactLine(entries: Seq[(String, Double)], omitted: Int): String = {
+      val m = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m$om,"sf":"$sfDir"}"""
+    }
+    val bySlowest = results.sortBy { case (_, v) => -v }
+    var keep = bySlowest.length
+    var line = compactLine(results, 0)
+    while (line.length > budget && keep > 1) {
+      keep -= 1
+      line = compactLine(bySlowest.take(keep), bySlowest.length - keep)
+    }
+    println(line)
     // The driver tail-parses sbt stdout, where [info]/[error] tagging has
     // already broken the parse once (BENCH_r06 "parsed": null) — also write
     // the line to a file so the artifact stays machine-readable.

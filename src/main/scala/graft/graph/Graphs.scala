@@ -505,16 +505,19 @@ object Graphs {
           % 4294967296L).as("dst"))
       // each receiver accepts its min-hash proposer: every sender appears
       // in at most one proposal and no sender is a receiver this round,
-      // so accepted pairs are vertex-disjoint by construction.
-      // Materialized + stats-cut: consumed twice by the status merge (the
-      // connectedComponentsDoubling barrier pattern; the cut keeps the
-      // round's size estimate from snowballing through the checkpointed
-      // state)
-      val acc = cutStats(prop.groupBy("dst")
+      // so accepted pairs are vertex-disjoint by construction. Both
+      // orientations of a pair come from ONE explode pass over the
+      // acceptance agg — a self-union here would either re-run the
+      // proposal aggregation per branch or cost a second materialization
+      // barrier per round (the barrier count, not the data, dominates the
+      // round price; fusing acc into updates cut 3 barriers/round to 2)
+      val acc = prop.groupBy("dst")
         .agg((min(pairKey(col("dst"), col("src")) * 4294967296L + col("src"))
-          % 4294967296L).as("src")))
-      val matched = acc.select(col("src").as("vertex"), col("dst").as("newmate"))
-        .unionByName(acc.select(col("dst").as("vertex"), col("src").as("newmate")))
+          % 4294967296L).as("src"))
+      val matched = acc.select(explode(array(
+          struct(col("src").as("vertex"), col("dst").as("newmate")),
+          struct(col("dst").as("vertex"), col("src").as("newmate")))).as("e"))
+        .select(col("e.vertex").as("vertex"), col("e.newmate").as("newmate"))
         .withColumn("newstat", lit(1))
       val lonely = active
         .join(ae.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
@@ -614,6 +617,30 @@ object Graphs {
     }
     e.unpersist(blocking = false)
     state
+  }
+
+  /** [[stronglyConnectedComponents]] with a residue guard: the base
+    * algorithm silently returns scc = -1 for vertices the phase/round
+    * budget left undecided — oracle-consistent by contract (both engines
+    * replay the same bound) but WRONG for a production caller who treats
+    * the labels as true components. This variant counts the residue (one
+    * scan of the final vertex-sized checkpoint, the k-truss density-guard
+    * pattern) and fails fast with sizing guidance instead of letting -1
+    * rows flow downstream. Descending-id singleton chains are the worst
+    * case — each phase peels ONE vertex (everyone colors to the chain max,
+    * only its SCC decides), so phases must reach the peel depth. */
+  def stronglyConnectedComponentsStrict(edges: DataFrame,
+      phases: Int = DefaultSccPhases, rounds: Int = DefaultSccRounds): DataFrame = {
+    val s = stronglyConnectedComponents(edges, phases, rounds)
+    val undecided = s.filter(col("scc") < 0).count()
+    if (undecided > 0)
+      throw new IllegalArgumentException(
+        s"stronglyConnectedComponents: $undecided vertices undecided after " +
+          s"$phases phases x $rounds rounds (scc = -1); raise `phases` past " +
+          "the peel depth (worst case: one phase per SCC along a " +
+          "descending-id chain) and `rounds` past the active subgraph's " +
+          "diameter, and keep the DuckDB oracle unroll on the same bounds")
+    s
   }
 
   /** default condensation-layering rounds — bounds the SCC DAG's depth;
@@ -736,6 +763,10 @@ object Graphs {
         col("degree_sum"),
         (lit(2L * twoM) * coalesce(col("intra_edges"), lit(0L)) -
           col("degree_sum") * col("degree_sum")).as("q_num"))
+      // community-sized: materialize BEFORE dropping the edge cache, or the
+      // returned lazy plan re-derives union+distinct+repartition once per
+      // consuming branch at evaluation time (the Fixpoint checkpoint rule)
+      .localCheckpoint(eager = true)
     und.unpersist(blocking = false)
     out
   }

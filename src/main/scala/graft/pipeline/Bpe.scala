@@ -68,44 +68,58 @@ object Bpe {
       .localCheckpoint(eager = true)
     val byWord = Window.partitionBy("word").orderBy("pos")
     val learned = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-    for (r <- 1 to merges) {
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
       val withNext = state.withColumn("ntok", lead("tok", 1).over(byWord))
-      val top = withNext.filter(col("ntok").isNotNull)
+      val topOpt = withNext.filter(col("ntok").isNotNull)
         .groupBy(col("tok").as("a"), col("ntok").as("b"))
         .agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .head() // 1-row argmax collect per round (k-row contract)
-      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      learned += ((r.toLong, a, b, c))
-      // match positions, then the greedy left-to-right keep set: within a
-      // run of consecutive matches, keep even offsets from the run start
-      val matches = withNext
-        .filter(col("tok") === lit(a) && col("ntok") === lit(b))
-        .select(col("word"), col("pos"))
-        .withColumn("grp", col("pos") - row_number().over(byWord))
-      val kept = matches
-        .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
-        .filter(col("off") % 2 === 0)
-        .select(col("word").as("kw"), col("pos").as("kp"))
-        .localCheckpoint(eager = true) // consumed on both sides below
-      val merged = state
-        .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
-        .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), lit(b)))
-          .otherwise(col("tok")))
-        .select(col("word"), col("freq"), col("pos"), col("tok2").as("tok"))
-      val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
-      state = merged.join(consumed, Seq("word", "pos"), "left_anti")
-        .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
-        .localCheckpoint(eager = true)
+        .take(1).headOption // 1-row argmax collect per round (k-row contract)
+      topOpt match {
+        case None =>
+          // no adjacent pairs left (every word fully merged to one token):
+          // stop learning — the oracle unroll's `win$i ... LIMIT 1` CTEs go
+          // empty for the remaining rounds and its state CTEs pass through
+          // unchanged, so early exit here matches the oracle exactly
+          exhausted = true
+        case Some(top) =>
+          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          learned += ((r.toLong, a, b, c))
+          // match positions, then the greedy left-to-right keep set: within a
+          // run of consecutive matches, keep even offsets from the run start
+          val matches = withNext
+            .filter(col("tok") === lit(a) && col("ntok") === lit(b))
+            .select(col("word"), col("pos"))
+            .withColumn("grp", col("pos") - row_number().over(byWord))
+          val kept = matches
+            .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
+            .filter(col("off") % 2 === 0)
+            .select(col("word").as("kw"), col("pos").as("kp"))
+            .localCheckpoint(eager = true) // consumed on both sides below
+          val merged = state
+            .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
+            .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), lit(b)))
+              .otherwise(col("tok")))
+            .select(col("word"), col("freq"), col("pos"), col("tok2").as("tok"))
+          val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
+          state = merged.join(consumed, Seq("word", "pos"), "left_anti")
+            .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+            .localCheckpoint(eager = true)
+      }
+      r += 1
     }
     (learned.toSeq.toDF("rank", "lhs", "rhs", "pair_count"), state)
   }
 
-  /** Trained subword vocabulary: (tok, n_words, n_occurrences) where
-    * n_occurrences is frequency-weighted. */
+  /** Trained subword vocabulary: (tok, n_positions, n_occurrences) where
+    * n_positions counts the token's POSITIONS across the distinct-word
+    * table (a token appearing twice in one word counts twice — 'an' in
+    * 'banana') and n_occurrences is the frequency-weighted total. */
   def subwordVocab(finalState: DataFrame): DataFrame =
     finalState.groupBy("tok")
-      .agg(count(lit(1)).as("n_words"), sum("freq").as("n_occurrences"))
+      .agg(count(lit(1)).as("n_positions"), sum("freq").as("n_occurrences"))
 
   /** Tokenize with a learned merge table: replays the merge list in rank
     * order over the given words — the ENCODE path, shaped exactly like

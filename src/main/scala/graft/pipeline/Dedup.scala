@@ -438,14 +438,30 @@ object Dedup {
     * relation can skip even that by keeping [[bandKeys]] output alongside. */
   def incrementalDeduplicate(existing: DataFrame, incoming: DataFrame,
       threshold: Double, existingIndex: DataFrame): DataFrame = {
-    val all = existing.unionByName(incoming)
+    val pairs = incrementalNearDupPairs(existingIndex,
+      minhashSignatures(incoming), threshold)
+    val losers = dedupClusters(pairs)
+      .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+    existing.unionByName(incoming).join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Verified near-dup pairs (doc_a < doc_b, Jaccard >= threshold) of an
+    * incoming signature batch against a stored signature index — the
+    * candidate stage of [[incrementalDeduplicate]] exposed on its own for
+    * screen-style pipelines (the streaming curate ingest) that apply a
+    * different drop rule than CC-keeper. Band-joins incoming-vs-(index ∪
+    * incoming), never index-vs-index; pairs wholly inside the index cannot
+    * appear. Output is eagerly materialized (tiny), so the transient
+    * signature cache never leaks into the caller's session. */
+  def incrementalNearDupPairs(existingIndex: DataFrame, incomingSigs: DataFrame,
+      threshold: Double): DataFrame = {
     val sigs = existingIndex.select("doc_id", "hs", "mh")
-      .unionByName(minhashSignatures(incoming)).persist()
+      .unionByName(incomingSigs.select("doc_id", "hs", "mh")).persist()
     val nDocs = sigs.count() // pin before the band and verify stages race it
     val allBands = bandKeys(sigs)
     // the incoming side of the band join = stored index rows for new ids
     val newBands = allBands.join(
-      incoming.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      incomingSigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val cand = newBands.toDF("na", "band", "key")
       .join(allBands.toDF("nb", "band", "key"), Seq("band", "key"))
       .filter(col("na") =!= col("nb"))
@@ -455,9 +471,7 @@ object Dedup {
     val pairs = verifiedJaccardPairs(cand, sigs, threshold, nDocs)
       .localCheckpoint(eager = true)
     sigs.unpersist(blocking = false)
-    val losers = dedupClusters(pairs)
-      .filter(col("doc_id") =!= col("keeper")).select("doc_id")
-    all.join(losers, Seq("doc_id"), "left_anti")
+    pairs
   }
 
   /** Priority-aware canonical selection: given duplicate clusters (from

@@ -55,6 +55,10 @@ object GraphQueries {
   private val KCoreRounds = Graphs.DefaultKCoreRounds
   // LPA: engine round count and oracle unroll count must agree
   private val LpaRounds = Graphs.DefaultLpaRounds
+  // modularity is scored on the residue-sharded cut (edges within vertex%4
+  // classes only) so the LPA partition stays multi-community at every sf —
+  // engine filter and oracle graph CTE share the shard count
+  private val ModularityShards = 4
   // personalized PageRank seed set (engine IN-list and oracle CASE share it)
   private val PprSeeds = Seq(1L, 2L, 3L)
   // landmark BFS seeds (engine init table and oracle VALUES share them)
@@ -466,9 +470,15 @@ object GraphQueries {
 
     // modularity of the LPA partition, exact-integer numerators:
     // Q = Σ q_num / (2m)² — "how good is this clustering", the score that
-    // turns labelPropagation from a transform into a measurable result
+    // turns labelPropagation from a transform into a measurable result.
+    // Scored on the residue-SHARDED cut (edges only within vertex%4
+    // classes): the dense Mod graph collapses to ONE community under LPA
+    // at every sf, whose q_num is algebraically 0 (4m·m − (2m)² = 0) —
+    // the shards force ≥4 communities so the scoring CTEs are exercised
+    // nontrivially end-to-end (q_num = 4·m_c·(m − m_c) ≠ 0 per shard)
     "q_graph_modularity" -> ((s, d) => {
       val edges = Graphs.lineitemEdges(s, d, Mod)
+        .filter(col("src") % ModularityShards === col("dst") % ModularityShards)
       val labels = Graphs.labelPropagation(edges, LpaRounds)
       Graphs.modularityByCommunity(edges, labels).orderBy("label")
     }),
@@ -1075,6 +1085,14 @@ object GraphQueries {
        |  SELECT DISTINCT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst
        |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod)""".stripMargin
 
+  /** residue-sharded cut of the derived graph (edges within vertex%shards
+    * classes only) — q_graph_modularity's multi-community fixture */
+  private val shardedGraphCte =
+    s"""g AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst
+       |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod
+       |    AND (l_orderkey % $Mod) % $ModularityShards = (l_partkey % $Mod) % $ModularityShards)""".stripMargin
+
   /** Unrolled HITS — one (auth, hub) CTE pair per iteration, mirroring
     * Hits.run: auth pulls hub over in-edges and L1-normalizes, hub pulls
     * the NORMALIZED auth over out-edges and L1-normalizes. */
@@ -1406,7 +1424,7 @@ object GraphQueries {
     "q_graph_pagerank_grown" -> pagerankGrownSql(derivedGraphCte, 4, PrIters - 4),
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
-    "q_graph_modularity" -> modularitySql(derivedGraphCte, LpaRounds),
+    "q_graph_modularity" -> modularitySql(shardedGraphCte, LpaRounds),
     "q_graph_closeness" -> closenessSql,
     "q_graph_diameter" -> diameterSql,
     "q_graph_mis" -> misSql(derivedGraphCte, Graphs.DefaultMisRounds),

@@ -643,7 +643,8 @@ object PipelineQueries {
       Bpe.train(Tables.documents(s, d))._1.orderBy("rank")),
 
     // the subword vocabulary the merge rounds produce: per final token,
-    // how many distinct words contain it and its frequency-weighted count
+    // its position count over the distinct-word table and its
+    // frequency-weighted occurrence total
     "q_bpe_vocab" -> ((s, d) =>
       Bpe.subwordVocab(Bpe.train(Tables.documents(s, d))._2).orderBy("tok")),
 
@@ -1659,7 +1660,7 @@ object PipelineQueries {
       .mkString("\nUNION ALL\n") + "\nORDER BY rank"
 
   private val bpeVocabSql = bpeCtes(Bpe.DefaultMerges) +
-    s"""\nSELECT tok, count(*) AS n_words, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    s"""\nSELECT tok, count(*) AS n_positions, CAST(sum(freq) AS BIGINT) AS n_occurrences
        |FROM s${Bpe.DefaultMerges} GROUP BY tok ORDER BY tok""".stripMargin
 
   /** clustersSql's CC chain + a quality/langid CTE: the curated corpus is

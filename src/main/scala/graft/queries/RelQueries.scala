@@ -518,6 +518,12 @@ object RelQueries {
     // time-series statistic. The series is tiny after the daily rollup,
     // so the row_number window and the banded self-join run on the
     // aggregate, never on raw events.
+    // SF bound: every scaled term is ≤ 4·n²·sxx (Cauchy–Schwarz: sxy ≤ sxx,
+    // sx² ≤ n·sxx, sh+st ≤ 2·sx), so the arithmetic is int64-exact while
+    // sxx ≤ Long.Max/(4n²) — with n ≈ 60 days that is daily counts up to
+    // ~3e6 (sf ≈ 2000). Past it Spark would wrap silently where DuckDB
+    // raises, so the guard below makes the engine raise too (convergent
+    // failure modes, the normalizeDate fail-fast discipline).
     "q_time_acf" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.orderBy("day")
       val serie = Tables.events(s, d)
@@ -538,8 +544,12 @@ object RelQueries {
           (col("n") * col("n") * col("sxy")
             - col("n") * col("sx") * (col("sh") + col("st"))
             + col("npairs") * col("sx") * col("sx")).as("num_scaled"),
-          (col("n") * col("n") * col("sxx")
-            - col("n") * col("sx") * col("sx")).as("den_scaled"))
+          when(col("sxx") > lit(Long.MaxValue) / (lit(4L) * col("n") * col("n")),
+            expr("raise_error('q_time_acf: n²-scaled moments exceed int64 " +
+              "at this data volume — daily counts too large for the " +
+              "exact-integer ACF')").cast("long"))
+            .otherwise(col("n") * col("n") * col("sxx")
+              - col("n") * col("sx") * col("sx")).as("den_scaled"))
         .orderBy("lag")
     }),
 

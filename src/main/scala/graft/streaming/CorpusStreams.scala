@@ -159,4 +159,179 @@ object CorpusStreams {
     docs.select(col("doc_id"), col("source"),
       expr(s"aggregate(${graft.pipeline.TextHash.wordsSpark("text")}, " +
         "CAST(0 AS BIGINT), (acc, w) -> acc + (length(w) + 3) div 4)").as("n_tokens"))
+
+  // ---- composed curate ingest: quality -> langid -> dedup screens ->
+  // ---- admission, one micro-batch pipeline
+
+  final case class CurDoc(doc_id: Long, source: String, lang_pred: String,
+    n_words: Long, n_tokens: Long)
+  final case class CurAdmit(doc_id: Long, source: String, lang_pred: String,
+    n_words: Long, n_tokens: Long, cum_tokens: Long)
+
+  /** quality+langid gate + token estimate, shared by the batch twin and
+    * every micro-batch: (doc_id, source, lang_pred, n_words, n_tokens)
+    * for documents passing the thresholds. One tokenization pass (the
+    * qualityLangGate fusion) + one token-estimate projection. */
+  private def gateWithTokens(docs: DataFrame, minWords: Int,
+      minUniqRatio: Double): DataFrame =
+    graft.pipeline.Corpus.qualityLangGate(docs, minWords, minUniqRatio)
+      .join(withTokenCounts(docs), Seq("doc_id"))
+      .select("doc_id", "source", "lang_pred", "n_words", "n_tokens")
+
+  /** (doc_id, fp_hi, fp_lo, len) content fingerprints — the exact-dedup
+    * screen key (the exactByFingerprint128 convention). */
+  private def fps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.polyHash(col("text")).as("fp_hi"),
+      graft.functions.GraftFunctions.polyHash2(col("text")).as("fp_lo"),
+      length(col("text")).cast("long").as("len"))
+
+  /** Per-source first-fit token admission over an already-screened batch:
+    * the [[admitWithinBudget]] fold in batch form, seeded with the running
+    * totals `used0` carried across micro-batches. Same memory contract as
+    * admitWithinBudget (one source's slice buffers on the owning task). */
+  private def admitFold(survivors: DataFrame, quotas: Map[String, Long],
+      used0: Map[String, Long]): Dataset[CurAdmit] = {
+    val spark = survivors.sparkSession
+    import spark.implicits._
+    survivors.select("doc_id", "source", "lang_pred", "n_words", "n_tokens")
+      .as[CurDoc]
+      .groupByKey(_.source)
+      .flatMapGroups { (src: String, it: Iterator[CurDoc]) =>
+        val quota = quotas.getOrElse(src, 0L)
+        var used = used0.getOrElse(src, 0L)
+        val out = Seq.newBuilder[CurAdmit]
+        it.toSeq.sortBy(_.doc_id).foreach { d =>
+          if (used + d.n_tokens <= quota) {
+            used += d.n_tokens
+            out += CurAdmit(d.doc_id, src, d.lang_pred, d.n_words, d.n_tokens, used)
+          }
+        }
+        out.result().iterator
+      }
+  }
+
+  /** One-shot batch form of the composed curate pipeline — the
+    * equivalence reference for [[curateIngest]]:
+    *   1. quality+langid gate (fused single-tokenization projection);
+    *   2. exact-dedup screen: lowest doc_id per 128-bit content
+    *      fingerprint survives;
+    *   3. near-dup SCREEN (minhash+LSH verified pairs, the ONLINE drop
+    *      rule): a doc is dropped iff it is the larger end of any
+    *      >= threshold pair — unlike q_curate's CC-keeper rule this is
+    *      decidable the moment a doc arrives (no retraction), which is
+    *      what lets the streaming twin emit identical admissions;
+    *   4. per-source first-fit token admission in doc_id order.
+    * Returns (doc_id, source, lang_pred, n_words, n_tokens, cum_tokens). */
+  def curateScreenBatch(docs: DataFrame, quotas: Map[String, Long],
+      minWords: Int = 10, minUniqRatio: Double = 0.3,
+      threshold: Double = 0.8): Dataset[CurAdmit] = {
+    val gated = gateWithTokens(docs, minWords, minUniqRatio)
+    val gatedDocs = docs.select("doc_id", "text")
+      .join(gated.select("doc_id"), Seq("doc_id"), "left_semi")
+    val exactKeep = fps(gatedDocs).groupBy("fp_hi", "fp_lo", "len")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val exactDocs = gatedDocs.join(exactKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true) // pair stage scans it repeatedly
+    val losers = graft.pipeline.Dedup.minhashDedup(exactDocs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survivors = gated
+      .join(exactDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+    admitFold(survivors, quotas, Map.empty)
+  }
+
+  /** Streaming composition of the whole curate pipeline — quality gate,
+    * langid, exact-dedup screen, minhash near-dup screen, token-budget
+    * admission — one foreachBatch micro-batch at a time (the
+    * substringIngest pattern: the indexes ARE the state, owned by the
+    * caller's storage under `stateDir`):
+    *   - `fp_index`  : content fingerprints of every exact-screen keeper;
+    *   - `sig_index` : minhash signatures of every exact-screen survivor
+    *                   (kept or near-dup-dropped — the screen's seen set);
+    *   - `totals`    : per-source admitted-token running totals;
+    *   - admissions append to `admittedDir`.
+    * CONTRACT (the admitWithinBudget arrival-order convention): batches
+    * partition the corpus with doc_id ascending across batches, and
+    * within a batch doc_id order decides. Under that contract the union
+    * of all emitted admissions is EXACTLY [[curateScreenBatch]] of the
+    * full corpus (StreamingSpec proves it): every screen decision depends
+    * only on smaller-id documents, all of which are either in the batch
+    * (handled by the within-batch rule) or already in the indexes. */
+  def curateIngest(docs: DataFrame, stateDir: String, admittedDir: String,
+      checkpointDir: String, quotas: Map[String, Long],
+      minWords: Int = 10, minUniqRatio: Double = 0.3,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint(eager = true)
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+        def readOr(dir: String, empty: => DataFrame): DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(dir))) sp.read.parquet(dir)
+          else empty
+        val fpIndex = readOr(s"$stateDir/fp_index",
+          sp.emptyDataFrame.select(lit(0L).as("fp_hi"), lit(0L).as("fp_lo"),
+            lit(0L).as("len")).limit(0))
+        val sigIndex = readOr(s"$stateDir/sig_index",
+          sp.emptyDataFrame.select(lit(0L).as("doc_id"),
+            array().cast("array<bigint>").as("hs"),
+            array().cast("array<bigint>").as("mh")).limit(0))
+        val used0: Map[String, Long] =
+          readOr(s"$stateDir/totals", sp.emptyDataFrame
+              .select(lit("").as("source"), lit(0L).as("used")).limit(0))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // 1-2. gate, then the exact screen: index hit -> drop; within the
+        // batch the lowest doc_id per fingerprint survives
+        val gated = gateWithTokens(b, minWords, minUniqRatio)
+          .localCheckpoint(eager = true)
+        val gatedDocs = b.select("doc_id", "text")
+          .join(gated.select("doc_id"), Seq("doc_id"), "left_semi")
+        val bFps = fps(gatedDocs).localCheckpoint(eager = true)
+        val exactIds = bFps
+          .join(fpIndex, Seq("fp_hi", "fp_lo", "len"), "left_anti")
+          .groupBy("fp_hi", "fp_lo", "len").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val exactDocs = gatedDocs.join(exactIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint(eager = true)
+        // 3. near-dup screen: batch-vs-(index ∪ batch) verified pairs;
+        // the larger end of any pair is dropped (ids ascend across
+        // batches, so the cross-index end is always the batch doc)
+        val sigsB = graft.pipeline.Dedup.minhashSignatures(exactDocs)
+          .localCheckpoint(eager = true)
+        val losers = graft.pipeline.Dedup
+          .incrementalNearDupPairs(sigIndex, sigsB, threshold)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+        val survivors = gated
+          .join(exactDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(losers, Seq("doc_id"), "left_anti")
+        // 4. admission seeded with the carried totals
+        val admitted = admitFold(survivors, quotas, used0)
+          .localCheckpoint(eager = true)
+        admitted.toDF().write.mode("append").parquet(admittedDir)
+        // state updates AFTER the decisions (a batch never sees itself
+        // through the indexes; its internal duplicates were handled by
+        // the within-batch rules above)
+        bFps.join(exactIds, Seq("doc_id"), "left_semi")
+          .select("fp_hi", "fp_lo", "len")
+          .write.mode("append").parquet(s"$stateDir/fp_index")
+        sigsB.write.mode("append").parquet(s"$stateDir/sig_index")
+        val newTotals = used0 ++ admitted.groupBy("source")
+          .agg(max("cum_tokens").as("used"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        import sp.implicits._
+        // totals must be readable while being replaced -> write to a tmp
+        // dir and swap (k-row relation, the cost is a rename)
+        val tmp = s"$stateDir/totals_tmp"
+        newTotals.toSeq.toDF("source", "used")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val totalsPath = new org.apache.hadoop.fs.Path(s"$stateDir/totals")
+        if (fs.exists(totalsPath)) fs.delete(totalsPath, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), totalsPath)
+        ()
+      }
+      .start()
 }

@@ -115,6 +115,21 @@ class CorpusSpec extends SparkSpec {
     assert(st.orderBy("pos").collect().map(_.getString(3)).toList == List("aa", "aa"))
   }
 
+  test("bpe: pair exhaustion stops the merge loop instead of crashing") {
+    // "a b a" has single-char words only: round 1 has zero adjacent pairs,
+    // so train must return 0 merges and the untouched state — the oracle's
+    // win$i LIMIT 1 goes empty identically
+    val d = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val (m0, st0) = Bpe.train(d, merges = 3)
+    assert(m0.count() == 0L)
+    assert(st0.collect().map(_.getString(3)).sorted.toList == List("a", "b"))
+    // "ab" exhausts after ONE merge with two rounds still requested
+    val (m1, st1) = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), merges = 3)
+    assert(m1.collect().map(r => (r.getString(1), r.getString(2))).toList ==
+      List(("a", "b")))
+    assert(st1.collect().map(_.getString(3)).toList == List("ab"))
+  }
+
   test("bpe: encode with the learned merges reproduces the training tokenization") {
     val d = Seq((1L, "banana band bans"), (2L, "banana banana bandana"))
       .toDF("doc_id", "text")

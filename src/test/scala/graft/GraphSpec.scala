@@ -294,6 +294,25 @@ class GraphSpec extends SparkSpec {
     assert(scc(7L) == 7L) // trivial SCC
   }
 
+  test("scc strict: residue guard trips on a chain needing more phases, passes with enough") {
+    // descending-id singleton chain 6->5->...->1: every vertex colors to 6
+    // in phase 1 but only {6} decides — one peel per phase, so depth 6
+    // needs 6 phases. With the default 3-phase budget the base algorithm
+    // returns scc = -1 residue and the strict variant must refuse.
+    val e = edges(6L -> 5L, 5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L)
+    val base = Graphs.stronglyConnectedComponents(e, phases = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base.values.exists(_ < 0), s"fixture too shallow — no residue in $base")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.stronglyConnectedComponentsStrict(e, phases = 3)
+    }
+    assert(ex.getMessage.contains("undecided"))
+    // enough phases: all singletons decide and strict passes them through
+    val ok = Graphs.stronglyConnectedComponentsStrict(e, phases = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == (1L to 6L).map(v => v -> v).toMap)
+  }
+
   test("scc condensation levels: cycles collapse, layers follow the DAG") {
     // A {1,2,3} -> B {4,5,6} -> {7}: levels 0, 1, 2
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L, 6L -> 4L,

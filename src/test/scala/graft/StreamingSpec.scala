@@ -311,6 +311,44 @@ class StreamingSpec extends SparkSpec {
       Dedup.substringIndex(batchDocs).count())
   }
 
+  test("streaming curate ingest: admissions equal the one-shot batch curate screen") {
+    import graft.streaming.CorpusStreams
+    val docsPath = sf("sf0.001") + "/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath).select("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft-curate")
+    // three doc_id-ordered micro-batches — the curateIngest arrival
+    // contract (ids ascend across batches)
+    batchDocs.filter(col("doc_id") < 200).coalesce(1)
+      .write.parquet(dir.resolve("in/b0").toString)
+    batchDocs.filter(col("doc_id") >= 200 && col("doc_id") < 400).coalesce(1)
+      .write.parquet(dir.resolve("in/b1").toString)
+    batchDocs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.parquet(dir.resolve("in/b2").toString)
+    // binding quotas (each source carries ~1900 estimated tokens at
+    // sf0.001) so admission actually rejects; src19 has NO quota — the
+    // drop-unquoted path
+    val quotas = (0 to 18).map(i => s"src$i" -> 800L).toMap
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.curateIngest(stream, dir.resolve("state").toString,
+      dir.resolve("admitted").toString, dir.resolve("ck").toString, quotas)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(dir.resolve("admitted").toString)
+      .select("doc_id", "source", "lang_pred", "n_words", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = CorpusStreams.curateScreenBatch(batchDocs, quotas).collect()
+      .map(a => (a.doc_id, a.source, a.lang_pred, a.n_words, a.n_tokens,
+        a.cum_tokens)).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    // quotas must have bitten (else the admission stage proved nothing)
+    assert(streamed.size < batchDocs.count(),
+      "admission never rejected — quotas not binding in this fixture")
+    assert(!streamed.exists(_._2 == "src19"), "unquoted source leaked through")
+  }
+
   test("streaming decontamination equals batch decontamination") {
     import graft.pipeline.Decontam
     // documents stream; eval slice = doc_id % 50 == 0 (the batch query's split)
