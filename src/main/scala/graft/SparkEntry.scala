@@ -76,5 +76,8 @@ object SparkEntry {
     // symmetry-breaking graph primitives
     "q_sim_ivfpq", "q_split_leakfree", "q_graph_mis", "q_graph_matching",
     "q_graph_scc",
+    // round 10: condensation layering priced next to q_graph_scc so the
+    // DAG-layering overhead is a recorded number
+    "q_graph_scc_levels",
   ).filter(queries.contains)
 }

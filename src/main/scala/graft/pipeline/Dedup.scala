@@ -102,9 +102,36 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH banding: docs sharing any band of the
-    * signature. Output (doc_a < doc_b), distinct. */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
-    val bands = bandKeys(signatures)
+    * signature. Output (doc_a < doc_b), distinct.
+    *
+    * `maxBandOcc` is the band-key postings cap — the LSH twin of the
+    * substring path's hot-gram cap: band keys shared by more than
+    * `maxBandOcc` documents are dropped from candidate generation (the
+    * per-key join fan-out is occupancy², so ONE boilerplate-driven hot
+    * key can dominate the whole candidate stage — the skew sweep measured
+    * 2.3x at a 1-in-10 shared-template rate, every extra candidate
+    * verify-rejected). Recall boundary, documented: a >= threshold pair
+    * is lost only if EVERY band it collides on is hot — at Jaccard 0.8+
+    * the pair collides on ~all bands, and a key hot past hundreds of
+    * docs is boilerplate (pairwise ~0.5), not a true near-dup family.
+    * The hot set itself is tiny and ships as a broadcast anti-join. */
+  def lshCandidates(signatures: DataFrame,
+      maxBandOcc: Long = Long.MaxValue): DataFrame = {
+    val bands0 = bandKeys(signatures)
+    val bands =
+      if (maxBandOcc == Long.MaxValue) bands0
+      else {
+        // renamed join keys: hot derives from bands0, and a USING join
+        // between a relation and its own aggregate resolves both sides to
+        // the SAME attribute ids — the condition degenerates to row=self
+        // and the anti-join empties the relation
+        val hot = bands0.groupBy("band", "key")
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBandOcc)
+          .select(col("band").as("hband"), col("key").as("hkey"))
+        bands0.join(broadcast(hot),
+          col("band") === col("hband") && col("key") === col("hkey"),
+          "left_anti")
+      }
     val a = bands.toDF("doc_a", "band", "key")
     val b = bands.toDF("doc_b", "band", "key")
     a.join(b, Seq("band", "key"))
@@ -161,11 +188,16 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard on the
-    * shingle sets. Output (doc_a, doc_b, jacc) with jacc >= threshold. */
-  def minhashDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    * shingle sets. Output (doc_a, doc_b, jacc) with jacc >= threshold.
+    * `maxBandOcc` (default off) engages the band-key postings cap — the
+    * boilerplate-regime defense, see [[lshCandidates]]; the skew sweep
+    * prices it. */
+  def minhashDedup(docs: DataFrame, threshold: Double,
+      maxBandOcc: Long = Long.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs).persist()
     val nDocs = sigs.count() // pin the cache before the band and verify stages race it
-    val pairs = verifiedJaccardPairs(lshCandidates(sigs), sigs, threshold, nDocs)
+    val pairs = verifiedJaccardPairs(
+      lshCandidates(sigs, maxBandOcc), sigs, threshold, nDocs)
     // the result (near-dup pairs) is tiny; materialize it eagerly so the
     // heavyweight signature cache can be released instead of leaking into
     // the session for the caller's lifetime

@@ -18,6 +18,10 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val MinhashThreshold = 0.8
+  // band-key postings cap for the capped minhash variant: keys shared by
+  // more docs than this leave candidate generation (boilerplate regime);
+  // engine parameter and oracle HAVING clause must agree
+  private val MinhashMaxBandOcc = 16L
   private val ContainmentThreshold = 0.9
   private val SimhashMaxHamming = 3
   private val NgramThreshold = 0.02
@@ -83,6 +87,14 @@ object PipelineQueries {
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold)
+        .orderBy("doc_a", "doc_b")),
+
+    // band-key postings cap engaged (the boilerplate-regime defense —
+    // skew sweep measured 2.3x candidate blowup without it); oracle
+    // replays the same cap, so parity proves the capped candidate set
+    "q_dedup_minhash_capped" -> ((s, d) =>
+      Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold,
+          MinhashMaxBandOcc)
         .orderBy("doc_a", "doc_b")),
 
     // pairs -> transitive duplicate clusters (keeper = min doc_id)
@@ -715,6 +727,35 @@ object PipelineQueries {
   private val minhashSql =
     s"""WITH $minhashPipelineCtes
        |SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** capped variant: band keys shared by > MinhashMaxBandOcc docs leave
+    * candidate generation before the band self-join (the engine's
+    * lshCandidates maxBandOcc path, replayed key for key) */
+  private val minhashCappedSql = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeyDuck("mh", b)} AS bkey FROM mh")
+      .mkString("\nUNION ALL ")
+    s"""WITH $docsCte,
+       |sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM docs WHERE len(ws) >= 3),
+       |mh AS MATERIALIZED (SELECT doc_id, ${minhashDuck("hs")} AS mh FROM sh),
+       |bands0 AS MATERIALIZED ($bandSelects),
+       |hot AS MATERIALIZED (
+       |  SELECT band, bkey FROM bands0 GROUP BY band, bkey
+       |  HAVING count(*) > $MinhashMaxBandOcc),
+       |bands AS MATERIALIZED (
+       |  SELECT b.* FROM bands0 b ANTI JOIN hot h
+       |  ON b.band = h.band AND b.bkey = h.bkey),
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, jacc FROM (
+       |    SELECT doc_a, doc_b, ${jaccardDuck("x.hs", "y.hs")} AS jacc
+       |    FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+       |  WHERE jacc >= $MinhashThreshold)
+       |SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private val sourceOverlapSql =
     s"""WITH $minhashPipelineCtes
@@ -1908,6 +1949,7 @@ object PipelineQueries {
         |FROM n GROUP BY norm
         |ORDER BY keeper""".stripMargin,
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_minhash_capped" -> minhashCappedSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_final" -> dedupFinalSql,
     "q_dedup_final_bloom" -> dedupFinalSql,

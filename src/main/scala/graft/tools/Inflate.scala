@@ -59,8 +59,28 @@ object Inflate {
     (rep, base)
   }
 
+  /** Skewed K-copy replication: [[replicateGraph]]'s disjoint copies with
+    * a deterministic 1-in-`hubEvery` slice of every copy's edges rewired
+    * to ONE fresh global hub vertex. The hub's degree grows with K·|E| —
+    * a key whose frequency grows with data volume, the #1 100 TB plan
+    * killer — while the rest of each copy keeps the original degree
+    * structure. Severity knob: smaller `hubEvery` = hotter hub. */
+  def replicateGraphSkewed(edges: DataFrame, k: Int,
+      hubEvery: Long): (DataFrame, Long) = {
+    val (rep, base) = replicateGraph(edges, k)
+    val hub = k * base // a fresh id no replica uses
+    val skewed = rep.select(col("src"),
+        // select the rewired slice on ORIGINAL ids so every copy
+        // contributes the same edge-shape to the hub
+        when((col("src") % base * 31L + col("dst") % base) % hubEvery === 0,
+          lit(hub)).otherwise(col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    (skewed, base)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--graphs")) { GraphScale.run(args.drop(1)); return }
+    if (args.headOption.contains("--skew")) { SkewScale.run(args.drop(1)); return }
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
@@ -299,6 +319,140 @@ object GraphScale {
       report("sssp_w_inc_fold",
         time2("swi")(ShortestPath.incrementalWeighted(sw1Stored, cut(w1, false), w1, 50)),
         time2("swi10")(ShortestPath.incrementalWeighted(sw10Stored, cut(w10, false), w10, 50)))
+    }
+    spark.stop()
+  }
+}
+
+/** The skew half of the scale sweep (`Inflate --skew [sfDir] [k] [hubEvery]
+  * [hotEvery] [algos]`): every uniform sweep replicates DISJOINT copies, so
+  * the engine's skew defenses (degree-ordered orientation, postings caps,
+  * salted aggregation, AQE skew join) were plan-argued but never
+  * sweep-measured — and a key whose frequency grows with data volume is the
+  * way 100 TB plans actually die. Two deliberate skew injections:
+  *
+  *  - GRAPH: [[Inflate.replicateGraphSkewed]] rewires 1-in-`hubEvery` edges
+  *    of every copy to one global hub. With the hub the max-degree vertex,
+  *    [[graft.graph.Graphs.orientByDegree]] points every hub edge INTO the
+  *    hub, so π-oriented wedges through it are in(hub)·out(hub) = 0 — the
+  *    defense under test for triangles/k-truss. Matching/MIS see the hub as
+  *    one vertex whose edge slice drops once it decides.
+  *
+  *  - TEXT: 1-in-`hotEvery` documents become 60-word shared-boilerplate
+  *    templates (plus a per-doc unique tail), pairwise Jaccard ~0.5 — LSH's
+  *    worst spot: band collisions flood the candidate stage (~23% of hot
+  *    pairs at 4x4 banding) but exact-Jaccard verification rejects them
+  *    all, pure wasted work. The hot-gram postings cap is the substring
+  *    path's defense (boilerplate grams blow past maxOcc and leave the
+  *    anchor set, a documented recall boundary).
+  *
+  * Reports 10x-uniform vs 10x-skewed; the honest penalty metric is
+  * skew/uniform at the SAME volume (a fixed-work denominator would conflate
+  * skew with scale). */
+object SkewScale {
+  def run(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val hubEvery = if (args.length > 2) args(2).toLong else 20L
+    val hotEvery = if (args.length > 3) args(3).toLong else 50L
+    val only: Set[String] =
+      if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    def want(name: String): Boolean = only.isEmpty || only.contains(name)
+    val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.graph._
+
+    def time2(f: => DataFrame): Double = {
+      def once: Double = {
+        val keep = spark.sparkContext.getPersistentRDDs.keySet
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+          if (!keep.contains(id)) r.unpersist(blocking = false)
+        }
+        dt
+      }
+      math.min(once, once)
+    }
+    def report(name: String, tu: Double, ts: Double): Unit =
+      println(f"[skewscale] $name%-18s ${k}x-uniform=$tu%.2fs ${k}x-skew=$ts%.2fs penalty=${ts / tu}%.2fx")
+
+    // ---- graph side: one global hub spanning the copies
+    val core = Graphs.lineitemEdges(spark, sfDir, 300).localCheckpoint(eager = true)
+    lazy val coreU = Inflate.replicateGraph(core, k)._1.localCheckpoint(eager = true)
+    lazy val coreS = Inflate.replicateGraphSkewed(core, k, hubEvery)._1
+      .localCheckpoint(eager = true)
+    if (Seq("matching", "mis").exists(want)) { coreU.count(); coreS.count() }
+
+    if (want("triangles")) {
+      val triCut = core.filter(col("src") <= 200 && col("dst") <= 200)
+        .localCheckpoint(eager = true)
+      val triU = Inflate.replicateGraph(triCut, k)._1.localCheckpoint(eager = true)
+      val triS = Inflate.replicateGraphSkewed(triCut, k, hubEvery)._1
+        .localCheckpoint(eager = true)
+      report("triangles",
+        time2(Triangles.countShuffle(triU, maxId = Long.MaxValue)),
+        time2(Triangles.countShuffle(triS, maxId = Long.MaxValue)))
+    }
+    if (want("ktruss_sparse")) {
+      val sparse = graft.core.Tables.lineitem(spark, sfDir).select(
+          (col("l_orderkey") % 20000).cast("long").as("src"),
+          (col("l_partkey") % 20000).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(eager = true)
+      val ktU = Inflate.replicateGraph(sparse, k)._1.localCheckpoint(eager = true)
+      val ktS = Inflate.replicateGraphSkewed(sparse, k, hubEvery)._1
+        .localCheckpoint(eager = true)
+      report("ktruss_sparse",
+        time2(Graphs.kTruss(ktU, 3, maxWedges = Long.MaxValue)),
+        time2(Graphs.kTruss(ktS, 3, maxWedges = Long.MaxValue)))
+    }
+    if (want("matching")) report("matching",
+      time2(Graphs.maximalMatching(coreU)),
+      time2(Graphs.maximalMatching(coreS)))
+    if (want("mis")) report("mis",
+      time2(Graphs.maximalIndependentSet(coreU)),
+      time2(Graphs.maximalIndependentSet(coreS)))
+
+    // ---- text side: shared boilerplate = hot shingles / grams / bands
+    def docReplicas(hot: Boolean): DataFrame = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val base = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+      val boiler = (0 until 60).map(i => s"bp$i").mkString(" ")
+      val rep = (0 until k).map { i =>
+        val d = docs.withColumn("doc_id", col("doc_id") + lit(i * base))
+        if (i == 0) d
+        else d.withColumn("text",
+          expr(s"concat_ws(' ', transform(split(text, ' '), (w, j) -> " +
+            s"CASE WHEN j % 3 = 2 THEN concat('r$i', 'x', j) ELSE w END))"))
+      }.reduce(_ unionByName _)
+      if (!hot) rep
+      else rep.withColumn("text",
+        // 1-in-hotEvery docs (same slice in every copy) become a shared
+        // 60-word template + a 30-word per-doc unique tail: pairwise
+        // Jaccard ~0.5 across ALL copies — the boilerplate regime
+        when(col("doc_id") % lit(base) % lit(hotEvery) === 0,
+          concat(lit(boiler), lit(" "),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 30))))
+          .otherwise(col("text")))
+    }
+    if (Seq("minhash", "minhash_capped", "substring").exists(want)) {
+      val dU = docReplicas(hot = false).localCheckpoint(eager = true)
+      val dS = docReplicas(hot = true).localCheckpoint(eager = true)
+      if (want("minhash")) report("minhash",
+        time2(graft.pipeline.Dedup.minhashDedup(dU, 0.8)),
+        time2(graft.pipeline.Dedup.minhashDedup(dS, 0.8)))
+      // the band-key postings cap (the fix the uncapped row motivates):
+      // 256 >> any true near-dup family, << the boilerplate key occupancy
+      if (want("minhash_capped")) report("minhash_capped",
+        time2(graft.pipeline.Dedup.minhashDedup(dU, 0.8, maxBandOcc = 256L)),
+        time2(graft.pipeline.Dedup.minhashDedup(dS, 0.8, maxBandOcc = 256L)))
+      if (want("substring")) report("substring",
+        time2(graft.pipeline.Dedup.substringSpans(dU, 8, 16, 64L)),
+        time2(graft.pipeline.Dedup.substringSpans(dS, 8, 16, 64L)))
     }
     spark.stop()
   }

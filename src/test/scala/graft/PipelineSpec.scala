@@ -24,6 +24,29 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("band-occupancy cap drops hot-key pairs, keeps cool families, no-ops when clean") {
+    val family = (1 to 30).map(i => s"w$i").mkString(" ")
+    val boiler = (1 to 30).map(i => s"bp$i").mkString(" ")
+    // cool family {1,2}: identical text, band keys shared by exactly 2
+    // docs; hot group {10..13}: identical boilerplate, every band key at
+    // occupancy 4 > cap
+    val d = docs(1L -> family, 2L -> family,
+      10L -> boiler, 11L -> boiler, 12L -> boiler, 13L -> boiler)
+    val uncapped = Dedup.minhashDedup(d, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L)))
+    val capped = Dedup.minhashDedup(d, 0.9, maxBandOcc = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the documented recall boundary: pairs whose EVERY collision band is
+    // hot are lost; the cool family survives untouched
+    assert(capped == Set((1L, 2L)))
+    // clean corpus (no key past the cap): capped == uncapped exactly
+    val clean = docs(1L -> family, 2L -> family)
+    assert(Dedup.minhashDedup(clean, 0.9, maxBandOcc = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("containment dedup scores doc-inside-doc pairs Jaccard under-scores") {
     // doc 2 = doc 1 plus a long unrelated tail: Jaccard is low (shared
     // shingles / big union) but the small doc is fully contained
