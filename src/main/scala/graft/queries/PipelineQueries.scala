@@ -395,6 +395,24 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
+    // recall@k audit: per query, |IVF top-k ∩ brute top-k| — the ANN
+    // quality number every approximate index needs next to its speed;
+    // exact integer counts, so cross-engine hash parity is free
+    "q_sim_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < NumQueryVecs)
+      val truth = Similarity.bruteForceTopK(emb, qs, TopK)
+        .select(col("qid"), col("nid"))
+      val cents = graft.pipeline.VecKMeans.train(emb, k = 8, iterations = 3)
+      val approx = graft.pipeline.VecKMeans.ivfTopK(emb, qs, cents, TopK, nprobe = 3)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      truth.join(approx,
+          col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k_true"), count(col("anid")).as("n_hits"))
+        .orderBy("qid")
+    }),
+
     // PQ ANN: codebooks train with the same quantized-update determinism
     // as IVF, and the ADC candidate set is the global top-refine by
     // (score, nid) — so training, encoding, ADC scan, and exact rerank
@@ -1293,8 +1311,11 @@ object PipelineQueries {
     * probe ranking tie-break on cluster index exactly like the engine's
     * strict-< scan / stable sort. 3 iterations, k=8, nprobe=3 — the same
     * constants as the query. */
-  private val simIvfSql = {
-    s"""WITH ${ivfTrainCte(8, 3)},
+  /** shared IVF train+search CTE chain ending in `p(qid, nid, score)` —
+    * simIvfSql selects the ranked cut; simRecallSql joins it against the
+    * brute-force truth */
+  private val ivfSearchCtes = {
+    s"""${ivfTrainCte(8, 3)},
        |asg AS MATERIALIZED (
        |  SELECT vec_id AS nid, embedding AS nv, cluster, ${normDuck("embedding")} AS nn FROM (
        |    SELECT e.vec_id, e.embedding, c.cluster,
@@ -1313,13 +1334,39 @@ object PipelineQueries {
        |p AS (
        |  SELECT q.qid, a.nid, round(${dotDuck("q.qv", "a.nv")} / (q.nq * a.nn), 6) AS score
        |  FROM probes pr JOIN q ON q.qid = pr.qid JOIN asg a ON a.cluster = pr.cluster
-       |  WHERE a.nid <> q.qid)
+       |  WHERE a.nid <> q.qid)""".stripMargin
+  }
+
+  private val simIvfSql =
+    s"""WITH $ivfSearchCtes
        |SELECT qid, rn, nid, score FROM (
        |  SELECT qid, nid, score,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
        |  FROM p)
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
-  }
+
+  /** recall@k audit: per query, how many of the brute-force true top-k
+    * the IVF search recovered — exact integer counts (k_true, n_hits),
+    * both CTE chains replayed from their own oracle-verified forms */
+  private val simRecallSql =
+    s"""WITH $ivfSearchCtes,
+       |ivf_top AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+       |    FROM p) WHERE rn <= $TopK),
+       |bc AS MATERIALIZED (
+       |  SELECT vec_id AS nid, embedding AS nv, ${normDuck("embedding")} AS nn FROM embeddings),
+       |bp AS (
+       |  SELECT qid, nid, round(${dotDuck("qv", "nv")} / (nq * nn), 6) AS score
+       |  FROM q, bc WHERE nid <> qid),
+       |brute_top AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+       |    FROM bp) WHERE rn <= $TopK)
+       |SELECT b.qid, CAST(count(*) AS BIGINT) AS k_true,
+       |  CAST(count(i.nid) AS BIGINT) AS n_hits
+       |FROM brute_top b LEFT JOIN ivf_top i ON i.qid = b.qid AND i.nid = b.nid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
   /** Unrolled PQ training + ADC search + exact rerank — the q_sim_pq
     * replay. Same quantized-update determinism as simIvfSql, per
@@ -1988,6 +2035,7 @@ object PipelineQueries {
     "q_sim_lsh" -> simLshSql,
     "q_sim_lsh_mp" -> simLshMpSql,
     "q_sim_ivf" -> simIvfSql,
+    "q_sim_recall" -> simRecallSql,
     "q_sim_pq" -> simPqSql,
     "q_sim_ivfpq" -> simIvfPqSql,
     "q_text_langid" -> langidSql,
