@@ -689,6 +689,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // train/apply tokenizer split: merges learned on the even-doc slice,
+    // applied in rank order to the odd slice's words — Bpe.encode is the
+    // deployment path (merge table collected at k-row scale, broadcast)
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs.filter(col("doc_id") % 2 === 0))._1
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = docs.filter(col("doc_id") % 2 === 1)
+        .select(explode(expr(wordsSpark("text"))).as("word"))
+      Bpe.encode(words, merges).orderBy("word", "pos")
+    }),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.binarize(Tables.documents(s, d)))
         .orderBy("doc_id")),
@@ -1699,11 +1712,11 @@ object PipelineQueries {
     * winner (win, total tie-break), the greedy non-overlapping keep set
     * (kp — even offsets within runs of consecutive matches), and the
     * rewritten state (s) — CTE-for-CTE the engine's Bpe.train round. */
-  private def bpeCtes(rounds: Int): String = {
+  private def bpeCtes(rounds: Int, docsWhere: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(${wordsDuck("text")}) AS word FROM documents)
+       |    SELECT unnest(${wordsDuck("text")}) AS word FROM documents WHERE $docsWhere)
        |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= ${Bpe.MaxWordLen}
        |  GROUP BY word),
        |s0 AS MATERIALIZED (
@@ -1750,6 +1763,52 @@ object PipelineQueries {
   private val bpeVocabSql = bpeCtes(Bpe.DefaultMerges) +
     s"""\nSELECT tok, count(*) AS n_positions, CAST(sum(freq) AS BIGINT) AS n_occurrences
        |FROM s${Bpe.DefaultMerges} GROUP BY tok ORDER BY tok""".stripMargin
+
+  /** train/apply split: merges trained on the EVEN-doc slice (bpeCtes
+    * win$i), replayed in rank order over the ODD slice's distinct
+    * eligible words — the tokenizer-deployment shape (train once, encode
+    * everywhere). An exhausted round's empty win$i no-ops in both
+    * engines (the Bpe.train early-exit contract). */
+  private val bpeEncodeSql = {
+    val rounds = Bpe.DefaultMerges
+    val sb = new StringBuilder
+    sb ++= bpeCtes(rounds, "doc_id % 2 = 0")
+    sb ++= s""",
+      |e0 AS MATERIALIZED (
+      |  SELECT word, CAST(j AS BIGINT) AS pos,
+      |         substr(word, CAST(j + 1 AS INT), 1) AS tok
+      |  FROM (SELECT DISTINCT word FROM (
+      |          SELECT unnest(${wordsDuck("text")}) AS word FROM documents WHERE doc_id % 2 = 1)
+      |        WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= ${Bpe.MaxWordLen})
+      |  CROSS JOIN range(0, ${Bpe.MaxWordLen}) r(j)
+      |  WHERE j < length(word))""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |ne$i AS MATERIALIZED (
+        |  SELECT word, pos, tok,
+        |         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
+        |  FROM e$p),
+        |ke$i AS MATERIALIZED (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, grp) AS off
+        |    FROM (SELECT t.word, t.pos,
+        |            t.pos - row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS grp
+        |          FROM ne$i t, win$i w WHERE t.tok = w.a AND t.ntok = w.b))
+        |  WHERE off % 2 = 0),
+        |e$i AS MATERIALIZED (
+        |  SELECT s.word,
+        |    CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+        |    CASE WHEN k.pos IS NOT NULL THEN s.tok || (SELECT b FROM win$i)
+        |         ELSE s.tok END AS tok
+        |  FROM e$p s
+        |  LEFT JOIN ke$i k ON k.word = s.word AND k.pos = s.pos
+        |  LEFT JOIN ke$i k2 ON k2.word = s.word AND k2.pos + 1 = s.pos
+        |  WHERE k2.pos IS NULL)""".stripMargin
+    }
+    sb ++= s"\nSELECT word, pos, tok FROM e$rounds ORDER BY word, pos"
+    sb.toString
+  }
 
   /** clustersSql's CC chain + a quality/langid CTE: the curated corpus is
     * quality-passing docs that are not near-dup cluster losers */
@@ -2061,6 +2120,7 @@ object PipelineQueries {
     "q_sample_weighted" -> sampleWeightedSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_vocab" -> bpeVocabSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_curate" -> curateSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
