@@ -416,6 +416,61 @@ object SkewScale {
       time2(Graphs.maximalIndependentSet(coreU)),
       time2(Graphs.maximalIndependentSet(coreS)))
 
+    // ---- relational side: one hot join/group key whose row count grows
+    // with K — the classic warehouse skew (a null-ish default key, a
+    // bot user, a catch-all order). Defenses under test: AQE skew-join
+    // split (spark.sql.adaptive.* defaults, Spark 3.2+) for the shuffle
+    // join, map-side partial aggregation for the groupBy.
+    if (Seq("join", "groupby").exists(want)) {
+      def liRep(skew: Boolean): DataFrame = {
+        val li = graft.core.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        val base = li.agg(max(col("l_orderkey"))).first().getLong(0) + 1L
+        val rep = (0 until k).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * base)))
+          .reduce(_ unionByName _)
+        if (!skew) rep
+        // 1-in-hubEvery lines (same slice per copy) collapse onto ONE
+        // order key: its row count grows with K·|lineitem|/hubEvery
+        else rep.withColumn("l_orderkey",
+          when(col("l_partkey") % hubEvery === 0, lit(0L))
+            .otherwise(col("l_orderkey")))
+      }
+      def ordRep: DataFrame = {
+        val ord = graft.core.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val base = ord.agg(max(col("o_orderkey"))).first().getLong(0) + 1L
+        (0 until k).map(i =>
+          ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * base)))
+          .reduce(_ unionByName _)
+          // the hot key needs a match or the skewed probe rows die at
+          // the join instead of exercising the skewed build
+          .unionByName(spark.range(1).select(lit(0L).as("o_orderkey"),
+            lit(1L).as("o_custkey"), expr("DATE '1995-01-01'").as("o_orderdate")))
+      }
+      // strict vals: an eager checkpoint must materialize OUTSIDE the
+      // timed closure, or time2's cleanup unpersists it between samples
+      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the GraphScale dereference
+      // rule)
+      val liU = liRep(skew = false).localCheckpoint(eager = true)
+      val liS = liRep(skew = true).localCheckpoint(eager = true)
+      if (want("join")) {
+        val ords = ordRep.localCheckpoint(eager = true)
+        def q(li: DataFrame): DataFrame = li
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        report("join", time2(q(liU)), time2(q(liS)))
+      }
+      if (want("groupby")) {
+        def q(li: DataFrame): DataFrame = li.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        report("groupby", time2(q(liU)), time2(q(liS)))
+      }
+    }
+
     // ---- text side: shared boilerplate = hot shingles / grams / bands
     def docReplicas(hot: Boolean): DataFrame = {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
