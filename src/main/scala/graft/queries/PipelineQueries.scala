@@ -702,6 +702,27 @@ object PipelineQueries {
       Bpe.encode(words, merges).orderBy("word", "pos")
     }),
 
+    // tokenizer-accurate token counting: per held-out doc, Σ encoded
+    // lengths of its words under the trained merges (OOV words cost one
+    // token per char) — the budget number q_pack_contexts estimates,
+    // computed exactly; encode prices only the DISTINCT vocabulary
+    "q_text_tokens_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs.filter(col("doc_id") % 2 === 0))._1
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
+      val encLen = Bpe.encode(words.select("word"), merges)
+        .groupBy("word").agg(count(lit(1)).as("n_tok"))
+      words.join(encLen, Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
+            .as("n_bpe_tokens"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.binarize(Tables.documents(s, d)))
         .orderBy("doc_id")),
@@ -1769,7 +1790,7 @@ object PipelineQueries {
     * eligible words — the tokenizer-deployment shape (train once, encode
     * everywhere). An exhausted round's empty win$i no-ops in both
     * engines (the Bpe.train early-exit contract). */
-  private val bpeEncodeSql = {
+  private val bpeEncodeCtes: String = {
     val rounds = Bpe.DefaultMerges
     val sb = new StringBuilder
     sb ++= bpeCtes(rounds, "doc_id % 2 = 0")
@@ -1806,8 +1827,31 @@ object PipelineQueries {
         |  LEFT JOIN ke$i k2 ON k2.word = s.word AND k2.pos + 1 = s.pos
         |  WHERE k2.pos IS NULL)""".stripMargin
     }
-    sb ++= s"\nSELECT word, pos, tok FROM e$rounds ORDER BY word, pos"
     sb.toString
+  }
+
+  private val bpeEncodeSql =
+    bpeEncodeCtes +
+      s"\nSELECT word, pos, tok FROM e${Bpe.DefaultMerges} ORDER BY word, pos"
+
+  /** tokenizer-accurate per-doc token counts over the held-out slice:
+    * encoded length per distinct word (from the encode chain), joined
+    * back to doc word occurrences; OOV words (non-[a-z]+ or too long —
+    * outside the trained vocabulary) fall back to one token per char,
+    * mirrored on both sides */
+  private val bpeTokensSql = {
+    val rounds = Bpe.DefaultMerges
+    bpeEncodeCtes + s""",
+      |wl AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM e$rounds GROUP BY word),
+      |dw AS MATERIALIZED (
+      |  SELECT doc_id, unnest(${wordsDuck("text")}) AS word
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT doc_id,
+      |  CAST(sum(coalesce(wl.n_tok, length(dw.word))) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_words
+      |FROM dw LEFT JOIN wl ON wl.word = dw.word
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** clustersSql's CC chain + a quality/langid CTE: the curated corpus is
@@ -2121,6 +2165,7 @@ object PipelineQueries {
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_text_tokens_bpe" -> bpeTokensSql,
     "q_curate" -> curateSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
