@@ -406,7 +406,9 @@ object PipelineQueries {
       val cents = graft.pipeline.VecKMeans.train(emb, k = 8, iterations = 3)
       val approx = graft.pipeline.VecKMeans.ivfTopK(emb, qs, cents, TopK, nprobe = 3)
         .select(col("qid").as("aqid"), col("nid").as("anid"))
-      truth.join(approx,
+      // |queries| x k rows by construction — broadcast beats the SMJ +
+      // two exchanges the stats-blind planner picks
+      truth.join(broadcast(approx),
           col("qid") === col("aqid") && col("nid") === col("anid"), "left")
         .groupBy("qid")
         .agg(count(lit(1)).as("k_true"), count(col("anid")).as("n_hits"))
@@ -715,7 +717,9 @@ object PipelineQueries {
         .select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
       val encLen = Bpe.encode(words.select("word"), merges)
         .groupBy("word").agg(count(lit(1)).as("n_tok"))
-      words.join(encLen, Seq("word"), "left")
+      // vocabulary-sized (Heaps' law: sub-GB at any corpus scale) — the
+      // occurrence side never reshuffles for the lookup
+      words.join(broadcast(encLen), Seq("word"), "left")
         .groupBy("doc_id")
         .agg(sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
             .as("n_bpe_tokens"),
