@@ -378,6 +378,15 @@ object SkewScale {
     }
     def report(name: String, tu: Double, ts: Double): Unit =
       println(f"[skewscale] $name%-18s ${k}x-uniform=$tu%.2fs ${k}x-skew=$ts%.2fs penalty=${ts / tu}%.2fx")
+    // honest denominators: hub rewiring collapses some edges under
+    // distinct, so the skewed graph is slightly smaller — print both
+    // sizes (and the hub's degree) next to every graph penalty
+    def reportEdges(name: String, u: DataFrame, sk: DataFrame): Unit = {
+      val hubDeg = sk.groupBy("dst").agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc).first()
+      println(f"[skewscale] $name%-18s edges: uniform=${u.count()} skew=${sk.count()} " +
+        s"hub_degree=${hubDeg.getLong(1)}")
+    }
 
     // ---- graph side: one global hub spanning the copies
     val core = Graphs.lineitemEdges(spark, sfDir, 300).localCheckpoint(eager = true)
@@ -392,6 +401,7 @@ object SkewScale {
       val triU = Inflate.replicateGraph(triCut, k)._1.localCheckpoint(eager = true)
       val triS = Inflate.replicateGraphSkewed(triCut, k, hubEvery)._1
         .localCheckpoint(eager = true)
+      reportEdges("triangles", triU, triS)
       report("triangles",
         time2(Triangles.countShuffle(triU, maxId = Long.MaxValue)),
         time2(Triangles.countShuffle(triS, maxId = Long.MaxValue)))
@@ -405,10 +415,12 @@ object SkewScale {
       val ktU = Inflate.replicateGraph(sparse, k)._1.localCheckpoint(eager = true)
       val ktS = Inflate.replicateGraphSkewed(sparse, k, hubEvery)._1
         .localCheckpoint(eager = true)
+      reportEdges("ktruss_sparse", ktU, ktS)
       report("ktruss_sparse",
         time2(Graphs.kTruss(ktU, 3, maxWedges = Long.MaxValue)),
         time2(Graphs.kTruss(ktS, 3, maxWedges = Long.MaxValue)))
     }
+    if (want("matching") || want("mis")) reportEdges("core", coreU, coreS)
     if (want("matching")) report("matching",
       time2(Graphs.maximalMatching(coreU)),
       time2(Graphs.maximalMatching(coreS)))
