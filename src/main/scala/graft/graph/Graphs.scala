@@ -452,6 +452,71 @@ object Graphs {
     result.filter(col("status") === 1).select("vertex", "round")
   }
 
+  /** default Jones–Plassmann rounds: O(log n) whp on bounded-degree
+    * graphs under hash priorities; the oracle unrolls exactly this many,
+    * and vertices the budget leaves undecided keep color = -1 on BOTH
+    * engines (the SCC residue convention — use a sparse graph or raise
+    * the budget; on dense graphs JP serializes by design, since a
+    * near-complete graph needs ~n colors decided ~sequentially) */
+  val DefaultColoringRounds = 20
+
+  /** Greedy graph coloring, deterministic Jones–Plassmann: each round
+    * every UNcolored vertex whose priority key is a strict local minimum
+    * among its uncolored neighbors picks the smallest color unused by
+    * its already-colored neighbors (the mex of the neighbor color set).
+    * Winners of one round are pairwise non-adjacent (priority order is
+    * total), and a winner's uncolored neighbors see its color in later
+    * rounds, so no edge is ever monochrome — a valid (Δ+1)-bounded
+    * coloring, the conflict-free-scheduling primitive (parallel updates,
+    * channel assignment, register allocation writ large).
+    *
+    * Scale: state is vertex-sized (vertex, pkey, color); each round is
+    * two joins + two aggregations over the sized undirected edge cache,
+    * and the uncolored frontier only shrinks. The mex is a per-winner
+    * fold over its SORTED distinct neighbor colors (bounded by degree) —
+    * deterministic in both engines. Returns (vertex, color), color = -1
+    * for vertices undecided within the round budget. */
+  def greedyColoring(edges: DataFrame, rounds: Int = DefaultColoringRounds): DataFrame = {
+    val undirected = undirectedSized(edges)
+    val init = vertices(undirected)
+      .withColumn("pkey", priorityKey(col("vertex")))
+      .withColumn("color", lit(-1L))
+    val result = graft.iterate.Fixpoint.iterate(init, rounds,
+      converged = graft.iterate.Fixpoint.monotoneSumUnchanged("color")) { (state, _) =>
+      val unc = state.filter(col("color") < 0).select("vertex", "pkey")
+      val nbrMin = unc.join(undirected, unc("vertex") === undirected("src"))
+        .groupBy(col("dst").as("nv")).agg(min("pkey").as("nbr_min"))
+      // local minima among uncolored vertices — materialized + stats-cut
+      // (consumed by the neighbor-color scan and the state merge, the
+      // maximalIndependentSet barrier pattern)
+      val winners = cutStats(unc
+        .join(nbrMin, unc("vertex") === nbrMin("nv"), "left")
+        .filter(col("nbr_min").isNull || col("pkey") < col("nbr_min"))
+        .select("vertex"))
+      // mex over each winner's colored-neighbor set: fold the sorted
+      // distinct colors with acc starting at 1 — acc advances past every
+      // taken color it meets in order
+      val mex = winners.join(undirected, winners("vertex") === undirected("src"))
+        .select(col("vertex"), col("dst").as("nbr"))
+        .join(state.select(col("vertex").as("nbr"), col("color")), "nbr")
+        .filter(col("color") >= 0)
+        .groupBy("vertex")
+        .agg(sort_array(collect_set(col("color"))).as("cs"))
+        .select(col("vertex"),
+          expr("aggregate(cs, CAST(1 AS BIGINT), (acc, x) -> " +
+            "CASE WHEN x = acc THEN acc + 1 ELSE acc END)").as("mex"))
+      val assign = winners.join(mex, Seq("vertex"), "left")
+        .select(col("vertex").as("wv"),
+          coalesce(col("mex"), lit(1L)).as("newcolor"))
+      state.join(assign, state("vertex") === col("wv"), "left")
+        .select(state("vertex"), state("pkey"),
+          when(col("color") < 0 && col("wv").isNotNull, col("newcolor"))
+            .otherwise(col("color")).as("color"))
+    }
+    undirected.unpersist(blocking = false)
+    result.select("vertex", "color")
+  }
+
   /** Maximal matching, deterministic Israeli–Itai style: each round a
     * round-salted hash splits active vertices into SENDERS and
     * RECEIVERS; every sender with a receiver neighbor proposes to the

@@ -59,6 +59,17 @@ object GraphQueries {
   // classes only) so the LPA partition stays multi-community at every sf —
   // engine filter and oracle graph CTE share the shard count
   private val ModularityShards = 4
+  // coloring fixture: bounded-degree ring-offset graph (max degree ~16 at
+  // sf0.1), the regime where Jones-Plassmann's decreasing-path depth stays
+  // under the round budget; engine derivation and oracle CTE must agree
+  private val ColoringMod = 20000
+  private def coloringEdges(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    li.select((col("l_orderkey") % ColoringMod).cast("long").as("src"),
+        ((col("l_orderkey") % ColoringMod + 1 + col("l_partkey") % 8)
+          % ColoringMod).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
   // personalized PageRank seed set (engine IN-list and oracle CASE share it)
   private val PprSeeds = Seq(1L, 2L, 3L)
   // landmark BFS seeds (engine init table and oracle VALUES share them)
@@ -467,6 +478,15 @@ object GraphQueries {
     "q_graph_scc_levels" -> ((s, d) =>
       Graphs.sccCondensationLevels(Graphs.lineitemEdges(s, d, Mod))
         .orderBy("vertex")),
+
+    // Jones–Plassmann greedy coloring on the degree-capped ring-offset
+    // cut (JP's round count = longest priority-decreasing path, so the
+    // fixture must be bounded-degree: measured 12/14/18 rounds at
+    // sf0.001/0.01/0.1 against the 20-round budget — every vertex
+    // decides at every sf). The conflict-free-scheduling primitive.
+    "q_graph_coloring" -> ((s, d) => {
+      Graphs.greedyColoring(coloringEdges(s, d)).orderBy("vertex")
+    }),
 
     // modularity of the LPA partition, exact-integer numerators:
     // Q = Σ q_num / (2m)² — "how good is this clustering", the score that
@@ -922,6 +942,49 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Unrolled Jones–Plassmann coloring — per round: uncolored local
+    * minima (the misSql winner shape), then each winner takes the mex of
+    * its colored neighbors' colors via the same sorted-distinct fold the
+    * engine runs (acc starts 1, advances past every taken color met in
+    * ascending order). */
+  private def coloringSql(graphCte: String, rounds: Int): String = {
+    val pkey = "vertex % 2147483647 * 2654435761 % 2147483647 * 4294967296 + vertex"
+    val mex = "list_reduce(list_prepend(CAST(1 AS BIGINT), " +
+      "list_sort(list(DISTINCT s.color))), " +
+      "(acc, x) -> CASE WHEN x = acc THEN acc + 1 ELSE acc END)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphCte,
+      |und AS MATERIALIZED (SELECT DISTINCT * FROM (
+      |  SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g)),
+      |st0 AS MATERIALIZED (
+      |  SELECT vertex, $pkey AS pkey, CAST(-1 AS BIGINT) AS color
+      |  FROM (SELECT src AS vertex FROM und UNION SELECT dst FROM und))""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |a$i AS MATERIALIZED (SELECT vertex, pkey FROM st$p WHERE color < 0),
+        |nm$i AS MATERIALIZED (
+        |  SELECT u.dst AS vertex, min(a.pkey) AS nbr_min
+        |  FROM und u JOIN a$i a ON a.vertex = u.src GROUP BY u.dst),
+        |w$i AS MATERIALIZED (
+        |  SELECT a.vertex FROM a$i a LEFT JOIN nm$i n ON n.vertex = a.vertex
+        |  WHERE n.nbr_min IS NULL OR a.pkey < n.nbr_min),
+        |nc$i AS MATERIALIZED (
+        |  SELECT w.vertex, $mex AS mex
+        |  FROM w$i w JOIN und u ON u.src = w.vertex
+        |  JOIN st$p s ON s.vertex = u.dst AND s.color >= 0
+        |  GROUP BY w.vertex),
+        |st$i AS MATERIALIZED (
+        |  SELECT s.vertex, s.pkey,
+        |    CASE WHEN s.color < 0 AND w.vertex IS NOT NULL
+        |         THEN coalesce(n.mex, CAST(1 AS BIGINT)) ELSE s.color END AS color
+        |  FROM st$p s LEFT JOIN w$i w ON w.vertex = s.vertex
+        |  LEFT JOIN nc$i n ON n.vertex = s.vertex)""".stripMargin
+    }
+    sb ++= s"\nSELECT vertex, color FROM st$rounds ORDER BY vertex"
+    sb.toString
+  }
+
   /** Unrolled deterministic Israeli-Itai matching — per round: the
     * round-salted coin split, sender->receiver min-pair-hash proposals,
     * receiver min-hash acceptance, lonely-vertex retirement, and the
@@ -1084,6 +1147,15 @@ object GraphQueries {
     s"""g AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey % $Mod AS src, l_partkey % $Mod AS dst
        |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod)""".stripMargin
+
+  /** bounded-degree ring-offset graph — q_graph_coloring's fixture (the
+    * coloringEdges derivation, CTE twin) */
+  private val coloringGraphCte =
+    s"""g AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % $ColoringMod AS src,
+       |    (l_orderkey % $ColoringMod + 1 + l_partkey % 8) % $ColoringMod AS dst
+       |  FROM lineitem
+       |  WHERE l_orderkey % $ColoringMod <> (l_orderkey % $ColoringMod + 1 + l_partkey % 8) % $ColoringMod)""".stripMargin
 
   /** residue-sharded cut of the derived graph (edges within vertex%shards
     * classes only) — q_graph_modularity's multi-community fixture */
@@ -1428,6 +1500,7 @@ object GraphQueries {
     "q_graph_closeness" -> closenessSql,
     "q_graph_diameter" -> diameterSql,
     "q_graph_mis" -> misSql(derivedGraphCte, Graphs.DefaultMisRounds),
+    "q_graph_coloring" -> coloringSql(coloringGraphCte, Graphs.DefaultColoringRounds),
     "q_graph_matching" -> matchingSql(derivedGraphCte, Graphs.DefaultMatchingRounds),
     "q_graph_scc" -> sccSql(derivedGraphCte, Graphs.DefaultSccPhases, Graphs.DefaultSccRounds),
     "q_graph_vcover" -> vcoverSql(derivedGraphCte, Graphs.DefaultMatchingRounds),

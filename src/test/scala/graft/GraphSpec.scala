@@ -294,6 +294,37 @@ class GraphSpec extends SparkSpec {
     assert(scc(7L) == 7L) // trivial SCC
   }
 
+  test("greedy coloring: valid on fixtures, odd cycle needs 3 colors, path needs 2") {
+    // triangle: 3 mutually adjacent vertices -> colors {1,2,3}
+    val tri = edges(1L -> 2L, 2L -> 3L, 1L -> 3L)
+    val ct = Graphs.greedyColoring(tri).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ct.values.toSeq.sorted == Seq(1L, 2L, 3L))
+    // path: 2 colors suffice and no edge is monochrome
+    val path = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val cp = Graphs.greedyColoring(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cp.values.forall(_ >= 1) && cp.values.max <= 2)
+    Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).foreach { case (a, b) =>
+      assert(cp(a) != cp(b), s"edge ($a,$b) monochrome")
+    }
+    // derived bounded-degree graph (the q_graph_coloring fixture shape):
+    // every vertex decided, no monochrome edge, Δ+1 bound respected
+    val li = graft.core.Tables.lineitem(spark, sf("sf0.001"))
+    val e = li.select((col("l_orderkey") % 20000).cast("long").as("src"),
+        ((col("l_orderkey") % 20000 + 1 + col("l_partkey") % 8) % 20000)
+          .cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val got = Graphs.greedyColoring(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ >= 1), s"${got.count(_._2 < 0)} undecided")
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    es.foreach { case (a, b) => assert(got(a) != got(b), s"edge ($a,$b) monochrome") }
+    val maxDeg = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .values.map(_.size).max
+    assert(got.values.max <= maxDeg + 1)
+  }
+
   test("scc strict: residue guard trips on a chain needing more phases, passes with enough") {
     // descending-id singleton chain 6->5->...->1: every vertex colors to 6
     // in phase 1 but only {6} decides — one peel per phase, so depth 6
