@@ -131,23 +131,33 @@ object CorpusStreams {
       maxOcc: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val b = batch.localCheckpoint(eager = true)
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // REPLAY-IDEMPOTENT (the curateBatch discipline): reads exclude
+        // rows at or past the current batch — a batch that crashed after
+        // writing its index partition must not match itself through the
+        // index on replay — and writes dynamically overwrite their own
+        // batch partition instead of appending duplicates
         val index =
           if (fs.exists(idxPath)) sp.read.parquet(indexDir)
+            .filter(col("batch_id") < batchId).select("doc_id", "pos", "h")
           else sp.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("pos"),
             lit(0L).as("h")).limit(0)
         val spans = graft.pipeline.Dedup
           .incrementalSubstringSpans(index, b, k, minLen, maxOcc)
           .localCheckpoint(eager = true)
-        spans.write.mode("append").parquet(spansDir)
+        def writePartition(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(spans, spansDir)
         // index grows only after the check: a batch never matches itself
         // through the index (its internal pairs come from the batch side)
-        graft.pipeline.Dedup.substringIndex(b, k)
-          .write.mode("append").parquet(indexDir)
+        writePartition(graft.pipeline.Dedup.substringIndex(b, k), indexDir)
         ()
       }
       .start()
@@ -241,6 +251,100 @@ object CorpusStreams {
     admitFold(survivors, quotas, Map.empty)
   }
 
+  /** One micro-batch of the composed curate pipeline — the foreachBatch
+    * body of [[curateIngest]], public so a spec (or a batch backfill) can
+    * drive it directly. REPLAY-IDEMPOTENT: every state/output write is
+    * partitioned by `batchId` and dynamically overwritten, and every
+    * state READ excludes rows with batch_id >= the current one — a batch
+    * that crashed mid-write and replays (a) never sees its own partial
+    * index rows (which would make the exact screen drop the whole batch
+    * as "already seen"), and (b) replaces rather than duplicates its
+    * appends. Totals are stored per batch; the read picks the newest
+    * batch STRICTLY BEFORE the current one, so a replay re-derives from
+    * the same seed it had the first time. */
+  def curateBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      admittedDir: String, quotas: Map[String, Long],
+      minWords: Int = 10, minUniqRatio: Double = 0.3,
+      threshold: Double = 0.8): Unit = {
+    val sp = batch.sparkSession
+    val b = batch.localCheckpoint(eager = true)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    def readOr(dir: String, empty: => DataFrame): DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        sp.read.parquet(dir).filter(col("batch_id") < batchId)
+      else empty
+    val fpIndex = readOr(s"$stateDir/fp_index",
+      sp.emptyDataFrame.select(lit(0L).as("fp_hi"), lit(0L).as("fp_lo"),
+        lit(0L).as("len")).limit(0))
+    val sigIndex = readOr(s"$stateDir/sig_index",
+      sp.emptyDataFrame.select(lit(0L).as("doc_id"),
+        array().cast("array<bigint>").as("hs"),
+        array().cast("array<bigint>").as("mh")).limit(0))
+    // partition discovery types batch_id as INT for small values — cast
+    // in-plan so the driver rows carry one stable type
+    val totalRows = readOr(s"$stateDir/totals", sp.emptyDataFrame
+        .select(lit("").as("source"), lit(0L).as("used"), lit(-1L).as("batch_id"))
+        .limit(0))
+      .select(col("source"), col("used"),
+        col("batch_id").cast("long").as("batch_id"))
+      .collect()
+    val used0: Map[String, Long] =
+      if (totalRows.isEmpty) Map.empty
+      else {
+        val latest = totalRows.map(_.getAs[Long]("batch_id")).max
+        totalRows.filter(_.getAs[Long]("batch_id") == latest)
+          .map(r => r.getAs[String]("source") -> r.getAs[Long]("used")).toMap
+      }
+    def writePartition(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+    // 1-2. gate, then the exact screen: index hit -> drop; within the
+    // batch the lowest doc_id per fingerprint survives
+    val gated = gateWithTokens(b, minWords, minUniqRatio)
+      .localCheckpoint(eager = true)
+    val gatedDocs = b.select("doc_id", "text")
+      .join(gated.select("doc_id"), Seq("doc_id"), "left_semi")
+    val bFps = fps(gatedDocs).localCheckpoint(eager = true)
+    val exactIds = bFps
+      .join(fpIndex.select("fp_hi", "fp_lo", "len"),
+        Seq("fp_hi", "fp_lo", "len"), "left_anti")
+      .groupBy("fp_hi", "fp_lo", "len").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactDocs = gatedDocs.join(exactIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    // 3. near-dup screen: batch-vs-(index ∪ batch) verified pairs; the
+    // larger end of any pair is dropped (ids ascend across batches, so
+    // the cross-index end is always the batch doc)
+    val sigsB = graft.pipeline.Dedup.minhashSignatures(exactDocs)
+      .localCheckpoint(eager = true)
+    val losers = graft.pipeline.Dedup
+      .incrementalNearDupPairs(sigIndex.select("doc_id", "hs", "mh"),
+        sigsB, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+    val survivors = gated
+      .join(exactDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+    // 4. admission seeded with the carried totals
+    val admitted = admitFold(survivors, quotas, used0)
+      .localCheckpoint(eager = true)
+    writePartition(admitted.toDF(), admittedDir)
+    // state updates AFTER the decisions (a batch never sees itself
+    // through the indexes; its internal duplicates were handled by the
+    // within-batch rules above)
+    writePartition(bFps.join(exactIds, Seq("doc_id"), "left_semi")
+      .select("fp_hi", "fp_lo", "len"), s"$stateDir/fp_index")
+    writePartition(sigsB, s"$stateDir/sig_index")
+    val newTotals = used0 ++ admitted.groupBy("source")
+      .agg(max("cum_tokens").as("used"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import sp.implicits._
+    writePartition(newTotals.toSeq.toDF("source", "used"), s"$stateDir/totals")
+  }
+
   /** Streaming composition of the whole curate pipeline — quality gate,
     * langid, exact-dedup screen, minhash near-dup screen, token-budget
     * admission — one foreachBatch micro-batch at a time (the
@@ -249,8 +353,9 @@ object CorpusStreams {
     *   - `fp_index`  : content fingerprints of every exact-screen keeper;
     *   - `sig_index` : minhash signatures of every exact-screen survivor
     *                   (kept or near-dup-dropped — the screen's seen set);
-    *   - `totals`    : per-source admitted-token running totals;
-    *   - admissions append to `admittedDir`.
+    *   - `totals`    : per-source admitted-token totals as of each batch;
+    *   - admissions land under `admittedDir`, partitioned by batch.
+    * All writes are replay-idempotent (see [[curateBatch]]).
     * CONTRACT (the admitWithinBudget arrival-order convention): batches
     * partition the corpus with doc_id ascending across batches, and
     * within a batch doc_id order decides. Under that contract the union
@@ -264,74 +369,9 @@ object CorpusStreams {
       threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val b = batch.localCheckpoint(eager = true)
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(sp.sparkContext.hadoopConfiguration)
-        def readOr(dir: String, empty: => DataFrame): DataFrame =
-          if (fs.exists(new org.apache.hadoop.fs.Path(dir))) sp.read.parquet(dir)
-          else empty
-        val fpIndex = readOr(s"$stateDir/fp_index",
-          sp.emptyDataFrame.select(lit(0L).as("fp_hi"), lit(0L).as("fp_lo"),
-            lit(0L).as("len")).limit(0))
-        val sigIndex = readOr(s"$stateDir/sig_index",
-          sp.emptyDataFrame.select(lit(0L).as("doc_id"),
-            array().cast("array<bigint>").as("hs"),
-            array().cast("array<bigint>").as("mh")).limit(0))
-        val used0: Map[String, Long] =
-          readOr(s"$stateDir/totals", sp.emptyDataFrame
-              .select(lit("").as("source"), lit(0L).as("used")).limit(0))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        // 1-2. gate, then the exact screen: index hit -> drop; within the
-        // batch the lowest doc_id per fingerprint survives
-        val gated = gateWithTokens(b, minWords, minUniqRatio)
-          .localCheckpoint(eager = true)
-        val gatedDocs = b.select("doc_id", "text")
-          .join(gated.select("doc_id"), Seq("doc_id"), "left_semi")
-        val bFps = fps(gatedDocs).localCheckpoint(eager = true)
-        val exactIds = bFps
-          .join(fpIndex, Seq("fp_hi", "fp_lo", "len"), "left_anti")
-          .groupBy("fp_hi", "fp_lo", "len").agg(min("doc_id").as("doc_id"))
-          .select("doc_id")
-        val exactDocs = gatedDocs.join(exactIds, Seq("doc_id"), "left_semi")
-          .localCheckpoint(eager = true)
-        // 3. near-dup screen: batch-vs-(index ∪ batch) verified pairs;
-        // the larger end of any pair is dropped (ids ascend across
-        // batches, so the cross-index end is always the batch doc)
-        val sigsB = graft.pipeline.Dedup.minhashSignatures(exactDocs)
-          .localCheckpoint(eager = true)
-        val losers = graft.pipeline.Dedup
-          .incrementalNearDupPairs(sigIndex, sigsB, threshold)
-          .select(col("doc_b").as("doc_id")).distinct()
-          .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
-        val survivors = gated
-          .join(exactDocs.select("doc_id"), Seq("doc_id"), "left_semi")
-          .join(losers, Seq("doc_id"), "left_anti")
-        // 4. admission seeded with the carried totals
-        val admitted = admitFold(survivors, quotas, used0)
-          .localCheckpoint(eager = true)
-        admitted.toDF().write.mode("append").parquet(admittedDir)
-        // state updates AFTER the decisions (a batch never sees itself
-        // through the indexes; its internal duplicates were handled by
-        // the within-batch rules above)
-        bFps.join(exactIds, Seq("doc_id"), "left_semi")
-          .select("fp_hi", "fp_lo", "len")
-          .write.mode("append").parquet(s"$stateDir/fp_index")
-        sigsB.write.mode("append").parquet(s"$stateDir/sig_index")
-        val newTotals = used0 ++ admitted.groupBy("source")
-          .agg(max("cum_tokens").as("used"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        import sp.implicits._
-        // totals must be readable while being replaced -> write to a tmp
-        // dir and swap (k-row relation, the cost is a rename)
-        val tmp = s"$stateDir/totals_tmp"
-        newTotals.toSeq.toDF("source", "used")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val totalsPath = new org.apache.hadoop.fs.Path(s"$stateDir/totals")
-        if (fs.exists(totalsPath)) fs.delete(totalsPath, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), totalsPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, stateDir, admittedDir, quotas,
+          minWords, minUniqRatio, threshold)
       }
       .start()
 }

@@ -349,6 +349,36 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.exists(_._2 == "src19"), "unquoted source leaked through")
   }
 
+  test("curate ingest replay: re-running a crashed batch changes nothing") {
+    import graft.streaming.CorpusStreams
+    val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft-curate-replay")
+    val state = dir.resolve("state").toString
+    val admitted = dir.resolve("admitted").toString
+    val quotas = (0 to 19).map(i => s"src$i" -> 800L).toMap
+    val b0 = batchDocs.filter(col("doc_id") < 250)
+    val b1 = batchDocs.filter(col("doc_id") >= 250)
+    def snapshot(): (Set[Seq[Any]], Set[Seq[Any]], Long, Set[Seq[Any]]) = (
+      spark.read.parquet(admitted)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$state/fp_index")
+        .select("fp_hi", "fp_lo", "len").collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$state/sig_index").count(),
+      spark.read.parquet(s"$state/totals")
+        .select(col("source"), col("used"), col("batch_id").cast("long"))
+        .collect().map(_.toSeq).toSet)
+    CorpusStreams.curateBatch(b0, 0L, state, admitted, quotas)
+    CorpusStreams.curateBatch(b1, 1L, state, admitted, quotas)
+    val before = snapshot()
+    assert(before._1.nonEmpty && before._2.nonEmpty)
+    // the crash-replay shape: batch 1 runs again with its own partial
+    // state already on disk — reads must exclude it, writes must replace
+    CorpusStreams.curateBatch(b1, 1L, state, admitted, quotas)
+    assert(snapshot() == before)
+  }
+
   test("streaming decontamination equals batch decontamination") {
     import graft.pipeline.Decontam
     // documents stream; eval slice = doc_id % 50 == 0 (the batch query's split)
