@@ -77,7 +77,8 @@ object SparkEntry {
     "q_sim_ivfpq", "q_split_leakfree", "q_graph_mis", "q_graph_matching",
     "q_graph_scc",
     // round 10: condensation layering priced next to q_graph_scc so the
-    // DAG-layering overhead is a recorded number
-    "q_graph_scc_levels",
+    // DAG-layering overhead is a recorded number; Jones-Plassmann
+    // coloring is the round's new distributed primitive
+    "q_graph_scc_levels", "q_graph_coloring",
   ).filter(queries.contains)
 }
