@@ -74,6 +74,25 @@ object Bench {
         name -> (if (all.exists(_ < 0)) -1.0 else all.min)
       }
     }
+    // Context index: median ratio of a pinned canary set against its
+    // round-9-close warm-min references. The canaries are tiny, stable,
+    // long-untouched queries, so their collective drift measures the RUN's
+    // context (JIT/code-cache warmth, box load), not the code. Twice (the
+    // r9 simhash chase, the r10 common-83 "1.2x") a round's close burned an
+    // investigation on exactly that uniform elevation; a run with
+    // context_index > ~1.3 now flags itself, and per-query movement is
+    // judged net of it. Refs are PINNED, not rolling — the index must not
+    // absorb genuine regressions on the canaries themselves (any canary
+    // code change must re-pin its ref in the same commit).
+    val canaryRefs = Seq(
+      "q_join_inner" -> 0.36, "q_topk" -> 0.17, "q_heavy_hitters" -> 0.32,
+      "q_topk_per_key" -> 0.31, "q_tpch_q17" -> 0.44)
+    val canaryRatios = canaryRefs.flatMap { case (n, ref) =>
+      results.collectFirst { case (`n`, v) if v > 0 => v / ref }
+    }.sorted
+    val contextIndex =
+      if (canaryRatios.isEmpty) "null"
+      else f"${canaryRatios(canaryRatios.length / 2)}%.2f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Per-sample times ride along so an anomalous min carries its own
@@ -83,7 +102,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","context_index":$contextIndex,"queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
     println(json)
     // The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
     // what it finds there; the full line above (~5 KB with samples) overflows
@@ -96,7 +115,7 @@ object Bench {
       val m = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m$om,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","context_index":$contextIndex,"queries":$m$om,"sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy { case (_, v) => -v }
     var keep = bySlowest.length
