@@ -78,11 +78,14 @@ object SparkEntry {
     "q_graph_scc",
     // round 10: condensation layering priced next to q_graph_scc so the
     // DAG-layering overhead is a recorded number.
-    // q_graph_coloring stays catalog+verify only after one priced run
-    // (28.6 s, BENCH_HISTORY): Jones-Plassmann needs its full ~18-round
-    // budget on the bounded-degree fixture and every round pays ~3 fixed
-    // local-mode job latencies — the q_graph_ktruss precedent; the
-    // per-round WORK is vertex-sized and shards cleanly at scale
     "q_graph_scc_levels",
+    // round 11: coloring re-admitted after the barrier fusion (round-10
+    // exclusion was priced at 28.6 s with 3 jobs/round; the fused loop is
+    // 2 jobs/round with the nbr_min + mex aggregations in ONE edge pass),
+    // plus the four round-10 catalog additions so every capability carries
+    // a recorded number
+    "q_graph_coloring",
+    "q_bpe_encode", "q_text_tokens_bpe", "q_dedup_minhash_capped",
+    "q_sim_recall",
   ).filter(queries.contains)
 }

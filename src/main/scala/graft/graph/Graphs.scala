@@ -389,6 +389,16 @@ object Graphs {
     df.sparkSession.createDataFrame(cut.rdd, cut.schema)
   }
 
+  /** Zero-job stats re-bind for an ALREADY-materialized relation (the
+    * Fixpoint loop state, checkpointed every round): the same
+    * fresh-LogicalRDD estimate reset as [[cutStats]], minus the extra
+    * localCheckpoint barrier — rows stream from the existing checkpoint
+    * blocks. Use at the top of a step that references the state several
+    * times, so the carried size estimate can't snowball across rounds
+    * while the round pays zero additional jobs. */
+  private def rebindStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Deterministic per-vertex priority for symmetry breaking, packed with
     * the vertex id into ONE comparable int64: the high 31 bits are a
     * multiplicative hash of the id (Knuth constant, Mersenne-31 modulus),
@@ -482,32 +492,38 @@ object Graphs {
       .withColumn("pkey", priorityKey(col("vertex")))
       .withColumn("color", lit(-1L))
     val result = graft.iterate.Fixpoint.iterate(init, rounds,
-      converged = graft.iterate.Fixpoint.monotoneSumUnchanged("color")) { (state, _) =>
-      val unc = state.filter(col("color") < 0).select("vertex", "pkey")
-      val nbrMin = unc.join(undirected, unc("vertex") === undirected("src"))
-        .groupBy(col("dst").as("nv")).agg(min("pkey").as("nbr_min"))
-      // local minima among uncolored vertices — materialized + stats-cut
-      // (consumed by the neighbor-color scan and the state merge, the
-      // maximalIndependentSet barrier pattern)
-      val winners = cutStats(unc
-        .join(nbrMin, unc("vertex") === nbrMin("nv"), "left")
+      converged = graft.iterate.Fixpoint.monotoneSumUnchanged("color")) { (state0, _) =>
+      // BARRIER-FUSED round (the maximalMatching treatment, round 11): the
+      // winner test (min pkey over UNCOLORED neighbors) and the mex input
+      // (distinct colors over COLORED neighbors) are both per-vertex
+      // aggregates over the same edge relation, so ONE uncolored-source ⨝
+      // edges ⨝ state pass computes both — the winners relation is then
+      // consumed exactly once (the state merge) and needs no cutStats
+      // materialization. 3 jobs/round → 2 (state checkpoint + convergence
+      // aggregate); the stats re-bind below replaces cutStats' estimate
+      // reset at zero jobs. Isolated A/B and the unchanged oracle hash are
+      // recorded in BASELINE.md.
+      val state = rebindStats(state0)
+      val nbrAttrs = state.select(col("vertex").as("nbr"),
+        col("pkey").as("npkey"), col("color").as("ncolor"))
+      val perVertex = state.filter(col("color") < 0).select(col("vertex"), col("pkey"))
+        .join(undirected, col("vertex") === undirected("src"))
+        .select(col("vertex"), col("pkey"), col("dst").as("nbr"))
+        .join(nbrAttrs, "nbr")
+        .groupBy("vertex", "pkey")
+        .agg(min(when(col("ncolor") < 0, col("npkey"))).as("nbr_min"),
+          // mex input: sorted distinct colored-neighbor colors (collect_set
+          // skips the NULLs the `when` leaves on uncolored neighbors)
+          sort_array(collect_set(when(col("ncolor") >= 0, col("ncolor")))).as("cs"))
+      // winners = local pkey minima among uncolored neighbors (no uncolored
+      // neighbor → wins unconditionally); mex = fold the sorted colors with
+      // acc starting at 1 — acc advances past every taken color it meets in
+      // order; an empty/NULL color set means color 1
+      val assign = perVertex
         .filter(col("nbr_min").isNull || col("pkey") < col("nbr_min"))
-        .select("vertex"))
-      // mex over each winner's colored-neighbor set: fold the sorted
-      // distinct colors with acc starting at 1 — acc advances past every
-      // taken color it meets in order
-      val mex = winners.join(undirected, winners("vertex") === undirected("src"))
-        .select(col("vertex"), col("dst").as("nbr"))
-        .join(state.select(col("vertex").as("nbr"), col("color")), "nbr")
-        .filter(col("color") >= 0)
-        .groupBy("vertex")
-        .agg(sort_array(collect_set(col("color"))).as("cs"))
-        .select(col("vertex"),
-          expr("aggregate(cs, CAST(1 AS BIGINT), (acc, x) -> " +
-            "CASE WHEN x = acc THEN acc + 1 ELSE acc END)").as("mex"))
-      val assign = winners.join(mex, Seq("vertex"), "left")
         .select(col("vertex").as("wv"),
-          coalesce(col("mex"), lit(1L)).as("newcolor"))
+          coalesce(expr("aggregate(cs, CAST(1 AS BIGINT), (acc, x) -> " +
+            "CASE WHEN x = acc THEN acc + 1 ELSE acc END)"), lit(1L)).as("newcolor"))
       state.join(assign, state("vertex") === col("wv"), "left")
         .select(state("vertex"), state("pkey"),
           when(col("color") < 0 && col("wv").isNotNull, col("newcolor"))
@@ -724,8 +740,13 @@ object Graphs {
     * the component's scheduling layer. */
   def sccCondensationLevels(edges: DataFrame,
       phases: Int = DefaultSccPhases, rounds: Int = DefaultSccRounds,
-      levelRounds: Int = DefaultSccLevelRounds): DataFrame = {
-    val scc = stronglyConnectedComponents(edges, phases, rounds)
+      levelRounds: Int = DefaultSccLevelRounds,
+      strict: Boolean = false): DataFrame = {
+    // strict: an undecided scc = -1 residue would lump every undecided
+    // vertex into ONE pseudo-component and corrupt the layering — the
+    // guard costs one count over the checkpointed vertex relation
+    val scc = (if (strict) stronglyConnectedComponentsStrict(edges, phases, rounds)
+               else stronglyConnectedComponents(edges, phases, rounds))
       .localCheckpoint(eager = true)
     val bySrc = scc.select(col("vertex").as("src"), col("scc").as("csrc"))
     val byDst = scc.select(col("vertex").as("dst"), col("scc").as("cdst"))

@@ -467,16 +467,21 @@ object GraphQueries {
 
     // strongly connected components (coloring algorithm): the DIRECTED
     // component analysis CC cannot express; phase peel of forward
-    // max-color + backward root-reach, GraphSpec-pinned against Tarjan
+    // max-color + backward root-reach, GraphSpec-pinned against Tarjan.
+    // STRICT variant (round 11): the certification now proves FULL
+    // decision — a phase/round budget that left any vertex at scc = -1
+    // fails the query instead of hash-matching by bound contract
     "q_graph_scc" -> ((s, d) =>
-      Graphs.stronglyConnectedComponents(Graphs.lineitemEdges(s, d, Mod))
+      Graphs.stronglyConnectedComponentsStrict(Graphs.lineitemEdges(s, d, Mod))
         .orderBy("vertex")),
 
     // condensation layering: contract SCCs, longest-path level over the
     // acyclic condensation — the dependency-scheduling number, well-
-    // defined on cyclic graphs because cycles collapse into their SCC
+    // defined on cyclic graphs because cycles collapse into their SCC;
+    // strict for the same reason as q_graph_scc (a -1 residue would also
+    // corrupt the layering by lumping undecided vertices into one node)
     "q_graph_scc_levels" -> ((s, d) =>
-      Graphs.sccCondensationLevels(Graphs.lineitemEdges(s, d, Mod))
+      Graphs.sccCondensationLevels(Graphs.lineitemEdges(s, d, Mod), strict = true)
         .orderBy("vertex")),
 
     // Jones–Plassmann greedy coloring on the degree-capped ring-offset

@@ -512,27 +512,32 @@ object RelQueries {
         .orderBy("y", "m")),
 
     // autocorrelation of the daily event-count series at lags 1..7,
-    // exact-integer scaled: r_k = num_scaled/den_scaled with both sides
+    // exact-decimal scaled: r_k = num_scaled/den_scaled with both sides
     // multiplied by n² so no float (or mean) is ever materialized — the
     // repo's log/float-free determinism rule applied to a second-moment
     // time-series statistic. The series is tiny after the daily rollup,
     // so the row_number window and the banded self-join run on the
     // aggregate, never on raw events.
-    // SF bound: every scaled term is ≤ 4·n²·sxx (Cauchy–Schwarz: sxy ≤ sxx,
-    // sx² ≤ n·sxx, sh+st ≤ 2·sx), so the arithmetic is int64-exact while
-    // sxx ≤ Long.Max/(4n²) — with n ≈ 60 days that is daily counts up to
-    // ~3e6 (sf ≈ 2000). Past it Spark would wrap silently where DuckDB
-    // raises, so the guard below makes the engine raise too (convergent
-    // failure modes, the normalizeDate fail-fast discipline).
+    // All moments and products run in DECIMAL(38,0) (the decimal-money
+    // pattern); DuckDB computes the same products in HUGEINT (its decimal
+    // multiply caps combined width at 38) and casts the outputs to
+    // DECIMAL(38,0). Every scaled term is ≤ 4·n²·sxx (Cauchy–Schwarz:
+    // sxy ≤ sxx, sx² ≤ n·sxx, sh+st ≤ 2·sx), so 38 digits hold while
+    // sxx ≤ 10^38/(4n²) — daily counts up to ~10^16 at n = 10^4 days,
+    // past any physical data volume. This retires the round-10 int64
+    // raise_error guard (which tripped at daily counts ~3e6): the cliff
+    // is now a non-event, not a convergent failure mode.
     "q_time_acf" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val dec = DecimalType(38, 0)
       val serie = Tables.events(s, d)
         .groupBy(expr("ts div 86400000000000").as("day"))
-        .agg(count(lit(1)).as("x"))
+        .agg(count(lit(1)).cast(dec).as("x"))
         .select(col("day"), col("x"), row_number().over(w).cast("long").as("rn"))
         .localCheckpoint(eager = true) // consumed by stats + both join sides
-      val stats = serie.agg(count(lit(1)).as("n"), sum("x").as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+      val stats = serie.agg(count(lit(1)).cast(dec).as("n"),
+        sum("x").cast(dec).as("sx"),
+        sum(col("x") * col("x")).cast(dec).as("sxx"))
       val a = serie.select(col("rn").as("arn"), col("x").as("ax"))
       val b = serie.select(col("rn").as("brn"), col("x").as("bx"))
       a.join(b, col("brn") > col("arn") && col("brn") <= col("arn") + AcfMaxLag)
@@ -543,13 +548,10 @@ object RelQueries {
         .select(col("lag"), col("npairs"),
           (col("n") * col("n") * col("sxy")
             - col("n") * col("sx") * (col("sh") + col("st"))
-            + col("npairs") * col("sx") * col("sx")).as("num_scaled"),
-          when(col("sxx") > lit(Long.MaxValue) / (lit(4L) * col("n") * col("n")),
-            expr("raise_error('q_time_acf: n²-scaled moments exceed int64 " +
-              "at this data volume — daily counts too large for the " +
-              "exact-integer ACF')").cast("long"))
-            .otherwise(col("n") * col("n") * col("sxx")
-              - col("n") * col("sx") * col("sx")).as("den_scaled"))
+            + col("npairs").cast(dec) * col("sx") * col("sx"))
+            .cast(dec).as("num_scaled"),
+          (col("n") * col("n") * col("sxx")
+            - col("n") * col("sx") * col("sx")).cast(dec).as("den_scaled"))
         .orderBy("lag")
     }),
 
@@ -962,18 +964,19 @@ object RelQueries {
       s"""WITH daily AS (
          |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS x
          |  FROM events GROUP BY day),
-         |s AS (SELECT day, CAST(x AS BIGINT) AS x,
+         |s AS (SELECT day, CAST(x AS HUGEINT) AS x,
          |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-         |         CAST(sum(x*x) AS BIGINT) AS sxx FROM s),
+         |st AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         |         CAST(sum(x*x) AS HUGEINT) AS sxx FROM s),
          |p AS (SELECT b.rn - a.rn AS lag, count(*) AS npairs,
-         |        CAST(sum(a.x*b.x) AS BIGINT) AS sxy,
-         |        CAST(sum(a.x) AS BIGINT) AS sh, CAST(sum(b.x) AS BIGINT) AS stt
+         |        CAST(sum(a.x*b.x) AS HUGEINT) AS sxy,
+         |        CAST(sum(a.x) AS HUGEINT) AS sh, CAST(sum(b.x) AS HUGEINT) AS stt
          |      FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + $AcfMaxLag
          |      GROUP BY 1)
          |SELECT p.lag, p.npairs,
-         |  st.n*st.n*p.sxy - st.n*st.sx*(p.sh+p.stt) + p.npairs*st.sx*st.sx AS num_scaled,
-         |  st.n*st.n*st.sxx - st.n*st.sx*st.sx AS den_scaled
+         |  CAST(st.n*st.n*p.sxy - st.n*st.sx*(p.sh+p.stt)
+         |       + CAST(p.npairs AS HUGEINT)*st.sx*st.sx AS DECIMAL(38,0)) AS num_scaled,
+         |  CAST(st.n*st.n*st.sxx - st.n*st.sx*st.sx AS DECIMAL(38,0)) AS den_scaled
          |FROM p, st ORDER BY p.lag""".stripMargin,
 
     "q_time_funcs" ->

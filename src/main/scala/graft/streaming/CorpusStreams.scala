@@ -142,8 +142,19 @@ object CorpusStreams {
         // index on replay — and writes dynamically overwrite their own
         // batch partition instead of appending duplicates
         val index =
-          if (fs.exists(idxPath)) sp.read.parquet(indexDir)
-            .filter(col("batch_id") < batchId).select("doc_id", "pos", "h")
+          if (fs.exists(idxPath)) {
+            val idx = sp.read.parquet(indexDir)
+            // fail fast on a state dir from the pre-replay-idempotent
+            // append layout (no batch_id partition column): the filter
+            // below would throw an opaque AnalysisException, and old
+            // unpartitioned span files would silently mix with the new
+            // partitioned output — regenerate the state instead
+            require(idx.columns.contains("batch_id"),
+              s"substringIngest: $indexDir has no batch_id partition column " +
+                "(written by the old append layout) — delete/regenerate the " +
+                "index AND spans dirs before resuming")
+            idx.filter(col("batch_id") < batchId).select("doc_id", "pos", "h")
+          }
           else sp.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("pos"),
             lit(0L).as("h")).limit(0)
         val spans = graft.pipeline.Dedup
@@ -281,20 +292,29 @@ object CorpusStreams {
       sp.emptyDataFrame.select(lit(0L).as("doc_id"),
         array().cast("array<bigint>").as("hs"),
         array().cast("array<bigint>").as("mh")).limit(0))
-    // partition discovery types batch_id as INT for small values — cast
-    // in-plan so the driver rows carry one stable type
-    val totalRows = readOr(s"$stateDir/totals", sp.emptyDataFrame
-        .select(lit("").as("source"), lit(0L).as("used"), lit(-1L).as("batch_id"))
-        .limit(0))
-      .select(col("source"), col("used"),
-        col("batch_id").cast("long").as("batch_id"))
-      .collect()
+    // totals: every batch writes a COMPLETE per-source snapshot, so only
+    // the newest partition strictly below the current batch matters. Read
+    // exactly that one via an FS partition listing — scanning the whole
+    // dir and collecting every historical row is O(batches × sources)
+    // driver rows, growing without bound over a long-running stream; the
+    // listing is one namenode call and the chosen partition holds exactly
+    // |sources| rows (the partition files carry only source/used — the
+    // batch_id lives in the dir name, so no discovery-typing cast needed).
+    val totalsPath = new org.apache.hadoop.fs.Path(s"$stateDir/totals")
     val used0: Map[String, Long] =
-      if (totalRows.isEmpty) Map.empty
+      if (!fs.exists(totalsPath)) Map.empty
       else {
-        val latest = totalRows.map(_.getAs[Long]("batch_id")).max
-        totalRows.filter(_.getAs[Long]("batch_id") == latest)
-          .map(r => r.getAs[String]("source") -> r.getAs[Long]("used")).toMap
+        val prior = fs.listStatus(totalsPath).toSeq
+          .filter(_.isDirectory).map(_.getPath)
+          .flatMap { p =>
+            scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)
+              .toOption.filter(id => p.getName.startsWith("batch_id=") && id < batchId)
+              .map(_ -> p)
+          }
+        if (prior.isEmpty) Map.empty
+        else sp.read.parquet(prior.maxBy(_._1)._2.toString)
+          .select("source", "used").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
       }
     def writePartition(df: DataFrame, dir: String): Unit =
       df.withColumn("batch_id", lit(batchId))

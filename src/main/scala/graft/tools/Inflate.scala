@@ -346,6 +346,13 @@ object GraphScale {
   *    path's defense (boilerplate grams blow past maxOcc and leave the
   *    anchor set, a documented recall boundary).
   *
+  *  - EVENTS (round 11): 1-in-`hotEvery` events of the K-replicated log
+  *    collapse onto ONE user — the bot-traffic shape — and the sweep times
+  *    the actual catalog per-user-window queries (sessionize/asof/funnel/
+  *    retention) over temp parquet dirs, so the measured plan is the
+  *    certified plan. Severity knob: hotEvery=4 puts 25% of all events on
+  *    one user.
+  *
   * Reports 10x-uniform vs 10x-skewed; the honest penalty metric is
   * skew/uniform at the SAME volume (a fixed-work denominator would conflate
   * skew with scale). */
@@ -506,6 +513,41 @@ object SkewScale {
             concat_ws(" ", slice(split(col("text"), " "), 1, 30))))
           .otherwise(col("text")))
     }
+    // ---- events side: ONE hot user owning 1-in-hotEvery of ALL events —
+    // the realistic bot-traffic shape (run with hotEvery=4 for the "one
+    // user is 25% of the log" severity). The per-user-window queries
+    // (sessionize, as-of, funnel, retention) move each row exactly once
+    // through a per-user sort/agg, which is precisely where a hot key
+    // hurts: the hot user's whole slice lands on ONE task's sort buffer.
+    // The sweep times the ACTUAL catalog queries over temp dirs (uniform
+    // Kx vs hot Kx), so the measured plan is the certified plan — all four
+    // read only events.parquet. Timestamps are untouched: the hot user's
+    // events span the full window, maximizing its per-partition sort.
+    if (Seq("sessionize", "asof", "funnel", "retention").exists(want)) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
+      val rep = (0 until k).map(i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * eidBase))
+          .withColumn("user_id", col("user_id") + lit(i * uidBase)))
+        .reduce(_ unionByName _)
+      val uDir = "/tmp/graft_skew_events_u"
+      val sDir = "/tmp/graft_skew_events_s"
+      rep.write.mode(SaveMode.Overwrite).parquet(s"$uDir/events.parquet")
+      rep.withColumn("user_id",
+          // same deterministic 1-in-hotEvery slice in every copy; user 0
+          // becomes the bot (its own rows stay, adding to the heat)
+          when(col("event_id") % hotEvery === 0, lit(0L)).otherwise(col("user_id")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$sDir/events.parquet")
+      def q(name: String, dir: String): DataFrame =
+        graft.SparkEntry.queries(name)(spark, dir)
+      Seq("sessionize" -> "q_events_sessionize", "asof" -> "q_asof_join",
+        "funnel" -> "q_events_funnel", "retention" -> "q_events_retention")
+        .foreach { case (m, qn) =>
+          if (want(m)) report(m, time2(q(qn, uDir)), time2(q(qn, sDir)))
+        }
+    }
+
     if (Seq("minhash", "minhash_capped", "substring").exists(want)) {
       val dU = docReplicas(hot = false).localCheckpoint(eager = true)
       val dS = docReplicas(hot = true).localCheckpoint(eager = true)
