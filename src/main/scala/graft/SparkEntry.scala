@@ -87,5 +87,9 @@ object SparkEntry {
     "q_graph_coloring",
     "q_bpe_encode", "q_text_tokens_bpe", "q_dedup_minhash_capped",
     "q_sim_recall",
+    // hot-key-safe window twins priced NEXT TO their plain forms: the
+    // uniform-data delta is the skew-immunity premium (the skew sweep
+    // prices the other side — what plain costs under a hot user)
+    "q_events_sessionize_chunked", "q_asof_join_chunked",
   ).filter(queries.contains)
 }

@@ -456,6 +456,24 @@ object RelQueries {
         .orderBy("event_id")
     }),
 
+    // hot-key-safe as-of twin: the per-key window becomes per-(key, 4h
+    // chunk) + a summary-sized carry fill (AsOfJoin.asOfChunked). SAME
+    // oracle SQL as q_asof_join, so chunked ≡ plain is hash-CERTIFIED.
+    // Round-11 skew sweep: plain as-of pays 1.37x/1.78x with 25%/50% of
+    // all events on one user (the window partition is indivisible);
+    // chunking bounds any task at chunk-width × arrival-rate.
+    "q_asof_join_chunked" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val leftSide = base.filter(col("event_id") % 10 =!= 0)
+      val ckpts = base.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("ckpt_id"))
+      graft.ops.AsOfJoin.asOfChunked(leftSide, ckpts, "user_id", "ts_us",
+          chunkSize = 14400000000L) // 4 h in µs
+        .select("event_id", "user_id", "ts_us", "ckpt_id")
+        .orderBy("event_id")
+    }),
+
     // SCD2 point-in-time dimension join: orders open per-customer validity
     // intervals ([orderdate, next orderdate), priority as the tracked
     // attribute); each event picks the attribute valid at its timestamp.
@@ -624,6 +642,17 @@ object RelQueries {
           max(expr("ts div 1000")).as("t_end_us"))
         .orderBy("user_id", "session_idx")
     }),
+
+    // hot-user-safe sessionize twin: local sessions per (user, 4h chunk) +
+    // a summary-sized stitch pass (ops.Sessionize.chunked — merge only ever
+    // crosses ADJACENT chunks since chunkMs > gapMs). SAME oracle SQL as
+    // q_events_sessionize: chunked ≡ plain is hash-certified, including the
+    // global session numbering across merged boundaries.
+    "q_events_sessionize_chunked" -> ((s, d) =>
+      graft.ops.Sessionize.chunked(
+          Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts")),
+          gapMs = 1800000L, chunkMs = 14400000L)
+        .orderBy("user_id", "session_idx")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -913,14 +942,10 @@ object RelQueries {
         |  AND ts_us >= vfrom AND (vto IS NULL OR ts_us < vto)
         |ORDER BY event_id""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-         l AS (SELECT * FROM base WHERE event_id % 10 <> 0),
-         r AS (SELECT user_id, ts_us, max(event_id) AS ckpt_id FROM base
-               WHERE event_id % 10 = 0 GROUP BY user_id, ts_us)
-         SELECT l.event_id, l.user_id, l.ts_us, r.ckpt_id
-         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
-         ORDER BY l.event_id""",
+    "q_asof_join" -> AsOfJoinSql,
+    // the chunked plan shares the plain oracle VERBATIM: the hash equality
+    // IS the proof that per-(key, chunk) fill + carry ≡ one per-key window
+    "q_asof_join_chunked" -> AsOfJoinSql,
 
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
@@ -997,22 +1022,39 @@ object RelQueries {
            ON a.user_id = b.user_id AND b.ms > a.ms AND b.ms <= a.ms + 3600000
          GROUP BY a.user_id ORDER BY a.user_id""",
 
-    "q_events_sessionize" ->
-      """WITH e AS (
-           SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
-                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-           FROM events),
-         f AS (
-           SELECT user_id, ts, event_id,
-                  CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
-           FROM e),
-         g AS (
-           SELECT user_id, ts,
-                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-           FROM f)
-         SELECT user_id, session_idx, count(*) AS n_events,
-                epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
-         FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q_events_sessionize" -> SessionizeSql,
+    // the chunked plan shares the plain oracle VERBATIM (same proof shape
+    // as q_asof_join_chunked) — including the global session numbering
+    "q_events_sessionize_chunked" -> SessionizeSql,
   )
+
+  /** shared by q_asof_join and its chunked twin — one SQL, two plans
+    * (lazy: declared below the strict `oracles` val that references it) */
+  private lazy val AsOfJoinSql =
+    """WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+       l AS (SELECT * FROM base WHERE event_id % 10 <> 0),
+       r AS (SELECT user_id, ts_us, max(event_id) AS ckpt_id FROM base
+             WHERE event_id % 10 = 0 GROUP BY user_id, ts_us)
+       SELECT l.event_id, l.user_id, l.ts_us, r.ckpt_id
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+       ORDER BY l.event_id"""
+
+  /** shared by q_events_sessionize and its chunked twin */
+  private lazy val SessionizeSql =
+    """WITH e AS (
+         SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+                lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+         FROM events),
+       f AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+         FROM e),
+       g AS (
+         SELECT user_id, ts,
+                CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM f)
+       SELECT user_id, session_idx, count(*) AS n_events,
+              epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
+       FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
 }

@@ -523,7 +523,8 @@ object SkewScale {
     // Kx vs hot Kx), so the measured plan is the certified plan — all four
     // read only events.parquet. Timestamps are untouched: the hot user's
     // events span the full window, maximizing its per-partition sort.
-    if (Seq("sessionize", "asof", "funnel", "retention").exists(want)) {
+    if (Seq("sessionize", "asof", "funnel", "retention",
+        "sessionize_chunked", "asof_chunked").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -542,7 +543,10 @@ object SkewScale {
       def q(name: String, dir: String): DataFrame =
         graft.SparkEntry.queries(name)(spark, dir)
       Seq("sessionize" -> "q_events_sessionize", "asof" -> "q_asof_join",
-        "funnel" -> "q_events_funnel", "retention" -> "q_events_retention")
+        "funnel" -> "q_events_funnel", "retention" -> "q_events_retention",
+        // the chunked twins under the SAME hot user: the defense, priced
+        "sessionize_chunked" -> "q_events_sessionize_chunked",
+        "asof_chunked" -> "q_asof_join_chunked")
         .foreach { case (m, qn) =>
           if (want(m)) report(m, time2(q(qn, uDir)), time2(q(qn, sDir)))
         }
