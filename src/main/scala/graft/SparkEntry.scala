@@ -91,5 +91,6 @@ object SparkEntry {
     // uniform-data delta is the skew-immunity premium (the skew sweep
     // prices the other side — what plain costs under a hot user)
     "q_events_sessionize_chunked", "q_asof_join_chunked",
+    "q_events_latest_agg",
   ).filter(queries.contains)
 }

@@ -960,6 +960,26 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // the hot-user-safe twin of q_events_latest: latest-per-key as ONE
+    // max(struct) aggregate instead of a row_number window — map-side
+    // partial aggregation collapses a bot user's slice to one partial per
+    // task BEFORE the shuffle, where the window formulation must move and
+    // sort the whole hot partition on one task. struct comparison orders
+    // (ts_us, event_id) first, exactly the window's DESC/DESC argmax;
+    // event_id is unique so the payload fields never decide. SAME oracle
+    // SQL as q_events_latest — the plan equivalence is hash-certified.
+    "q_events_latest_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"),
+          col("event_type"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.ts_us").as("ts_us"), col("m.event_type").as("event_type"),
+          col("m.value").as("value"))
+        .orderBy("user_id")),
+
     // Market-basket co-occurrence ("frequently bought together"): project
     // the order-part bipartite graph onto part-part edges weighted by
     // co-purchase count, top-k by support. The self-join fans out
@@ -1891,12 +1911,10 @@ object AnalyticsQueries {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY n_view""".stripMargin,
 
-    "q_events_latest" ->
-      """SELECT user_id, event_id, ts_us, event_type, value FROM (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_events_latest" -> EventsLatestSql,
+    // the agg twin shares the window oracle VERBATIM: hash equality proves
+    // max(struct) ≡ row_number()=1 (the chunked-twin proof shape)
+    "q_events_latest_agg" -> EventsLatestSql,
 
     "q_copurchase" ->
       """WITH li AS MATERIALIZED (
@@ -2177,4 +2195,13 @@ object AnalyticsQueries {
         |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
+
+  /** shared by q_events_latest and its skew-immune agg twin (lazy:
+    * declared below the strict `oracles` val that references it) */
+  private lazy val EventsLatestSql =
+    """SELECT user_id, event_id, ts_us, event_type, value FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
 }

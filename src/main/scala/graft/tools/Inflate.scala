@@ -524,7 +524,7 @@ object SkewScale {
     // read only events.parquet. Timestamps are untouched: the hot user's
     // events span the full window, maximizing its per-partition sort.
     if (Seq("sessionize", "asof", "funnel", "retention",
-        "sessionize_chunked", "asof_chunked").exists(want)) {
+        "sessionize_chunked", "asof_chunked", "latest", "latest_agg").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -546,7 +546,10 @@ object SkewScale {
         "funnel" -> "q_events_funnel", "retention" -> "q_events_retention",
         // the chunked twins under the SAME hot user: the defense, priced
         "sessionize_chunked" -> "q_events_sessionize_chunked",
-        "asof_chunked" -> "q_asof_join_chunked")
+        "asof_chunked" -> "q_asof_join_chunked",
+        // latest-per-key: window formulation vs the agg twin whose
+        // map-side partials absorb the hot key before the shuffle
+        "latest" -> "q_events_latest", "latest_agg" -> "q_events_latest_agg")
         .foreach { case (m, qn) =>
           if (want(m)) report(m, time2(q(qn, uDir)), time2(q(qn, sDir)))
         }
