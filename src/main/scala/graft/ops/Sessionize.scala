@@ -49,8 +49,13 @@ object Sessionize {
       s"chunkMs ($chunkMs) must exceed gapMs ($gapMs): the adjacent-chunks-" +
         "only merge argument needs any skipped chunk to be wider than the gap")
     val e = events.select(col("user_id"), col("event_id"), col("ts"))
+      // ms via div matches the plain plan's `ts div 1000000` exactly (ts is
+      // positive epoch-nanos by the Tables.events contract); the CHUNK uses
+      // exact integer FLOOR division (pmod ≥ 0) so even a pre-epoch ts
+      // chunks correctly — truncation would fold chunks -0.x and 0.x
+      // together and mis-order the stitch (the asOfChunked convention)
       .withColumn("ms", expr("ts div 1000000"))
-      .withColumn("chunk", expr(s"ms div $chunkMs"))
+      .withColumn("chunk", expr(s"(ms - pmod(ms, ${chunkMs}L)) div ${chunkMs}L"))
     val wChunk = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     val local = e
       .withColumn("prev_ms", lag(col("ms"), 1).over(wChunk))
@@ -59,9 +64,27 @@ object Sessionize {
           .otherwise(0L))
       .withColumn("local_idx", sum("new_sess").over(
         wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val summary = local.groupBy("user_id", "chunk")
+    // summary from the RAW events, not from `local`: the summary branch
+    // feeds the stitch while `local` feeds the final join, and deriving
+    // both from the window plan runs the event-sized sort+window TWICE
+    // (ReuseExchange shares the exchange, never the WindowExec — measured
+    // as the premium growing 2.0x → 3.1x from sf0.1 to 100x). n_local =
+    // 1 + #(sorted consecutive gaps > gapMs), a fold over the chunk's
+    // sorted ms list: ties at equal ms leave every gap decision unchanged,
+    // so the fold and the (ts, event_id)-ordered window count identically.
+    // Memory contract: collect_list buffers ONE (user, chunk)'s ms values
+    // on the agg task — the same chunk-width × arrival-rate bound the
+    // operator already imposes on the window sort.
+    val summary = e.groupBy("user_id", "chunk")
       .agg(min("ms").as("first_ms"), max("ms").as("last_ms"),
-        max("local_idx").as("n_local"))
+        sort_array(collect_list(col("ms"))).as("mss"))
+      .withColumn("n_local",
+        expr(s"aggregate(slice(mss, 2, size(mss)), " +
+          s"named_struct('prev', mss[0], 'n', 1L), " +
+          s"(acc, x) -> named_struct('prev', x, " +
+          s"'n', acc.n + CASE WHEN x - acc.prev > ${gapMs}L THEN 1 ELSE 0 END), " +
+          "acc -> acc.n)"))
+      .drop("mss")
     val wUser = Window.partitionBy("user_id").orderBy("chunk")
     val offsets = summary
       .withColumn("prev_chunk", lag("chunk", 1).over(wUser))

@@ -61,10 +61,12 @@ class SessionizeSpec extends SparkSpec {
 
   test("chunked ≡ plain on a randomized hot-user log") {
     val rng = new scala.util.Random(7)
-    // user 0 is the bot with half the events — the shape the operator exists for
+    // user 0 is the bot with half the events — the shape the operator
+    // exists for; ms spans NEGATIVES to pin the floor-chunking (truncation
+    // would fold chunks -0.x and 0.x together and mis-order the stitch)
     val rows = (1 to 600).map { i =>
       val u = if (rng.nextBoolean()) 0L else 1L + rng.nextInt(5)
-      (u, i.toLong, rng.nextInt(2000).toLong)
+      (u, i.toLong, (rng.nextInt(2000) - 1000).toLong)
     }
     val fixture = ev(rows)
     assert(toRows(Sessionize.chunked(fixture, gapMs = 10L, chunkMs = 25L))
