@@ -430,4 +430,37 @@ object Corpus {
       .filter(col("rn") <= perGroup)
       .select(groupCol, "rn", "doc_id", "h")
   }
+
+  /** Deterministic weighted sample — priority sampling (Duffield, Lund &
+    * Thorup, JACM 2007): each doc draws priority q = w / u, where w is
+    * its weight (n_chars — the size-proportional choice) and u ∈ (0, 1]
+    * a content-hash uniform; the k highest-priority docs per source are
+    * the sample. Where [[stratifiedSample]] draws uniformly and
+    * `systematicSample` probes the exact weight line globally, priority
+    * sampling gives a per-stratum weighted subset whose subset-sum
+    * estimator is near-optimal (the paper's result) — the shape for
+    * "sample heavy docs more, but keep an unbiased handle on the rest".
+    *
+    * Determinism (the hashSplit convention — no RNG anywhere): u =
+    * (h + 1) / P with h the text poly-hash, so q = w·P / (h + 1); both
+    * operands are exact int64 below 2^53 and q is ONE correctly-rounded
+    * IEEE division — bit-identical across engines, partitionings and
+    * reruns. Ties (impossible unless whole texts collide) break by
+    * doc_id.
+    *
+    * Scale: pure per-row arithmetic (codegen'd PolyHashExpr) + one
+    * hash-partitioned per-source window — the row_number ≤ k idiom
+    * WindowTopKRewrite lowers to the bounded-heap operator, so no
+    * per-source full sort materializes. */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(desc("priority"), asc("doc_id"))
+    docs.select(col("source"), col("doc_id"), col("n_chars"),
+        GraftFunctions.polyHash(col("text")).as("h"))
+      .withColumn("priority",
+        (col("n_chars") * lit(P)).cast("double") / (col("h") + lit(1L)).cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("source", "rn", "doc_id", "n_chars", "priority")
+  }
 }

@@ -699,7 +699,21 @@ object Dedup {
     val spans = substringSpans(docs, k, minLen, maxOcc)
     val loserIv = spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
       (col("b_start") + col("span_words") - 1).as("e"))
-    val ivList = graft.ops.Intervals.coalesce(loserIv, "doc_id", "s", "e")
+    scrubByIntervals(docs, graft.ops.Intervals.coalesce(loserIv, "doc_id", "s", "e"))
+  }
+
+  /** Shared rewrite of the scrub family: remove each doc's words at the
+    * positions covered by its coalesced `(doc_id, t_start, t_end)`
+    * interval rows ([[graft.ops.Intervals.coalesce]] output). Intervals
+    * per doc are few — bounded by partners × regions (pairwise scrub) or
+    * template regions (boilerplate scrub), not corpus size — so they ship
+    * as a per-doc array, and the rewrite is one codegen'd
+    * filter-by-position projection per row: payload text is touched
+    * exactly once, at its own scan. Docs with no intervals ride through
+    * with n_removed = 0. Output (doc_id, n_words, n_removed,
+    * text_scrubbed) for EVERY doc. */
+  private def scrubByIntervals(docs: DataFrame, intervals: DataFrame): DataFrame = {
+    val ivList = intervals
       .groupBy("doc_id")
       // membership test below is order-independent, so collect_list's
       // nondeterministic order is harmless
@@ -713,6 +727,40 @@ object Dedup {
         expr(s"size(${wordsSpark("text")})").cast("long").as("n_words"),
         (expr(s"size(${wordsSpark("text")})") - size(col("kept"))).cast("long").as("n_removed"),
         expr("concat_ws(' ', transform(kept, s -> s.w))").as("text_scrubbed"))
+  }
+
+  /** Boilerplate scrub — the CORPUS-FREQUENCY face of [[substringScrub]]
+    * (the CCNet / RefinedWeb template-removal step): every word position
+    * whose k-gram key appears in ≥ minDf DISTINCT documents is boilerplate
+    * (site chrome, license headers, navigation footers), and its covered
+    * interval is removed from EVERY document — no keeper, unlike the
+    * pairwise span scrub, because a template shared by hundreds of pages
+    * is noise in all of them rather than content in one.
+    *
+    * Scale: structurally CHEAPER than the pairwise substring family —
+    * there is no position-to-position join at all. The corpus-wide work is
+    * (a) the gram relation (24 B/word triples, the price every
+    * substring-level method pays, text touched once via the codegen'd
+    * GramKeysExpr kernel), (b) a distinct + count aggregation per gram key
+    * (map-side partials), and (c) one semi-join of the gram relation
+    * against the boilerplate key set — linear in corpus grams where the
+    * pairwise methods are bounded by match fan-out. A hot template (the
+    * very thing being removed) makes its gram key's df LARGE but costs one
+    * combined row per partition in the count — frequency scrub gets
+    * faster, not slower, exactly where pairwise candidate generation
+    * blows up. Output (doc_id, n_words, n_removed, text_scrubbed). */
+  def boilerplateScrub(docs: DataFrame, k: Int = 8, minDf: Long = 5L): DataFrame = {
+    require(minDf >= 2, s"minDf ($minDf) must be >= 2")
+    // gram relation materialized once: the df aggregation and the
+    // coverage semi-join below both consume it (anchorGrams precedent)
+    val grams = substringIndex(docs, k).localCheckpoint(eager = true)
+    val boiler = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val cov = grams.join(boiler, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + k - 1).as("e"))
+    scrubByIntervals(docs, graft.ops.Intervals.coalesce(cov, "doc_id", "s", "e"))
   }
 
   /** Intra-document repeated spans — the self-similarity twin of

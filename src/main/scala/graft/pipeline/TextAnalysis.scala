@@ -213,6 +213,29 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.textFeatures(col("text"), dim).as("embedding"))
 
+  /** Linear quality-model gate — the fasttext-style classifier-filter
+    * SHAPE (score = ⟨φ(text), W⟩, keep = score ≥ τ) every production
+    * curation stack runs after the heuristic [[quality]] screen. The
+    * weight vector is a deterministic stand-in (no ML runtimes in this
+    * container — the multimodal stub-decode precedent: the Spark-side
+    * plumbing is real, the learned parameters are a fixture):
+    * W[d] = (37·(d+1)) % 19 − 9 spans [−9, 9]. Features are the exact-int
+    * [[featurize]] projection, so the dot product is exact int64
+    * (|v[d]| ≤ 14·words, dim·|v|·9 ≪ 2^40) — score and verdict are
+    * bit-reproducible on any partitioning and SQL-replayable. Swapping in
+    * a trained model = replacing W with a broadcast float array (same
+    * plan: one projection per row, no shuffle, no UDF).
+    * Output (doc_id, score, keep) for EVERY doc. */
+  def scoreLinear(docs: DataFrame, dim: Int = 16, threshold: Long = 0L): DataFrame =
+    featurize(docs, dim)
+      .select(col("doc_id"),
+        expr(s"aggregate(zip_with(embedding, " +
+          s"transform(sequence(0, ${dim - 1}), d -> (37 * (d + 1)) % 19 - 9), " +
+          "(v, wt) -> CAST(v AS BIGINT) * wt), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("score"))
+      .withColumn("keep", col("score") >= threshold)
+      .select("doc_id", "score", "keep")
+
   /** HOF twin of [[featurize]] — the SQL-expressible formulation the
     * codegen'd kernel must stay bit-equivalent to (FunctionsSpec), and
     * the arithmetic the DuckDB oracle replays. ~8x slower than the

@@ -40,6 +40,8 @@ object PipelineQueries {
   private val StratPerGroup = 20
   // systematic PPS sample size (engine and oracle share the stride math)
   private val PpsSampleN = 50
+  // priority sampling: per-source sample size
+  private val PrioritySampleK = 25
   // curation thresholds (quality gate for the end-to-end pipeline)
   private val MinWords = 10
   private val MinUniqRatio = 0.3
@@ -67,6 +69,27 @@ object PipelineQueries {
         .as("text"))
   private def augDocsSqlDuck: String =
     s"SELECT doc_id, concat(trim(text), ' ', array_to_string((string_split(trim(text), ' '))[1:$SelfRepPrefix], ' ')) AS text FROM documents"
+
+  // boilerplate scrub: a shared template string appended to every
+  // BoilerMod'th doc (the synthetic face guaranteeing real boilerplate on
+  // testdata — the q_text_selfrepeat precedent); gram keys present in
+  // >= BoilerMinDf DISTINCT docs are template and are removed from ALL
+  // carriers. BoilerMinDf = 5 sits above the natural cross-doc gram df on
+  // testdata (max 3 — planted dup pairs/triples), so exactly the template
+  // is scrubbed; any organic >= 5-doc family would legitimately qualify
+  // in both engines alike.
+  private val BoilerMod = 5
+  private val BoilerMinDf = 5L
+  private val BoilerTemplate =
+    "subscribe to the data pipeline newsletter for weekly updates and more stories every single day"
+  private def boilerDocsSpark(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % BoilerMod === 0,
+        concat(trim(col("text")), lit(" " + BoilerTemplate)))
+        .otherwise(trim(col("text"))).as("text"))
+  private def boilerDocsSqlDuck: String =
+    s"SELECT doc_id, CASE WHEN doc_id % $BoilerMod = 0 " +
+      s"THEN concat(trim(text), ' $BoilerTemplate') ELSE trim(text) END AS text FROM documents"
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -207,6 +230,15 @@ object PipelineQueries {
     // doc_id) occurrence, keeping exactly one surviving copy corpus-wide
     "q_dedup_substring_scrub" -> ((s, d) =>
       Dedup.substringScrub(Tables.documents(s, d), SubstrK, SubstrMinLen, SubstrMaxOcc)
+        .orderBy("doc_id")),
+
+    // frequency-based boilerplate scrub (CCNet/RefinedWeb template
+    // removal): grams in >= BoilerMinDf distinct docs vanish from ALL
+    // carriers — no pairwise join anywhere, linear in corpus grams; face
+    // corpus appends a shared template to every BoilerMod'th doc
+    "q_dedup_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateScrub(boilerDocsSpark(Tables.documents(s, d)),
+          SubstrK, BoilerMinDf)
         .orderBy("doc_id")),
 
     // intra-doc repeated spans on the deterministically augmented corpus
@@ -666,6 +698,21 @@ object PipelineQueries {
     "q_sample_weighted" -> ((s, d) =>
       Corpus.systematicSample(Tables.documents(s, d), PpsSampleN)
         .orderBy("sample_idx")),
+
+    // priority sampling (Duffield et al.): per-source top-k by w/u with a
+    // content-hash uniform — the deterministic weighted sampler whose
+    // subset-sum estimator is near-optimal; complements the uniform
+    // stratified draw and the global systematic PPS probe
+    "q_sample_priority" -> ((s, d) =>
+      Corpus.prioritySample(Tables.documents(s, d), PrioritySampleK)
+        .orderBy("source", "rn")),
+
+    // linear quality-model gate: fasttext-classifier shape over the exact
+    // hash-projection features, deterministic stand-in weights, exact
+    // int64 dot — the model-based filter after the heuristic screen
+    "q_quality_model" -> ((s, d) =>
+      TextAnalysis.scoreLinear(Tables.documents(s, d))
+        .orderBy("doc_id")),
 
     // BPE merge training (Sennrich et al.): the learned merge table in
     // rank order — tokenizer construction as a corpus operator. After
@@ -1716,6 +1763,47 @@ object PipelineQueries {
        |  FROM (SELECT lang, doc_id, ${polyHashDuck("text")} AS h FROM documents))
        |WHERE rn <= $StratPerGroup ORDER BY lang, rn""".stripMargin
 
+  /** priority-sampling oracle: q = w·P / (h + 1) — both operands exact
+    * int64 < 2^53, one correctly-rounded IEEE division per row, so the
+    * per-source top-k selection replays bit-exactly */
+  private val prioritySampleSql =
+    s"""WITH s AS MATERIALIZED (
+       |  SELECT source, doc_id, n_chars, ${polyHashDuck("text")} AS h FROM documents),
+       |p AS MATERIALIZED (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(n_chars * $P AS DOUBLE) / CAST(h + 1 AS DOUBLE) AS priority
+       |  FROM s)
+       |SELECT source, rn, doc_id, n_chars, priority FROM (
+       |  SELECT source, doc_id, n_chars, priority,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS BIGINT) AS rn
+       |  FROM p)
+       |WHERE rn <= $PrioritySampleK ORDER BY source, rn""".stripMargin
+
+  /** linear quality-model oracle: the featurizer replay (textEmbedSql's
+    * arithmetic) folded against the deterministic weight vector — exact
+    * int64 end to end */
+  private val qualityModelSql = {
+    val dim = 16
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(${wordsDuck("text")}, w -> ${polyHashDuck("w")} % 100003) AS hs
+       |  FROM documents),
+       |v AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $dim), d ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(hs, x -> (x * (131 * (d + 1)) + 137 * d) % 29 - 14)),
+       |        (acc, vv) -> acc + vv)) AS v
+       |  FROM h),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, $dim), d -> v[CAST(d + 1 AS INT)] * ((37 * (d + 1)) % 19 - 9))),
+       |      (acc, x) -> acc + x) AS BIGINT) AS score
+       |  FROM v)
+       |SELECT doc_id, score, score >= 0 AS keep FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** systematic-PPS oracle: single-window cumsum (the oracle may pay the
     * global sort; the engine does the two-phase scan) + stride-midpoint
     * probes, pure int64 so selection replays exactly */
@@ -1924,11 +2012,10 @@ object PipelineQueries {
     * `docsSql` selects the (doc_id, text) input relation; `selfJoin`
     * switches the anchor join from cross-doc (doc_a < doc_b) to
     * intra-doc (same doc, pa < pb). Yields CTEs through `runs`. */
-  private def substringCtes(k: Int, maxOcc: Long, docsSql: String,
-      selfJoin: Boolean): String = {
-    val joinCond =
-      if (selfJoin) "a.doc_id = b.doc_id AND a.pos < b.pos"
-      else "a.doc_id < b.doc_id"
+  /** gram-relation replay alone (CTEs d/w/p/g — the shared prefix of the
+    * pairwise substring family and the frequency-based boilerplate scrub):
+    * same double-fold gram keys as the engine's GramKeysExpr kernel. */
+  private def gramCtes(k: Int, docsSql: String): String =
     s"""WITH d AS MATERIALIZED ($docsSql),
        |w AS MATERIALIZED (
        |  SELECT doc_id, ${wordPolyHashesDuck(wordsDuck("text"))} AS wh1,
@@ -1939,7 +2026,14 @@ object PipelineQueries {
        |g AS MATERIALIZED (
        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |         ${gramKeyDuck("wh1", "wh2", "pos", k)} AS h
-       |  FROM p),
+       |  FROM p)""".stripMargin
+
+  private def substringCtes(k: Int, maxOcc: Long, docsSql: String,
+      selfJoin: Boolean): String = {
+    val joinCond =
+      if (selfJoin) "a.doc_id = b.doc_id AND a.pos < b.pos"
+      else "a.doc_id < b.doc_id"
+    gramCtes(k, docsSql) + s""",
        |hot AS MATERIALIZED (SELECT h FROM g GROUP BY h HAVING count(*) > $maxOcc),
        |kept AS MATERIALIZED (SELECT * FROM g WHERE h NOT IN (SELECT h FROM hot)),
        |m AS MATERIALIZED (
@@ -2013,9 +2107,48 @@ object PipelineQueries {
          |WHERE span_words >= $SubstrMinLen AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
          |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
-  /** scrub replay: loser-side (doc_b) intervals per doc, coalesced by the
-    * same islands sweep, then a positional word filter + ordered
+  /** shared scrub tail (assumes CTEs `d` (doc_id, text) and `sides`
+    * (doc_id, s, e)): islands coalesce, positional word filter + ordered
     * re-concatenation; untouched docs keep their text verbatim */
+  private val scrubTailSql =
+    s""",
+       |marked AS MATERIALIZED (
+       |  SELECT doc_id, s, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM sides),
+       |islands AS MATERIALIZED (
+       |  SELECT doc_id, s, e,
+       |         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s, e
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM marked),
+       |ig AS MATERIALIZED (
+       |  SELECT doc_id, island, min(s) AS is_, max(e) AS ie
+       |  FROM islands GROUP BY doc_id, island),
+       |ws2 AS MATERIALIZED (
+       |  SELECT doc_id, ${wordsDuck("text")} AS ws FROM d),
+       |wpos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ws) AS w,
+       |         CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS p
+       |  FROM ws2),
+       |keptw AS MATERIALIZED (
+       |  SELECT doc_id, w, p FROM wpos
+       |  WHERE NOT EXISTS (SELECT 1 FROM ig
+       |                    WHERE ig.doc_id = wpos.doc_id
+       |                      AND wpos.p BETWEEN ig.is_ AND ig.ie)),
+       |agg AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(string_agg(w, ' ' ORDER BY p), '') AS text_scrubbed,
+       |         CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM keptw GROUP BY doc_id)
+       |SELECT ws2.doc_id, CAST(len(ws2.ws) AS BIGINT) AS n_words,
+       |       CAST(len(ws2.ws) AS BIGINT) - coalesce(agg.n_kept, 0) AS n_removed,
+       |       coalesce(agg.text_scrubbed, '') AS text_scrubbed
+       |FROM ws2 LEFT JOIN agg ON ws2.doc_id = agg.doc_id
+       |ORDER BY ws2.doc_id""".stripMargin
+
+  /** scrub replay: loser-side (doc_b) intervals per doc, then the shared
+    * scrub tail */
   private val substringScrubSql =
     substringCtes(SubstrK, SubstrMaxOcc, plainDocsSql, selfJoin = false) +
       s""",
@@ -2023,41 +2156,21 @@ object PipelineQueries {
          |  SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, span_words
          |  FROM runs WHERE span_words >= $SubstrMinLen),
          |sides AS MATERIALIZED (
-         |  SELECT doc_b AS doc_id, b_start AS s, b_start + span_words - 1 AS e FROM spans),
-         |marked AS MATERIALIZED (
-         |  SELECT doc_id, s, e,
-         |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-         |  FROM sides),
-         |islands AS MATERIALIZED (
-         |  SELECT doc_id, s, e,
-         |         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
-         |           OVER (PARTITION BY doc_id ORDER BY s, e
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM marked),
-         |ig AS MATERIALIZED (
-         |  SELECT doc_id, island, min(s) AS is_, max(e) AS ie
-         |  FROM islands GROUP BY doc_id, island),
-         |ws2 AS MATERIALIZED (
-         |  SELECT doc_id, ${wordsDuck("text")} AS ws FROM d),
-         |wpos AS MATERIALIZED (
-         |  SELECT doc_id, unnest(ws) AS w,
-         |         CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS p
-         |  FROM ws2),
-         |keptw AS MATERIALIZED (
-         |  SELECT doc_id, w, p FROM wpos
-         |  WHERE NOT EXISTS (SELECT 1 FROM ig
-         |                    WHERE ig.doc_id = wpos.doc_id
-         |                      AND wpos.p BETWEEN ig.is_ AND ig.ie)),
-         |agg AS MATERIALIZED (
-         |  SELECT doc_id, coalesce(string_agg(w, ' ' ORDER BY p), '') AS text_scrubbed,
-         |         CAST(count(*) AS BIGINT) AS n_kept
-         |  FROM keptw GROUP BY doc_id)
-         |SELECT ws2.doc_id, CAST(len(ws2.ws) AS BIGINT) AS n_words,
-         |       CAST(len(ws2.ws) AS BIGINT) - coalesce(agg.n_kept, 0) AS n_removed,
-         |       coalesce(agg.text_scrubbed, '') AS text_scrubbed
-         |FROM ws2 LEFT JOIN agg ON ws2.doc_id = agg.doc_id
-         |ORDER BY ws2.doc_id""".stripMargin
+         |  SELECT doc_b AS doc_id, b_start AS s, b_start + span_words - 1 AS e FROM spans)""".stripMargin +
+      scrubTailSql
+
+  /** boilerplate replay: gram keys over the template-augmented face, df
+    * threshold over DISTINCT docs, covered k-wide intervals from EVERY
+    * doc (no keeper), then the shared scrub tail */
+  private val boilerplateSql =
+    gramCtes(SubstrK, boilerDocsSqlDuck) +
+      s""",
+         |bo AS MATERIALIZED (
+         |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= $BoilerMinDf),
+         |sides AS MATERIALIZED (
+         |  SELECT doc_id, pos AS s, pos + ${SubstrK - 1} AS e FROM g
+         |  WHERE h IN (SELECT h FROM bo))""".stripMargin +
+      scrubTailSql
 
   /** self-repeat replay on the deterministically augmented corpus (text
     * plus its own first 20 words re-appended — the synthetic face that
@@ -2074,6 +2187,7 @@ object PipelineQueries {
     "q_dedup_substring" -> substringSql,
     "q_dedup_substring_cov" -> substringCovSql,
     "q_dedup_substring_scrub" -> substringScrubSql,
+    "q_dedup_boilerplate" -> boilerplateSql,
     "q_dedup_substring_inc" -> substringIncSql,
     // the SQL-composed pipeline is the same computation — same oracle
     "q_sql_substring" -> substringSql,
@@ -2166,6 +2280,8 @@ object PipelineQueries {
     "q_split_leakfree" -> splitLeakfreeSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_sample_weighted" -> sampleWeightedSql,
+    "q_sample_priority" -> prioritySampleSql,
+    "q_quality_model" -> qualityModelSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,

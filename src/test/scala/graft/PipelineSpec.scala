@@ -548,6 +548,69 @@ class PipelineSpec extends SparkSpec {
     assert(survivors == 1)
   }
 
+  test("boilerplate scrub: df-threshold template leaves ALL carriers, rarer spans stay") {
+    import graft.pipeline.Dedup
+    val tmpl = (1 to 12).map(i => s"f$i")
+    def carrier(tag: String) = ((1 to 20).map(i => s"$tag$i") ++ tmpl).mkString(" ")
+    val pairSpan = (1 to 10).map(i => s"p$i")
+    val d = docs(
+      1L -> carrier("a"), 2L -> carrier("b"), 3L -> carrier("c"), // footer df = 3
+      4L -> ((1 to 20).map(i => s"d$i") ++ pairSpan).mkString(" "), // span df = 2
+      5L -> ((1 to 20).map(i => s"e$i") ++ pairSpan).mkString(" "),
+      6L -> (1 to 30).map(i => s"u$i").mkString(" "))
+    val got = Dedup.boilerplateScrub(d, k = 8, minDf = 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the shared footer vanishes from EVERY carrier — no keeper, unlike
+    // the pairwise scrub's min-id convention
+    assert(got(1L) == ((32L, 12L, (1 to 20).map(i => s"a$i").mkString(" "))))
+    assert(got(2L) == ((32L, 12L, (1 to 20).map(i => s"b$i").mkString(" "))))
+    assert(got(3L) == ((32L, 12L, (1 to 20).map(i => s"c$i").mkString(" "))))
+    // a df=2 duplicated span is BELOW the frequency threshold: untouched
+    // here (it's the pairwise family's job), as are clean docs
+    assert(got(4L)._2 == 0L && got(5L)._2 == 0L && got(6L)._2 == 0L)
+    // partition invariance (hash arithmetic + relational ops only)
+    val again = Dedup.boilerplateScrub(d.repartition(7), k = 8, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.map { case (k2, v) => k2 -> v._2 })
+  }
+
+  test("priority sampling: per-source top-k by w/u, matches driver replay") {
+    val d = (1L to 40L).map(i =>
+        (i, s"text body number $i", "en", s"src${i % 2}", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.prioritySample(d, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == 10)
+    // independent driver-side replay of q = w*P / (h + 1) over ALL rows
+    val all = d.select(col("source"), col("doc_id"), col("n_chars"),
+        graft.functions.GraftFunctions.polyHash(col("text")).as("h")).collect()
+    val exp = all.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.map { case (_, id, w, h) => (id, w, (w * TextHash.P).toDouble / (h + 1).toDouble) }
+          .sortBy { case (id, _, q) => (-q, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, w, q), i) => (src, i + 1L, id, w, q) }
+      }.toSet
+    assert(got.toSet == exp)
+    // deterministic across partitionings
+    val again = Corpus.prioritySample(d.repartition(7), 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("linear quality gate: exact int64 dot of featurize against fixture weights") {
+    val d = docs(1L -> "alpha beta gamma delta epsilon", 2L -> "zz yy xx ww vv uu tt")
+    val emb = TextAnalysis.featurize(d, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val wts = (0 until 16).map(i => (37 * (i + 1)) % 19 - 9)
+    val got = TextAnalysis.scoreLinear(d, 16, 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    got.foreach { case (id, (score, keep)) =>
+      val expScore = emb(id).zip(wts).map { case (v, wt) => v.toLong * wt }.sum
+      assert(score == expScore && keep == (expScore >= 0L))
+    }
+  }
+
   test("substring dedup: postings cap drops hot grams, splitting their spans") {
     import graft.pipeline.Dedup
     // the same 24-word span in 4 docs: with maxOcc = 3 every gram of the
