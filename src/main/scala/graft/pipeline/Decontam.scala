@@ -38,6 +38,32 @@ object Decontam {
     trainDocs.join(overlapCounts(trainDocs, evalDocs).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** Per-document contamination SCORE — the soft-decision face of
+    * [[decontaminate]]: for EVERY training doc, its distinct-gram count,
+    * how many of those grams appear in the benchmark set, and the overlap
+    * fraction. The binary scrub hard-codes "any overlap ⇒ drop"; real
+    * suites threshold differently (the GPT-3 13-gram rule vs fractional
+    * cutoffs), so the score relation is the reusable artifact and the
+    * drop policy becomes one downstream filter. Same scale shape as
+    * [[overlapCounts]]: eval grams broadcast, corpus payloads never
+    * shuffle; clean docs ride through with zeros. */
+  def overlapScores(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val trainG = Dedup.shingleHashes(trainDocs)
+    val evalGrams = Dedup.shingleHashes(evalDocs)
+      .select(explode(col("hs")).as("g")).distinct()
+    val shared = trainG.select(col("doc_id"), explode(col("hs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    trainG.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_grams"), 6))
+          .as("overlap_frac"))
+  }
+
   /** Bloom-pruned decontamination for eval sets PAST the broadcast
     * threshold (the [[graft.ops.BloomPrune]] pattern applied at gram
     * grain). A 100M-distinct-gram benchmark suite is ~800 MB of raw longs —

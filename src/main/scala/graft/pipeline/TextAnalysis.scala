@@ -213,6 +213,38 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.textFeatures(col("text"), dim).as("embedding"))
 
+  /** First-occurrence n-gram novelty — the marginal-new-content signal
+    * for ingest-order data selection (what does this document add that
+    * the corpus before it didn't already have?): for each doc, the
+    * fraction of its DISTINCT k-gram keys whose corpus-wide first carrier
+    * (minimum doc_id — the ingest order) is this doc. High-novelty docs
+    * expand coverage; near-zero docs are recombinations of already-seen
+    * content even when no single partner makes them a near-dup — the
+    * selection signal pairwise dedup structurally cannot produce.
+    *
+    * Scale: the distinct (gram, doc) relation shuffles once for the
+    * min-carrier aggregation (map-side partials; 16 B rows) and once for
+    * the join back keyed by gram — linear, no pairwise anything, payload
+    * text touched exactly once by the codegen'd gram kernel. Output
+    * (doc_id, n_grams, n_novel, novelty_frac) for EVERY doc (docs shorter
+    * than k words carry zeros). */
+  def noveltyScores(docs: DataFrame, k: Int = 4): DataFrame = {
+    val grams = Dedup.substringIndex(docs, k).select("doc_id", "h").distinct()
+      .localCheckpoint(eager = true) // min-agg and join-back both consume it
+    val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+    val sc = grams.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(round(col("n_novel").cast("double") / col("n_grams"), 6))
+          .as("novelty_frac"))
+  }
+
   /** Linear quality-model gate — the fasttext-style classifier-filter
     * SHAPE (score = ⟨φ(text), W⟩, keep = score ≥ τ) every production
     * curation stack runs after the heuristic [[quality]] screen. The

@@ -25,6 +25,9 @@ object AnalyticsQueries {
 
   /** minimum releasable cohort size for the k-anonymity screen */
   private val KanonK = 6L
+  // EWMA: trailing-window length (bounds per-user state; contributions
+  // beyond ~53 halvings are below double ulp anyway)
+  private val EwmaWindow = 32
 
   /** exact, order-independent sum of a money-like double column (the
     * RelQueries float-determinism policy) */
@@ -1151,6 +1154,31 @@ object AnalyticsQueries {
         .orderBy("user_id", "day")
     }),
 
+    // Per-user exponential smoothing (EWMA, α = 1/2) over the trailing
+    // EwmaWindow events — the online smoothed-feature shape. The fold
+    // s' = (s + v)/2 from a zero start is a SEQUENTIAL per-element
+    // recurrence, evaluated as one ordered array fold on both engines
+    // (the sequential-dot determinism pattern): every step is one
+    // correctly-rounded IEEE add + one exact halving, so the result is
+    // bit-identical cross-engine. Bounding the fold to the trailing
+    // window bounds per-user state at W rows — the hot-user hazard the
+    // chunked sessionize family prices never materializes here.
+    "q_time_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= EwmaWindow)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("cents"))))
+          .as("arr"))
+        .select(col("user_id"), size(col("arr")).cast("long").as("n_events"),
+          expr("aggregate(arr, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> (acc + CAST(x.cents AS DOUBLE)) / 2.0)").as("ewma_cents"))
+        .orderBy("user_id")
+    }),
+
     // Association rules from order baskets: confidence = P(B|A) and
     // lift = P(AB)/(P(A)P(B)) for directed part pairs, top-100 by lift.
     // All scores are single IEEE divisions of exact int64 counts (the
@@ -2040,6 +2068,25 @@ object AnalyticsQueries {
         |SELECT user_id, island, min(s_ms) AS t_start, max(e_ms) AS t_end,
         |  count(*) AS n_intervals
         |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
+
+    // EWMA replay: same trailing-window cut, same ascending (ts, event)
+    // order, same zero-start (s + v)/2 fold — sequential, so the doubles
+    // agree bit-for-bit
+    "q_time_ewma" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |t AS MATERIALIZED (
+        |  SELECT user_id, list(cents ORDER BY ts_us, event_id) AS arr
+        |  FROM e WHERE rn <= $EwmaWindow GROUP BY user_id)
+        |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(arr, c -> CAST(c AS DOUBLE))),
+        |    (acc, x) -> (acc + x) / 2.0) AS ewma_cents
+        |FROM t ORDER BY user_id""".stripMargin,
 
     "q_time_downsample" ->
       """WITH e AS MATERIALIZED (

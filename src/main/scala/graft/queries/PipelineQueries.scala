@@ -42,6 +42,9 @@ object PipelineQueries {
   private val PpsSampleN = 50
   // priority sampling: per-source sample size
   private val PrioritySampleK = 25
+  // novelty scoring: 4-word grams (shorter than dedup's 8 — novelty wants
+  // phrase-level coverage, not verbatim-span evidence)
+  private val NoveltyK = 4
   // curation thresholds (quality gate for the end-to-end pipeline)
   private val MinWords = 10
   private val MinUniqRatio = 0.3
@@ -124,6 +127,16 @@ object PipelineQueries {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold))
         .orderBy("doc_id")),
+
+    // duplicate-family size histogram: how many near-dup clusters of each
+    // size the corpus carries — the dedup observability number (a corpus
+    // with ten 1000-doc families needs different action than one with ten
+    // thousand pairs); two hash aggs over the cluster relation
+    "q_dedup_family_hist" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.minhashDedup(Tables.documents(s, d), MinhashThreshold))
+        .groupBy("keeper").agg(count(lit(1)).as("family_size"))
+        .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+        .orderBy("family_size")),
 
     // the deduplicated corpus itself (keepers + singletons)
     "q_dedup_final" -> ((s, d) =>
@@ -331,6 +344,25 @@ object PipelineQueries {
           docs.filter(col("doc_id") % EvalMod === 0))
         .orderBy("doc_id")
     }),
+
+    // soft contamination scoring: per train doc, the fraction of its
+    // distinct grams found in the eval slice — the thresholdable score
+    // relation behind the binary scrub above
+    "q_decontam_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontam.overlapScores(
+          docs.filter(col("doc_id") % EvalMod =!= 0),
+          docs.filter(col("doc_id") % EvalMod === 0))
+        .orderBy("doc_id")
+    }),
+
+    // first-occurrence gram novelty in ingest (doc_id) order: the
+    // marginal-new-content fraction per doc — the data-selection signal
+    // that ranks recombinations of seen text low even when no single
+    // partner makes them a near-dup
+    "q_text_novelty" -> ((s, d) =>
+      TextAnalysis.noveltyScores(Tables.documents(s, d), NoveltyK)
+        .orderBy("doc_id")),
 
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), NgramThreshold, NgramSampleMod)
@@ -1012,6 +1044,58 @@ object PipelineQueries {
        |FROM g JOIN ev USING (g)
        |WHERE doc_id % $EvalMod <> 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** soft contamination score: every train doc with its distinct-gram
+    * count, shared-gram count vs the eval slice, and overlap fraction */
+  private val decontamOverlapSql =
+    s"""WITH $docsCte,
+       |sh AS MATERIALIZED (SELECT doc_id, ${shingleHashesDuck("ws")} AS hs FROM docs),
+       |g AS MATERIALIZED (SELECT doc_id, unnest(hs) AS g FROM sh),
+       |ev AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id % $EvalMod = 0),
+       |shared AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM g JOIN ev USING (g)
+       |  WHERE doc_id % $EvalMod <> 0
+       |  GROUP BY doc_id)
+       |SELECT sh.doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |       coalesce(shared.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       |       CASE WHEN len(hs) = 0 THEN 0.0
+       |            ELSE round(CAST(coalesce(shared.n_shared, 0) AS DOUBLE) / len(hs), 6)
+       |       END AS overlap_frac
+       |FROM sh LEFT JOIN shared USING (doc_id)
+       |WHERE sh.doc_id % $EvalMod <> 0
+       |ORDER BY sh.doc_id""".stripMargin
+
+  /** novelty replay: distinct (gram, doc) pairs, min-carrier per gram,
+    * per-doc first-carrier fraction; gram-less docs carry zeros */
+  private val noveltySql =
+    // literal docs selector: plainDocsSql is declared below this val, so
+    // referencing it here would interpolate null at object init
+    gramCtes(NoveltyK, "SELECT doc_id, text FROM documents") +
+      s""",
+         |dg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g),
+         |f AS MATERIALIZED (SELECT h, min(doc_id) AS first_doc FROM dg GROUP BY h),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel
+         |  FROM dg JOIN f USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |       coalesce(sc.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+         |       CASE WHEN sc.n_grams IS NULL THEN 0.0
+         |            ELSE round(CAST(sc.n_novel AS DOUBLE) / sc.n_grams, 6)
+         |       END AS novelty_frac
+         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** family histogram: the clusters chain aggregated twice (label → family
+    * size → families per size) */
+  private val familyHistSql = {
+    val iters = graft.graph.Graphs.DefaultCcRounds
+    clustersSql.substring(0, clustersSql.lastIndexOf("SELECT vertex AS doc_id")) +
+      s"""SELECT family_size, CAST(count(*) AS BIGINT) AS n_families FROM (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS family_size
+         |  FROM l$iters GROUP BY label)
+         |GROUP BY family_size ORDER BY family_size""".stripMargin
+  }
 
   private val repetitionSql =
     s"""WITH d AS MATERIALIZED (SELECT doc_id, ${wordsDuck("text")} AS ws FROM documents),
@@ -2219,6 +2303,9 @@ object PipelineQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_capped" -> minhashCappedSql,
     "q_dedup_clusters" -> clustersSql,
+    "q_dedup_family_hist" -> familyHistSql,
+    "q_decontam_overlap" -> decontamOverlapSql,
+    "q_text_novelty" -> noveltySql,
     "q_dedup_final" -> dedupFinalSql,
     "q_dedup_final_bloom" -> dedupFinalSql,
     "q_dedup_incremental" -> incrementalSql,

@@ -598,6 +598,41 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("novelty: first carrier scores 1.0, verbatim recombination scores 0.0") {
+    // doc 1 introduces 10 words; doc 2 repeats doc 1's text verbatim
+    // (zero novelty); doc 3 is fresh (full novelty); doc 4 stitches the
+    // two halves of doc 1 in swapped order — its only novel 4-grams are
+    // the ones straddling the stitch point
+    val a = (1 to 10).map(i => s"a$i")
+    val d = docs(
+      1L -> a.mkString(" "),
+      2L -> a.mkString(" "),
+      3L -> (1 to 10).map(i => s"c$i").mkString(" "),
+      4L -> (a.drop(5) ++ a.take(5)).mkString(" "))
+    val got = TextAnalysis.noveltyScores(d, k = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((7L, 7L, 1.0)))  // 10 words -> 7 distinct 4-grams, all first here
+    assert(got(2L) == ((7L, 0L, 0.0)))  // verbatim copy: nothing new
+    assert(got(3L) == ((7L, 7L, 1.0)))
+    // doc 4: grams fully inside either half (4 of them) were seen in doc
+    // 1; the 3 straddling grams (a8..a1 window) are new
+    assert(got(4L)._1 == 7L && got(4L)._2 == 3L)
+  }
+
+  test("decontam overlap scores: clean docs carry zeros, contaminated carry exact fractions") {
+    import graft.pipeline.Decontam
+    val evalDoc = (1 to 12).map(i => s"ev$i").mkString(" ")
+    val train = docs(
+      1L -> evalDoc,                                        // full overlap
+      2L -> ((1 to 6).map(i => s"ev$i") ++ (1 to 6).map(i => s"t$i")).mkString(" "), // partial
+      3L -> (1 to 12).map(i => s"u$i").mkString(" "))       // clean
+    val got = Decontam.overlapScores(train, docs(100L -> evalDoc)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((10L, 10L, 1.0))) // 12 words -> 10 distinct 3-shingles
+    assert(got(2L)._1 == 10L && got(2L)._2 == 4L && got(2L)._3 == 0.4) // ev-only shingles
+    assert(got(3L) == ((10L, 0L, 0.0)))
+  }
+
   test("linear quality gate: exact int64 dot of featurize against fixture weights") {
     val d = docs(1L -> "alpha beta gamma delta epsilon", 2L -> "zz yy xx ww vv uu tt")
     val emb = TextAnalysis.featurize(d, 16).collect()
