@@ -92,5 +92,10 @@ object SparkEntry {
     // prices the other side — what plain costs under a hot user)
     "q_events_sessionize_chunked", "q_asof_join_chunked",
     "q_events_latest_agg",
+    // round-11 continuation: the seven new curation/selection operators,
+    // each with a recorded number from day one
+    "q_dedup_boilerplate", "q_text_novelty", "q_text_novelty_inc",
+    "q_sample_priority", "q_quality_model", "q_decontam_overlap",
+    "q_time_ewma", "q_dedup_family_hist",
   ).filter(queries.contains)
 }

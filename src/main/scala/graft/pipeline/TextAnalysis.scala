@@ -232,6 +232,14 @@ object TextAnalysis {
     val grams = Dedup.substringIndex(docs, k).select("doc_id", "h").distinct()
       .localCheckpoint(eager = true) // min-agg and join-back both consume it
     val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+    noveltyTail(docs, grams, first)
+  }
+
+  /** shared per-doc tail of the novelty family: score each doc's distinct
+    * grams against the (h, first_doc) carrier relation; docs outside
+    * `grams` (shorter than k words) carry zeros */
+  private def noveltyTail(docs: DataFrame, grams: DataFrame,
+      first: DataFrame): DataFrame = {
     val sc = grams.join(first, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -243,6 +251,37 @@ object TextAnalysis {
         when(col("n_grams").isNull, lit(0.0))
           .otherwise(round(col("n_novel").cast("double") / col("n_grams"), 6))
           .as("novelty_frac"))
+  }
+
+  /** The novelty family's STORED INDEX: gram key → first carrier
+    * (min doc_id) — compact (one row per distinct corpus gram) and
+    * mergeable (min-fold with any batch's grams), the relation an ingest
+    * pipeline persists between batches. */
+  def noveltyIndex(docs: DataFrame, k: Int = 4): DataFrame =
+    Dedup.substringIndex(docs, k).select("doc_id", "h").distinct()
+      .groupBy("h").agg(min("doc_id").as("first_doc"))
+
+  /** Incremental novelty — the append-only-ingest face of
+    * [[noveltyScores]] (the family's q_dedup_incremental_idx pattern):
+    * score an incoming batch against the stored [[noveltyIndex]] without
+    * ever re-keying existing text. A batch gram's corpus-wide first
+    * carrier is min(stored first_doc, batch-internal min) — exact, not
+    * approximate, so the result equals the batch run over the union
+    * RESTRICTED to the incoming docs (a spec fixture pins the equality;
+    * the oracle replays the union with that restriction).
+    * Scale: per ingest, gram-keying is batch-sized; the index join ships
+    * stored rows only for gram keys the batch actually carries. */
+  def incrementalNoveltyScores(index: DataFrame, incoming: DataFrame,
+      k: Int = 4): DataFrame = {
+    val inc = Dedup.substringIndex(incoming, k).select("doc_id", "h").distinct()
+      .localCheckpoint(eager = true)
+    val bFirst = inc.groupBy("h").agg(min("doc_id").as("b_first"))
+    val first = bFirst
+      .join(index.withColumnRenamed("first_doc", "i_first"), Seq("h"), "left")
+      .select(col("h"),
+        least(coalesce(col("i_first"), col("b_first")), col("b_first"))
+          .as("first_doc"))
+    noveltyTail(incoming, inc, first)
   }
 
   /** Linear quality-model gate — the fasttext-style classifier-filter

@@ -364,6 +364,19 @@ object PipelineQueries {
       TextAnalysis.noveltyScores(Tables.documents(s, d), NoveltyK)
         .orderBy("doc_id")),
 
+    // the append-only ingest face: odd-id batch scored against the
+    // materialized even-id gram index — only the batch is ever gram-keyed;
+    // equals the batch run over the union restricted to the batch (the
+    // incremental family's hash-equality proof shape)
+    "q_text_novelty_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = TextAnalysis.noveltyIndex(docs.filter(col("doc_id") % 2 === 0), NoveltyK)
+        .localCheckpoint(eager = true) // the "stored" relation, persisted at prior-ingest time
+      TextAnalysis.incrementalNoveltyScores(index,
+          docs.filter(col("doc_id") % 2 === 1), NoveltyK)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), NgramThreshold, NgramSampleMod)
         .orderBy("doc_a", "doc_b")),
@@ -1067,8 +1080,11 @@ object PipelineQueries {
        |ORDER BY sh.doc_id""".stripMargin
 
   /** novelty replay: distinct (gram, doc) pairs, min-carrier per gram,
-    * per-doc first-carrier fraction; gram-less docs carry zeros */
-  private val noveltySql =
+    * per-doc first-carrier fraction; gram-less docs carry zeros.
+    * `where` restricts the OUTPUT docs (the incremental twin's batch
+    * slice) — novelty itself is always computed over the full corpus,
+    * which is exactly the incremental contract. */
+  private def noveltySqlWhere(where: String) =
     // literal docs selector: plainDocsSql is declared below this val, so
     // referencing it here would interpolate null at object init
     gramCtes(NoveltyK, "SELECT doc_id, text FROM documents") +
@@ -1084,7 +1100,9 @@ object PipelineQueries {
          |       CASE WHEN sc.n_grams IS NULL THEN 0.0
          |            ELSE round(CAST(sc.n_novel AS DOUBLE) / sc.n_grams, 6)
          |       END AS novelty_frac
-         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+         |FROM d LEFT JOIN sc USING (doc_id) $where ORDER BY d.doc_id""".stripMargin
+  private val noveltySql = noveltySqlWhere("")
+  private val noveltyIncSql = noveltySqlWhere("WHERE d.doc_id % 2 = 1")
 
   /** family histogram: the clusters chain aggregated twice (label → family
     * size → families per size) */
@@ -2306,6 +2324,7 @@ object PipelineQueries {
     "q_dedup_family_hist" -> familyHistSql,
     "q_decontam_overlap" -> decontamOverlapSql,
     "q_text_novelty" -> noveltySql,
+    "q_text_novelty_inc" -> noveltyIncSql,
     "q_dedup_final" -> dedupFinalSql,
     "q_dedup_final_bloom" -> dedupFinalSql,
     "q_dedup_incremental" -> incrementalSql,

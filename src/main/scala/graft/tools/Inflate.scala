@@ -555,7 +555,8 @@ object SkewScale {
         }
     }
 
-    if (Seq("minhash", "minhash_capped", "substring").exists(want)) {
+    if (Seq("minhash", "minhash_capped", "substring", "boilerplate",
+        "novelty").exists(want)) {
       val dU = docReplicas(hot = false).localCheckpoint(eager = true)
       val dS = docReplicas(hot = true).localCheckpoint(eager = true)
       if (want("minhash")) report("minhash",
@@ -569,6 +570,19 @@ object SkewScale {
       if (want("substring")) report("substring",
         time2(graft.pipeline.Dedup.substringSpans(dU, 8, 16, 64L)),
         time2(graft.pipeline.Dedup.substringSpans(dS, 8, 16, 64L)))
+      // frequency-based boilerplate scrub UNDER the boilerplate regime:
+      // the operator's claim is that a hot template makes it cheaper, not
+      // slower (df-count partials collapse the hot gram; no pairwise
+      // join exists to blow up) — while the pairwise path's cap DROPS
+      // the template (recall boundary), this one removes it, priced here
+      if (want("boilerplate")) report("boilerplate",
+        time2(graft.pipeline.Dedup.boilerplateScrub(dU, 8, minDf = 5L)),
+        time2(graft.pipeline.Dedup.boilerplateScrub(dS, 8, minDf = 5L)))
+      // novelty under shared boilerplate: the min-carrier agg sees ONE
+      // hot gram key per template position — map-side partials absorb it
+      if (want("novelty")) report("novelty",
+        time2(graft.pipeline.TextAnalysis.noveltyScores(dU, 4)),
+        time2(graft.pipeline.TextAnalysis.noveltyScores(dS, 4)))
     }
     spark.stop()
   }

@@ -619,6 +619,32 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L)._1 == 7L && got(4L)._2 == 3L)
   }
 
+  test("incremental novelty: stored index equals recompute over the union") {
+    // doc 1 (odd, in the BATCH) introduces a gram that even doc 2 (in the
+    // INDEX) also carries: the batch-internal min (1) must beat the stored
+    // first_doc (2) — presence-only logic would wrongly zero doc 1
+    val shared = (1 to 6).map(i => s"s$i")
+    val d = docs(
+      1L -> (shared ++ (1 to 4).map(i => s"a$i")).mkString(" "),
+      2L -> (shared ++ (1 to 4).map(i => s"b$i")).mkString(" "),
+      3L -> (1 to 10).map(i => s"c$i").mkString(" "),
+      4L -> (1 to 10).map(i => s"e$i").mkString(" "),
+      5L -> (shared ++ (1 to 4).map(i => s"f$i")).mkString(" "))
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    val inc = TextAnalysis.incrementalNoveltyScores(
+        TextAnalysis.noveltyIndex(even, 4), odd, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = TextAnalysis.noveltyScores(d, 4)
+      .filter(col("doc_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc == batch)
+    // and the min-beats-stored case concretely: doc 1 keeps its shared
+    // grams novel; doc 5 (later odd carrier) does not
+    val m = inc.map(t => t._1 -> t._3).toMap
+    assert(m(1L) == 7L && m(3L) == 7L && m(5L) == 4L)
+  }
+
   test("decontam overlap scores: clean docs carry zeros, contaminated carry exact fractions") {
     import graft.pipeline.Decontam
     val evalDoc = (1 to 12).map(i => s"ev$i").mkString(" ")
