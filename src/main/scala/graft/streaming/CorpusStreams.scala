@@ -173,6 +173,58 @@ object CorpusStreams {
       }
       .start()
 
+  /** Streaming novelty ingest: each micro-batch of documents is scored
+    * against the stored first-carrier index
+    * ([[graft.pipeline.TextAnalysis.noveltyIndex]] layout) via
+    * [[graft.pipeline.TextAnalysis.incrementalNoveltyScores]]; scores land
+    * in `scoresDir` and the batch's own gram minima are written to
+    * `indexDir` AFTER scoring, so later batches see earlier ones (the
+    * incremental contract, one batch at a time — the stream holds NO
+    * state; the index is the state). Because min-merge is associative,
+    * the stored index is simply the union of per-batch minima folded at
+    * read time (`groupBy h → min`) — no compaction is needed for
+    * correctness, only for partition-count hygiene on long streams.
+    *
+    * Arrival contract (the admitWithinBudget convention): novelty is an
+    * INGEST-ORDER signal, so the stream's semantic equals the batch run
+    * exactly when doc ids ascend across batches (a later batch carrying
+    * a smaller id would retroactively claim firstness the earlier score
+    * already spent — StreamingSpec pins the ordered case). Replay-
+    * idempotent (the curateBatch discipline): reads exclude batch_id >=
+    * current, writes dynamically overwrite their own partition. */
+  def noveltyIngest(docs: DataFrame, indexDir: String, scoresDir: String,
+      checkpointDir: String, k: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint(eager = true)
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId)
+              .groupBy("h").agg(min("first_doc").as("first_doc"))
+          else sp.emptyDataFrame
+            .select(lit(0L).as("h"), lit(0L).as("first_doc")).limit(0)
+        val scores = graft.pipeline.TextAnalysis
+          .incrementalNoveltyScores(index, b, k)
+          .localCheckpoint(eager = true)
+        def writePartition(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(scores, scoresDir)
+        // index grows only after scoring: a batch's firstness is decided
+        // by prior batches + its own internal minima, never by its
+        // not-yet-written index rows
+        writePartition(graft.pipeline.TextAnalysis.noveltyIndex(b, k), indexDir)
+        ()
+      }
+      .start()
+
   /** documents frame → (doc_id, source, n_tokens) with the same BPE-ish
     * token estimate as the batch allocator; works on static AND streaming
     * frames (pure projection). */

@@ -311,6 +311,55 @@ class StreamingSpec extends SparkSpec {
       Dedup.substringIndex(batchDocs).count())
   }
 
+  test("streaming novelty ingest: ordered batches reproduce the batch scores, replay is a no-op") {
+    import graft.streaming.CorpusStreams
+    import graft.pipeline.TextAnalysis
+    val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-novelty-stream")
+    // id-ordered micro-batches — the noveltyIngest arrival contract
+    // (novelty is an ingest-order signal; ids ascend across batches)
+    batchDocs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(dir.resolve("in/b0").toString)
+    batchDocs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(dir.resolve("in/b1").toString)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.noveltyIngest(stream, dir.resolve("index").toString,
+      dir.resolve("scores").toString, dir.resolve("ck").toString)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(dir.resolve("scores").toString)
+      .select("doc_id", "n_grams", "n_novel", "novelty_frac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = TextAnalysis.noveltyScores(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    // the grown index is the full corpus's first-carrier relation once
+    // the per-batch partitions are min-folded
+    val grownIdx = spark.read.parquet(dir.resolve("index").toString)
+      .groupBy("h").agg(min("first_doc").as("first_doc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIdx = TextAnalysis.noveltyIndex(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grownIdx == batchIdx)
+    // crash-replay: re-running batch 1's body against the surviving state
+    // (its own partitions included) must produce identical scores — the
+    // read excludes batch_id >= 1, so the batch never sees itself
+    val b1 = batchDocs.filter(col("doc_id") >= 250)
+    val replayIdx = spark.read.parquet(dir.resolve("index").toString)
+      .filter(col("batch_id") < 1)
+      .groupBy("h").agg(min("first_doc").as("first_doc"))
+    val replayed = TextAnalysis.incrementalNoveltyScores(replayIdx, b1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val b1Streamed = spark.read.parquet(dir.resolve("scores").toString)
+      .filter(col("batch_id") === 1)
+      .select("doc_id", "n_grams", "n_novel", "novelty_frac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(replayed == b1Streamed)
+  }
+
   test("streaming curate ingest: admissions equal the one-shot batch curate screen") {
     import graft.streaming.CorpusStreams
     val docsPath = sf("sf0.001") + "/documents.parquet"
