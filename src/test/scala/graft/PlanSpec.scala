@@ -171,6 +171,39 @@ class PlanSpec extends SparkSpec {
     assert(countOp(p, "Sort") <= 1, p)
   }
 
+  test("quality model is one projection pass: no join, no window, one contract sort") {
+    val p = plan("q_quality_model")
+    assert(countOp(p, "BroadcastHashJoin") + countOp(p, "SortMergeJoin")
+      + countOp(p, "ShuffledHashJoin") == 0, p)
+    assert(!p.contains("Window"), p)
+    // only the output-contract ORDER BY may exchange/sort
+    assert(countOp(p, "Exchange") <= 1 && countOp(p, "Sort") <= 1, p)
+  }
+
+  test("priority sample prunes to top-k per partition BEFORE the exchange") {
+    // Spark's rank-limit pushdown (WindowGroupLimit) is the bounded-heap
+    // behavior: a partial group-limit below the shuffle, final above —
+    // without it every source's full doc list would sort on one task
+    val p = plan("q_sample_priority")
+    assert(countOp(p, "WindowGroupLimit") == 2, p)
+  }
+
+  test("boilerplate scrub keeps the islands sweep on one exchange+sort pair") {
+    val p = plan("q_dedup_boilerplate")
+    // both window passes of Intervals.coalesce must share one sort; with
+    // the contract ORDER BY that caps the plan at 2 sorts total
+    assert(countOp(p, "Window") == 2, p)
+    assert(countOp(p, "Sort") <= 2, p)
+    // and nothing in the frequency path may plan a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("novelty never plans a cartesian and aggregates before joining back") {
+    val p = plan("q_text_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
