@@ -94,7 +94,8 @@ object SparkEntry {
     "q_events_latest_agg",
     // round-11 continuation: the seven new curation/selection operators,
     // each with a recorded number from day one
-    "q_dedup_boilerplate", "q_text_novelty", "q_text_novelty_inc",
+    "q_dedup_boilerplate", "q_dedup_boilerplate_inc",
+    "q_text_novelty", "q_text_novelty_inc",
     "q_sample_priority", "q_quality_model", "q_decontam_overlap",
     "q_time_ewma", "q_dedup_family_hist",
   ).filter(queries.contains)

@@ -763,6 +763,44 @@ object Dedup {
     scrubByIntervals(docs, graft.ops.Intervals.coalesce(cov, "doc_id", "s", "e"))
   }
 
+  /** The boilerplate family's STORED INDEX: gram key → distinct-doc count
+    * — one row per distinct corpus gram, sum-mergeable with any DISJOINT
+    * batch's counts (append-only ingest guarantees disjoint doc sets, so
+    * per-side distinct counts add exactly). */
+  def boilerplateIndex(docs: DataFrame, k: Int = 8): DataFrame =
+    substringIndex(docs, k).select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+  /** Incremental boilerplate scrub — the arrival-time face of
+    * [[boilerplateScrub]]: scrub an incoming batch against the UNION
+    * document frequency (stored [[boilerplateIndex]] counts + the batch's
+    * own distinct counts — exact, because append-only doc sets are
+    * disjoint), without re-keying any existing text. Matches the batch
+    * run over the union RESTRICTED to the incoming docs by construction
+    * (same df threshold, same intervals — a spec fixture pins it; the
+    * oracle replays the union with the restriction). The one semantic
+    * edge is inherent to ONLINE frequency scrubbing and documented (the
+    * substringIngest prefix-count convention): a gram that crosses minDf
+    * only in a LATER batch was below threshold when earlier docs were
+    * emitted, so earlier emissions keep it — frequency is a prefix
+    * property at arrival time, by contract.
+    * Scale: per ingest, gram-keying is batch-sized; the index join ships
+    * stored counts only for gram keys the batch carries. */
+  def incrementalBoilerplateScrub(index: DataFrame, incoming: DataFrame,
+      k: Int = 8, minDf: Long = 5L): DataFrame = {
+    require(minDf >= 2, s"minDf ($minDf) must be >= 2")
+    val grams = substringIndex(incoming, k).localCheckpoint(eager = true)
+    val bDf = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("b_df"))
+    val boiler = bDf
+      .join(index.withColumnRenamed("df", "i_df"), Seq("h"), "left")
+      .filter(coalesce(col("i_df"), lit(0L)) + col("b_df") >= minDf)
+      .select("h")
+    val cov = grams.join(boiler, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + k - 1).as("e"))
+    scrubByIntervals(incoming, graft.ops.Intervals.coalesce(cov, "doc_id", "s", "e"))
+  }
+
   /** Intra-document repeated spans — the self-similarity twin of
     * [[substringSpans]] (the "model loops" / copy-paste-within-doc signal
     * [[TextAnalysis.repetition]]'s bigram fractions summarize; this gives

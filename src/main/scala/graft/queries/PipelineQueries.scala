@@ -254,6 +254,18 @@ object PipelineQueries {
           SubstrK, BoilerMinDf)
         .orderBy("doc_id")),
 
+    // arrival-time face: odd-id batch scrubbed against the materialized
+    // even-id df index (union counts = stored + batch, exact on disjoint
+    // doc sets) — only the batch is ever gram-keyed
+    "q_dedup_boilerplate_inc" -> ((s, d) => {
+      val face = boilerDocsSpark(Tables.documents(s, d))
+      val index = Dedup.boilerplateIndex(face.filter(col("doc_id") % 2 === 0), SubstrK)
+        .localCheckpoint(eager = true) // the "stored" counts relation
+      Dedup.incrementalBoilerplateScrub(index,
+          face.filter(col("doc_id") % 2 === 1), SubstrK, BoilerMinDf)
+        .orderBy("doc_id")
+    }),
+
     // intra-doc repeated spans on the deterministically augmented corpus
     // (each doc's first 20 words re-appended — the synthetic face that
     // guarantees repeats on testdata, like q_graph_cc_chain's chain)
@@ -2211,8 +2223,10 @@ object PipelineQueries {
 
   /** shared scrub tail (assumes CTEs `d` (doc_id, text) and `sides`
     * (doc_id, s, e)): islands coalesce, positional word filter + ordered
-    * re-concatenation; untouched docs keep their text verbatim */
-  private val scrubTailSql =
+    * re-concatenation; untouched docs keep their text verbatim. `where`
+    * restricts the OUTPUT docs (the incremental twin's batch slice) —
+    * intervals of out-of-slice docs are simply never consumed. */
+  private def scrubTailSql(where: String = ""): String =
     s""",
        |marked AS MATERIALIZED (
        |  SELECT doc_id, s, e,
@@ -2229,7 +2243,7 @@ object PipelineQueries {
        |  SELECT doc_id, island, min(s) AS is_, max(e) AS ie
        |  FROM islands GROUP BY doc_id, island),
        |ws2 AS MATERIALIZED (
-       |  SELECT doc_id, ${wordsDuck("text")} AS ws FROM d),
+       |  SELECT doc_id, ${wordsDuck("text")} AS ws FROM d $where),
        |wpos AS MATERIALIZED (
        |  SELECT doc_id, unnest(ws) AS w,
        |         CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS p
@@ -2259,7 +2273,7 @@ object PipelineQueries {
          |  FROM runs WHERE span_words >= $SubstrMinLen),
          |sides AS MATERIALIZED (
          |  SELECT doc_b AS doc_id, b_start AS s, b_start + span_words - 1 AS e FROM spans)""".stripMargin +
-      scrubTailSql
+      scrubTailSql()
 
   /** boilerplate replay: gram keys over the template-augmented face, df
     * threshold over DISTINCT docs, covered k-wide intervals from EVERY
@@ -2272,7 +2286,20 @@ object PipelineQueries {
          |sides AS MATERIALIZED (
          |  SELECT doc_id, pos AS s, pos + ${SubstrK - 1} AS e FROM g
          |  WHERE h IN (SELECT h FROM bo))""".stripMargin +
-      scrubTailSql
+      scrubTailSql()
+
+  /** incremental boilerplate replay: df over the UNION (stored + batch
+    * counts are what the engine sums — disjoint doc sets make it exact),
+    * output restricted to the odd-id batch */
+  private val boilerplateIncSql =
+    gramCtes(SubstrK, boilerDocsSqlDuck) +
+      s""",
+         |bo AS MATERIALIZED (
+         |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= $BoilerMinDf),
+         |sides AS MATERIALIZED (
+         |  SELECT doc_id, pos AS s, pos + ${SubstrK - 1} AS e FROM g
+         |  WHERE h IN (SELECT h FROM bo))""".stripMargin +
+      scrubTailSql("WHERE doc_id % 2 = 1")
 
   /** self-repeat replay on the deterministically augmented corpus (text
     * plus its own first 20 words re-appended — the synthetic face that
@@ -2290,6 +2317,7 @@ object PipelineQueries {
     "q_dedup_substring_cov" -> substringCovSql,
     "q_dedup_substring_scrub" -> substringScrubSql,
     "q_dedup_boilerplate" -> boilerplateSql,
+    "q_dedup_boilerplate_inc" -> boilerplateIncSql,
     "q_dedup_substring_inc" -> substringIncSql,
     // the SQL-composed pipeline is the same computation — same oracle
     "q_sql_substring" -> substringSql,

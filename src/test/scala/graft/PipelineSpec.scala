@@ -574,6 +574,32 @@ class PipelineSpec extends SparkSpec {
     assert(again == got.map { case (k2, v) => k2 -> v._2 })
   }
 
+  test("incremental boilerplate: union df equals the batch scrub on the batch slice") {
+    import graft.pipeline.Dedup
+    val tmpl = (1 to 12).map(i => s"f$i")
+    def carrier(tag: String) = ((1 to 20).map(i => s"$tag$i") ++ tmpl).mkString(" ")
+    // footer carriers straddle the split: doc 2 is in the INDEX, docs 1
+    // and 3 in the BATCH — only the union count (1 + 2 = 3) crosses
+    // minDf = 3; either side alone would miss it
+    val d = docs(
+      1L -> carrier("a"), 2L -> carrier("b"), 3L -> carrier("c"),
+      4L -> (1 to 30).map(i => s"u$i").mkString(" "),
+      5L -> (1 to 30).map(i => s"v$i").mkString(" "),
+      6L -> (1 to 30).map(i => s"w$i").mkString(" "))
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalBoilerplateScrub(
+        Dedup.boilerplateIndex(even, 8), odd, 8, minDf = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = Dedup.boilerplateScrub(d, 8, minDf = 3L)
+      .filter(col("doc_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(inc == batch)
+    // and the footer really was scrubbed from the batch carriers
+    val m = inc.map(t => t._1 -> t._3).toMap
+    assert(m(1L) == 12L && m(3L) == 12L && m(5L) == 0L)
+  }
+
   test("priority sampling: per-source top-k by w/u, matches driver replay") {
     val d = (1L to 40L).map(i =>
         (i, s"text body number $i", "en", s"src${i % 2}", 10L + i))
