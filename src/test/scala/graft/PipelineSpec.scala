@@ -574,6 +574,73 @@ class PipelineSpec extends SparkSpec {
     assert(again == got.map { case (k2, v) => k2 -> v._2 })
   }
 
+  test("boilerplate scrub fuzz: matches a brute-force driver reimplementation") {
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val tmpl = (1 to 9).map(i => s"T$i") // 9 words; k=8 → 2 gram starts
+    val k = 8; val minDf = 3L
+    val docsSeq = (1L to 40L).map { id =>
+      val n = 5 + rnd.nextInt(25)
+      val words = scala.collection.mutable.Buffer.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // ~40% of docs splice the template at a random offset; some twice
+      // (df counts DISTINCT docs, but BOTH occurrences must scrub)
+      if (rnd.nextInt(10) < 4) {
+        words.insertAll(rnd.nextInt(words.size + 1), tmpl)
+        if (rnd.nextInt(4) == 0) words.insertAll(rnd.nextInt(words.size + 1), tmpl)
+      }
+      (id, words.mkString(" "))
+    }
+    def grams(ws: Seq[String]): Seq[(String, Int)] =
+      ws.sliding(k).zipWithIndex.filter(_._1.size == k)
+        .map { case (g, i) => (g.mkString(" "), i + 1) }.toSeq
+    val df = docsSeq
+      .flatMap { case (id, t) => grams(t.split(" ").toSeq).map(_._1).distinct.map(g => (g, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val hot = df.filter(_._2 >= minDf).keySet
+    val expected = docsSeq.map { case (id, t) =>
+      val ws = t.split(" ").toSeq
+      val covered = Array.fill(ws.size)(false)
+      grams(ws).foreach { case (g, p) =>
+        if (hot(g)) (p - 1 until p - 1 + k).foreach(covered(_) = true)
+      }
+      val kept = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      (id, ws.size.toLong, (ws.size - kept.size).toLong, kept.mkString(" "))
+    }.toSet
+    // sanity: the fixture must actually exercise hot grams
+    assert(hot.nonEmpty && expected.exists(_._3 > 0))
+    val got = Dedup.boilerplateScrub(docsSeq.toDF("doc_id", "text"), k, minDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected)
+  }
+
+  test("novelty fuzz: matches a brute-force driver reimplementation") {
+    import graft.pipeline.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 8).map(i => s"v$i") // small vocab → real gram reuse
+    val k = 4
+    val docsSeq = (1L to 50L).map { id =>
+      val n = 2 + rnd.nextInt(20) // some docs shorter than k → zero rows
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def gramSet(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSet
+    val firstCarrier = docsSeq
+      .flatMap { case (id, t) => gramSet(t).map(g => (g, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = docsSeq.map { case (id, t) =>
+      val gs = gramSet(t)
+      val novel = gs.count(g => firstCarrier(g) == id)
+      val frac = if (gs.isEmpty) 0.0
+        else BigDecimal(novel.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, gs.size.toLong, novel.toLong, frac)
+    }.toSet
+    val got = TextAnalysis.noveltyScores(docsSeq.toDF("doc_id", "text"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   test("incremental boilerplate: union df equals the batch scrub on the batch slice") {
     import graft.pipeline.Dedup
     val tmpl = (1 to 12).map(i => s"f$i")
