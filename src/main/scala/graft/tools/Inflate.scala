@@ -524,7 +524,8 @@ object SkewScale {
     // read only events.parquet. Timestamps are untouched: the hot user's
     // events span the full window, maximizing its per-partition sort.
     if (Seq("sessionize", "asof", "funnel", "retention",
-        "sessionize_chunked", "asof_chunked", "latest", "latest_agg").exists(want)) {
+        "sessionize_chunked", "asof_chunked", "latest", "latest_agg",
+        "ewma").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -549,7 +550,12 @@ object SkewScale {
         "asof_chunked" -> "q_asof_join_chunked",
         // latest-per-key: window formulation vs the agg twin whose
         // map-side partials absorb the hot key before the shuffle
-        "latest" -> "q_events_latest", "latest_agg" -> "q_events_latest_agg")
+        "latest" -> "q_events_latest", "latest_agg" -> "q_events_latest_agg",
+        // EWMA's rn<=W filter triggers the rank-limit pushdown
+        // (WindowGroupLimit below the exchange), so the hot user's slice
+        // is pruned to W rows per input partition BEFORE it can pile
+        // onto one task — the built-in defense, priced here
+        "ewma" -> "q_time_ewma")
         .foreach { case (m, qn) =>
           if (want(m)) report(m, time2(q(qn, uDir)), time2(q(qn, sDir)))
         }
