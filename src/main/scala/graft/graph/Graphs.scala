@@ -814,6 +814,68 @@ object Graphs {
     result.select("vertex", "label")
   }
 
+  /** Per-step hash that drives the walk's "random" hop choice: exact
+    * int64 arithmetic replayable verbatim in SQL. Depends on all of
+    * (walk, step, candidate) so different walks — and different steps of
+    * the same walk — rank a shared vertex's out-neighbors independently;
+    * the candidate enters BEFORE the modular multiplication (the
+    * [[priorityKey]] construction), which permutes residues non-
+    * monotonically — a hash of the form A·C + dst would just re-derive
+    * "always take the smallest neighbor". Bounds: walk % P × 131 + step
+    * + dst < 2^39, % P < 2^31, × 2654435761 < 2^62.4 — no int64
+    * overflow for vertex ids < 2^32 (the priorityKey id-space
+    * assumption). */
+  private def walkHash(walk: org.apache.spark.sql.Column, step: Int,
+      dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (walk % 2147483647L * 131L + step + dst) % 2147483647L *
+      2654435761L % 2147483647L
+
+  /** Deterministic random walks — the DeepWalk / node2vec sampling
+    * primitive (Perozzi et al. KDD 2014; Grover & Leskovec KDD 2016):
+    * one fixed-length walk per seed over the DIRECTED edge relation,
+    * emitted as (walk_id, step, vertex) rows, step 0 = the seed. The
+    * next hop is the out-neighbor minimizing [[walkHash]] — pseudo-random
+    * but a pure function of (walk, step, candidate), so the corpus is
+    * bit-reproducible on any partitioning, any engine, any rerun (the
+    * hashSplit no-RNG convention; swap the hash for a salted one to draw
+    * a fresh corpus). Walks that reach a sink (no out-edges) simply end
+    * early — the row set records exactly the steps taken.
+    *
+    * Scale: state per step is one row per live walk; each step is ONE
+    * join of the frontier against the src-partitioned edge cache
+    * followed by a min(struct) aggregation whose map-side partials
+    * absorb the fan-out — a hub vertex carrying many walks ranks its
+    * out-edges once per (walk, partition), never materializing the
+    * walks × degree product past the combiner. Length is a small fixed
+    * constant (the DeepWalk regime), so lineage stays shallow; the
+    * frontier is checkpointed per step because the union output and the
+    * next join both consume it. */
+  def deterministicWalks(edges: DataFrame, seeds: DataFrame, length: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+      .select(col("vertex").cast("long").as("walk_id"),
+        lit(0L).as("step"), col("vertex").cast("long").as("vertex"))
+      .localCheckpoint(eager = true)
+    var out = frontier
+    for (i <- 1 to length) {
+      frontier = frontier.join(e, frontier("vertex") === e("src"))
+        .select(col("walk_id"),
+          walkHash(col("walk_id"), i, col("dst")).as("hstep"), col("dst"))
+        .groupBy("walk_id")
+        // min over (hash, dst): total order, hash ties (different dsts
+        // colliding mod P) break by the smaller vertex — the same pick
+        // the oracle's row_number() ORDER BY h, dst makes
+        .agg(min(struct(col("hstep"), col("dst"))).as("m"))
+        .select(col("walk_id"), lit(i.toLong).as("step"),
+          col("m.dst").as("vertex"))
+        .localCheckpoint(eager = true)
+      out = out.unionByName(frontier)
+    }
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Newman modularity of a vertex partition, in exact-integer form: for
     * each community c returns (label, intra_edges L_c, degree_sum d_c,
     * q_num = 4m·L_c − d_c²) where m is the undirected edge count. The

@@ -420,6 +420,40 @@ object Similarity {
       .select("vec_id", "cluster")
   }
 
+  /** Cluster-quota diversity sample — topic-balanced selection over the
+    * embedding space (the SemDeDup-pipeline companion: where
+    * [[semanticDedup]] prunes redundancy INSIDE a cluster, this caps how
+    * much any one topic contributes to the selected corpus): assign every
+    * vector to its quantized-Lloyd cluster, then keep at most `quota`
+    * representatives per cluster, picked by the deterministic
+    * hash-priority order (Graphs.priorityKey — pseudo-random but total,
+    * so the draw is uniform-ish per cluster, bit-reproducible, and
+    * replayable in SQL). A head-heavy topic distribution comes out flat;
+    * tail topics survive whole — the "don't let one crawl genre swamp
+    * the mixture" lever, downstream of dedup and upstream of the token
+    * budget.
+    *
+    * Scale: assignment is one broadcast-centroid map pass (k centroids);
+    * the per-cluster cut is the row_number ≤ quota idiom over a
+    * vertex-sized relation, which WindowTopKRewrite lowers to the
+    * bounded-heap operator — per-partition top-quota partials cap the
+    * shuffle at quota rows/cluster/partition, no full sort, no skew
+    * hazard from a giant cluster. Returns (cluster, rn, vec_id). */
+  def clusterQuotaSample(emb: DataFrame, k: Int, iterations: Int,
+      quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = VecKMeans.train(emb, k, iterations)
+    val assigned = VecKMeans.assign(emb, cents)
+    val w = Window.partitionBy("cluster").orderBy(asc("pkey"), asc("vec_id"))
+    assigned
+      .withColumn("pkey",
+        col("vec_id") % 2147483647L * 2654435761L % 2147483647L * 4294967296L
+          + col("vec_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= quota)
+      .select("cluster", "rn", "vec_id")
+  }
+
   def lshNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     // eager: both sides of the band self-join consume the buckets; the
     // barrier guarantees one nearDupKeys pass over the corpus

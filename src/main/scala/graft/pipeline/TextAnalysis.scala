@@ -284,6 +284,48 @@ object TextAnalysis {
     noveltyTail(incoming, inc, first)
   }
 
+  /** DSIR-style target-affinity importance score (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — hashed
+    * n-gram importance weights, here in the catalog's log-free rational
+    * form): score every RAW doc by how target-like its k-gram profile is.
+    * Per raw doc, over its DISTINCT gram keys:
+    *   t_mass = Σ t_df(g)  (distinct-TARGET-carrier count per gram),
+    *   r_mass = Σ r_df(g)  (distinct-RAW-carrier count per gram ≥ 1),
+    *   affinity = t_mass / r_mass — ONE correctly-rounded IEEE division
+    * of exact int64 sums (both ≪ 2^53), bit-identical across engines and
+    * partitionings. Grams common in the target but rare in the crawl pull
+    * the score up; crawl-boilerplate grams the target never uses pull it
+    * down — the "select crawl docs that look like the curated slice"
+    * signal, with selection itself one downstream filter/top-k (the
+    * [[graft.pipeline.Decontam.overlapScores]] policy split).
+    *
+    * Scale: linear, no pairwise anything — the raw distinct (doc, gram)
+    * relation shuffles once for the r_df aggregation (map-side partials)
+    * and once keyed by gram for the join back; the target gram relation
+    * is curated-slice-sized and broadcast (the Decontam eval-side
+    * precedent). Docs shorter than k words carry zeros. */
+  def importanceScores(raw: DataFrame, target: DataFrame, k: Int = 2): DataFrame = {
+    val rg = Dedup.substringIndex(raw, k).select("doc_id", "h").distinct()
+      .localCheckpoint(eager = true) // r_df agg and join-back both consume it
+    val tdf = Dedup.substringIndex(target, k).select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("t_df"))
+    val rdf = rg.groupBy("h").agg(count(lit(1)).as("r_df"))
+    val sc = rg.join(rdf, "h")
+      .join(broadcast(tdf), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("t_df"), lit(0L))).as("t_mass"),
+        sum(col("r_df")).as("r_mass"))
+    raw.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("t_mass"), lit(0L)).as("t_mass"),
+        coalesce(col("r_mass"), lit(0L)).as("r_mass"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(round(col("t_mass").cast("double") / col("r_mass"), 6))
+          .as("affinity"))
+  }
+
   /** Linear quality-model gate — the fasttext-style classifier-filter
     * SHAPE (score = ⟨φ(text), W⟩, keep = score ≥ τ) every production
     * curation stack runs after the heuristic [[quality]] screen. The

@@ -70,6 +70,12 @@ object GraphQueries {
           % ColoringMod).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
   }
+  // deterministic walks: seed every WalkSeedMod'th vertex, WalkLen steps;
+  // engine loop depth and oracle unroll depth must agree, and the step
+  // hash ((wid % P * 131 + step + dst) % P * 2654435761 % P) is spelled
+  // identically in Graphs.walkHash and the oracle windows
+  private val WalkSeedMod = 3
+  private val WalkLen = 4
   // personalized PageRank seed set (engine IN-list and oracle CASE share it)
   private val PprSeeds = Seq(1L, 2L, 3L)
   // landmark BFS seeds (engine init table and oracle VALUES share them)
@@ -491,6 +497,19 @@ object GraphQueries {
     // decides at every sf). The conflict-free-scheduling primitive.
     "q_graph_coloring" -> ((s, d) => {
       Graphs.greedyColoring(coloringEdges(s, d)).orderBy("vertex")
+    }),
+
+    // deterministic random walks (DeepWalk/node2vec sampling): one
+    // length-WalkLen walk per seed vertex, next hop = out-neighbor
+    // minimizing the (walk, step, dst) hash — the graph-embedding corpus
+    // generator, bit-reproducible with no RNG; the oracle unrolls the
+    // steps with the identical hash in each window
+    "q_graph_walks" -> ((s, d) => {
+      val edges = Graphs.lineitemEdges(s, d, Mod)
+      val seeds = Graphs.vertices(edges)
+        .filter(col("vertex") % WalkSeedMod === 0)
+      Graphs.deterministicWalks(edges, seeds, WalkLen)
+        .orderBy("walk_id", "step")
     }),
 
     // modularity of the LPA partition, exact-integer numerators:
@@ -1170,6 +1189,33 @@ object GraphQueries {
        |  FROM lineitem WHERE l_orderkey % $Mod <> l_partkey % $Mod
        |    AND (l_orderkey % $Mod) % $ModularityShards = (l_partkey % $Mod) % $ModularityShards)""".stripMargin
 
+  /** Unrolled deterministic walks — one CTE per step; the window's ORDER
+    * BY replays Graphs.walkHash (hash asc, dst tie-break), so rn = 1 is
+    * exactly the engine's min(struct(hash, dst)) pick. Sinks drop out of
+    * the join and the walk ends early, same as the engine. */
+  private val walksSql = {
+    def step(i: Int) =
+      s"""s$i AS MATERIALIZED (
+         |  SELECT walk_id, CAST($i AS BIGINT) AS step, dst AS vertex FROM (
+         |    SELECT s.walk_id, e.dst,
+         |      row_number() OVER (PARTITION BY s.walk_id
+         |        ORDER BY (s.walk_id % 2147483647 * 131 + $i + e.dst)
+         |          % 2147483647 * 2654435761 % 2147483647, e.dst) AS rn
+         |    FROM s${i - 1} s JOIN g e ON s.vertex = e.src)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $derivedGraphCte,
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT vertex FROM (
+       |    SELECT src AS vertex FROM g UNION ALL SELECT dst FROM g)),
+       |s0 AS MATERIALIZED (
+       |  SELECT vertex AS walk_id, CAST(0 AS BIGINT) AS step, vertex
+       |  FROM verts WHERE vertex % $WalkSeedMod = 0),
+       |${(1 to WalkLen).map(step).mkString(",\n")}
+       |SELECT walk_id, step, vertex FROM (
+       |  ${(0 to WalkLen).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** Unrolled HITS — one (auth, hub) CTE pair per iteration, mirroring
     * Hits.run: auth pulls hub over in-edges and L1-normalizes, hub pulls
     * the NORMALIZED auth over out-edges and L1-normalizes. */
@@ -1501,6 +1547,7 @@ object GraphQueries {
     "q_graph_pagerank_grown" -> pagerankGrownSql(derivedGraphCte, 4, PrIters - 4),
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
+    "q_graph_walks" -> walksSql,
     "q_graph_modularity" -> modularitySql(shardedGraphCte, LpaRounds),
     "q_graph_closeness" -> closenessSql,
     "q_graph_diameter" -> diameterSql,

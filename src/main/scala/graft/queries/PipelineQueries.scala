@@ -45,6 +45,12 @@ object PipelineQueries {
   // novelty scoring: 4-word grams (shorter than dedup's 8 — novelty wants
   // phrase-level coverage, not verbatim-span evidence)
   private val NoveltyK = 4
+  // DSIR-style importance: bigram-level grams (the paper's hashed-bigram
+  // feature space); target = the two curated feeds, raw = the other 18
+  private val ImportanceK = 2
+  private val TargetSources = Seq("src0", "src1")
+  // cluster-quota diversity sample: per-topic representative cap
+  private val ClusterQuota = 16
   // curation thresholds (quality gate for the end-to-end pipeline)
   private val MinWords = 10
   private val MinUniqRatio = 0.3
@@ -388,6 +394,26 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 2 === 1), NoveltyK)
         .orderBy("doc_id")
     }),
+
+    // DSIR-style importance score: every crawl doc scored by how
+    // target-like its bigram profile is (t_mass/r_mass over distinct-
+    // carrier counts) — the "select crawl docs that look like the curated
+    // feeds" signal; selection is one downstream filter/top-k
+    "q_sample_importance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.importanceScores(
+          docs.filter(!col("source").isin(TargetSources: _*)),
+          docs.filter(col("source").isin(TargetSources: _*)), ImportanceK)
+        .orderBy("doc_id")
+    }),
+
+    // cluster-quota diversity sample: ≤ ClusterQuota representatives per
+    // Lloyd topic cluster, hash-priority order — topic-balanced selection
+    // (head-heavy genres flattened, tail genres kept whole)
+    "q_sample_cluster" -> ((s, d) =>
+      Similarity.clusterQuotaSample(Tables.embeddings(s, d),
+          SemK, SemIters, ClusterQuota)
+        .orderBy("cluster", "rn")),
 
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), NgramThreshold, NgramSampleMod)
@@ -1116,6 +1142,40 @@ object PipelineQueries {
   private val noveltySql = noveltySqlWhere("")
   private val noveltyIncSql = noveltySqlWhere("WHERE d.doc_id % 2 = 1")
 
+  /** importance replay: distinct (gram, doc) pairs over ALL docs, split
+    * into target/raw carrier counts by source, per-raw-doc mass sums,
+    * one IEEE division. Sums CAST to BIGINT (DuckDB widens to HUGEINT). */
+  private val importanceSql = {
+    val tgt = TargetSources.map(s => s"'$s'").mkString(", ")
+    gramCtes(ImportanceK, "SELECT doc_id, text FROM documents") +
+      s""",
+         |dg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g),
+         |src AS MATERIALIZED (SELECT doc_id, source FROM documents),
+         |tdf AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS t_df
+         |  FROM dg JOIN src USING (doc_id) WHERE source IN ($tgt) GROUP BY h),
+         |rdg AS MATERIALIZED (
+         |  SELECT dg.doc_id, dg.h FROM dg JOIN src USING (doc_id)
+         |  WHERE source NOT IN ($tgt)),
+         |rdf AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS r_df FROM rdg GROUP BY h),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(coalesce(t_df, 0)) AS BIGINT) AS t_mass,
+         |         CAST(sum(r_df) AS BIGINT) AS r_mass
+         |  FROM rdg JOIN rdf USING (h) LEFT JOIN tdf USING (h)
+         |  GROUP BY doc_id)
+         |SELECT src.doc_id, coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |       coalesce(sc.t_mass, CAST(0 AS BIGINT)) AS t_mass,
+         |       coalesce(sc.r_mass, CAST(0 AS BIGINT)) AS r_mass,
+         |       CASE WHEN sc.n_grams IS NULL THEN 0.0
+         |            ELSE round(CAST(sc.t_mass AS DOUBLE) / sc.r_mass, 6)
+         |       END AS affinity
+         |FROM src LEFT JOIN sc USING (doc_id)
+         |WHERE src.source NOT IN ($tgt)
+         |ORDER BY src.doc_id""".stripMargin
+  }
+
   /** family histogram: the clusters chain aggregated twice (label → family
     * size → families per size) */
   private val familyHistSql = {
@@ -1501,6 +1561,21 @@ object PipelineQueries {
        |SELECT cluster, id_a, id_b, score FROM pairs
        |WHERE score >= $EmbThreshold
        |ORDER BY cluster, id_a, id_b""".stripMargin
+
+  /** cluster-quota sample replay: the shared Lloyd clusters CTE + the
+    * priorityKey hash-order window cut (same packed-int64 formula as the
+    * engine — hash high bits, id low bits, so ORDER BY the key alone is
+    * total) */
+  private val sampleClusterSql =
+    s"""WITH ${lloydClustersCte(SemK, SemIters)}
+       |SELECT cluster, rn, vec_id FROM (
+       |  SELECT cluster, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |      ORDER BY vec_id % 2147483647 * 2654435761 % 2147483647
+       |        * 4294967296 + vec_id) AS BIGINT) AS rn
+       |  FROM clusters)
+       |WHERE rn <= $ClusterQuota
+       |ORDER BY cluster, rn""".stripMargin
 
   /** Unrolled Lloyd training + IVF search — the full q_sim_ivf replay.
     * Training is replayable in SQL because the engine's update step uses
@@ -2352,6 +2427,8 @@ object PipelineQueries {
     "q_dedup_family_hist" -> familyHistSql,
     "q_decontam_overlap" -> decontamOverlapSql,
     "q_text_novelty" -> noveltySql,
+    "q_sample_importance" -> importanceSql,
+    "q_sample_cluster" -> sampleClusterSql,
     "q_text_novelty_inc" -> noveltyIncSql,
     "q_dedup_final" -> dedupFinalSql,
     "q_dedup_final_bloom" -> dedupFinalSql,

@@ -613,4 +613,33 @@ class GraphSpec extends SparkSpec {
     val q0 = Graphs.modularityByCommunity(e, one).agg(sum("q_num")).first().getLong(0)
     assert(q0 == 0L)
   }
+
+  test("walks: forced path is followed; a seed on a sink stays a 1-row walk") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val seeds = Seq(1L, 4L).toDF("vertex")
+    val out = Graphs.deterministicWalks(e, seeds, length = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // walk 1 runs the whole path and stops at sink 4 (steps 0..3, not 5);
+    // walk 4 has nowhere to go after step 0
+    assert(out == Set((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 4L),
+      (4L, 0L, 4L)))
+  }
+
+  test("walks: branch choice replays the step hash, not the smallest neighbor") {
+    // vertex 0 fans out to 1..8; hand-replay of the step hash
+    // ((wid % P * 131 + step + dst) % P * 2654435761 % P): at step 2,
+    // walk 7 minimizes at dst = 5 — NOT the smallest neighbor id, pinning
+    // the non-monotonic mixing — while walk 9 minimizes at dst = 1, so
+    // two walks crossing the same hub diverge
+    val e = edges(((1L to 8L).map(0L -> _) ++ Seq(7L -> 0L, 9L -> 0L)): _*)
+    val seeds = Seq(7L, 9L).toDF("vertex")
+    val out = Graphs.deterministicWalks(e, seeds, length = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((7L, 0L, 7L), (7L, 1L, 0L), (7L, 2L, 5L),
+      (9L, 0L, 9L), (9L, 1L, 0L), (9L, 2L, 1L)))
+    // and the draw is partition-invariant (pure hash arithmetic + min-agg)
+    val again = Graphs.deterministicWalks(e.repartition(7), seeds, length = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out)
+  }
 }

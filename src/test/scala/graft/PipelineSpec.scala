@@ -808,6 +808,49 @@ class PipelineSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("importance scores: target-heavy docs score high, clean docs zero, short docs zero") {
+    // target feed: two docs sharing the bigram (w1 w2); (w2 w3) appears in
+    // one target doc; q-grams never appear in the target
+    val target = docs(100L -> "w1 w2 w3", 101L -> "w1 w2 z1")
+    val raw = docs(
+      1L -> "w1 w2 w3",  // both grams target-carried: t=2+1, r=2+1 -> 1.0
+      2L -> "w1 w2 q1",  // (w1 w2) t_df=2; (w2 q1) t_df=0; r = 2+1 -> 2/3
+      3L -> "q7 q8 q9",  // no target gram: 0.0 with r_mass 2
+      4L -> "solo")      // shorter than k=2 words: all zeros
+    val got = TextAnalysis.importanceScores(raw, target, k = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((2L, 3L, 3L, 1.0)))
+    assert(got(2L) == ((2L, 2L, 3L, 0.666667)))
+    assert(got(3L) == ((2L, 0L, 2L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0L, 0.0)))
+    // partition invariance: exact integer masses, one rounded division
+    val again = TextAnalysis.importanceScores(raw.repartition(7), target, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(again == got.map { case (id, t) => (id, t._2, t._3, t._4) }.toSet)
+  }
+
+  test("cluster-quota sample: per-cluster cap binds, full quota returns everyone") {
+    // two well-separated blobs -> Lloyd with k=2 splits them exactly
+    val emb = ((0L to 5L).map(i => (i, Array(0.0f + i * 0.01f, 0.0f))) ++
+      (10L to 13L).map(i => (i, Array(10.0f + i * 0.01f, 10.0f))))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.clusterQuotaSample(emb, k = 2, iterations = 3, quota = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // every cluster contributes exactly min(quota, size) = 3 rows, rn 1..3
+    assert(capped.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)) })
+    assert(capped.length == 6)
+    // blob membership respected: ids never cross blobs within a cluster
+    val byCluster = capped.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byCluster.values.forall(ids => ids.forall(_ <= 5L) || ids.forall(_ >= 10L)))
+    // a quota >= blob size returns every vector, and the draw is
+    // deterministic under repartitioning
+    val all = Similarity.clusterQuotaSample(emb.repartition(5), 2, 3, quota = 100)
+      .collect().map(_.getLong(2)).toSet
+    assert(all == (0L to 5L).toSet ++ (10L to 13L).toSet)
+  }
+
   test("multimodal: stub features are deterministic; metadata path prunes payload") {
     val d = Seq((1L, "hello", "en", "src1", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
