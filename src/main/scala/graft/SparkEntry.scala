@@ -98,5 +98,10 @@ object SparkEntry {
     "q_text_novelty", "q_text_novelty_inc",
     "q_sample_priority", "q_quality_model", "q_decontam_overlap",
     "q_time_ewma", "q_dedup_family_hist",
+    // round-11 continuation, second wave: selection-stage operators
+    // (importance scoring, topic-quota sampling) and the walk corpus
+    // generator + its skip-gram pair aggregation
+    "q_sample_importance", "q_sample_cluster",
+    "q_graph_walks", "q_graph_walk_pairs",
   ).filter(queries.contains)
 }

@@ -876,6 +876,30 @@ object Graphs {
     out
   }
 
+  /** Skip-gram co-occurrence over a walk corpus — the pair relation
+    * DeepWalk actually trains on (word2vec SGNS input; also the matrix
+    * whose factorization node2vec implicitly performs, Levy & Goldberg
+    * NIPS 2014): for every walk position, each vertex within `window`
+    * steps contributes one (center, context) observation; the output is
+    * the aggregated count per ordered pair. Feed it to any embedding
+    * trainer — or use the counts directly as a random-walk proximity
+    * measure.
+    *
+    * Scale: the walk relation fans out ≤ 2·window× through a self-join
+    * keyed by walk_id (walks are length-bounded, so each join group is
+    * ≤ length+1 rows — no skew possible by construction), then one
+    * partial-aggregated groupBy on (center, context). Linear in corpus
+    * size, no iteration. */
+  def walkCooccurrence(walks: DataFrame, window: Int): DataFrame = {
+    val a = walks.toDF("walk_id", "sa", "center")
+    val b = walks.toDF("walk_id", "sb", "context")
+    a.join(b, "walk_id")
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("pair_n"))
+  }
+
   /** Newman modularity of a vertex partition, in exact-integer form: for
     * each community c returns (label, intra_edges L_c, degree_sum d_c,
     * q_num = 4m·L_c − d_c²) where m is the undirected edge count. The

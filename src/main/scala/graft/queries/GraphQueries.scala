@@ -76,6 +76,8 @@ object GraphQueries {
   // identically in Graphs.walkHash and the oracle windows
   private val WalkSeedMod = 3
   private val WalkLen = 4
+  // skip-gram window for the co-occurrence pairs (DeepWalk's w)
+  private val WalkWindow = 2
   // personalized PageRank seed set (engine IN-list and oracle CASE share it)
   private val PprSeeds = Seq(1L, 2L, 3L)
   // landmark BFS seeds (engine init table and oracle VALUES share them)
@@ -510,6 +512,18 @@ object GraphQueries {
         .filter(col("vertex") % WalkSeedMod === 0)
       Graphs.deterministicWalks(edges, seeds, WalkLen)
         .orderBy("walk_id", "step")
+    }),
+
+    // skip-gram co-occurrence over the walk corpus: the (center, context)
+    // count relation DeepWalk trains word2vec on — walks composed with
+    // the windowed self-join, aggregated per ordered pair
+    "q_graph_walk_pairs" -> ((s, d) => {
+      val edges = Graphs.lineitemEdges(s, d, Mod)
+      val seeds = Graphs.vertices(edges)
+        .filter(col("vertex") % WalkSeedMod === 0)
+      Graphs.walkCooccurrence(
+          Graphs.deterministicWalks(edges, seeds, WalkLen), WalkWindow)
+        .orderBy("center", "context")
     }),
 
     // modularity of the LPA partition, exact-integer numerators:
@@ -1193,7 +1207,7 @@ object GraphQueries {
     * BY replays Graphs.walkHash (hash asc, dst tie-break), so rn = 1 is
     * exactly the engine's min(struct(hash, dst)) pick. Sinks drop out of
     * the join and the walk ends early, same as the engine. */
-  private val walksSql = {
+  private val walksCtes = {
     def step(i: Int) =
       s"""s$i AS MATERIALIZED (
          |  SELECT walk_id, CAST($i AS BIGINT) AS step, dst AS vertex FROM (
@@ -1210,11 +1224,26 @@ object GraphQueries {
        |s0 AS MATERIALIZED (
        |  SELECT vertex AS walk_id, CAST(0 AS BIGINT) AS step, vertex
        |  FROM verts WHERE vertex % $WalkSeedMod = 0),
-       |${(1 to WalkLen).map(step).mkString(",\n")}
-       |SELECT walk_id, step, vertex FROM (
-       |  ${(0 to WalkLen).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})
-       |ORDER BY walk_id, step""".stripMargin
+       |${(1 to WalkLen).map(step).mkString(",\n")},
+       |walks AS MATERIALIZED (
+       |  ${(0 to WalkLen).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})""".stripMargin
   }
+
+  private val walksSql =
+    s"""$walksCtes
+       |SELECT walk_id, step, vertex FROM walks
+       |ORDER BY walk_id, step""".stripMargin
+
+  /** skip-gram pair replay: the walk CTEs + the windowed self-join and
+    * per-ordered-pair count */
+  private val walkPairsSql =
+    s"""$walksCtes
+       |SELECT a.vertex AS center, b.vertex AS context,
+       |       CAST(count(*) AS BIGINT) AS pair_n
+       |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       |  AND a.step <> b.step AND abs(a.step - b.step) <= $WalkWindow
+       |GROUP BY a.vertex, b.vertex
+       |ORDER BY center, context""".stripMargin
 
   /** Unrolled HITS — one (auth, hub) CTE pair per iteration, mirroring
     * Hits.run: auth pulls hub over in-edges and L1-normalizes, hub pulls
@@ -1548,6 +1577,7 @@ object GraphQueries {
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
     "q_graph_walks" -> walksSql,
+    "q_graph_walk_pairs" -> walkPairsSql,
     "q_graph_modularity" -> modularitySql(shardedGraphCte, LpaRounds),
     "q_graph_closeness" -> closenessSql,
     "q_graph_diameter" -> diameterSql,

@@ -642,4 +642,22 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again == out)
   }
+
+  test("walk co-occurrence: window bounds pairs; revisits aggregate counts") {
+    // forced path walk 1-2-3-4, window 2: each ordered pair within 2
+    // steps appears exactly once
+    val path = Graphs.deterministicWalks(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L), Seq(1L).toDF("vertex"), 5)
+    val got = Graphs.walkCooccurrence(path, window = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.values.forall(_ == 1L) && got.size == 10)
+    assert(got.contains((1L, 3L)) && !got.contains((1L, 4L))) // |Δstep|=3 cut
+    // 2-cycle walk 1-2-1-2-1, window 1: the same ordered pair recurs and
+    // the counts aggregate (4 adjacent steps, both directions each)
+    val cyc = Graphs.deterministicWalks(
+      edges(1L -> 2L, 2L -> 1L), Seq(1L).toDF("vertex"), 4)
+    val c = Graphs.walkCooccurrence(cyc, window = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(c == Map((1L, 2L) -> 4L, (2L, 1L) -> 4L))
+  }
 }
