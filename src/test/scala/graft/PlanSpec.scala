@@ -204,6 +204,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("importance score broadcasts the target gram relation, never goes pairwise") {
+    val p = plan("q_sample_importance")
+    // the curated-slice df relation rides a broadcast; the raw side is
+    // linear — no doc-pair join, no window anywhere in the score path
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window "), p)
+  }
+
+  test("cluster-quota sample prunes per-partition tops before the exchange") {
+    // same rank-limit-pushdown contract as q_sample_priority: a giant
+    // topic cluster must never full-sort on one task
+    val p = plan("q_sample_cluster")
+    assert(countOp(p, "WindowGroupLimit") == 2, p)
+  }
+
+  test("walk pair aggregation is a walk-keyed equi-join with partial aggregation") {
+    val p = plan("q_graph_walk_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // partial + final pair counts around the (center, context) exchange
+    assert(countOp(p, "HashAggregate") >= 2, p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
