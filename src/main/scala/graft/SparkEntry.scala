@@ -102,6 +102,6 @@ object SparkEntry {
     // (importance scoring, topic-quota sampling) and the walk corpus
     // generator + its skip-gram pair aggregation
     "q_sample_importance", "q_sample_cluster",
-    "q_graph_walks", "q_graph_walk_pairs",
+    "q_graph_walks", "q_graph_walk_pairs", "q_graph_walks_biased",
   ).filter(queries.contains)
 }

@@ -876,6 +876,72 @@ object Graphs {
     out
   }
 
+  /** Second-order biased deterministic walks — node2vec's p/q exploration
+    * control (Grover & Leskovec KDD 2016) without RNG: each candidate hop
+    * gets an integer weight by its relation to the PREVIOUS vertex
+    * (`wReturn` if it IS the previous vertex, `wCommon` if it is also a
+    * neighbor of the previous vertex — the BFS-ish stay-close move,
+    * `wExplore` otherwise — the DFS-ish move; node2vec's 1/p, 1, 1/q
+    * triple scaled to integers), and the walk takes the candidate with
+    * the highest priority q = w·P/(h+1) — the Duffield/Lund/Thorup
+    * priority-sampling draw over the [[walkHash]] uniform, ONE
+    * correctly-rounded IEEE division of exact int64s per candidate (the
+    * Corpus.prioritySample arithmetic), so a weight-w candidate wins
+    * proportionally w-often across steps yet every pick is
+    * bit-reproducible and SQL-replayable. With equal weights the order
+    * q desc ≡ h asc, so this degenerates EXACTLY to
+    * [[deterministicWalks]] — spec-enforced.
+    *
+    * Step 0→1 has no previous vertex (prev = -1 matches nothing), so
+    * every candidate weighs `wExplore` and the first hop is the unbiased
+    * draw. Sinks end walks early, as in the unbiased variant.
+    *
+    * Scale: the per-step frontier⨝edges candidate relation additionally
+    * probes the edge cache on (prev, dst) for the common-neighbor test —
+    * the intrinsically second-order part of node2vec (single-node
+    * implementations pay it as per-edge alias tables); both joins are
+    * equi-joins against the same cached relation and the min-struct
+    * aggregation still absorbs hub fan-out map-side. */
+  def biasedWalks(edges: DataFrame, seeds: DataFrame, length: Int,
+      wReturn: Long, wCommon: Long, wExplore: Long): DataFrame = {
+    require(wReturn > 0 && wCommon > 0 && wExplore > 0,
+      "weights must be positive (a zero weight zeroes every priority tie)")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pe = e.select(col("src").as("ps"), col("dst").as("pd"))
+    var frontier = seeds
+      .select(col("vertex").cast("long").as("walk_id"),
+        lit(0L).as("step"), col("vertex").cast("long").as("vertex"),
+        lit(-1L).as("prev"))
+      .localCheckpoint(eager = true)
+    var out = frontier.select("walk_id", "step", "vertex")
+    for (i <- 1 to length) {
+      val cand = frontier.join(e, frontier("vertex") === e("src"))
+        .select(col("walk_id"), col("vertex").as("cur"), col("prev"), col("dst"))
+      frontier = cand
+        .join(pe, cand("prev") === pe("ps") && cand("dst") === pe("pd"), "left")
+        .select(col("walk_id"), col("cur"), col("dst"),
+          when(col("dst") === col("prev"), lit(wReturn))
+            .when(col("pd").isNotNull, lit(wCommon))
+            .otherwise(lit(wExplore)).as("w"),
+          walkHash(col("walk_id"), i, col("dst")).as("h"))
+        .withColumn("prio",
+          (col("w") * lit(2147483647L)).cast("double")
+            / (col("h") + lit(1L)).cast("double"))
+        .groupBy("walk_id")
+        // max priority, ties (equal w AND equal h) break by smaller dst:
+        // min over (-prio, dst) — double negation is exact
+        .agg(min(struct((-col("prio")).as("np"), col("dst"),
+          col("cur"))).as("m"))
+        .select(col("walk_id"), lit(i.toLong).as("step"),
+          col("m.dst").as("vertex"), col("m.cur").as("prev"))
+        .localCheckpoint(eager = true)
+      out = out.unionByName(frontier.select("walk_id", "step", "vertex"))
+    }
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Skip-gram co-occurrence over a walk corpus — the pair relation
     * DeepWalk actually trains on (word2vec SGNS input; also the matrix
     * whose factorization node2vec implicitly performs, Levy & Goldberg

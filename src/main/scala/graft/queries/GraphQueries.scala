@@ -78,6 +78,11 @@ object GraphQueries {
   private val WalkLen = 4
   // skip-gram window for the co-occurrence pairs (DeepWalk's w)
   private val WalkWindow = 2
+  // node2vec weight triple (return, common, explore) = (1/p, 1, 1/q)
+  // scaled to integers: return discouraged, stay-close favored
+  private val WalkWr = 1L
+  private val WalkWc = 4L
+  private val WalkWe = 2L
   // personalized PageRank seed set (engine IN-list and oracle CASE share it)
   private val PprSeeds = Seq(1L, 2L, 3L)
   // landmark BFS seeds (engine init table and oracle VALUES share them)
@@ -511,6 +516,18 @@ object GraphQueries {
       val seeds = Graphs.vertices(edges)
         .filter(col("vertex") % WalkSeedMod === 0)
       Graphs.deterministicWalks(edges, seeds, WalkLen)
+        .orderBy("walk_id", "step")
+    }),
+
+    // node2vec-style second-order walks: the p/q-weighted variant — the
+    // candidate's relation to the PREVIOUS vertex (return / common
+    // neighbor / explore) weighs the priority draw; same seeds and
+    // length as q_graph_walks so the two corpora are comparable
+    "q_graph_walks_biased" -> ((s, d) => {
+      val edges = Graphs.lineitemEdges(s, d, Mod)
+      val seeds = Graphs.vertices(edges)
+        .filter(col("vertex") % WalkSeedMod === 0)
+      Graphs.biasedWalks(edges, seeds, WalkLen, WalkWr, WalkWc, WalkWe)
         .orderBy("walk_id", "step")
     }),
 
@@ -1234,6 +1251,42 @@ object GraphQueries {
        |SELECT walk_id, step, vertex FROM walks
        |ORDER BY walk_id, step""".stripMargin
 
+  /** Unrolled biased walks — each step CTE carries (vertex, prev); the
+    * window ORDER BY replays the engine's min(struct(-prio, dst)):
+    * category weight from the prev-relation (return / common via a left
+    * probe of g / explore), priority w·P/(h+1) as one DOUBLE division of
+    * exact int64s, negated so ascending order = highest priority. */
+  private val walksBiasedSql = {
+    val hExpr = (i: Int) =>
+      s"(s.walk_id % 2147483647 * 131 + $i + e.dst) % 2147483647 * 2654435761 % 2147483647"
+    def step(i: Int) =
+      s"""b$i AS MATERIALIZED (
+         |  SELECT walk_id, CAST($i AS BIGINT) AS step, dst AS vertex, cur AS prev FROM (
+         |    SELECT s.walk_id, s.vertex AS cur, e.dst,
+         |      row_number() OVER (PARTITION BY s.walk_id ORDER BY
+         |        -(CAST(CAST(CASE WHEN e.dst = s.prev THEN $WalkWr
+         |                    WHEN pe.pd IS NOT NULL THEN $WalkWc
+         |                    ELSE $WalkWe END AS BIGINT) * 2147483647 AS DOUBLE)
+         |          / (${hExpr(i)} + 1)),
+         |        e.dst) AS rn
+         |    FROM b${i - 1} s JOIN g e ON s.vertex = e.src
+         |    LEFT JOIN (SELECT src AS ps, dst AS pd FROM g) pe
+         |      ON pe.ps = s.prev AND pe.pd = e.dst)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $derivedGraphCte,
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT vertex FROM (
+       |    SELECT src AS vertex FROM g UNION ALL SELECT dst FROM g)),
+       |b0 AS MATERIALIZED (
+       |  SELECT vertex AS walk_id, CAST(0 AS BIGINT) AS step, vertex,
+       |         CAST(-1 AS BIGINT) AS prev
+       |  FROM verts WHERE vertex % $WalkSeedMod = 0),
+       |${(1 to WalkLen).map(step).mkString(",\n")}
+       |SELECT walk_id, step, vertex FROM (
+       |  ${(0 to WalkLen).map(i => s"SELECT walk_id, step, vertex FROM b$i").mkString(" UNION ALL ")})
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** skip-gram pair replay: the walk CTEs + the windowed self-join and
     * per-ordered-pair count */
   private val walkPairsSql =
@@ -1577,6 +1630,7 @@ object GraphQueries {
     "q_graph_ppr" -> pprSql(derivedGraphCte, PprSeeds, PrIters),
     "q_graph_lpa" -> lpaSql(derivedGraphCte, LpaRounds),
     "q_graph_walks" -> walksSql,
+    "q_graph_walks_biased" -> walksBiasedSql,
     "q_graph_walk_pairs" -> walkPairsSql,
     "q_graph_modularity" -> modularitySql(shardedGraphCte, LpaRounds),
     "q_graph_closeness" -> closenessSql,

@@ -643,6 +643,29 @@ class GraphSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("biased walks: weight triple steers return/common/explore; equal weights ≡ unbiased") {
+    // prev=1, cur=2 offers all three categories: 1 is the return hop,
+    // 3 the common neighbor (1→3 exists), 4 the explore hop; picks
+    // verified against a driver replay of the priority arithmetic
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 2L -> 4L, 1L -> 3L)
+    val seeds = Seq(1L).toDF("vertex")
+    def hops(wr: Long, wc: Long, we: Long): Seq[Long] =
+      Graphs.biasedWalks(e, seeds, length = 2, wr, wc, we).collect()
+        .sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(hops(5, 5, 5) == Seq(1L, 2L, 3L))            // equal: pure hash
+    assert(hops(1000000, 1, 1) == Seq(1L, 2L, 1L))       // return dominates
+    assert(hops(1, 1, 1000000) == Seq(1L, 2L, 4L))       // explore dominates
+    // equal weights degenerate exactly to the unbiased operator (the
+    // q desc ≡ h asc identity) on a branchier graph
+    val fan = edges(((1L to 8L).map(0L -> _) ++ Seq(7L -> 0L, 9L -> 0L)): _*)
+    val fs = Seq(7L, 9L).toDF("vertex")
+    val biased = Graphs.biasedWalks(fan, fs, 3, 3, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Graphs.deterministicWalks(fan, fs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(biased == plain)
+  }
+
   test("walk co-occurrence: window bounds pairs; revisits aggregate counts") {
     // forced path walk 1-2-3-4, window 2: each ordered pair within 2
     // steps appears exactly once
