@@ -213,7 +213,7 @@ object GraphScale {
     lazy val core10C = core10.localCheckpoint(eager = true)
     def needsCore10: Boolean = Seq("cc", "pagerank_damped", "pagerank_grown",
       "sssp_bfs", "cc_inc_fold", "sssp_w_inc_fold",
-      "mis", "matching", "scc").exists(want)
+      "mis", "matching", "scc", "walks", "walks_biased").exists(want)
     if (needsCore10) core10C.count() // pin the checkpoint before any timing
 
     if (want("cc")) report("cc",
@@ -249,6 +249,24 @@ object GraphScale {
     if (want("scc")) report("scc",
       time2("scc")(Graphs.stronglyConnectedComponents(core)),
       time2("scc10")(Graphs.stronglyConnectedComponents(core10C)))
+    // walk corpus generation: K disjoint copies seed K× walks over K×
+    // vertices — per-step frontier joins are K-parallel, rounds fixed at
+    // the walk length, so the ideal curve is near-flat like mis/matching
+    if (want("walks")) {
+      def wk(e: DataFrame): DataFrame = {
+        val seeds = Graphs.vertices(e).filter(col("vertex") % 3 === 0)
+        Graphs.walkCooccurrence(Graphs.deterministicWalks(e, seeds, 4), 2)
+      }
+      report("walks", time2("walks")(wk(core)), time2("walks10")(wk(core10C)))
+    }
+    if (want("walks_biased")) {
+      def wkb(e: DataFrame): DataFrame = {
+        val seeds = Graphs.vertices(e).filter(col("vertex") % 3 === 0)
+        Graphs.biasedWalks(e, seeds, 4, 1L, 4L, 2L)
+      }
+      report("walks_biased",
+        time2("wb")(wkb(core)), time2("wb10")(wkb(core10C)))
+    }
     if (want("sssp_bfs")) report("sssp_bfs",
       time2("sssp")(ShortestPath.multiSourceBfs(core, Seq(1L))),
       time2("sssp10")(ShortestPath.multiSourceBfs(core10C,
@@ -562,7 +580,7 @@ object SkewScale {
     }
 
     if (Seq("minhash", "minhash_capped", "substring", "boilerplate",
-        "novelty").exists(want)) {
+        "novelty", "importance").exists(want)) {
       val dU = docReplicas(hot = false).localCheckpoint(eager = true)
       val dS = docReplicas(hot = true).localCheckpoint(eager = true)
       if (want("minhash")) report("minhash",
@@ -589,6 +607,16 @@ object SkewScale {
       if (want("novelty")) report("novelty",
         time2(graft.pipeline.TextAnalysis.noveltyScores(dU, 4)),
         time2(graft.pipeline.TextAnalysis.noveltyScores(dS, 4)))
+      // importance under shared boilerplate: each template gram becomes
+      // ONE hot r_df key — count partials absorb it; the broadcast t_df
+      // side is untouched and the raw side never goes pairwise
+      if (want("importance")) {
+        def imp(d: DataFrame): DataFrame =
+          graft.pipeline.TextAnalysis.importanceScores(
+            d.filter(col("doc_id") % 50 =!= 1),
+            d.filter(col("doc_id") % 50 === 1), 2)
+        report("importance", time2(imp(dU)), time2(imp(dS)))
+      }
     }
     spark.stop()
   }
