@@ -189,6 +189,51 @@ object Graphs {
     result.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
   }
 
+  /** default coreness h-index rounds — the iteration is monotone
+    * non-increasing and idempotent at its fixpoint, so the oracle's fixed
+    * unroll agrees with the engine's early convergence; vertices a round
+    * budget leaves unconverged carry the same round-t value on BOTH
+    * engines (the LPA/k-core bound contract). 24 covers the measured
+    * worst case on the KCoreMod graphs (17/16/8 rounds at
+    * sf0.001/0.01/0.1, DuckDB-probed against brute-force peeling) with
+    * headroom; the engine's convergence test stops at the fixpoint. */
+  val DefaultCorenessRounds = 24
+
+  /** Full core decomposition — per-vertex core number via the iterated
+    * h-index (Lü et al., Nature Communications 2016): start from the
+    * degree, repeatedly replace every vertex's value with the h-index of
+    * its neighbors' values (the largest h such that ≥ h neighbors hold
+    * value ≥ h); the sequence is monotone non-increasing and converges
+    * exactly to the coreness. Where [[kCore]] answers "is v in the k-core"
+    * for ONE k by subgraph peeling, this labels every vertex with its
+    * maximal k in one pass over rounds — the whole onion, the standard
+    * graph-curation density score.
+    *
+    * Scale: each round is one edge-sized message join + a per-vertex
+    * h-index. The h-index needs the neighbor multiset ranked, so a hub of
+    * degree d sorts d rows on one task per round (the per-key-window
+    * shape; the events chunking trick does not apply because rank is
+    * global per vertex) — bounded by max degree, the quantity the
+    * degree/k-core screens upstream already cap. State is vertex-sized;
+    * values only fall, and the convergence test stops early. */
+  def coreness(edges: DataFrame, rounds: Int = DefaultCorenessRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirectedSized(edges)
+    // symmetric closure => per-src row count IS the undirected degree
+    val init = und.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("val"))
+    val result = graft.iterate.Fixpoint.iterate(init, rounds,
+        converged = graft.iterate.Fixpoint.monotoneSumUnchanged("val")) { (state, _) =>
+      val msgs = state.join(und, state("vertex") === und("src"))
+        .select(col("dst").as("vertex"), col("val"))
+      val w = Window.partitionBy("vertex").orderBy(desc("val"))
+      msgs.withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("vertex")
+        .agg(max(least(col("val"), col("r"))).as("val"))
+    }
+    und.unpersist(blocking = false)
+    result.select(col("vertex"), col("val").as("coreness"))
+  }
+
   /** default k-truss peeling rounds — deletion-only, so rounds past the
     * fixpoint are no-ops and the oracle's fixed unroll agrees with the
     * engine's early convergence */

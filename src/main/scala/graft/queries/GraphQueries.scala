@@ -455,6 +455,14 @@ object GraphQueries {
       Graphs.kCore(Graphs.lineitemEdges(s, d, KCoreMod), KCoreK, KCoreRounds)
         .orderBy("vertex")),
 
+    // full core decomposition (iterated h-index): every vertex labeled
+    // with its maximal k — the whole onion where q_graph_kcore answers
+    // one k; the density score graph curation ranks documents'
+    // link-neighborhoods by
+    "q_graph_coreness" -> ((s, d) =>
+      Graphs.coreness(Graphs.lineitemEdges(s, d, KCoreMod))
+        .orderBy("vertex")),
+
     // deterministic Luby MIS: hash-priority local minima join the set,
     // neighbors drop out; the classic distributed symmetry breaker —
     // the whole peel (priorities, winners, domination, rounds) replays
@@ -1497,6 +1505,35 @@ object GraphQueries {
     * edge set and keeps edges whose BOTH endpoints have degree >= k.
     * Deletion-only, so rounds past the fixpoint are no-ops — the fixed
     * unroll and the engine's early convergence reach the same subgraph. */
+  /** unrolled iterated-h-index coreness: h0 = degree over the symmetric
+    * closure; each round re-ranks every vertex's neighbor values and takes
+    * max(least(val, rank)) — the h-index, tie-order-invariant, so the
+    * window's DESC sort needs no tie-break. Idempotent at the fixpoint,
+    * so the fixed unroll matches the engine's early convergence. */
+  private def corenessSql(mod: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH kedges AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+      |  FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+      |e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM kedges UNION SELECT dst AS src, src AS dst FROM kedges),
+      |h0 AS MATERIALIZED (
+      |  SELECT src AS vertex, CAST(count(*) AS BIGINT) AS val FROM e0 GROUP BY src)""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |h$i AS MATERIALIZED (
+        |  SELECT vertex, max(least(val, r)) AS val FROM (
+        |    SELECT e.dst AS vertex, h.val,
+        |      CAST(row_number() OVER (PARTITION BY e.dst ORDER BY h.val DESC) AS BIGINT) AS r
+        |    FROM h$p h JOIN e0 e ON h.vertex = e.src)
+        |  GROUP BY vertex)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT vertex, val AS coreness FROM h$rounds ORDER BY vertex""".stripMargin
+    sb.toString
+  }
+
   private def kcoreSql(mod: Int, k: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH kedges AS MATERIALIZED (
@@ -1605,6 +1642,7 @@ object GraphQueries {
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),
+    "q_graph_coreness" -> corenessSql(KCoreMod, Graphs.DefaultCorenessRounds),
     "q_graph_sssp_path" -> ssspPathSql,
     "q_graph_sssp_path_tree" -> ssspPathTreeSql,
     "q_graph_degree" -> degreeSql,

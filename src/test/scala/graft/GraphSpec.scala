@@ -614,6 +614,21 @@ class GraphSpec extends SparkSpec {
     assert(q0 == 0L)
   }
 
+  test("coreness: K4-plus-tail decomposes into core numbers 3 and 1") {
+    // K4 on {1,2,3,4} with a path 4-5-6 hanging off: the clique is the
+    // 3-core, the tail strips to coreness 1 (hand-iterated h-index:
+    // degrees (3,3,3,4,2,1) -> one round reaches (3,3,3,3,1,1), stable)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield a -> b
+    val e = edges((k4 ++ Seq(4L -> 5L, 5L -> 6L)): _*)
+    val got = Graphs.coreness(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+    // a pure cycle is its own 2-core everywhere
+    val cyc = edges((1L to 5L).map(i => i -> (i % 5 + 1)): _*)
+    val c = Graphs.coreness(cyc).collect().map(_.getLong(1)).toSet
+    assert(c == Set(2L))
+  }
+
   test("walks: forced path is followed; a seed on a sink stays a 1-row walk") {
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
     val seeds = Seq(1L, 4L).toDF("vertex")
