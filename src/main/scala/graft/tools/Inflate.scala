@@ -213,7 +213,8 @@ object GraphScale {
     lazy val core10C = core10.localCheckpoint(eager = true)
     def needsCore10: Boolean = Seq("cc", "pagerank_damped", "pagerank_grown",
       "sssp_bfs", "cc_inc_fold", "sssp_w_inc_fold",
-      "mis", "matching", "scc", "walks", "walks_biased").exists(want)
+      "mis", "matching", "scc", "walks", "walks_biased",
+      "coreness").exists(want)
     if (needsCore10) core10C.count() // pin the checkpoint before any timing
 
     if (want("cc")) report("cc",
@@ -267,6 +268,11 @@ object GraphScale {
       report("walks_biased",
         time2("wb")(wkb(core)), time2("wb10")(wkb(core10C)))
     }
+    // coreness: disjoint copies each converge to their own onion — rounds
+    // = max over copies (same as 1x), per-round work K-parallel
+    if (want("coreness")) report("coreness",
+      time2("coreness")(Graphs.coreness(core)),
+      time2("coreness10")(Graphs.coreness(core10C)))
     if (want("sssp_bfs")) report("sssp_bfs",
       time2("sssp")(ShortestPath.multiSourceBfs(core, Seq(1L))),
       time2("sssp10")(ShortestPath.multiSourceBfs(core10C,
