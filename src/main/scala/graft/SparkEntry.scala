@@ -103,6 +103,6 @@ object SparkEntry {
     // generator + its skip-gram pair aggregation
     "q_sample_importance", "q_sample_cluster",
     "q_graph_walks", "q_graph_walk_pairs", "q_graph_walks_biased",
-    "q_graph_coreness",
+    "q_graph_coreness", "q_graph_densest",
   ).filter(queries.contains)
 }

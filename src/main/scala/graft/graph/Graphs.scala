@@ -234,6 +234,74 @@ object Graphs {
     result.select(col("vertex"), col("val").as("coreness"))
   }
 
+  /** default densest-subgraph peel rounds: each round removes every
+    * vertex with degree ≤ (3/2)·avg, so the survivor count falls
+    * geometrically — log₁.₅(n) ≈ 17 at n = 1000; 24 gives headroom and
+    * empty-state rounds are no-ops the oracle replays as
+    * never-winning (0, 0) candidates */
+  val DefaultDensestRounds = 24
+
+  /** Densest subgraph, greedy peel (Charikar APPROX 2000; the
+    * MapReduce-round formulation is Bahmani, Kumar & Vassilvitskii,
+    * VLDB 2012): repeatedly strip every vertex whose degree is at most
+    * 2(1+ε) times the current average degree (ε = 1/2 here, so the
+    * comparison `2·n·deg > 3·twoM` is EXACT int64 — no density float
+    * ever materializes), record each intermediate vertex set as a
+    * candidate, and return the candidate with the highest |E|/|V| —
+    * a 2(1+ε)-approximation of the true maximum-density subgraph in
+    * O(log₁₊ε n) rounds. The dense-community extractor: spam/botnet
+    * cores, topic nuclei, the "what is this graph's hottest blob"
+    * answer that coreness ranks but does not delimit. Cross-round
+    * density comparison is exact cross-multiplication (mᵢ·nⱼ vs mⱼ·nᵢ),
+    * ties to the EARLIER (larger) candidate; vertices that lose their
+    * last edge leave immediately (a zero-degree vertex only dilutes
+    * density). Assumes m·n < 2^62 (the priorityKey id-space class).
+    *
+    * Scale: each round is one vertex-sized degree aggregation + two
+    * semi-joins of the shrinking edge state; candidate vertex sets are
+    * the per-round degree relations (vertex-sized checkpoints, kept so
+    * the winner needs no second peel pass); two scalar counts per round
+    * drive the driver-side argmax — the per-round-action shape of
+    * kCore/Fixpoint. Returns (vertex, deg) of the winning candidate,
+    * deg = degree WITHIN it. */
+  def densestSubgraph(edges: DataFrame,
+      rounds: Int = DefaultDensestRounds): DataFrame = {
+    var state = undirectedSized(edges)
+    val first = state
+    val degs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    var live = true
+    while (i < rounds && live) {
+      val deg = state.groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true) // stats count + keep filter + maybe output
+      val twoM = state.count()
+      val n = deg.count()
+      degs += deg
+      stats += ((twoM, n))
+      if (twoM == 0L) live = false
+      else {
+        val keep = deg.filter(lit(2L) * lit(n) * col("deg") > lit(3L) * lit(twoM))
+          .select(col("vertex"))
+        state = state
+          .join(keep.withColumnRenamed("vertex", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("vertex", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint(eager = true)
+      }
+      i += 1
+    }
+    first.unpersist(blocking = false)
+    // argmax density m/n by exact cross-multiplication, earliest round
+    // wins ties (the larger candidate); empty candidates never win
+    var best = 0
+    for (j <- 1 until stats.length) {
+      val (mB, nB) = stats(best); val (mJ, nJ) = stats(j)
+      if (mJ * nB > mB * nJ) best = j
+    }
+    degs(best).orderBy("vertex")
+  }
+
   /** default k-truss peeling rounds — deletion-only, so rounds past the
     * fixpoint are no-ops and the oracle's fixed unroll agrees with the
     * engine's early convergence */

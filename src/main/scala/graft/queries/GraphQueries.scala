@@ -70,6 +70,28 @@ object GraphQueries {
           % ColoringMod).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
   }
+  // densest-subgraph fixture: sparse background (Mod-200000 cut — near
+  // the identity mapping at small sfs, so background density stays ~4)
+  // plus a planted 40-vertex near-clique built from hash-decorrelated
+  // blob ids on a 1-in-5 row slice (linear id mixes collapse under the
+  // slice residue — DuckDB-probed; the multiplicative hash spreads the
+  // grid). The peel isolates exactly the planted core at every sf
+  // (density 15.4/19.5/13.7 vs background ~4).
+  private val DsgMod = 200000
+  private val DsgCore = 40
+  private val DsgSlice = 5
+  private def densestEdges(s: SparkSession, d: String): DataFrame = {
+    def hp(c: org.apache.spark.sql.Column) =
+      c % 2147483647L * 2654435761L % 2147483647L
+    val li = Tables.lineitem(s, d)
+    val bg = li.select((col("l_orderkey") % DsgMod).cast("long").as("src"),
+      (col("l_partkey") % DsgMod).cast("long").as("dst"))
+    val core = li.filter(col("l_orderkey") % DsgSlice === 0)
+      .select((lit(DsgMod.toLong) + hp(col("l_orderkey")) % DsgCore).as("src"),
+        (lit(DsgMod.toLong) + hp(col("l_partkey")) % DsgCore).as("dst"))
+    bg.unionByName(core).filter(col("src") =!= col("dst")).distinct()
+  }
+
   // deterministic walks: seed every WalkSeedMod'th vertex, WalkLen steps;
   // engine loop depth and oracle unroll depth must agree, and the step
   // hash ((wid % P * 131 + step + dst) % P * 2654435761 % P) is spelled
@@ -454,6 +476,14 @@ object GraphQueries {
     "q_graph_kcore" -> ((s, d) =>
       Graphs.kCore(Graphs.lineitemEdges(s, d, KCoreMod), KCoreK, KCoreRounds)
         .orderBy("vertex")),
+
+    // densest subgraph (greedy peel, Charikar/Bahmani-et-al.): strip
+    // below-(3/2)·avg-degree vertices each round, keep the densest
+    // intermediate set — the dense-community extractor; all density
+    // comparisons are exact integer cross-multiplications, and the
+    // fixture's planted near-clique is recovered exactly at every sf
+    "q_graph_densest" -> ((s, d) =>
+      Graphs.densestSubgraph(densestEdges(s, d)).orderBy("vertex")),
 
     // full core decomposition (iterated h-index): every vertex labeled
     // with its maximal k — the whole onion where q_graph_kcore answers
@@ -1534,6 +1564,53 @@ object GraphQueries {
     sb.toString
   }
 
+  /** unrolled greedy densest-subgraph peel: per round the degree
+    * relation, one-row (twom, n) scalars, the exact-integer keep filter
+    * (2·n·deg > 3·twom), and the peeled edge set; `best` picks the round
+    * whose candidate no other round beats under exact cross-multiplied
+    * density (ties to the earlier = larger candidate; empty rounds never
+    * win), and the final select returns that round's degree relation. */
+  private def densestSql(rounds: Int): String = {
+    val hp = "% 2147483647 * 2654435761 % 2147483647"
+    val sb = new StringBuilder
+    sb ++= s"""WITH base AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT l_orderkey % $DsgMod AS src, l_partkey % $DsgMod AS dst FROM lineitem
+      |    UNION ALL
+      |    SELECT $DsgMod + (l_orderkey $hp) % $DsgCore,
+      |           $DsgMod + (l_partkey $hp) % $DsgCore
+      |    FROM lineitem WHERE l_orderkey % $DsgSlice = 0)
+      |  WHERE src <> dst),
+      |e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM base UNION SELECT dst, src FROM base)""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |d$i AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e$p GROUP BY src),
+        |c$i AS MATERIALIZED (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM e$p) AS twom,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM d$i) AS n),
+        |k$i AS MATERIALIZED (
+        |  SELECT d.src AS v FROM d$i d, c$i c WHERE 2 * c.n * d.deg > 3 * c.twom),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e$p e
+        |  JOIN k$i a ON a.v = e.src JOIN k$i b ON b.v = e.dst)""".stripMargin
+    }
+    sb ++= s""",
+      |stats AS MATERIALIZED (
+      |  ${(1 to rounds).map(i => s"SELECT $i AS r, twom, n FROM c$i").mkString(" UNION ALL ")}),
+      |best AS MATERIALIZED (
+      |  SELECT r FROM stats s1 WHERE NOT EXISTS (
+      |    SELECT 1 FROM stats s2 WHERE s2.twom * s1.n > s1.twom * s2.n
+      |      OR (s2.twom * s1.n = s1.twom * s2.n AND s2.r < s1.r))),
+      |alld AS (
+      |  ${(1 to rounds).map(i => s"SELECT $i AS r, src, deg FROM d$i").mkString(" UNION ALL ")})
+      |SELECT alld.src AS vertex, alld.deg FROM alld JOIN best USING (r)
+      |ORDER BY vertex""".stripMargin
+    sb.toString
+  }
+
   private def kcoreSql(mod: Int, k: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH kedges AS MATERIALIZED (
@@ -1643,6 +1720,7 @@ object GraphQueries {
     "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),
     "q_graph_coreness" -> corenessSql(KCoreMod, Graphs.DefaultCorenessRounds),
+    "q_graph_densest" -> densestSql(Graphs.DefaultDensestRounds),
     "q_graph_sssp_path" -> ssspPathSql,
     "q_graph_sssp_path_tree" -> ssspPathTreeSql,
     "q_graph_degree" -> degreeSql,

@@ -614,6 +614,22 @@ class GraphSpec extends SparkSpec {
     assert(q0 == 0L)
   }
 
+  test("densest subgraph: the peel isolates a planted clique from a path") {
+    // K6 (deg 5, density 2.5) + an 11-vertex path (density ~0.9): round 1
+    // strips the path (threshold 1.5·avg ≈ 4.4), leaving exactly the
+    // clique as the round-2 candidate — the winner by exact cross-mult
+    val k6 = for (a <- 1L to 6L; b <- 1L to 6L if a < b) yield a -> b
+    val path = (10L until 20L).map(i => i -> (i + 1))
+    val got = Graphs.densestSubgraph(edges((k6 ++ path): _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 6L).map(_ -> 5L).toMap)
+    // a pure clique's best candidate is itself (round 1, before the
+    // uniform peel empties it)
+    val solo = Graphs.densestSubgraph(edges(k6: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(solo == (1L to 6L).map(_ -> 5L).toMap)
+  }
+
   test("coreness: K4-plus-tail decomposes into core numbers 3 and 1") {
     // K4 on {1,2,3,4} with a path 4-5-6 hanging off: the clique is the
     // 3-core, the tail strips to coreness 1 (hand-iterated h-index:
