@@ -214,7 +214,7 @@ object GraphScale {
     def needsCore10: Boolean = Seq("cc", "pagerank_damped", "pagerank_grown",
       "sssp_bfs", "cc_inc_fold", "sssp_w_inc_fold",
       "mis", "matching", "scc", "walks", "walks_biased",
-      "coreness").exists(want)
+      "coreness", "densest").exists(want)
     if (needsCore10) core10C.count() // pin the checkpoint before any timing
 
     if (want("cc")) report("cc",
@@ -273,6 +273,11 @@ object GraphScale {
     if (want("coreness")) report("coreness",
       time2("coreness")(Graphs.coreness(core)),
       time2("coreness10")(Graphs.coreness(core10C)))
+    // densest subgraph: each copy carries the same density profile, so
+    // the peel thresholds are copy-invariant and rounds match 1x
+    if (want("densest")) report("densest",
+      time2("densest")(Graphs.densestSubgraph(core)),
+      time2("densest10")(Graphs.densestSubgraph(core10C)))
     if (want("sssp_bfs")) report("sssp_bfs",
       time2("sssp")(ShortestPath.multiSourceBfs(core, Seq(1L))),
       time2("sssp10")(ShortestPath.multiSourceBfs(core10C,
