@@ -101,7 +101,7 @@ object SparkEntry {
     // round-11 continuation, second wave: selection-stage operators
     // (importance scoring, topic-quota sampling) and the walk corpus
     // generator + its skip-gram pair aggregation
-    "q_sample_importance", "q_sample_cluster",
+    "q_sample_importance", "q_sample_importance_inc", "q_sample_cluster",
     "q_graph_walks", "q_graph_walk_pairs", "q_graph_walks_biased",
     "q_graph_coreness", "q_graph_densest",
   ).filter(queries.contains)

@@ -307,16 +307,27 @@ object TextAnalysis {
   def importanceScores(raw: DataFrame, target: DataFrame, k: Int = 2): DataFrame = {
     val rg = Dedup.substringIndex(raw, k).select("doc_id", "h").distinct()
       .localCheckpoint(eager = true) // r_df agg and join-back both consume it
-    val tdf = Dedup.substringIndex(target, k).select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("t_df"))
     val rdf = rg.groupBy("h").agg(count(lit(1)).as("r_df"))
-    val sc = rg.join(rdf, "h")
+    importanceTail(raw, rg, rdf, targetDf(target, k))
+  }
+
+  /** (h, t_df) over the curated target slice — the static side of the
+    * importance family, broadcast at probe time */
+  private def targetDf(target: DataFrame, k: Int): DataFrame =
+    Dedup.substringIndex(target, k).select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("t_df"))
+
+  /** shared per-doc tail: mass sums over the scored docs' distinct grams
+    * against the supplied (h, r_df) relation; gram-less docs carry zeros */
+  private def importanceTail(docs: DataFrame, grams: DataFrame,
+      rdf: DataFrame, tdf: DataFrame): DataFrame = {
+    val sc = grams.join(rdf, "h")
       .join(broadcast(tdf), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("t_df"), lit(0L))).as("t_mass"),
         sum(col("r_df")).as("r_mass"))
-    raw.select("doc_id").join(sc, Seq("doc_id"), "left")
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("t_mass"), lit(0L)).as("t_mass"),
@@ -324,6 +335,36 @@ object TextAnalysis {
         when(col("n_grams").isNull, lit(0.0))
           .otherwise(round(col("t_mass").cast("double") / col("r_mass"), 6))
           .as("affinity"))
+  }
+
+  /** The importance family's STORED INDEX: gram key → distinct-raw-
+    * carrier count over everything ingested so far. One row per distinct
+    * corpus gram, SUM-mergeable with any disjoint batch's counts (the
+    * boilerplateIndex contract) — the relation an ingest pipeline
+    * persists between batches. */
+  def importanceIndex(docs: DataFrame, k: Int = 2): DataFrame =
+    Dedup.substringIndex(docs, k).select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("r_df"))
+
+  /** Incremental importance — the append-only-ingest face of
+    * [[importanceScores]]: score an incoming raw batch against the
+    * stored [[importanceIndex]] without re-keying existing text. A batch
+    * gram's raw-carrier count is stored + batch-internal (disjoint doc
+    * sets, so the sum is EXACT, not approximate), and the target side is
+    * static — the result equals the batch run over stored ∪ batch
+    * RESTRICTED to the incoming docs (spec-pinned; the oracle replays
+    * the union with that restriction). Scale: per ingest, gram-keying is
+    * batch-sized; the index join ships stored counts only for gram keys
+    * the batch carries. */
+  def incrementalImportanceScores(index: DataFrame, target: DataFrame,
+      incoming: DataFrame, k: Int = 2): DataFrame = {
+    val inc = Dedup.substringIndex(incoming, k).select("doc_id", "h").distinct()
+      .localCheckpoint(eager = true)
+    val rdf = inc.groupBy("h").agg(count(lit(1)).as("b_df"))
+      .join(index.withColumnRenamed("r_df", "i_df"), Seq("h"), "left")
+      .select(col("h"),
+        (col("b_df") + coalesce(col("i_df"), lit(0L))).as("r_df"))
+    importanceTail(incoming, inc, rdf, targetDf(target, k))
   }
 
   /** Linear quality-model gate — the fasttext-style classifier-filter

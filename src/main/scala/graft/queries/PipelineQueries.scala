@@ -407,6 +407,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the append-only ingest face: odd-id raw batch scored against the
+    // materialized even-id r_df index (sum-merged with batch-internal
+    // counts — exact, disjoint doc sets); equals the batch run over the
+    // union restricted to the batch (the incremental family's
+    // hash-equality proof shape)
+    "q_sample_importance_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val raw = docs.filter(!col("source").isin(TargetSources: _*))
+      val index = TextAnalysis.importanceIndex(
+          raw.filter(col("doc_id") % 2 === 0), ImportanceK)
+        .localCheckpoint(eager = true) // the "stored" relation
+      TextAnalysis.incrementalImportanceScores(index,
+          docs.filter(col("source").isin(TargetSources: _*)),
+          raw.filter(col("doc_id") % 2 === 1), ImportanceK)
+        .orderBy("doc_id")
+    }),
+
     // cluster-quota diversity sample: ≤ ClusterQuota representatives per
     // Lloyd topic cluster, hash-priority order — topic-balanced selection
     // (head-heavy genres flattened, tail genres kept whole)
@@ -1145,7 +1162,7 @@ object PipelineQueries {
   /** importance replay: distinct (gram, doc) pairs over ALL docs, split
     * into target/raw carrier counts by source, per-raw-doc mass sums,
     * one IEEE division. Sums CAST to BIGINT (DuckDB widens to HUGEINT). */
-  private val importanceSql = {
+  private def importanceSqlWhere(where: String) = {
     val tgt = TargetSources.map(s => s"'$s'").mkString(", ")
     gramCtes(ImportanceK, "SELECT doc_id, text FROM documents") +
       s""",
@@ -1172,9 +1189,14 @@ object PipelineQueries {
          |            ELSE round(CAST(sc.t_mass AS DOUBLE) / sc.r_mass, 6)
          |       END AS affinity
          |FROM src LEFT JOIN sc USING (doc_id)
-         |WHERE src.source NOT IN ($tgt)
+         |WHERE src.source NOT IN ($tgt) $where
          |ORDER BY src.doc_id""".stripMargin
   }
+  private val importanceSql = importanceSqlWhere("")
+  /** the incremental twin's contract: importance over the UNION, output
+    * restricted to the odd-id batch (r_df over stored ∪ batch is exact —
+    * disjoint doc sets sum) */
+  private val importanceIncSql = importanceSqlWhere("AND src.doc_id % 2 = 1")
 
   /** family histogram: the clusters chain aggregated twice (label → family
     * size → families per size) */
@@ -2428,6 +2450,7 @@ object PipelineQueries {
     "q_decontam_overlap" -> decontamOverlapSql,
     "q_text_novelty" -> noveltySql,
     "q_sample_importance" -> importanceSql,
+    "q_sample_importance_inc" -> importanceIncSql,
     "q_sample_cluster" -> sampleClusterSql,
     "q_text_novelty_inc" -> noveltyIncSql,
     "q_dedup_final" -> dedupFinalSql,

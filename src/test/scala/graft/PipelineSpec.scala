@@ -830,6 +830,31 @@ class PipelineSpec extends SparkSpec {
     assert(again == got.map { case (id, t) => (id, t._2, t._3, t._4) }.toSet)
   }
 
+  test("incremental importance: stored r_df index equals recompute over the union") {
+    // gram (w1 w2) straddles the stored (doc 2) and batch (docs 1, 5)
+    // sides: the batch r_df must be stored + batch-internal (1 + 2 = 3),
+    // not presence-or — a max/overwrite merge would misprice it
+    val target = docs(100L -> "w1 w2 w3")
+    val raw = docs(
+      1L -> "w1 w2 q1",
+      2L -> "w1 w2 q2",
+      3L -> "q7 q8 q9",
+      4L -> "w2 w3 q3",
+      5L -> "w1 w2 q5")
+    val even = raw.filter(col("doc_id") % 2 === 0)
+    val odd = raw.filter(col("doc_id") % 2 === 1)
+    val inc = TextAnalysis.incrementalImportanceScores(
+        TextAnalysis.importanceIndex(even, 2), target, odd, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val batch = TextAnalysis.importanceScores(raw, target, 2)
+      .filter(col("doc_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(inc == batch)
+    // and the straddle concretely: docs 1/5 see r_df(w1 w2) = 3
+    val m = inc.map(t => t._1 -> t._4).toMap
+    assert(m(1L) == 4L && m(5L) == 4L) // 3 (w1 w2) + 1 (w2 qX)
+  }
+
   test("cluster-quota sample: per-cluster cap binds, full quota returns everyone") {
     // two well-separated blobs -> Lloyd with k=2 splits them exactly
     val emb = ((0L to 5L).map(i => (i, Array(0.0f + i * 0.01f, 0.0f))) ++
