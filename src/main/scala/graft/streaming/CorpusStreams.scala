@@ -225,6 +225,53 @@ object CorpusStreams {
       }
       .start()
 
+  /** Streaming importance ingest — [[noveltyIngest]]'s shape for the
+    * DSIR-style target-affinity scores: per trigger, the arriving batch
+    * is scored against the stored raw-carrier index SUM-folded from its
+    * per-batch partitions (r_df is sum-mergeable on disjoint batches —
+    * exact, not approximate) plus the static curated `target` slice;
+    * batch counts are written AFTER scoring, and every read excludes
+    * batch_id >= current, so a crashed batch's replay never sees its own
+    * partial rows (replay-idempotent, the curateBatch discipline).
+    * Arrival-order contract: r_df is an ingested-so-far count, so scores
+    * carry the arrival-time prefix-df semantics the incremental
+    * boilerplate scrub documents — scoring doc X prices its grams
+    * against the corpus BEFORE X, which is exactly the online-selection
+    * decision ("is this arriving doc target-like relative to what we
+    * already hold"). */
+  def importanceIngest(docs: DataFrame, target: DataFrame, indexDir: String,
+      scoresDir: String, checkpointDir: String,
+      k: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint(eager = true)
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId)
+              .groupBy("h").agg(sum("r_df").as("r_df"))
+          else sp.emptyDataFrame
+            .select(lit(0L).as("h"), lit(0L).as("r_df")).limit(0)
+        val scores = graft.pipeline.TextAnalysis
+          .incrementalImportanceScores(index, target, b, k)
+          .localCheckpoint(eager = true)
+        def writePartition(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(scores, scoresDir)
+        // index grows only after scoring: a batch's r_df is prior batches
+        // + its own internal carriers, never its not-yet-written rows
+        writePartition(graft.pipeline.TextAnalysis.importanceIndex(b, k), indexDir)
+        ()
+      }
+      .start()
+
   /** documents frame → (doc_id, source, n_tokens) with the same BPE-ish
     * token estimate as the batch allocator; works on static AND streaming
     * frames (pure projection). */

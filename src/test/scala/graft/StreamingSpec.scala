@@ -360,6 +360,52 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == b1Streamed)
   }
 
+  test("streaming importance ingest: prefix-df scores, grown index, replay no-op") {
+    import graft.streaming.CorpusStreams
+    import graft.pipeline.TextAnalysis
+    val all = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val target = all.filter(col("doc_id") % 10 === 7).localCheckpoint(true)
+    val raw = all.filter(col("doc_id") % 10 =!= 7)
+    val dir = Files.createTempDirectory("graft-imp-stream")
+    raw.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(dir.resolve("in/b0").toString)
+    raw.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(dir.resolve("in/b1").toString)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.importanceIngest(stream, target,
+      dir.resolve("index").toString, dir.resolve("scores").toString,
+      dir.resolve("ck").toString)
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "t_mass", "r_mass", "affinity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val scores = spark.read.parquet(dir.resolve("scores").toString)
+    // batch 0 saw an empty index: its scores ARE the plain batch run on b0
+    assert(rows(scores.filter(col("batch_id") === 0)) ==
+      rows(TextAnalysis.importanceScores(raw.filter(col("doc_id") < 250), target)))
+    // batch 1's stored side is exactly all ids < 250, so its emission
+    // equals the FULL-corpus batch run restricted to the batch (the
+    // certified q_sample_importance_inc contract)
+    assert(rows(scores.filter(col("batch_id") === 1)) ==
+      rows(TextAnalysis.importanceScores(raw, target)
+        .filter(col("doc_id") >= 250)))
+    // the grown index sum-folds to the full corpus's carrier counts
+    val grown = spark.read.parquet(dir.resolve("index").toString)
+      .groupBy("h").agg(sum("r_df").as("r_df")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grown == TextAnalysis.importanceIndex(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // crash-replay of batch 1 against surviving state (its own partitions
+    // present): the read excludes batch_id >= 1, so nothing changes
+    val replayIdx = spark.read.parquet(dir.resolve("index").toString)
+      .filter(col("batch_id") < 1).groupBy("h").agg(sum("r_df").as("r_df"))
+    assert(rows(TextAnalysis.incrementalImportanceScores(
+        replayIdx, target, raw.filter(col("doc_id") >= 250))) ==
+      rows(scores.filter(col("batch_id") === 1)))
+  }
+
   test("streaming curate ingest: admissions equal the one-shot batch curate screen") {
     import graft.streaming.CorpusStreams
     val docsPath = sf("sf0.001") + "/documents.parquet"
