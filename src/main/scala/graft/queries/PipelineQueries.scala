@@ -424,6 +424,42 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // pure-SQL surface for the importance pipeline: gram keys -> split
+    // carrier counts -> mass sums in ONE spark.sql statement over the
+    // registered kernel — a SQL-only user runs the same DSIR-style
+    // scorer, hash-matching q_sample_importance's oracle
+    "q_sql_importance" -> ((s, d) => {
+      graft.functions.GraftExtensions.installInto(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      val tgt = TargetSources.map(x => s"'$x'").mkString(", ")
+      s.sql(
+        s"""WITH dg AS (
+           |  SELECT doc_id, source, h FROM (
+           |    SELECT doc_id, source,
+           |      explode(array_distinct(graft_gram_keys(text, $ImportanceK))) AS h
+           |    FROM graft_documents)),
+           |tdf AS (
+           |  SELECT h, count(*) AS t_df FROM dg
+           |  WHERE source IN ($tgt) GROUP BY h),
+           |rdg AS (SELECT doc_id, h FROM dg WHERE source NOT IN ($tgt)),
+           |rdf AS (SELECT h, count(*) AS r_df FROM rdg GROUP BY h),
+           |sc AS (
+           |  SELECT doc_id, count(*) AS n_grams,
+           |    sum(coalesce(t_df, CAST(0 AS BIGINT))) AS t_mass,
+           |    sum(r_df) AS r_mass
+           |  FROM rdg JOIN rdf USING (h) LEFT JOIN tdf USING (h)
+           |  GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           |  coalesce(sc.t_mass, CAST(0 AS BIGINT)) AS t_mass,
+           |  coalesce(sc.r_mass, CAST(0 AS BIGINT)) AS r_mass,
+           |  CASE WHEN sc.n_grams IS NULL THEN CAST(0.0 AS DOUBLE)
+           |       ELSE round(CAST(sc.t_mass AS DOUBLE) / sc.r_mass, 6)
+           |  END AS affinity
+           |FROM graft_documents d LEFT JOIN sc USING (doc_id)
+           |WHERE d.source NOT IN ($tgt)
+           |ORDER BY doc_id""".stripMargin)
+    }),
+
     // cluster-quota diversity sample: ≤ ClusterQuota representatives per
     // Lloyd topic cluster, hash-priority order — topic-balanced selection
     // (head-heavy genres flattened, tail genres kept whole)
@@ -2451,6 +2487,9 @@ object PipelineQueries {
     "q_text_novelty" -> noveltySql,
     "q_sample_importance" -> importanceSql,
     "q_sample_importance_inc" -> importanceIncSql,
+    // the SQL surface reproduces the Column-API pipeline exactly, so it
+    // shares its oracle
+    "q_sql_importance" -> importanceSql,
     "q_sample_cluster" -> sampleClusterSql,
     "q_text_novelty_inc" -> noveltyIncSql,
     "q_dedup_final" -> dedupFinalSql,
