@@ -102,6 +102,7 @@ object SparkEntry {
     // (importance scoring, topic-quota sampling) and the walk corpus
     // generator + its skip-gram pair aggregation
     "q_sample_importance", "q_sample_importance_inc", "q_sample_cluster",
+    "q_select_training",
     "q_graph_walks", "q_graph_walk_pairs", "q_graph_walks_biased",
     "q_graph_coreness", "q_graph_densest",
   ).filter(queries.contains)

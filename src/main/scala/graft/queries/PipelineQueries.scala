@@ -51,6 +51,8 @@ object PipelineQueries {
   private val TargetSources = Seq("src0", "src1")
   // cluster-quota diversity sample: per-topic representative cap
   private val ClusterQuota = 16
+  // selection pipeline: per-source keep count after the quality gate
+  private val SelectPerSource = 10
   // curation thresholds (quality gate for the end-to-end pipeline)
   private val MinWords = 10
   private val MinUniqRatio = 0.3
@@ -422,6 +424,29 @@ object PipelineQueries {
           docs.filter(col("source").isin(TargetSources: _*)),
           raw.filter(col("doc_id") % 2 === 1), ImportanceK)
         .orderBy("doc_id")
+    }),
+
+    // selection-stage composition: quality-model gate × importance score
+    // × per-source affinity-ranked cut — "of what passes the classifier,
+    // keep each feed's most target-like K" in one query; the rank cut
+    // lowers to the bounded-heap pushdown, so a giant feed never
+    // full-sorts on one task
+    "q_select_training" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val raw = docs.filter(!col("source").isin(TargetSources: _*))
+      val target = docs.filter(col("source").isin(TargetSources: _*))
+      val scored = TextAnalysis.importanceScores(raw, target, ImportanceK)
+        .select("doc_id", "affinity")
+        .join(TextAnalysis.scoreLinear(raw).filter(col("keep"))
+          .select("doc_id", "score"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val w = Window.partitionBy("source")
+        .orderBy(desc("affinity"), asc("doc_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= SelectPerSource)
+        .select("source", "rn", "doc_id", "affinity", "score")
+        .orderBy("source", "rn")
     }),
 
     // pure-SQL surface for the importance pipeline: gram keys -> split
@@ -1198,18 +1223,20 @@ object PipelineQueries {
   /** importance replay: distinct (gram, doc) pairs over ALL docs, split
     * into target/raw carrier counts by source, per-raw-doc mass sums,
     * one IEEE division. Sums CAST to BIGINT (DuckDB widens to HUGEINT). */
-  private def importanceSqlWhere(where: String) = {
-    val tgt = TargetSources.map(s => s"'$s'").mkString(", ")
+  /** shared CTE body of the importance family (gram relation + split
+    * carrier counts + per-doc mass sums), ending at `sc` */
+  private val importanceTgt = TargetSources.map(s => s"'$s'").mkString(", ")
+  private val importanceCtes =
     gramCtes(ImportanceK, "SELECT doc_id, text FROM documents") +
       s""",
          |dg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g),
          |src AS MATERIALIZED (SELECT doc_id, source FROM documents),
          |tdf AS MATERIALIZED (
          |  SELECT h, CAST(count(*) AS BIGINT) AS t_df
-         |  FROM dg JOIN src USING (doc_id) WHERE source IN ($tgt) GROUP BY h),
+         |  FROM dg JOIN src USING (doc_id) WHERE source IN ($importanceTgt) GROUP BY h),
          |rdg AS MATERIALIZED (
          |  SELECT dg.doc_id, dg.h FROM dg JOIN src USING (doc_id)
-         |  WHERE source NOT IN ($tgt)),
+         |  WHERE source NOT IN ($importanceTgt)),
          |rdf AS MATERIALIZED (
          |  SELECT h, CAST(count(*) AS BIGINT) AS r_df FROM rdg GROUP BY h),
          |sc AS MATERIALIZED (
@@ -1217,7 +1244,12 @@ object PipelineQueries {
          |         CAST(sum(coalesce(t_df, 0)) AS BIGINT) AS t_mass,
          |         CAST(sum(r_df) AS BIGINT) AS r_mass
          |  FROM rdg JOIN rdf USING (h) LEFT JOIN tdf USING (h)
-         |  GROUP BY doc_id)
+         |  GROUP BY doc_id)""".stripMargin
+
+  private def importanceSqlWhere(where: String) = {
+    val tgt = importanceTgt
+    importanceCtes +
+      s"""
          |SELECT src.doc_id, coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
          |       coalesce(sc.t_mass, CAST(0 AS BIGINT)) AS t_mass,
          |       coalesce(sc.r_mass, CAST(0 AS BIGINT)) AS r_mass,
@@ -1233,6 +1265,47 @@ object PipelineQueries {
     * restricted to the odd-id batch (r_df over stored ∪ batch is exact —
     * disjoint doc sets sum) */
   private val importanceIncSql = importanceSqlWhere("AND src.doc_id % 2 = 1")
+
+  /** selection-stage composition replay: the importance CTEs + the
+    * quality-model featurizer fold (qualityModelSql's CTEs, q-prefixed)
+    * + the per-source affinity-ranked cut */
+  private val selectTrainingSql = {
+    val dim = 16
+    importanceCtes +
+      s""",
+         |qh AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_transform(${wordsDuck("text")}, w -> ${polyHashDuck("w")} % 100003) AS hs
+         |  FROM documents),
+         |qv AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $dim), dd ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(hs, x -> (x * (131 * (dd + 1)) + 137 * dd) % 29 - 14)),
+         |        (acc, vv) -> acc + vv)) AS v
+         |  FROM qh),
+         |qs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, $dim), dd -> v[CAST(dd + 1 AS INT)] * ((37 * (dd + 1)) % 19 - 9))),
+         |      (acc, x) -> acc + x) AS BIGINT) AS score
+         |  FROM qv),
+         |imp AS MATERIALIZED (
+         |  SELECT src.doc_id,
+         |    CASE WHEN sc.n_grams IS NULL THEN 0.0
+         |         ELSE round(CAST(sc.t_mass AS DOUBLE) / sc.r_mass, 6)
+         |    END AS affinity
+         |  FROM src LEFT JOIN sc USING (doc_id)
+         |  WHERE src.source NOT IN ($importanceTgt)),
+         |sel AS MATERIALIZED (
+         |  SELECT s2.source, imp.doc_id, imp.affinity, qs.score,
+         |    CAST(row_number() OVER (PARTITION BY s2.source
+         |      ORDER BY imp.affinity DESC, imp.doc_id) AS BIGINT) AS rn
+         |  FROM imp JOIN qs USING (doc_id) JOIN src s2 USING (doc_id)
+         |  WHERE qs.score >= 0)
+         |SELECT source, rn, doc_id, affinity, score FROM sel
+         |WHERE rn <= $SelectPerSource ORDER BY source, rn""".stripMargin
+  }
 
   /** family histogram: the clusters chain aggregated twice (label → family
     * size → families per size) */
@@ -2490,6 +2563,7 @@ object PipelineQueries {
     // the SQL surface reproduces the Column-API pipeline exactly, so it
     // shares its oracle
     "q_sql_importance" -> importanceSql,
+    "q_select_training" -> selectTrainingSql,
     "q_sample_cluster" -> sampleClusterSql,
     "q_text_novelty_inc" -> noveltyIncSql,
     "q_dedup_final" -> dedupFinalSql,
