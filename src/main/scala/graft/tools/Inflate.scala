@@ -429,7 +429,9 @@ object SkewScale {
     lazy val coreU = Inflate.replicateGraph(core, k)._1.localCheckpoint(eager = true)
     lazy val coreS = Inflate.replicateGraphSkewed(core, k, hubEvery)._1
       .localCheckpoint(eager = true)
-    if (Seq("matching", "mis").exists(want)) { coreU.count(); coreS.count() }
+    if (Seq("matching", "mis", "walks", "coreness").exists(want)) {
+      coreU.count(); coreS.count()
+    }
 
     if (want("triangles")) {
       val triCut = core.filter(col("src") <= 200 && col("dst") <= 200)
@@ -456,7 +458,21 @@ object SkewScale {
         time2(Graphs.kTruss(ktU, 3, maxWedges = Long.MaxValue)),
         time2(Graphs.kTruss(ktS, 3, maxWedges = Long.MaxValue)))
     }
-    if (want("matching") || want("mis")) reportEdges("core", coreU, coreS)
+    if (Seq("matching", "mis", "walks", "coreness").exists(want))
+      reportEdges("core", coreU, coreS)
+    // walk corpus under the global hub: many walks route THROUGH the hub
+    // each step — the min-agg's map-side partials are the claimed defense
+    if (want("walks")) {
+      def wk(e: DataFrame): DataFrame = {
+        val seeds = Graphs.vertices(e).filter(col("vertex") % 3 === 0)
+        Graphs.walkCooccurrence(Graphs.deterministicWalks(e, seeds, 4), 2)
+      }
+      report("walks", time2(wk(coreU)), time2(wk(coreS)))
+    }
+    // coreness under the hub: the per-round h-index window sorts the
+    // hub's whole degree on one task — the documented hazard, priced
+    if (want("coreness")) report("coreness",
+      time2(Graphs.coreness(coreU)), time2(Graphs.coreness(coreS)))
     if (want("matching")) report("matching",
       time2(Graphs.maximalMatching(coreU)),
       time2(Graphs.maximalMatching(coreS)))
