@@ -227,6 +227,12 @@ class PlanSpec extends SparkSpec {
     assert(countOp(p, "HashAggregate") >= 2, p)
   }
 
+  test("selection pipeline prunes per-feed tops before the exchange, no cartesian") {
+    val p = plan("q_select_training")
+    assert(countOp(p, "WindowGroupLimit") == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
