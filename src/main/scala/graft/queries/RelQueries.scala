@@ -530,7 +530,7 @@ object RelQueries {
         .orderBy("y", "m")),
 
     // autocorrelation of the daily event-count series at lags 1..7,
-    // exact-decimal scaled: r_k = num_scaled/den_scaled with both sides
+    // exact-decimal scaled internally: r_k = num/den with both sides
     // multiplied by n² so no float (or mean) is ever materialized — the
     // repo's log/float-free determinism rule applied to a second-moment
     // time-series statistic. The series is tiny after the daily rollup,
@@ -538,13 +538,17 @@ object RelQueries {
     // aggregate, never on raw events.
     // All moments and products run in DECIMAL(38,0) (the decimal-money
     // pattern); DuckDB computes the same products in HUGEINT (its decimal
-    // multiply caps combined width at 38) and casts the outputs to
-    // DECIMAL(38,0). Every scaled term is ≤ 4·n²·sxx (Cauchy–Schwarz:
-    // sxy ≤ sxx, sx² ≤ n·sxx, sh+st ≤ 2·sx), so 38 digits hold while
-    // sxx ≤ 10^38/(4n²) — daily counts up to ~10^16 at n = 10^4 days,
-    // past any physical data volume. This retires the round-10 int64
-    // raise_error guard (which tripped at daily counts ~3e6): the cliff
-    // is now a non-event, not a convergent failure mode.
+    // multiply caps combined width at 38). Every scaled term is
+    // ≤ 4·n²·sxx (Cauchy–Schwarz: sxy ≤ sxx, sx² ≤ n·sxx, sh+st ≤ 2·sx),
+    // so 38 digits hold while sxx ≤ 10^38/(4n²) — daily counts up to
+    // ~10^16 at n = 10^4 days, past any physical data volume.
+    // OUTPUT CONTRACT (round 12): the exact num/den stay internal; the
+    // emitted value is the proven cast-to-double / single-division /
+    // round(·,6) pattern (dup_frac, importance affinity). The r11 driver
+    // comparator disagreed with the repo gate on DECIMAL(38,0) values of
+    // magnitude ~10¹¹ (the catalog's only decimal ints that large); a
+    // correctly-rounded IEEE cast + one division + round is deterministic
+    // on both engines at every magnitude, with no representation hazard.
     "q_time_acf" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.orderBy("day")
       val dec = DecimalType(38, 0)
@@ -564,12 +568,14 @@ object RelQueries {
           sum("ax").as("sh"), sum("bx").as("st"))
         .crossJoin(broadcast(stats))
         .select(col("lag"), col("npairs"),
-          (col("n") * col("n") * col("sxy")
-            - col("n") * col("sx") * (col("sh") + col("st"))
-            + col("npairs").cast(dec) * col("sx") * col("sx"))
-            .cast(dec).as("num_scaled"),
-          (col("n") * col("n") * col("sxx")
-            - col("n") * col("sx") * col("sx")).cast(dec).as("den_scaled"))
+          round(
+            (col("n") * col("n") * col("sxy")
+              - col("n") * col("sx") * (col("sh") + col("st"))
+              + col("npairs").cast(dec) * col("sx") * col("sx"))
+              .cast(dec).cast("double")
+              / (col("n") * col("n") * col("sxx")
+                - col("n") * col("sx") * col("sx")).cast(dec).cast("double"),
+            6).as("acf"))
         .orderBy("lag")
     }),
 
@@ -999,9 +1005,9 @@ object RelQueries {
          |      FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + $AcfMaxLag
          |      GROUP BY 1)
          |SELECT p.lag, p.npairs,
-         |  CAST(st.n*st.n*p.sxy - st.n*st.sx*(p.sh+p.stt)
-         |       + CAST(p.npairs AS HUGEINT)*st.sx*st.sx AS DECIMAL(38,0)) AS num_scaled,
-         |  CAST(st.n*st.n*st.sxx - st.n*st.sx*st.sx AS DECIMAL(38,0)) AS den_scaled
+         |  round(CAST(st.n*st.n*p.sxy - st.n*st.sx*(p.sh+p.stt)
+         |             + CAST(p.npairs AS HUGEINT)*st.sx*st.sx AS DOUBLE)
+         |        / CAST(st.n*st.n*st.sxx - st.n*st.sx*st.sx AS DOUBLE), 6) AS acf
          |FROM p, st ORDER BY p.lag""".stripMargin,
 
     "q_time_funcs" ->
