@@ -105,5 +105,9 @@ object SparkEntry {
     "q_select_training",
     "q_graph_walks", "q_graph_walk_pairs", "q_graph_walks_biased",
     "q_graph_coreness", "q_graph_densest",
+    // round 12: the hub-safe bucketed-h-index twin priced NEXT TO the
+    // rank-window plain form (the chunked-twin pricing convention), plus
+    // the batched BPE trainer and the SGNS negative-sampling table
+    "q_graph_coreness_agg", "q_bpe_train_batched", "q_graph_walk_negatives",
   ).filter(queries.contains)
 }

@@ -98,6 +98,9 @@ object GraphQueries {
   // identically in Graphs.walkHash and the oracle windows
   private val WalkSeedMod = 3
   private val WalkLen = 4
+  // negatives table: slots-with-replacement per vertex, top-NegK overall
+  private val NegSlots = 4
+  private val NegK = 100
   // skip-gram window for the co-occurrence pairs (DeepWalk's w)
   private val WalkWindow = 2
   // node2vec weight triple (return, common, explore) = (1/p, 1, 1/q)
@@ -493,6 +496,14 @@ object GraphQueries {
       Graphs.coreness(Graphs.lineitemEdges(s, d, KCoreMod))
         .orderBy("vertex")),
 
+    // hub-safe twin: bucketed h-index (two-level aggregation, map-side
+    // partials absorb the hub; no per-vertex degree-sized sort) — shares
+    // q_graph_coreness's oracle SQL VERBATIM, the chunked-sessionize
+    // proof shape: same answer, scale-safe plan
+    "q_graph_coreness_agg" -> ((s, d) =>
+      Graphs.corenessAgg(Graphs.lineitemEdges(s, d, KCoreMod))
+        .orderBy("vertex")),
+
     // deterministic Luby MIS: hash-priority local minima join the set,
     // neighbors drop out; the classic distributed symmetry breaker —
     // the whole peel (priorities, winners, domination, rounds) replays
@@ -579,6 +590,20 @@ object GraphQueries {
       Graphs.walkCooccurrence(
           Graphs.deterministicWalks(edges, seeds, WalkLen), WalkWindow)
         .orderBy("center", "context")
+    }),
+
+    // SGNS negative-sampling noise table: freq^0.75-weighted priority
+    // draws over the walk corpus (w = sqrt(f·sqrt(f)) — a fixed tree of
+    // correctly-rounded IEEE ops, so no pow() and no cross-engine drift),
+    // top NegK by q = w·P/(h+1) via a bounded heap — the third leg of the
+    // walks → skip-gram pairs → negatives embedding-corpus triple
+    "q_graph_walk_negatives" -> ((s, d) => {
+      val edges = Graphs.lineitemEdges(s, d, Mod)
+      val seeds = Graphs.vertices(edges)
+        .filter(col("vertex") % WalkSeedMod === 0)
+      Graphs.walkNegatives(
+          Graphs.deterministicWalks(edges, seeds, WalkLen), NegSlots, NegK)
+        .orderBy("vertex", "slot")
     }),
 
     // modularity of the LPA partition, exact-integer numerators:
@@ -1336,6 +1361,27 @@ object GraphQueries {
        |GROUP BY a.vertex, b.vertex
        |ORDER BY center, context""".stripMargin
 
+  /** negative-sampling replay: the walk CTEs + per-vertex frequency, the
+    * slot cross join, the correctly-rounded weight tree
+    * sqrt(f·sqrt(f)) and priority w·P/(h+1) — promotion order spelled to
+    * match the engine column-for-column — and the top-NegK cut. */
+  private val walkNegativesSql =
+    s"""$walksCtes,
+       |f AS MATERIALIZED (
+       |  SELECT vertex, CAST(count(*) AS BIGINT) AS freq FROM walks GROUP BY vertex),
+       |cand AS MATERIALIZED (
+       |  SELECT vertex, CAST(j AS BIGINT) AS slot,
+       |    sqrt(CAST(freq AS DOUBLE) * sqrt(CAST(freq AS DOUBLE)))
+       |      * CAST(2147483647 AS DOUBLE)
+       |      / CAST((vertex % 2147483647 * 131 + j) % 2147483647
+       |             * 2654435761 % 2147483647 + 1 AS DOUBLE) AS prio
+       |  FROM f CROSS JOIN range(0, $NegSlots) r(j)),
+       |top AS MATERIALIZED (
+       |  SELECT vertex, slot, prio FROM cand
+       |  ORDER BY prio DESC, vertex, slot LIMIT $NegK)
+       |SELECT vertex, slot, round(prio, 6) AS neg_q FROM top
+       |ORDER BY vertex, slot""".stripMargin
+
   /** Unrolled HITS — one (auth, hub) CTE pair per iteration, mirroring
     * Hits.run: auth pulls hub over in-edges and L1-normalizes, hub pulls
     * the NORMALIZED auth over out-edges and L1-normalizes. */
@@ -1720,6 +1766,8 @@ object GraphQueries {
     "q_graph_mutual" -> mutualSql,
     "q_graph_kcore" -> kcoreSql(KCoreMod, KCoreK, KCoreRounds),
     "q_graph_coreness" -> corenessSql(KCoreMod, Graphs.DefaultCorenessRounds),
+    // the bucketed twin shares the oracle VERBATIM — one SQL, two plans
+    "q_graph_coreness_agg" -> corenessSql(KCoreMod, Graphs.DefaultCorenessRounds),
     "q_graph_densest" -> densestSql(Graphs.DefaultDensestRounds),
     "q_graph_sssp_path" -> ssspPathSql,
     "q_graph_sssp_path_tree" -> ssspPathTreeSql,
@@ -1748,6 +1796,7 @@ object GraphQueries {
     "q_graph_walks" -> walksSql,
     "q_graph_walks_biased" -> walksBiasedSql,
     "q_graph_walk_pairs" -> walkPairsSql,
+    "q_graph_walk_negatives" -> walkNegativesSql,
     "q_graph_modularity" -> modularitySql(shardedGraphCte, LpaRounds),
     "q_graph_closeness" -> closenessSql,
     "q_graph_diameter" -> diameterSql,

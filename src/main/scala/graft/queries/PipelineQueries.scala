@@ -882,6 +882,13 @@ object PipelineQueries {
     "q_bpe_train" -> ((s, d) =>
       Bpe.train(Tables.documents(s, d))._1.orderBy("rank")),
 
+    // batched BPE training (parallel-BPE approximation): top-B
+    // non-conflicting merges per round — ceil(V/B) driver round-trips
+    // instead of V sequential argmax jobs, the shape that makes a
+    // 32k-merge vocabulary trainable at scale (see Bpe.trainBatched)
+    "q_bpe_train_batched" -> ((s, d) =>
+      Bpe.trainBatched(Tables.documents(s, d))._1.orderBy("rank")),
+
     // the subword vocabulary the merge rounds produce: per final token,
     // its position count over the distinct-word table and its
     // frequency-weighted occurrence total
@@ -2193,6 +2200,69 @@ object PipelineQueries {
       s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs, c AS pair_count FROM win$i")
       .mkString("\nUNION ALL\n") + "\nORDER BY rank"
 
+  /** Unrolled BATCHED BPE training (Bpe.trainBatched): per round, the
+    * top-B pair counts (cd), the symbol-disjoint acceptance filter (ac —
+    * accept iff no higher-ranked top-B candidate shares a symbol, one
+    * NOT EXISTS), the keep set carrying each match's rhs, and the
+    * simultaneous rewrite; global merge rank is round-major. Exhausted
+    * rounds pass state through unchanged (empty cd/ac/kp), matching the
+    * engine's early exit. */
+  private def bpeBatchedCtes(rounds: Int, batch: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(${wordsDuck("text")}) AS word FROM documents)
+       |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= ${Bpe.MaxWordLen}
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, CAST(j AS BIGINT) AS pos,
+       |         substr(word, CAST(j + 1 AS INT), 1) AS tok
+       |  FROM w0 CROSS JOIN range(0, ${Bpe.MaxWordLen}) r(j)
+       |  WHERE j < length(word))""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |nx$i AS MATERIALIZED (
+        |  SELECT word, freq, pos, tok,
+        |         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
+        |  FROM s$p),
+        |cd$i AS MATERIALIZED (
+        |  SELECT * FROM (
+        |    SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk FROM (
+        |      SELECT tok AS a, ntok AS b, CAST(sum(freq) AS BIGINT) AS c
+        |      FROM nx$i WHERE ntok IS NOT NULL GROUP BY 1, 2))
+        |  WHERE rk <= $batch),
+        |ac$i AS MATERIALIZED (
+        |  SELECT i.a, i.b, i.c, i.rk FROM cd$i i WHERE NOT EXISTS (
+        |    SELECT 1 FROM cd$i j WHERE j.rk < i.rk
+        |      AND (j.a = i.a OR j.a = i.b OR j.b = i.a OR j.b = i.b))),
+        |kp$i AS MATERIALIZED (
+        |  SELECT word, pos, b FROM (
+        |    SELECT word, pos, b, pos - min(pos) OVER (PARTITION BY word, grp) AS off
+        |    FROM (SELECT t.word, t.pos, w.b,
+        |            t.pos - row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS grp
+        |          FROM nx$i t, ac$i w WHERE t.tok = w.a AND t.ntok = w.b))
+        |  WHERE off % 2 = 0),
+        |s$i AS MATERIALIZED (
+        |  SELECT s.word, s.freq,
+        |    CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+        |    CASE WHEN k.pos IS NOT NULL THEN s.tok || k.b ELSE s.tok END AS tok
+        |  FROM s$p s
+        |  LEFT JOIN kp$i k ON k.word = s.word AND k.pos = s.pos
+        |  LEFT JOIN kp$i k2 ON k2.word = s.word AND k2.pos + 1 = s.pos
+        |  WHERE k2.pos IS NULL)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val bpeTrainBatchedSql =
+    bpeBatchedCtes(Bpe.BatchRounds, Bpe.MergeBatch) + s""",
+      |allac AS (
+      |  ${(1 to Bpe.BatchRounds).map(i => s"SELECT $i AS rnd, rk, a, b, c FROM ac$i").mkString(" UNION ALL ")})
+      |SELECT CAST(row_number() OVER (ORDER BY rnd, rk) AS BIGINT) AS rank,
+      |       a AS lhs, b AS rhs, c AS pair_count
+      |FROM allac ORDER BY rank""".stripMargin
+
   private val bpeVocabSql = bpeCtes(Bpe.DefaultMerges) +
     s"""\nSELECT tok, count(*) AS n_positions, CAST(sum(freq) AS BIGINT) AS n_occurrences
        |FROM s${Bpe.DefaultMerges} GROUP BY tok ORDER BY tok""".stripMargin
@@ -2630,6 +2700,7 @@ object PipelineQueries {
     "q_sample_priority" -> prioritySampleSql,
     "q_quality_model" -> qualityModelSql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_train_batched" -> bpeTrainBatchedSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_text_tokens_bpe" -> bpeTokensSql,

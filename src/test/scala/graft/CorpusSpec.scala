@@ -130,6 +130,56 @@ class CorpusSpec extends SparkSpec {
     assert(st1.collect().map(_.getString(3)).toList == List("ab"))
   }
 
+  test("bpe batched: batch=1 degenerates exactly to sequential train") {
+    // with B=1 the acceptance rule is just the argmax, so trainBatched
+    // must replay train merge-for-merge and state-for-state
+    val d = Seq((1L, "low low low lower lowest banana band")).toDF("doc_id", "text")
+    val (mP, stP) = Bpe.train(d, merges = 4)
+    val (mB, stB) = Bpe.trainBatched(d, rounds = 4, batch = 1)
+    val p = mP.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val b = mB.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(p.sameElements(b))
+    val sp = stP.select("word", "pos", "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    val sb = stB.select("word", "pos", "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(sp.sameElements(sb))
+  }
+
+  test("bpe batched: disjoint merges land in one round, conflicts defer") {
+    // "ab ab cd": (a,b)=2 and (c,d)=1 share no symbol — both accepted in
+    // round ONE (ranks 1, 2), the whole point of batching
+    val d = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val (m, st) = Bpe.trainBatched(d, rounds = 1, batch = 8)
+    assert(m.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList ==
+      List(("a", "b", 2L), ("c", "d", 1L)))
+    assert(st.collect().map(_.getString(3)).sorted.toList == List("ab", "cd"))
+    // the low-corpus chain: every later pair shares a symbol with a
+    // higher-ranked candidate ((o,w) shares o with (l,o); (w,e) shares w
+    // with the REJECTED (o,w) — the conservative rule still defers it),
+    // so each round accepts exactly one merge and the chain serializes
+    val low = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (m2, _) = Bpe.trainBatched(low, rounds = 2, batch = 8)
+    assert(m2.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList ==
+      List(("l", "o", 5L), ("lo", "w", 5L)))
+  }
+
+  test("bpe batched: aa-run merge keeps the greedy even offsets under batching") {
+    // the a==b run case inside a batch: "aaaa cd" accepts (a,a) and (c,d)
+    // together; only positions 0 and 2 of aaaa merge
+    val d = Seq((1L, "aaaa cd")).toDF("doc_id", "text")
+    val (m, st) = Bpe.trainBatched(d, rounds = 1, batch = 8)
+    assert(m.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toList ==
+      List(("a", "a"), ("c", "d")))
+    assert(st.filter(col("word") === "aaaa").orderBy("pos")
+      .collect().map(_.getString(3)).toList == List("aa", "aa"))
+  }
+
   test("bpe: encode with the learned merges reproduces the training tokenization") {
     val d = Seq((1L, "banana band bans"), (2L, "banana banana bandana"))
       .toDF("doc_id", "text")

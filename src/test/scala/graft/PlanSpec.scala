@@ -233,6 +233,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("walk negatives select top-k on a bounded heap, never a global sort") {
+    // the NegK cut must plan TakeOrderedAndProject (partial heaps per
+    // partition, merge on the driver) — a 100 TB walk corpus's candidate
+    // relation must never full-sort; the only Sort is the output-contract
+    // ORDER BY over the k selected rows
+    val p = plan("q_graph_walk_negatives")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countOp(p, "Sort") <= 1, p)
+    // the slot fan-out must ride a broadcast of the tiny range, never a
+    // shuffle-side cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
