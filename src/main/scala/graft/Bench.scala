@@ -90,17 +90,44 @@ object Bench {
     val canaryRatios = canaryRefs.flatMap { case (n, ref) =>
       results.collectFirst { case (`n`, v) if v > 0 => v / ref }
     }.sorted
-    val contextIndex =
-      if (canaryRatios.isEmpty) "null"
-      else f"${canaryRatios(canaryRatios.length / 2)}%.2f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val ctxNum: Option[Double] =
+      if (canaryRatios.isEmpty) None
+      else Some(canaryRatios(canaryRatios.length / 2))
+    // Spike defense for the heavy iterative queries (round-11 verdict
+    // item 2b): in BENCH_r11 a prolonged load burst set the committed
+    // record for two UNTOUCHED queries (ktruss 48.0 vs band 7.9-12.2, cc
+    // 10.9 vs 2.0-2.5 — both passes spiked, so min-of-2 and the 1.5x
+    // tiebreak were blind to it). When a heavy query's min lands > 2x its
+    // PINNED band-high AND the run context is hot (> 1.3 on the canaries),
+    // take one adaptive extra sample at the very end of the run — a burst
+    // must now span the entire run to survive into the record. Bands are
+    // pinned from BASELINE.md and must be re-pinned in the same commit as
+    // any re-band (the canary-ref discipline). A spike at QUIET context is
+    // NOT resampled: that is a genuine regression and must stay visible.
+    val spikeBandHigh = Map(
+      "q_graph_ktruss_sparse" -> 12.2, "q_graph_cc" -> 2.5,
+      "q_graph_coloring" -> 15.0, "q_graph_coreness" -> 12.4,
+      "q_graph_scc" -> 7.0, "q_graph_scc_levels" -> 9.4,
+      "q_graph_densest" -> 4.3)
+    val hot = ctxNum.exists(_ > 1.3)
+    val finalResults = results.map { case (name, v) =>
+      spikeBandHigh.get(name) match {
+        case Some(hi) if hot && v > 2 * hi =>
+          val extra = timeOne(name)
+          sampleLog(name) = sampleLog(name) :+ extra
+          name -> (if (extra > 0) math.min(v, extra) else v)
+        case _ => name -> v
+      }
+    }
+    val contextIndex = ctxNum.map(c => f"$c%.2f").getOrElse("null")
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Per-sample times ride along so an anomalous min carries its own
     // evidence (was it one spiked pass or all of them?).
-    val ss = results.map { case (k, _) =>
+    val ss = finalResults.map { case (k, _) =>
       "\"" + k + "\":[" + sampleLog(k).map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","context_index":$contextIndex,"queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
     println(json)
@@ -117,9 +144,9 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","context_index":$contextIndex,"queries":$m$om,"sf":"$sfDir"}"""
     }
-    val bySlowest = results.sortBy { case (_, v) => -v }
+    val bySlowest = finalResults.sortBy { case (_, v) => -v }
     var keep = bySlowest.length
-    var line = compactLine(results, 0)
+    var line = compactLine(finalResults, 0)
     while (line.length > budget && keep > 1) {
       keep -= 1
       line = compactLine(bySlowest.take(keep), bySlowest.length - keep)
