@@ -182,8 +182,12 @@ object CorpusStreams {
     * incremental contract, one batch at a time — the stream holds NO
     * state; the index is the state). Because min-merge is associative,
     * the stored index is simply the union of per-batch minima folded at
-    * read time (`groupBy h → min`) — no compaction is needed for
-    * correctness, only for partition-count hygiene on long streams.
+    * read time (`groupBy h → min`) — and every `compactEvery` batches the
+    * fold is materialized under the current batch_id and older partitions
+    * dropped (min-merge regroups exactly, the same watermark-rewrite and
+    * crash-safety argument as [[importanceIngest]]), so steady-state
+    * per-trigger reads and small-file counts stay bounded on a
+    * long-running stream.
     *
     * Arrival contract (the admitWithinBudget convention): novelty is an
     * INGEST-ORDER signal, so the stream's semantic equals the batch run
@@ -193,7 +197,8 @@ object CorpusStreams {
     * idempotent (the curateBatch discipline): reads exclude batch_id >=
     * current, writes dynamically overwrite their own partition. */
   def noveltyIngest(docs: DataFrame, indexDir: String, scoresDir: String,
-      checkpointDir: String, k: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, k: Int = 4,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -220,7 +225,14 @@ object CorpusStreams {
         // index grows only after scoring: a batch's firstness is decided
         // by prior batches + its own internal minima, never by its
         // not-yet-written index rows
-        writePartition(graft.pipeline.TextAnalysis.noveltyIndex(b, k), indexDir)
+        val batchIdx = graft.pipeline.TextAnalysis.noveltyIndex(b, k)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val folded = index.unionByName(batchIdx)
+            .groupBy("h").agg(min("first_doc").as("first_doc"))
+            .localCheckpoint(eager = true) // sever the read before overwrite
+          writePartition(folded, indexDir)
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchIdx, indexDir)
         ()
       }
       .start()
@@ -238,10 +250,24 @@ object CorpusStreams {
     * boilerplate scrub documents — scoring doc X prices its grams
     * against the corpus BEFORE X, which is exactly the online-selection
     * decision ("is this arriving doc target-like relative to what we
-    * already hold"). */
+    * already hold").
+    *
+    * Steady-state reads stay BOUNDED (round-11 advice item): every
+    * `compactEvery` batches the trigger writes the FULLY-FOLDED index
+    * (prior partitions + own batch, r_df is sum-mergeable so regrouping
+    * is exact) under the current batch_id and deletes the older
+    * partitions — so a long-running stream reads at most `compactEvery`
+    * partitions per trigger instead of every batch since t₀, and the
+    * small-file count is capped identically. Crash-safe at every cut:
+    * folded content is localCheckpoint'd before the write (no
+    * read-while-overwrite), a replay after the write but before the
+    * deletes re-reads only batch_id < current (the folded partition
+    * carries the CURRENT id, so it is excluded) and recomputes the same
+    * fold; a replay after the deletes reads the folded partition alone —
+    * the same sums either way. */
   def importanceIngest(docs: DataFrame, target: DataFrame, indexDir: String,
       scoresDir: String, checkpointDir: String,
-      k: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      k: Int = 2, compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -267,10 +293,29 @@ object CorpusStreams {
         writePartition(scores, scoresDir)
         // index grows only after scoring: a batch's r_df is prior batches
         // + its own internal carriers, never its not-yet-written rows
-        writePartition(graft.pipeline.TextAnalysis.importanceIndex(b, k), indexDir)
+        val batchIdx = graft.pipeline.TextAnalysis.importanceIndex(b, k)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val folded = index.unionByName(batchIdx)
+            .groupBy("h").agg(sum("r_df").as("r_df"))
+            .localCheckpoint(eager = true) // sever the read before overwrite
+          writePartition(folded, indexDir)
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchIdx, indexDir)
         ()
       }
       .start()
+
+  /** drop index partitions older than `keepId` after a compaction fold —
+    * the folded partition (batch_id = keepId) carries their content */
+  private def compactOlderPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, keepId: Long): Unit =
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+            .exists(_ < keepId))
+        fs.delete(st.getPath, true)
+    }
 
   /** documents frame → (doc_id, source, n_tokens) with the same BPE-ish
     * token estimate as the batch allocator; works on static AND streaming

@@ -406,6 +406,50 @@ class StreamingSpec extends SparkSpec {
       rows(scores.filter(col("batch_id") === 1)))
   }
 
+  test("streaming importance ingest: compaction bounds partitions, scores unchanged") {
+    import graft.streaming.CorpusStreams
+    import graft.pipeline.TextAnalysis
+    val all = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val target = all.filter(col("doc_id") % 10 === 7).localCheckpoint(true)
+    val raw = all.filter(col("doc_id") % 10 =!= 7)
+    val dir = Files.createTempDirectory("graft-imp-compact")
+    // four doc_id-ordered micro-batches; compactEvery=2 folds at batch 2
+    Seq(0L -> 125L, 125L -> 250L, 250L -> 375L, 375L -> Long.MaxValue)
+      .zipWithIndex.foreach { case ((lo, hi), i) =>
+        raw.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+          .write.parquet(dir.resolve(s"in/b$i").toString)
+      }
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.importanceIngest(stream, target,
+      dir.resolve("index").toString, dir.resolve("scores").toString,
+      dir.resolve("ck").toString, k = 2, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // batches 0 and 1 were folded into partition 2 and deleted: the index
+    // holds exactly {2 (the fold), 3} — bounded steady-state reads
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the fold lost nothing: sum-merge over the surviving partitions
+    // equals the full-corpus carrier counts
+    val grown = spark.read.parquet(dir.resolve("index").toString)
+      .groupBy("h").agg(sum("r_df").as("r_df")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grown == TextAnalysis.importanceIndex(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // and the post-compaction batch still scores on the exact prefix:
+    // batch 3's emission equals the full-corpus batch run on its slice
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "t_mass", "r_mass", "affinity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val scores = spark.read.parquet(dir.resolve("scores").toString)
+    assert(rows(scores.filter(col("batch_id") === 3)) ==
+      rows(TextAnalysis.importanceScores(raw, target)
+        .filter(col("doc_id") >= 375)))
+  }
+
   test("streaming curate ingest: admissions equal the one-shot batch curate screen") {
     import graft.streaming.CorpusStreams
     val docsPath = sf("sf0.001") + "/documents.parquet"
