@@ -109,5 +109,8 @@ object SparkEntry {
     // rank-window plain form (the chunked-twin pricing convention), plus
     // the batched BPE trainer and the SGNS negative-sampling table
     "q_graph_coreness_agg", "q_bpe_train_batched", "q_graph_walk_negatives",
+    // round 12 wave: winnowing fingerprint screen, semi-hard negative
+    // mining, and the two trailing-window state folds (Holt, CUSUM)
+    "q_dedup_winnow", "q_sim_hard_negatives", "q_time_holt", "q_time_cusum",
   ).filter(queries.contains)
 }

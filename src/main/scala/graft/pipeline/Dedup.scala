@@ -837,4 +837,38 @@ object Dedup {
       .filter(col("jacc") >= threshold)
       .select("doc_a", "doc_b", "jacc")
   }
+
+  /** Winnowed fingerprint relation (doc_id, fp) — Schleimer/Wilkerson/
+    * Aiken SIGMOD 2003 local fingerprinting (the MOSS screen): per doc,
+    * the distinct minima of every w-window over the per-position k-gram
+    * hash stream, ties to the rightmost position (robust winnowing).
+    * Guarantees: any shared run of w + k - 1 words contributes at least
+    * one COMMON selected fingerprint (the window-coverage theorem), at
+    * ~2/(w+1) the density of the full gram index — winnowing IS a
+    * correctness-bounded sampler of [[substringIndex]], shrinking the
+    * posting relation ~(w+1)/2-fold before any join. Entirely per-row
+    * array arithmetic (no shuffle until the fp equi-join); the hot-gram
+    * hazard and its postings-cap defense are the substring family's,
+    * applied to a relation (w+1)/2 times smaller. */
+  def winnowIndex(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val wh = wordPolyHashesSpark(wordsSpark("text"))
+    docs
+      .select(col("doc_id"), expr(winnowGramsSpark(wh, k)).as("__g"))
+      .select(col("doc_id"), explode(expr(winnowSelectSpark("__g", w))).as("fp"))
+  }
+
+  /** Cross-doc winnow candidate pairs: docs sharing >= minShared distinct
+    * selected fingerprints, with the shared count as the match score —
+    * the coverage guarantee makes this a recall-bounded screen for shared
+    * spans of >= w + k - 1 words. Output (doc_a, doc_b, shared). */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 4L): DataFrame = {
+    val fps = winnowIndex(docs, k, w).localCheckpoint(eager = true)
+    fps.toDF("doc_a", "fp")
+      .join(fps.toDF("doc_b", "fp"), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -139,6 +139,30 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(broadcast(queriesWithNorm(queries)).crossJoin(corpusWithNorm(corpus)), k)
 
+  /** Semi-hard negative mining for contrastive embedding training
+    * (Schroff et al. CVPR 2015's semi-hard band, batch-global): per anchor,
+    * the top-k HARDEST negatives — highest cosine strictly below `ceil`
+    * (anything at/above is a presumed positive/near-dup, never a negative)
+    * and at/above `floor` (trivially-unrelated vectors teach nothing).
+    * The band filter is on the ROUNDED 6-dp score, so the cut is the same
+    * IEEE comparison in both engines. Same scan shape as [[bruteForceTopK]]
+    * (anchors broadcast, corpus linear, bounded per-anchor heap) — the
+    * IVF/LSH bucket routes apply verbatim when the anchor set grows.
+    * Output (qid, rn, nid, score). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      ceil: Double = 0.30, floor: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = broadcast(queriesWithNorm(queries)).crossJoin(corpusWithNorm(corpus))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score",
+        round(GraftFunctions.dotProduct(col("qv"), col("nv")) / (col("nq") * col("nn")), 6))
+      .filter(col("score") < lit(ceil) && col("score") >= lit(floor))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+    banded.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "nid", "score")
+  }
+
   /** Band `b`'s bucket key: a HpBandBits-wide bit slice of the packed
     * sign-bit column. The SINGLE definition of the index key — lshBuckets
     * (index side) and lshProbes (multiprobe base bucket) must agree bit for

@@ -114,6 +114,46 @@ object TextHash {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $wh1[$pos:$pos+${k - 1}]), (acc, x) -> (acc * 31 + x) % $P) * $P2 + " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $wh2[$pos:$pos+${k - 1}]), (acc, x) -> (acc * 131 + x) % $P2)"
 
+  // --- winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+  // SIGMOD 2003 — the MOSS local-document-fingerprinting algorithm) ---
+  // From the per-position k-gram hash array, every w-window contributes
+  // its minimum hash (ties to the RIGHTMOST position — the "robust
+  // winnowing" rule that makes selection stable under edits); the distinct
+  // selected hashes are the document's fingerprint set, guaranteed density
+  // ~2/(w+1) of the gram count. Tie-break rides an integer encoding
+  // h * 2^20 + (2^20 - 1 - pos): minimizing the packed key minimizes
+  // (h, -pos) lexicographically, and h < P < 2^30 keeps the product under
+  // 2^50. Documented regime bound: positions < 2^20 (1M grams/doc) — far
+  // past this corpus; longer docs belong to the substring-index family.
+  val WinnowM: Long = 1L << 20
+
+  /** per-position single-fold k-gram hashes (g1 only — selection wants a
+    * small packable hash; cross-doc match verification is the shared-count
+    * threshold, so mod-P collision odds only perturb candidate quality,
+    * never oracle agreement, exactly like the minhash family) */
+  def winnowGramsSpark(wh1: String, k: Int): String =
+    s"IF(size($wh1) >= $k, transform(sequence(1, size($wh1) - ${k - 1}), i -> " +
+      s"aggregate(slice($wh1, i, $k), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)), " +
+      s"CAST(array() AS ARRAY<BIGINT>))"
+  def winnowGramsDuck(wh1: String, k: Int): String =
+    s"list_transform(range(1, len($wh1) - ${k - 1} + 1), i -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $wh1[i:i+${k - 1}]), (acc, x) -> (acc * 31 + x) % $P))"
+
+  /** distinct winnow-selected hashes of a gram-hash array expr `g`: one
+    * packed-key min per w-window (windows clip at the array end; a doc
+    * with fewer than w grams yields its global min — every non-empty doc
+    * carries at least one fingerprint) */
+  def winnowSelectSpark(g: String, w: Int): String =
+    s"IF(size($g) >= 1, array_distinct(transform(sequence(1, greatest(1, size($g) - ${w - 1})), i -> " +
+      s"array_min(transform(sequence(i, least(i + ${w - 1}, size($g))), j -> " +
+      s"element_at($g, j) * $WinnowM + ($WinnowM - 1 - j))) div $WinnowM)), " +
+      s"CAST(array() AS ARRAY<BIGINT>))"
+  def winnowSelectDuck(g: String, w: Int): String =
+    s"CASE WHEN len($g) >= 1 THEN list_distinct(list_transform(range(1, greatest(1, len($g) - ${w - 1}) + 1), i -> " +
+      s"list_aggregate(list_transform(range(i, least(i + ${w - 1}, len($g)) + 1), j -> " +
+      s"$g[j] * $WinnowM + ($WinnowM - 1 - j)), 'min') // $WinnowM)) " +
+      s"ELSE CAST([] AS BIGINT[]) END"
+
   /** minhash signature array (NumHashes entries) over a hash-array expr `hs` */
   def minhashSpark(hs: String): String =
     (0 until NumHashes).map { j =>

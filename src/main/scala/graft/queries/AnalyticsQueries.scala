@@ -28,6 +28,17 @@ object AnalyticsQueries {
   // EWMA: trailing-window length (bounds per-user state; contributions
   // beyond ~53 halvings are below double ulp anyway)
   private val EwmaWindow = 32
+  // CUSUM drift detection over the same trailing window: one-sided page
+  // test s' = max(0, s + (cents - target)) with the positive deviation
+  // clamped (winsorized CUSUM) so the packed two-field integer state is
+  // bounded by construction: s <= W * Clamp = 2^30 < Radix, and
+  // max(s) * Radix + s < 2^61 — exact int64 on both engines, no overflow
+  // regime to document. Target = 5500 cents (the ~$50 value mean + $5
+  // slack); alarm when the peak excursion tops H.
+  private val CusumTarget = 5500L
+  private val CusumClamp = 1L << 25
+  private val CusumRadix = 1L << 31
+  private val CusumH = 30000L
 
   /** exact, order-independent sum of a money-like double column (the
     * RelQueries float-determinism policy) */
@@ -1179,6 +1190,60 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Holt's linear-trend double smoothing (level + trend) over the same
+    // trailing window, alpha = beta = 1/2: every fold step is IEEE adds,
+    // one subtract, and exact halvings on an ARRAY-encoded (level, trend)
+    // state — the two-field extension of the EWMA determinism argument
+    // (array state, not struct: DuckDB 1.0's struct_pack-in-lambda aliases
+    // the accumulator's just-computed fields — probed; list state folds
+    // correctly). forecast_1 = level + trend is the one-step-ahead value.
+    "q_time_holt" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= EwmaWindow)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("cents"))))
+          .as("arr"))
+        .select(col("user_id"), size(col("arr")).cast("long").as("n_events"),
+          expr("aggregate(arr, array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), " +
+            "(acc, x) -> array(((CAST(x.cents AS DOUBLE) + acc[0]) + acc[1]) / 2.0, " +
+            "((((CAST(x.cents AS DOUBLE) + acc[0]) + acc[1]) / 2.0 - acc[0]) + acc[1]) / 2.0))")
+            .as("st"))
+        .select(col("user_id"), col("n_events"),
+          col("st")(0).as("holt_level"), col("st")(1).as("holt_trend"),
+          (col("st")(0) + col("st")(1)).as("forecast_1"))
+        .orderBy("user_id")
+    }),
+
+    // One-sided CUSUM drift detection (Page 1954) over the trailing
+    // window: s' = max(0, s + min(cents - target, clamp)), peak tracked in
+    // the same fold via a radix-packed (max, s) BIGINT state — exact int64
+    // end to end (see CusumRadix bound note), no float anywhere.
+    "q_time_cusum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
+      val step = s"greatest(CAST(0 AS BIGINT), acc % $CusumRadix + " +
+        s"least(x.cents - $CusumTarget, $CusumClamp))"
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= EwmaWindow)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("cents"))))
+          .as("arr"))
+        .select(col("user_id"), size(col("arr")).cast("long").as("n_events"),
+          expr(s"aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> " +
+            s"greatest(acc div $CusumRadix, $step) * $CusumRadix + $step)").as("packed"))
+        .select(col("user_id"), col("n_events"),
+          (col("packed") % CusumRadix).as("cusum_end"),
+          expr(s"packed div $CusumRadix").as("cusum_max"),
+          when(expr(s"packed div $CusumRadix") > CusumH, 1L).otherwise(0L).as("drifted"))
+        .orderBy("user_id")
+    }),
+
     // Association rules from order baskets: confidence = P(B|A) and
     // lift = P(AB)/(P(A)P(B)) for directed part pairs, top-100 by lift.
     // All scores are single IEEE divisions of exact int64 counts (the
@@ -2087,6 +2152,57 @@ object AnalyticsQueries {
         |    list_transform(arr, c -> CAST(c AS DOUBLE))),
         |    (acc, x) -> (acc + x) / 2.0) AS ewma_cents
         |FROM t ORDER BY user_id""".stripMargin,
+
+    // Holt replay: identical trailing cut and ascending fold order, the
+    // (level, trend) state as a 2-list (1-based here, 0-based in Spark —
+    // same IEEE tree), elements lifted to [value, 0.0] lists so the
+    // reduce is element-typed
+    "q_time_holt" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |t AS MATERIALIZED (
+        |  SELECT user_id, list(cents ORDER BY ts_us, event_id) AS arr
+        |  FROM e WHERE rn <= $EwmaWindow GROUP BY user_id),
+        |h AS (
+        |  SELECT user_id, CAST(len(arr) AS BIGINT) AS n_events,
+        |    list_reduce(list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+        |      list_transform(arr, c -> [CAST(c AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+        |      (acc, x) -> [((x[1] + acc[1]) + acc[2]) / 2.0,
+        |        ((((x[1] + acc[1]) + acc[2]) / 2.0 - acc[1]) + acc[2]) / 2.0]) AS st
+        |  FROM t)
+        |SELECT user_id, n_events, st[1] AS holt_level, st[2] AS holt_trend,
+        |  st[1] + st[2] AS forecast_1
+        |FROM h ORDER BY user_id""".stripMargin,
+
+    // CUSUM replay: identical clamped drift arithmetic on the identical
+    // radix-packed integer state
+    "q_time_cusum" -> {
+      val step = s"greatest(CAST(0 AS BIGINT), acc % $CusumRadix + " +
+        s"least(x - $CusumTarget, $CusumClamp))"
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |t AS MATERIALIZED (
+        |  SELECT user_id, list(cents ORDER BY ts_us, event_id) AS arr
+        |  FROM e WHERE rn <= $EwmaWindow GROUP BY user_id),
+        |c AS (
+        |  SELECT user_id, CAST(len(arr) AS BIGINT) AS n_events,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+        |      (acc, x) -> greatest(acc // $CusumRadix, $step) * $CusumRadix + $step) AS packed
+        |  FROM t)
+        |SELECT user_id, n_events, packed % $CusumRadix AS cusum_end,
+        |  packed // $CusumRadix AS cusum_max,
+        |  CASE WHEN packed // $CusumRadix > $CusumH THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS drifted
+        |FROM c ORDER BY user_id""".stripMargin
+    },
 
     "q_time_downsample" ->
       """WITH e AS MATERIALIZED (

@@ -26,6 +26,16 @@ object PipelineQueries {
   private val SimhashMaxHamming = 3
   private val NgramThreshold = 0.02
   private val NgramSampleMod = 5
+  // winnowing (MOSS): 3-word grams, window 4 (selection density ~2/(w+1));
+  // pairs need >= 4 shared selected fingerprints — probed cleanly above the
+  // incidental-collision tail at every sf (27/24/237 pairs at the 3 sfs)
+  private val WinnowK = 3
+  private val WinnowW = 4
+  private val WinnowMinShared = 4L
+  // semi-hard negative band: hardest negatives strictly below the presumed-
+  // positive ceiling, at/above the uninformative floor (rounded-score cut)
+  private val HardNegCeil = 0.30
+  private val HardNegFloor = 0.05
   private val EmbThreshold = 0.40
   // SemDeDup clustering: same k/iteration constants as the IVF replay so
   // the oracle's unrolled-Lloyd cost stays proven at both scale factors
@@ -497,6 +507,14 @@ object PipelineQueries {
       Dedup.ngramJaccard(Tables.documents(s, d), NgramThreshold, NgramSampleMod)
         .orderBy("doc_a", "doc_b")),
 
+    // winnowing (MOSS) fingerprint screen: per-doc local minima of every
+    // w-window over the gram-hash stream, pairs by shared selected prints —
+    // the correctness-bounded SAMPLED substring index (any shared run of
+    // w+k-1 words is guaranteed a common fingerprint at ~2/(w+1) density)
+    "q_dedup_winnow" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), WinnowK, WinnowW, WinnowMinShared)
+        .orderBy("doc_a", "doc_b")),
+
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.lshNearDup(Tables.embeddings(s, d), EmbThreshold)
         .orderBy("id_a", "id_b")),
@@ -556,6 +574,17 @@ object PipelineQueries {
     "q_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NumQueryVecs), TopK)
+        .orderBy("qid", "rn")
+    }),
+
+    // semi-hard negative mining (contrastive-training batch construction):
+    // per anchor, the hardest negatives inside the [floor, ceil) rounded-
+    // score band — q_sim_topk's scan with the band cut, so the bounded-heap
+    // and bucket-route scale arguments carry over unchanged
+    "q_sim_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < NumQueryVecs),
+          TopK, HardNegCeil, HardNegFloor)
         .orderBy("qid", "rn")
     }),
 
@@ -1482,6 +1511,41 @@ object PipelineQueries {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jaccardDuck("a.hs", "b.hs")} AS jacc
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |WHERE jacc >= $NgramThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Winnowing replay: same word poly-hashes, same single-fold gram keys,
+    * same packed-key (hash, rightmost-pos) window minima, same shared-count
+    * threshold — integer arithmetic end to end. */
+  private val winnowSql =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, ${wordPolyHashesDuck(wordsDuck("text"))} AS wh1 FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, ${winnowGramsDuck("wh1", WinnowK)} AS gs FROM w),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${winnowSelectDuck("gs", WinnowW)}) AS fp FROM g)
+       |SELECT doc_a, doc_b, shared FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |WHERE shared >= $WinnowMinShared ORDER BY doc_a, doc_b""".stripMargin
+
+  /** simTopkSql's scan with the semi-hard band cut on the rounded score —
+    * the literals are spelled as DOUBLE casts so both engines compare the
+    * same IEEE values. */
+  private val simHardNegSql =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv, ${normDuck("embedding")} AS nq
+       |  FROM embeddings WHERE vec_id < $NumQueryVecs),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id AS nid, embedding AS nv, ${normDuck("embedding")} AS nn FROM embeddings),
+       |p AS (
+       |  SELECT qid, nid, round(${dotDuck("qv", "nv")} / (nq * nn), 6) AS score
+       |  FROM q, c WHERE nid <> qid),
+       |b AS (SELECT * FROM p
+       |  WHERE score < CAST($HardNegCeil AS DOUBLE) AND score >= CAST($HardNegFloor AS DOUBLE))
+       |SELECT qid, rn, nid, score FROM (
+       |  SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+       |  FROM b)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
   /** Adaptive-band near-dup twin: full-width band keys (ndKeyDuck, coef2
     * family) masked to the corpus-size-adaptive width — the same integer
@@ -2663,6 +2727,8 @@ object PipelineQueries {
     // same oracle, hash equality is the proof
     "q_inverted_index_inc" -> invertedIndexSql,
     "q_dedup_ngram" -> ngramSql,
+    "q_dedup_winnow" -> winnowSql,
+    "q_sim_hard_negatives" -> simHardNegSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_pairs" -> dedupSemanticPairsSql,

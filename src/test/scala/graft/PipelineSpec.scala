@@ -888,4 +888,47 @@ class PipelineSpec extends SparkSpec {
     val plan = Multimodal.metadata(media).queryExecution.optimizedPlan.toString
     assert(!plan.contains("content"))
   }
+
+  test("winnowing: selection density, coverage guarantee, edit stability") {
+    // 40-word doc and a copy with ONE word edited far from the shared run:
+    // any shared window of w + k - 1 = 6 words must contribute >= 1 common
+    // fingerprint (the winnowing coverage theorem), and the pair must meet
+    // the catalog threshold while an unrelated doc shares nothing
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = ((1 to 35).map(i => s"tok$i") ++ Seq("CHANGED") ++
+      (37 to 40).map(i => s"tok$i")).mkString(" ")
+    val other = (200 to 240).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> edited, 3L -> other)
+    val fps = Dedup.winnowIndex(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // density: per doc, |selected| is ~2/(w+1) of the 38 grams — between
+    // the hard floor (1 per disjoint window) and the gram count
+    val perDoc = fps.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc(1L) >= 38 / 4 && perDoc(1L) < 38)
+    val pairs = Dedup.winnowPairs(d, minShared = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // the 35-word shared prefix alone has 33 - 5 = 28+ full windows
+    assert(pairs.head._3 >= 4L)
+  }
+
+  test("winnowing: doc shorter than the window still fingerprints; sub-k doc yields none") {
+    val d = docs(1L -> "a b c d", 2L -> "a b") // 2 grams / 0 grams at k=3
+    val byDoc = Dedup.winnowIndex(d).collect().groupBy(_.getLong(0))
+    assert(byDoc(1L).nonEmpty) // global min when grams < w
+    assert(!byDoc.contains(2L))
+  }
+
+  test("semi-hard negatives: band excludes the near-identical and the unrelated") {
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val anchor = v(1, 0, 0, 0, 0, 0, 0, 0)
+    val nearDup = v(0.99, 0.1, 0, 0, 0, 0, 0, 0) // cos ~0.995 -> above ceil
+    val semiHard = v(0.2, 1, 0, 0, 0, 0, 0, 0) // cos ~0.196 -> in band
+    val unrelated = v(0, 0, 0, 0, 0, 0, 0, 1) // cos 0 -> below floor
+    val emb = Seq((0L, anchor), (1L, nearDup), (2L, semiHard), (3L, unrelated))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0L), 5)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(out == Set(2L))
+  }
 }
