@@ -133,6 +133,57 @@ object TextHashImpl {
     out
   }
 
+  /** Winnow-selected fingerprint hashes — the kernel of
+    * TextHash.winnowGramsSpark + winnowSelectSpark (robust winnowing,
+    * Schleimer/Wilkerson/Aiken SIGMOD 2003): per-position single-fold
+    * k-gram hashes g (base 31, mod P over per-word poly-hashes), then each
+    * w-window's minimum by (hash, rightmost position) via the packed key
+    * g*2^20 + (2^20 - 1 - pos), distinct in first-occurrence order
+    * (matching array_distinct). Windows clip at the array end; fewer than
+    * w grams yields the global min; fewer than k words yields nothing.
+    * O(n·(k + w)) long ops, word hashes computed once. */
+  def winnowSelect(s: String, k: Int, w: Int): Array[Long] = {
+    val words = tokenize(s)
+    val n = words.length
+    if (n < k) return Array.emptyLongArray
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = polyHash(words(i)); i += 1 }
+    val m = n - k + 1
+    val g = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      var acc = 0L
+      var j = p
+      while (j < p + k) { acc = (acc * 31 + wh(j)) % P; j += 1 }
+      g(p) = acc
+      p += 1
+    }
+    val M = TextHash.WinnowM
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val starts = math.max(1, m - w + 1)
+    var s0 = 0
+    while (s0 < starts) {
+      // packed (hash, -pos) min over the clipped window [s0, s0+w)
+      var best = Long.MaxValue
+      var j = s0
+      val end = math.min(s0 + w, m)
+      while (j < end) {
+        // HOF positions are 1-based: encode M - 1 - (j + 1)
+        val key = g(j) * M + (M - 2 - j)
+        if (key < best) best = key
+        j += 1
+      }
+      out.add(best / M)
+      s0 += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    res
+  }
+
   /** SimBits-bit simhash over a word-hash multiset: majority vote per bit */
   def simHash(wh: Array[Long]): Long = {
     val bits = TextHash.SimBits

@@ -284,6 +284,25 @@ case class GramKeysExpr(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "graft_gram_keys"
 }
 
+/** string -> array<long>: winnow-selected fingerprint hashes (robust
+  * winnowing; TextHash.winnowGramsSpark/winnowSelectSpark document the
+  * packed-key window-min arithmetic, FunctionsSpec pins bit-equivalence
+  * to the composed HOF twin) */
+case class WinnowSelectExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashImpl.winnowSelect(input.asInstanceOf[UTF8String].toString, k, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextHashImpl.winnowSelect($c.toString(), $k, $w))")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelectExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_select"
+}
+
 object GraftFunctions {
   private def c(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
   private def ex(col: Column): Expression = org.apache.spark.sql.GraftBridge.expression(col)
@@ -305,4 +324,5 @@ object GraftFunctions {
   def bigramStats(col: Column): Column = c(BigramStatsExpr(ex(col)))
   def textFeatures(col: Column, dim: Int): Column = c(TextFeaturesExpr(ex(col), dim))
   def gramKeys(col: Column, k: Int): Column = c(GramKeysExpr(ex(col), k))
+  def winnowSelect(col: Column, k: Int, w: Int): Column = c(WinnowSelectExpr(ex(col), k, w))
 }

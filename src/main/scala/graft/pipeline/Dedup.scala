@@ -850,12 +850,14 @@ object Dedup {
     * array arithmetic (no shuffle until the fp equi-join); the hot-gram
     * hazard and its postings-cap defense are the substring family's,
     * applied to a relation (w+1)/2 times smaller. */
-  def winnowIndex(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val wh = wordPolyHashesSpark(wordsSpark("text"))
-    docs
-      .select(col("doc_id"), expr(winnowGramsSpark(wh, k)).as("__g"))
-      .select(col("doc_id"), explode(expr(winnowSelectSpark("__g", w))).as("fp"))
-  }
+  def winnowIndex(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    // codegen'd kernel (WinnowSelectExpr — one pass, word hashes computed
+    // once); FunctionsSpec pins bit-equivalence to the composed
+    // winnowGramsSpark + winnowSelectSpark HOF twin the oracle replays
+    // (the HOF path measured 17-20 s vs ~1 s at sf0.1 — the GramKeysExpr
+    // lesson applied on day one)
+    docs.select(col("doc_id"),
+      explode(GraftFunctions.winnowSelect(col("text"), k, w)).as("fp"))
 
   /** Cross-doc winnow candidate pairs: docs sharing >= minShared distinct
     * selected fingerprints, with the shared count as the match score —

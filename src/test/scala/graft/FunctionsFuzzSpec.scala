@@ -73,6 +73,16 @@ class FunctionsFuzzSpec extends SparkSpec {
         expr(TextHash.gramKeysSpark("wh1", "wh2", k)).as("b")))
   }
 
+  test("winnow select: expression == composed HOF on fuzz docs") {
+    for ((k, w) <- Seq((3, 4), (5, 3))) assertNoDiff(fuzzDocs
+      .withColumn("wh1", expr(TextHash.wordPolyHashesSpark(TextHash.wordsSpark("text"))))
+      .withColumn("g", expr(TextHash.winnowGramsSpark("wh1", k)))
+      .localCheckpoint() // barrier: see FunctionsSpec winnow twin note
+      .select(
+        GraftFunctions.winnowSelect(col("text"), k, w).as("a"),
+        expr(TextHash.winnowSelectSpark("g", w)).as("b")))
+  }
+
   test("minhash: expression == HOF on possibly-empty shingle sets") {
     assertNoDiff(fuzzDocs
       .withColumn("hs", GraftFunctions.shingleHashes(col("text")))

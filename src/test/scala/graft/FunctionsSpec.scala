@@ -82,6 +82,25 @@ class FunctionsSpec extends SparkSpec {
         expr(TextHash.gramKeysSpark("wh1", "wh2", 8)).as("b")))
   }
 
+  test("WinnowSelectExpr == composed HOF winnow (corpus + edges)") {
+    import spark.implicits._
+    def twin(df: org.apache.spark.sql.DataFrame, k: Int, w: Int) = df
+      .withColumn("wh1", expr(TextHash.wordPolyHashesSpark(TextHash.wordsSpark("text"))))
+      .withColumn("g", expr(TextHash.winnowGramsSpark("wh1", k)))
+      // materialization barrier: winnowSelectSpark references g once per
+      // window element — projection collapse would inline the whole gram
+      // transform into every reference (quadratic HOF re-evaluation; the
+      // oracle's MATERIALIZED CTE is the same barrier on the DuckDB side)
+      .localCheckpoint()
+      .select(
+        GraftFunctions.winnowSelect(col("text"), k, w).as("a"),
+        expr(TextHash.winnowSelectSpark("g", w)).as("b"))
+    for ((k, w) <- Seq((3, 4), (8, 6), (3, 1))) assertNoDiff(twin(docs, k, w))
+    // edges: empty/blank/sub-k docs (both empty), grams < w (global min)
+    val edge = Seq("", " ", "a", "a b", "a b c", "a b c d e", "a  b  c").toDF("text")
+    assertNoDiff(twin(edge, 3, 4))
+  }
+
   test("MinHashSigExpr == HOF minhash") {
     assertNoDiff(docs
       .withColumn("ws", expr(TextHash.wordsSpark("text")))
