@@ -108,7 +108,9 @@ object Bench {
       "q_graph_ktruss_sparse" -> 12.2, "q_graph_cc" -> 2.5,
       "q_graph_coloring" -> 15.0, "q_graph_coreness" -> 12.4,
       "q_graph_scc" -> 7.0, "q_graph_scc_levels" -> 9.4,
-      "q_graph_densest" -> 4.3)
+      "q_graph_densest" -> 4.3,
+      // round-12 quiet re-band addition (ctx 1.18/1.19 samples 4.3-5.2)
+      "q_graph_coreness_agg" -> 5.3)
     val hot = ctxNum.exists(_ > 1.3)
     val finalResults = results.map { case (name, v) =>
       spikeBandHigh.get(name) match {

@@ -69,7 +69,7 @@ object Graphs {
     * width the measured edge count warrants (SSSP's edge treatment —
     * ShortestPath.run): every per-round scan then reads as many partitions
     * as the data needs, not the derivation's shuffle width. */
-  private def undirectedSized(edges: DataFrame): DataFrame = {
+  private[graft] def undirectedSized(edges: DataFrame): DataFrame = {
     // persist BEFORE the sizing count: the count's materialization then
     // feeds the repartition below from cache, instead of re-running the
     // union+distinct derivation (its shuffle included) a second time

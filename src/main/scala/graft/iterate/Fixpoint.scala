@@ -27,6 +27,20 @@ object Fixpoint {
     math.max(1L, math.min(configured, rows / RowsPerPartition + 1)).toInt
   }
 
+  /** Zero-job STATS re-bind for an already-materialized relation: a
+    * localCheckpoint cuts the RDD lineage but Spark snapshots the
+    * originating plan's size estimate onto the new LogicalRDD, so a loop
+    * whose step joins the state against derivations of itself compounds
+    * the estimate multiplicatively across rounds — doubly-exponential bit
+    * growth that overflows Catalyst's BigInteger size product after ~60
+    * rounds (observed: Bpe.train at a 64-merge vocabulary; the coloring
+    * loop hit the milder planning-latency face of the same hazard).
+    * Wrapping the checkpointed RDD in a fresh DataFrame resets the
+    * estimate to the scan default while rows keep streaming from the
+    * existing checkpoint blocks — no job, no recompute. */
+  def rebindStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Iterate `step` from `init` until `maxIter` or `converged(prev, next)`.
     *
     * Each iteration's state is persisted and materialized (checkpoint

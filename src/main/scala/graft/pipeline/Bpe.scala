@@ -33,7 +33,11 @@ import TextHash.wordsSpark
   * 100 TB is feasible at all. Each round is two window passes + one agg
   * over that state, hash-partitioned by word; the argmax is a 1-row
   * collect per round (the k-row contract, as in KMeans). State is
-  * localCheckpoint'd per round (Fixpoint's lineage-cut discipline).
+  * localCheckpoint'd AND stats-rebound per round (Fixpoint's lineage-cut
+  * discipline plus Fixpoint.rebindStats — the checkpoint alone snapshots
+  * the old plan's size estimate, which compounds multiplicatively across
+  * the per-round self-joins and overflows Catalyst's BigInteger size
+  * product near 60 rounds).
   */
 object Bpe {
 
@@ -104,9 +108,10 @@ object Bpe {
               .otherwise(col("tok")))
             .select(col("word"), col("freq"), col("pos"), col("tok2").as("tok"))
           val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
-          state = merged.join(consumed, Seq("word", "pos"), "left_anti")
-            .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
-            .localCheckpoint(eager = true)
+          state = graft.iterate.Fixpoint.rebindStats(
+            merged.join(consumed, Seq("word", "pos"), "left_anti")
+              .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+              .localCheckpoint(eager = true))
       }
       r += 1
     }
@@ -195,9 +200,10 @@ object Bpe {
             .otherwise(col("tok")))
           .select(col("word"), col("freq"), col("pos"), col("tok2").as("tok"))
         val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
-        state = merged.join(consumed, Seq("word", "pos"), "left_anti")
-          .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
-          .localCheckpoint(eager = true)
+        state = graft.iterate.Fixpoint.rebindStats(
+          merged.join(consumed, Seq("word", "pos"), "left_anti")
+            .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+            .localCheckpoint(eager = true))
       }
       r += 1
     }

@@ -80,7 +80,7 @@ object GraphQueries {
   private val DsgMod = 200000
   private val DsgCore = 40
   private val DsgSlice = 5
-  private def densestEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def densestEdges(s: SparkSession, d: String): DataFrame = {
     def hp(c: org.apache.spark.sql.Column) =
       c % 2147483647L * 2654435761L % 2147483647L
     val li = Tables.lineitem(s, d)
