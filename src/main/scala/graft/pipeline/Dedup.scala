@@ -864,11 +864,58 @@ object Dedup {
     * the coverage guarantee makes this a recall-bounded screen for shared
     * spans of >= w + k - 1 words. Output (doc_a, doc_b, shared). */
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
-      minShared: Long = 4L): DataFrame = {
+      minShared: Long = 4L): DataFrame =
+    winnowPairsFrom(winnowIndex(docs, k, w).localCheckpoint(eager = true), minShared)
+
+  /** [[winnowPairs]] with a fingerprint-df cap — the boilerplate-regime
+    * defense (the minhash band-occupancy-cap pattern applied to winnow
+    * postings): a selected print carried by more than `maxDf` documents is
+    * a template signature, not near-dup evidence, and its posting list
+    * alone drives the pair join quadratic. Dropping it bounds per-print
+    * fan-out at maxDf²; true near-dup families sit far below any sane cap.
+    * Engine cap and oracle HAVING must agree. */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Long,
+      maxDf: Long): DataFrame = {
     val fps = winnowIndex(docs, k, w).localCheckpoint(eager = true)
-    fps.toDF("doc_a", "fp")
-      .join(fps.toDF("doc_b", "fp"), "fp")
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    winnowPairsFrom(fps.join(broadcast(hot), Seq("fp"), "left_anti"), minShared)
+  }
+
+  private def winnowPairsFrom(fps: DataFrame, minShared: Long): DataFrame = {
+    // bind by NAME: the capped path's USING-join reorders columns, so a
+    // positional toDF would silently swap (doc_id, fp) — the
+    // walkCooccurrence advice-item class
+    val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, "fp")
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Incremental winnow screen — the append-only-ingest face of
+    * [[winnowPairs]]: pairs between an incoming batch and the corpus
+    * represented by its STORED fingerprint index ([[winnowIndex]] output;
+    * only the batch is ever tokenized per ingest), plus batch-internal
+    * pairs. Winnow selection is doc-LOCAL (no corpus-dependent state at
+    * all — unlike the adaptive-band families there is no mask/df to
+    * merge), so incremental output ≡ the batch run over the union
+    * restricted to pairs touching at least one incoming doc, exactly.
+    * Batch-batch matches arrive from both join directions; the
+    * least/greatest + distinct-triple normalization counts each shared
+    * print once (the incrementalNearDupPairs convention). */
+  def incrementalWinnowPairs(storedIndex: DataFrame, incoming: DataFrame,
+      k: Int = 3, w: Int = 4, minShared: Long = 4L): DataFrame = {
+    val fpsB = winnowIndex(incoming, k, w).localCheckpoint(eager = true)
+    val all = storedIndex.select("doc_id", "fp").unionByName(fpsB)
+    fpsB.select(col("doc_id").as("na"), col("fp"))
+      .join(all.select(col("doc_id").as("nb"), col("fp")), "fp")
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"), col("fp"))
+      .distinct()
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

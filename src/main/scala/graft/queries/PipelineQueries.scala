@@ -32,6 +32,9 @@ object PipelineQueries {
   private val WinnowK = 3
   private val WinnowW = 4
   private val WinnowMinShared = 4L
+  // fingerprint-df cap for the capped winnow twin (boilerplate defense):
+  // far above any true near-dup family, far below a template's carrier set
+  private val WinnowMaxDf = 16L
   // semi-hard negative band: hardest negatives strictly below the presumed-
   // positive ceiling, at/above the uninformative floor (rounded-score cut)
   private val HardNegCeil = 0.30
@@ -514,6 +517,28 @@ object PipelineQueries {
     "q_dedup_winnow" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), WinnowK, WinnowW, WinnowMinShared)
         .orderBy("doc_a", "doc_b")),
+
+    // the postings-cap twin: prints carried by > maxDf docs leave the pair
+    // join (template signatures, not near-dup evidence) — the minhash
+    // band-occupancy-cap pattern, cap replayed in the oracle's HAVING
+    "q_dedup_winnow_capped" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), WinnowK, WinnowW,
+          WinnowMinShared, WinnowMaxDf)
+        .orderBy("doc_a", "doc_b")),
+
+    // incremental ingest: odd-id batch screened against the even-id
+    // corpus's STORED fingerprint index + itself; winnow selection is
+    // doc-local, so the result must equal the batch run over the union
+    // restricted to pairs touching an incoming doc — the oracle replays
+    // exactly that restriction
+    "q_dedup_winnow_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stored = Dedup.winnowIndex(docs.filter(col("doc_id") % 2 === 0),
+        WinnowK, WinnowW)
+      Dedup.incrementalWinnowPairs(stored, docs.filter(col("doc_id") % 2 === 1),
+          WinnowK, WinnowW, WinnowMinShared)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.lshNearDup(Tables.embeddings(s, d), EmbThreshold)
@@ -1515,18 +1540,33 @@ object PipelineQueries {
   /** Winnowing replay: same word poly-hashes, same single-fold gram keys,
     * same packed-key (hash, rightmost-pos) window minima, same shared-count
     * threshold — integer arithmetic end to end. */
-  private val winnowSql =
+  private def winnowSqlWith(sel: String, restrict: String): String =
     s"""WITH w AS MATERIALIZED (
        |  SELECT doc_id, ${wordPolyHashesDuck(wordsDuck("text"))} AS wh1 FROM documents),
        |g AS MATERIALIZED (
        |  SELECT doc_id, ${winnowGramsDuck("wh1", WinnowK)} AS gs FROM w),
-       |s AS MATERIALIZED (
-       |  SELECT doc_id, unnest(${winnowSelectDuck("gs", WinnowW)}) AS fp FROM g)
+       |s0 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${winnowSelectDuck("gs", WinnowW)}) AS fp FROM g),
+       |s AS MATERIALIZED ($sel)
        |SELECT doc_a, doc_b, shared FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
        |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |WHERE shared >= $WinnowMinShared ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE shared >= $WinnowMinShared$restrict ORDER BY doc_a, doc_b""".stripMargin
+
+  private val winnowSql = winnowSqlWith("SELECT * FROM s0", "")
+
+  /** capped twin: prints with df > maxDf leave the join (engine cap and
+    * this NOT-IN agree; fp is distinct per doc so count(*) IS the df) */
+  private val winnowCappedSql = winnowSqlWith(
+    s"SELECT * FROM s0 WHERE fp NOT IN (SELECT fp FROM s0 GROUP BY fp HAVING count(*) > $WinnowMaxDf)",
+    "")
+
+  /** incremental twin: the batch run over the union restricted to pairs
+    * touching at least one incoming (odd-id) doc — winnow selection is
+    * doc-local, so the restriction IS the incremental contract */
+  private val winnowIncSql = winnowSqlWith("SELECT * FROM s0",
+    " AND (doc_a % 2 = 1 OR doc_b % 2 = 1)")
 
   /** simTopkSql's scan with the semi-hard band cut on the rounded score —
     * the literals are spelled as DOUBLE casts so both engines compare the
@@ -2728,6 +2768,8 @@ object PipelineQueries {
     "q_inverted_index_inc" -> invertedIndexSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_winnow" -> winnowSql,
+    "q_dedup_winnow_capped" -> winnowCappedSql,
+    "q_dedup_winnow_inc" -> winnowIncSql,
     "q_sim_hard_negatives" -> simHardNegSql,
     "q_dedup_embedding" -> embDedupSql,
     "q_dedup_semantic" -> dedupSemanticSql,

@@ -616,7 +616,7 @@ object SkewScale {
     }
 
     if (Seq("minhash", "minhash_capped", "substring", "boilerplate",
-        "novelty", "importance").exists(want)) {
+        "novelty", "importance", "winnow", "winnow_capped").exists(want)) {
       val dU = docReplicas(hot = false).localCheckpoint(eager = true)
       val dS = docReplicas(hot = true).localCheckpoint(eager = true)
       if (want("minhash")) report("minhash",
@@ -653,6 +653,15 @@ object SkewScale {
             d.filter(col("doc_id") % 50 === 1), 2)
         report("importance", time2(imp(dU)), time2(imp(dS)))
       }
+      // winnow under shared boilerplate: every template doc carries the
+      // same ~30 selected prints, so the uncapped pair join goes quadratic
+      // in the template count — the df cap is the defense, priced next row
+      if (want("winnow")) report("winnow",
+        time2(graft.pipeline.Dedup.winnowPairs(dU)),
+        time2(graft.pipeline.Dedup.winnowPairs(dS)))
+      if (want("winnow_capped")) report("winnow_capped",
+        time2(graft.pipeline.Dedup.winnowPairs(dU, 3, 4, 4L, 256L)),
+        time2(graft.pipeline.Dedup.winnowPairs(dS, 3, 4, 4L, 256L)))
     }
     spark.stop()
   }

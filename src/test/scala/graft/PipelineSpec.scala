@@ -912,6 +912,29 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.head._3 >= 4L)
   }
 
+  test("winnow df cap drops template pairs, keeps the cool family; incremental == restriction") {
+    val family = (1 to 40).map(i => s"fam$i").mkString(" ")
+    val boiler = (1 to 40).map(i => s"bp$i").mkString(" ")
+    // cool pair {1,2}; docs 10-15 all share the boilerplate template
+    val d = docs(Seq(1L -> family, 2L -> family) ++
+      (10 to 15).map(i => i.toLong -> boiler): _*)
+    val uncapped = Dedup.winnowPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // template prints carried by 6 docs > cap 4 leave; family df=2 stays
+    val capped = Dedup.winnowPairs(d, 3, 4, 4L, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.size == 1 + 15)
+    assert(capped == Set((1L, 2L)))
+    // incremental (odd incoming vs even stored index) == batch restricted
+    val stored = Dedup.winnowIndex(d.filter(col("doc_id") % 2 === 0))
+    val inc = Dedup.incrementalWinnowPairs(stored, d.filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.winnowPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1).toSet
+    assert(inc == full)
+  }
+
   test("winnowing: doc shorter than the window still fingerprints; sub-k doc yields none") {
     val d = docs(1L -> "a b c d", 2L -> "a b") // 2 grams / 0 grams at k=3
     val byDoc = Dedup.winnowIndex(d).collect().groupBy(_.getLong(0))
