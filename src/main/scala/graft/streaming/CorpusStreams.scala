@@ -173,6 +173,49 @@ object CorpusStreams {
       }
       .start()
 
+  /** Streaming winnow-fingerprint ingest: each micro-batch is screened
+    * against the stored winnow fingerprint index
+    * ([[graft.pipeline.Dedup.winnowIndex]] layout) via
+    * [[graft.pipeline.Dedup.incrementalWinnowPairs]]; pairs land in
+    * `pairsDir`, the batch's own prints in `indexDir` AFTER the screen
+    * (later batches see earlier ones; the stream holds NO state — the
+    * index is the state). Winnow selection is doc-LOCAL (no
+    * corpus-dependent cap/mask/df in the uncapped form), so the union of
+    * per-batch pairs equals the one-shot batch run's pair set EXACTLY —
+    * no online-decision caveat at all, the cleanest member of the ingest
+    * family. Replay-idempotent by the curateBatch discipline: reads
+    * exclude batch_id >= current, writes dynamically overwrite their own
+    * partition. */
+  def winnowIngest(docs: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String, k: Int = 3, w: Int = 4,
+      minShared: Long = 4L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint(eager = true)
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId).select("doc_id", "fp")
+          else sp.emptyDataFrame
+            .select(lit(0L).as("doc_id"), lit(0L).as("fp")).limit(0)
+        val pairs = graft.pipeline.Dedup
+          .incrementalWinnowPairs(index, b, k, w, minShared)
+          .localCheckpoint(eager = true)
+        def writePartition(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(pairs, pairsDir)
+        writePartition(graft.pipeline.Dedup.winnowIndex(b, k, w), indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming novelty ingest: each micro-batch of documents is scored
     * against the stored first-carrier index
     * ([[graft.pipeline.TextAnalysis.noveltyIndex]] layout) via

@@ -311,6 +311,45 @@ class StreamingSpec extends SparkSpec {
       Dedup.substringIndex(batchDocs).count())
   }
 
+  test("streaming winnow ingest: union of per-batch pairs equals the batch run") {
+    import graft.streaming.CorpusStreams
+    import graft.pipeline.Dedup
+    val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-winnow-stream")
+    batchDocs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.resolve("in/b0").toString)
+    batchDocs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(dir.resolve("in/b1").toString)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.winnowIngest(stream, dir.resolve("index").toString,
+      dir.resolve("pairs").toString, dir.resolve("ck").toString)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(dir.resolve("pairs").toString)
+      .select("doc_a", "doc_b", "shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.winnowPairs(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    // grown index == the full corpus's fingerprint relation (doc-local
+    // selection: per-batch union IS the batch build)
+    assert(spark.read.parquet(dir.resolve("index").toString).count() ==
+      Dedup.winnowIndex(batchDocs).count())
+    // crash replay: re-running batch 1's foreachBatch body must change
+    // nothing (reads exclude batch_id >= 1; writes overwrite partition 1)
+    val before = spark.read.parquet(dir.resolve("pairs").toString).collect().toSet
+    val q2 = CorpusStreams.winnowIngest(
+      spark.readStream.schema(batchDocs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString + "/in/*"),
+      dir.resolve("index").toString, dir.resolve("pairs").toString,
+      dir.resolve("ck").toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(dir.resolve("pairs").toString).collect().toSet == before)
+  }
+
   test("streaming novelty ingest: ordered batches reproduce the batch scores, replay is a no-op") {
     import graft.streaming.CorpusStreams
     import graft.pipeline.TextAnalysis
