@@ -579,7 +579,7 @@ object SkewScale {
     // events span the full window, maximizing its per-partition sort.
     if (Seq("sessionize", "asof", "funnel", "retention",
         "sessionize_chunked", "asof_chunked", "latest", "latest_agg",
-        "ewma").exists(want)) {
+        "ewma", "holt", "cusum").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -609,7 +609,11 @@ object SkewScale {
         // (WindowGroupLimit below the exchange), so the hot user's slice
         // is pruned to W rows per input partition BEFORE it can pile
         // onto one task — the built-in defense, priced here
-        "ewma" -> "q_time_ewma")
+        "ewma" -> "q_time_ewma",
+        // holt/cusum ride the same trailing-window rn<=W cut as ewma, so
+        // the same rank-limit pushdown prunes the hot user's slice to W
+        // rows per input partition before it can pile onto one task
+        "holt" -> "q_time_holt", "cusum" -> "q_time_cusum")
         .foreach { case (m, qn) =>
           if (want(m)) report(m, time2(q(qn, uDir)), time2(q(qn, sDir)))
         }
