@@ -112,6 +112,6 @@ object SparkEntry {
     // round 12 wave: winnowing fingerprint screen, semi-hard negative
     // mining, and the two trailing-window state folds (Holt, CUSUM)
     "q_dedup_winnow", "q_sim_hard_negatives", "q_time_holt", "q_time_cusum",
-    "q_dedup_winnow_capped", "q_dedup_winnow_inc",
+    "q_dedup_winnow_capped", "q_dedup_winnow_inc", "q_bpe_fertility",
   ).filter(queries.contains)
 }

@@ -996,6 +996,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // tokenizer fertility / compression per source (the tokenizer-eval
+    // diagnostic): over the held-out split, tokens-per-word and
+    // chars-per-token under the trained merges — "which feed does this
+    // vocabulary serve worst" is the number that decides retraining.
+    // Integral sums + two correctly-rounded divisions; the encode chain
+    // prices only the distinct vocabulary (the tokens_bpe shape)
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs.filter(col("doc_id") % 2 === 0))._1
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("source"), explode(expr(wordsSpark("text"))).as("word"))
+      val encLen = Bpe.encode(words.select("word"), merges)
+        .groupBy("word").agg(count(lit(1)).as("n_tok"))
+      words.join(broadcast(encLen), Seq("word"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
+            .as("n_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+        .orderBy("source")
+    }),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.binarize(Tables.documents(s, d)))
         .orderBy("doc_id")),
@@ -2440,6 +2467,28 @@ object PipelineQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** bpeTokensSql's encode-chain replay aggregated per source, plus char
+    * sums — integral masses, two rounded IEEE divisions */
+  private val bpeFertilitySql = {
+    val rounds = Bpe.DefaultMerges
+    bpeEncodeCtes + s""",
+      |wl AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM e$rounds GROUP BY word),
+      |dw AS MATERIALIZED (
+      |  SELECT source, unnest(${wordsDuck("text")}) AS word
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(coalesce(wl.n_tok, length(dw.word))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+      |  FROM dw LEFT JOIN wl ON wl.word = dw.word
+      |  GROUP BY source)
+      |SELECT source, n_words, n_tokens, n_chars,
+      |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+      |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+      |FROM agg ORDER BY source""".stripMargin
+  }
+
   /** clustersSql's CC chain + a quality/langid CTE: the curated corpus is
     * quality-passing docs that are not near-dup cluster losers */
   private val curateSql = {
@@ -2812,6 +2861,7 @@ object PipelineQueries {
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_text_tokens_bpe" -> bpeTokensSql,
+    "q_bpe_fertility" -> bpeFertilitySql,
     "q_curate" -> curateSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
