@@ -150,6 +150,17 @@ object TextHashImpl {
     var i = 0
     while (i < n) { wh(i) = polyHash(words(i)); i += 1 }
     val m = n - k + 1
+    // position regime bound, enforced (not just documented): at
+    // m >= 2^20 - 1 the packed tie-break addend (M - 1 - pos) goes
+    // negative, which can decrement the recovered hash (key div M) and
+    // silently corrupt fingerprints while engine/oracle stay in parity
+    // (same arithmetic both sides — no signal). Fail fast instead,
+    // mirroring densestSubgraph's int64-headroom require; million-gram
+    // docs belong to the substring-index family, not winnowing.
+    require(m < TextHash.WinnowM - 1,
+      s"winnowSelect: $m gram positions >= 2^20 - 1 — past the packed " +
+        "(hash, -pos) tie-break regime; route docs this long to the " +
+        "substring-span dedup family")
     val g = new Array[Long](m)
     var p = 0
     while (p < m) {

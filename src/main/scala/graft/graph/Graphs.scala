@@ -209,58 +209,34 @@ object Graphs {
     * maximal k in one pass over rounds — the whole onion, the standard
     * graph-curation density score.
     *
-    * Scale: each round is one edge-sized message join + a per-vertex
-    * h-index. The h-index needs the neighbor multiset ranked, so a hub of
-    * degree d sorts d rows on one task per round (the per-key-window
-    * shape; the events chunking trick does not apply because rank is
-    * global per vertex) — bounded by max degree, the quantity the
-    * degree/k-core screens upstream already cap. State is vertex-sized;
-    * values only fall, and the convergence test stops early. */
+    * This is the HUB-SAFE bucketed formulation (the engine's default
+    * since round 13 — it beat the rank-window form 2.0–2.7× at every
+    * measured (scale, skew) point and is exactly flat under a
+    * degree-12,000 hub). The h-index needs only "how many neighbors hold
+    * value ≥ h", never a global per-vertex sort: (1) histogram the
+    * messages per (vertex, value) — map-side partial aggregation absorbs
+    * a hub's raw degree before the shuffle, so the exchange carries value
+    * buckets, not neighbors; (2) a running sum over the histogram DESC by
+    * value gives cum(v) = #neighbors with value ≥ v, and h = max over
+    * histogram levels of min(value, cum) — identical to max-over-ranks
+    * min(x_r, r), which is maximized at the end of each equal-value run
+    * where r = cum (tie-order-invariant, so the bucketing loses nothing;
+    * spec- and oracle-certified ≡ [[corenessWindow]]).
+    *
+    * Scale: the one-task window sort that [[corenessWindow]] pays per hub
+    * per round (degree-sized — the indivisible-partition hazard at
+    * web-scale degree ~10⁸) is here a histogram-sized sort, bounded by
+    * the number of DISTINCT neighbor values: in round 1 these are vertex
+    * degrees, of which any graph has ≤ 2√m distinct (k distinct degrees
+    * sum to ≥ k²/2 ≤ 2m), and values only fall afterwards — so
+    * per-vertex work is O(√m) worst-case instead of O(max-degree), and
+    * the shuffle is the partial-aggregated histogram. State is
+    * vertex-sized; values only fall, and the convergence test stops
+    * early. */
   def coreness(edges: DataFrame, rounds: Int = DefaultCorenessRounds): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val und = undirectedSized(edges)
     // symmetric closure => per-src row count IS the undirected degree
-    val init = und.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("val"))
-    val result = graft.iterate.Fixpoint.iterate(init, rounds,
-        converged = graft.iterate.Fixpoint.monotoneSumUnchanged("val")) { (state, _) =>
-      val msgs = state.join(und, state("vertex") === und("src"))
-        .select(col("dst").as("vertex"), col("val"))
-      val w = Window.partitionBy("vertex").orderBy(desc("val"))
-      msgs.withColumn("r", row_number().over(w).cast("long"))
-        .groupBy("vertex")
-        .agg(max(least(col("val"), col("r"))).as("val"))
-    }
-    und.unpersist(blocking = false)
-    result.select(col("vertex"), col("val").as("coreness"))
-  }
-
-  /** Hub-safe core decomposition — the same iterated h-index fixpoint as
-    * [[coreness]], with the per-vertex rank window replaced by a bucketed
-    * two-level aggregation (round-11 verdict item 5). The h-index needs
-    * only "how many neighbors hold value ≥ h", never a global per-vertex
-    * sort: (1) histogram the messages per (vertex, value) — map-side
-    * partial aggregation absorbs a hub's raw degree before the shuffle,
-    * so the exchange carries value buckets, not neighbors; (2) a running
-    * sum over the histogram DESC by value gives cum(v) = #neighbors with
-    * value ≥ v, and h = max over histogram levels of min(value, cum) —
-    * identical to max-over-ranks min(x_r, r), which is maximized at the
-    * end of each equal-value run where r = cum (tie-order-invariant, so
-    * the bucketing loses nothing; spec- and oracle-certified ≡
-    * [[coreness]]).
-    *
-    * Scale: the one-task window sort that [[coreness]] pays per hub per
-    * round (degree-sized — the indivisible-partition hazard at web-scale
-    * degree ~10⁸) becomes a histogram-sized sort, bounded by the number
-    * of DISTINCT neighbor values: in round 1 these are vertex degrees, of
-    * which any graph has ≤ 2√m distinct (k distinct degrees sum to
-    * ≥ k²/2 ≤ 2m), and values only fall afterwards — so per-vertex work
-    * is O(√m) worst-case instead of O(max-degree), and the shuffle is the
-    * same partial-aggregated histogram. Same round bound, same
-    * convergence test, same oracle SQL verbatim (the chunked-sessionize
-    * proof shape). */
-  def corenessAgg(edges: DataFrame, rounds: Int = DefaultCorenessRounds): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val und = undirectedSized(edges)
     val init = und.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("val"))
     val result = graft.iterate.Fixpoint.iterate(init, rounds,
         converged = graft.iterate.Fixpoint.monotoneSumUnchanged("val")) { (state, _) =>
@@ -272,6 +248,31 @@ object Graphs {
       hist.withColumn("cum", sum("cnt").over(w))
         .groupBy("vertex")
         .agg(max(least(col("val"), col("cum"))).as("val"))
+    }
+    und.unpersist(blocking = false)
+    result.select(col("vertex"), col("val").as("coreness"))
+  }
+
+  /** Didactic rank-window twin of [[coreness]] — the literal textbook
+    * h-index: rank each vertex's neighbor values DESC and take
+    * max(min(x_r, r)). A hub of degree d sorts d rows on one task per
+    * round (the per-key-window shape; the events chunking trick does not
+    * apply because rank is global per vertex), which is why the bucketed
+    * form is the default — this twin exists to certify it (GraphSpec
+    * equality fixture; same oracle SQL verbatim — one SQL, two plans,
+    * the chunked-sessionize proof shape). */
+  def corenessWindow(edges: DataFrame, rounds: Int = DefaultCorenessRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirectedSized(edges)
+    val init = und.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("val"))
+    val result = graft.iterate.Fixpoint.iterate(init, rounds,
+        converged = graft.iterate.Fixpoint.monotoneSumUnchanged("val")) { (state, _) =>
+      val msgs = state.join(und, state("vertex") === und("src"))
+        .select(col("dst").as("vertex"), col("val"))
+      val w = Window.partitionBy("vertex").orderBy(desc("val"))
+      msgs.withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("vertex")
+        .agg(max(least(col("val"), col("r"))).as("val"))
     }
     und.unpersist(blocking = false)
     result.select(col("vertex"), col("val").as("coreness"))

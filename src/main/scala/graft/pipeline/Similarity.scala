@@ -27,6 +27,13 @@ object Similarity {
   val HpBandBits = 4
   val NumHyperplanes: Int = HpBands * HpBandBits
 
+  /** [[hardNegatives]] semi-hard band defaults — THE single definition:
+    * PipelineQueries' catalog constants (and thus the oracle SQL
+    * literals) reference these, so a caller relying on the defaults can
+    * never silently diverge from the oracle (ADVICE r12). */
+  val DefaultHardNegCeil = 0.30
+  val DefaultHardNegFloor = 0.05
+
   /** Near-dup (corpus self-join) banding: corpus-size-ADAPTIVE band width.
     * Fixed-width bands make the self-join quadratic — bucket occupancy is
     * n/2^bits, so candidate pairs grow as n²/2^bits; the 10x inflation
@@ -150,7 +157,8 @@ object Similarity {
     * IVF/LSH bucket routes apply verbatim when the anchor set grows.
     * Output (qid, rn, nid, score). */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
-      ceil: Double = 0.30, floor: Double = 0.05): DataFrame = {
+      ceil: Double = Similarity.DefaultHardNegCeil,
+      floor: Double = Similarity.DefaultHardNegFloor): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = broadcast(queriesWithNorm(queries)).crossJoin(corpusWithNorm(corpus))
       .filter(col("nid") =!= col("qid"))

@@ -36,9 +36,11 @@ object PipelineQueries {
   // far above any true near-dup family, far below a template's carrier set
   private val WinnowMaxDf = 16L
   // semi-hard negative band: hardest negatives strictly below the presumed-
-  // positive ceiling, at/above the uninformative floor (rounded-score cut)
-  private val HardNegCeil = 0.30
-  private val HardNegFloor = 0.05
+  // positive ceiling, at/above the uninformative floor (rounded-score cut).
+  // Aliases of the Similarity defaults — one definition, so a caller using
+  // hardNegatives' defaults matches the oracle literals by construction
+  private val HardNegCeil = Similarity.DefaultHardNegCeil
+  private val HardNegFloor = Similarity.DefaultHardNegFloor
   private val EmbThreshold = 0.40
   // SemDeDup clustering: same k/iteration constants as the IVF replay so
   // the oracle's unrolled-Lloyd cost stays proven at both scale factors
@@ -960,12 +962,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // train/apply tokenizer split: merges learned on the even-doc slice,
-    // applied in rank order to the odd slice's words — Bpe.encode is the
-    // deployment path (merge table collected at k-row scale, broadcast)
+    // train/apply tokenizer split: merges learned on the even-doc slice
+    // by the BATCHED trainer (the deployment-shaped faces price the
+    // engine's best training plan — r12 verdict item 2; the sequential
+    // trainer stays as the didactic twin q_bpe_train), applied one at a
+    // time in global rank order to the odd slice's words — Bpe.encode is
+    // the deployment path (merge table collected at k-row scale,
+    // broadcast)
     "q_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.train(docs.filter(col("doc_id") % 2 === 0))._1
+      val merges = Bpe.trainBatched(docs.filter(col("doc_id") % 2 === 0))._1
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val words = docs.filter(col("doc_id") % 2 === 1)
@@ -979,7 +985,7 @@ object PipelineQueries {
     // computed exactly; encode prices only the DISTINCT vocabulary
     "q_text_tokens_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.train(docs.filter(col("doc_id") % 2 === 0))._1
+      val merges = Bpe.trainBatched(docs.filter(col("doc_id") % 2 === 0))._1
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val words = docs.filter(col("doc_id") % 2 === 1)
@@ -1004,7 +1010,7 @@ object PipelineQueries {
     // prices only the distinct vocabulary (the tokens_bpe shape)
     "q_bpe_fertility" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.train(docs.filter(col("doc_id") % 2 === 0))._1
+      val merges = Bpe.trainBatched(docs.filter(col("doc_id") % 2 === 0))._1
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val words = docs.filter(col("doc_id") % 2 === 1)
@@ -2338,11 +2344,12 @@ object PipelineQueries {
     * simultaneous rewrite; global merge rank is round-major. Exhausted
     * rounds pass state through unchanged (empty cd/ac/kp), matching the
     * engine's early exit. */
-  private def bpeBatchedCtes(rounds: Int, batch: Int): String = {
+  private def bpeBatchedCtes(rounds: Int, batch: Int,
+      docsWhere: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(${wordsDuck("text")}) AS word FROM documents)
+       |    SELECT unnest(${wordsDuck("text")}) AS word FROM documents WHERE $docsWhere)
        |  WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= ${Bpe.MaxWordLen}
        |  GROUP BY word),
        |s0 AS MATERIALIZED (
@@ -2398,16 +2405,25 @@ object PipelineQueries {
     s"""\nSELECT tok, count(*) AS n_positions, CAST(sum(freq) AS BIGINT) AS n_occurrences
        |FROM s${Bpe.DefaultMerges} GROUP BY tok ORDER BY tok""".stripMargin
 
-  /** train/apply split: merges trained on the EVEN-doc slice (bpeCtes
-    * win$i), replayed in rank order over the ODD slice's distinct
-    * eligible words — the tokenizer-deployment shape (train once, encode
-    * everywhere). An exhausted round's empty win$i no-ops in both
-    * engines (the Bpe.train early-exit contract). */
-  private val bpeEncodeCtes: String = {
-    val rounds = Bpe.DefaultMerges
+  /** train/apply split on the BATCHED trainer (the deployment faces'
+    * round-13 re-point, r12 verdict item 2): merges trained by the batched
+    * CTEs on the EVEN-doc slice, then replayed ONE AT A TIME in global
+    * rank order over the ODD slice's distinct eligible words — sequential
+    * rank-order replay is the standard BPE encode semantics and exactly
+    * what Bpe.encode does with the collected merge table, so parity is
+    * engine-sequential vs oracle-sequential by construction (merge-table
+    * parity itself is the already-proven q_bpe_train_batched contract).
+    * The replay unrolls to the trainer's capacity (rounds × batch); a
+    * global rank with no accepted merge yields an empty mg CTE whose
+    * round no-ops in both engines (the early-exit contract). */
+  private val bpeBatchedEncodeCtes: String = {
+    val cap = Bpe.BatchRounds * Bpe.MergeBatch
     val sb = new StringBuilder
-    sb ++= bpeCtes(rounds, "doc_id % 2 = 0")
+    sb ++= bpeBatchedCtes(Bpe.BatchRounds, Bpe.MergeBatch, "doc_id % 2 = 0")
     sb ++= s""",
+      |mr AS MATERIALIZED (
+      |  SELECT CAST(row_number() OVER (ORDER BY rnd, rk) AS BIGINT) AS g, a, b
+      |  FROM (${(1 to Bpe.BatchRounds).map(i => s"SELECT $i AS rnd, rk, a, b FROM ac$i").mkString(" UNION ALL ")})),
       |e0 AS MATERIALIZED (
       |  SELECT word, CAST(j AS BIGINT) AS pos,
       |         substr(word, CAST(j + 1 AS INT), 1) AS tok
@@ -2416,36 +2432,41 @@ object PipelineQueries {
       |        WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= ${Bpe.MaxWordLen})
       |  CROSS JOIN range(0, ${Bpe.MaxWordLen}) r(j)
       |  WHERE j < length(word))""".stripMargin
-    for (i <- 1 to rounds) {
-      val p = i - 1
+    for (g <- 1 to cap) {
+      val p = g - 1
       sb ++= s""",
-        |ne$i AS MATERIALIZED (
+        |mg$g AS MATERIALIZED (SELECT a, b FROM mr WHERE g = $g),
+        |ne$g AS MATERIALIZED (
         |  SELECT word, pos, tok,
         |         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
         |  FROM e$p),
-        |ke$i AS MATERIALIZED (
+        |ke$g AS MATERIALIZED (
         |  SELECT word, pos FROM (
         |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, grp) AS off
         |    FROM (SELECT t.word, t.pos,
         |            t.pos - row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS grp
-        |          FROM ne$i t, win$i w WHERE t.tok = w.a AND t.ntok = w.b))
+        |          FROM ne$g t, mg$g w WHERE t.tok = w.a AND t.ntok = w.b))
         |  WHERE off % 2 = 0),
-        |e$i AS MATERIALIZED (
+        |e$g AS MATERIALIZED (
         |  SELECT s.word,
         |    CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS BIGINT) AS pos,
-        |    CASE WHEN k.pos IS NOT NULL THEN s.tok || (SELECT b FROM win$i)
+        |    CASE WHEN k.pos IS NOT NULL THEN s.tok || (SELECT b FROM mg$g)
         |         ELSE s.tok END AS tok
         |  FROM e$p s
-        |  LEFT JOIN ke$i k ON k.word = s.word AND k.pos = s.pos
-        |  LEFT JOIN ke$i k2 ON k2.word = s.word AND k2.pos + 1 = s.pos
+        |  LEFT JOIN ke$g k ON k.word = s.word AND k.pos = s.pos
+        |  LEFT JOIN ke$g k2 ON k2.word = s.word AND k2.pos + 1 = s.pos
         |  WHERE k2.pos IS NULL)""".stripMargin
     }
     sb.toString
   }
 
+  /** the final encode-chain CTE name under the batched trainer's
+    * capacity unroll */
+  private val bpeBatchedEncodeLast = s"e${Bpe.BatchRounds * Bpe.MergeBatch}"
+
   private val bpeEncodeSql =
-    bpeEncodeCtes +
-      s"\nSELECT word, pos, tok FROM e${Bpe.DefaultMerges} ORDER BY word, pos"
+    bpeBatchedEncodeCtes +
+      s"\nSELECT word, pos, tok FROM $bpeBatchedEncodeLast ORDER BY word, pos"
 
   /** tokenizer-accurate per-doc token counts over the held-out slice:
     * encoded length per distinct word (from the encode chain), joined
@@ -2453,10 +2474,9 @@ object PipelineQueries {
     * outside the trained vocabulary) fall back to one token per char,
     * mirrored on both sides */
   private val bpeTokensSql = {
-    val rounds = Bpe.DefaultMerges
-    bpeEncodeCtes + s""",
+    bpeBatchedEncodeCtes + s""",
       |wl AS MATERIALIZED (
-      |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM e$rounds GROUP BY word),
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM $bpeBatchedEncodeLast GROUP BY word),
       |dw AS MATERIALIZED (
       |  SELECT doc_id, unnest(${wordsDuck("text")}) AS word
       |  FROM documents WHERE doc_id % 2 = 1)
@@ -2470,10 +2490,9 @@ object PipelineQueries {
   /** bpeTokensSql's encode-chain replay aggregated per source, plus char
     * sums — integral masses, two rounded IEEE divisions */
   private val bpeFertilitySql = {
-    val rounds = Bpe.DefaultMerges
-    bpeEncodeCtes + s""",
+    bpeBatchedEncodeCtes + s""",
       |wl AS MATERIALIZED (
-      |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM e$rounds GROUP BY word),
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM $bpeBatchedEncodeLast GROUP BY word),
       |dw AS MATERIALIZED (
       |  SELECT source, unnest(${wordsDuck("text")}) AS word
       |  FROM documents WHERE doc_id % 2 = 1),

@@ -214,7 +214,7 @@ object GraphScale {
     def needsCore10: Boolean = Seq("cc", "pagerank_damped", "pagerank_grown",
       "sssp_bfs", "cc_inc_fold", "sssp_w_inc_fold",
       "mis", "matching", "scc", "walks", "walks_biased",
-      "coreness", "coreness_agg", "densest").exists(want)
+      "coreness", "coreness_window", "densest").exists(want)
     if (needsCore10) core10C.count() // pin the checkpoint before any timing
 
     if (want("cc")) report("cc",
@@ -273,9 +273,9 @@ object GraphScale {
     if (want("coreness")) report("coreness",
       time2("coreness")(Graphs.coreness(core)),
       time2("coreness10")(Graphs.coreness(core10C)))
-    if (want("coreness_agg")) report("coreness_agg",
-      time2("coreness_agg")(Graphs.corenessAgg(core)),
-      time2("coreness_agg10")(Graphs.corenessAgg(core10C)))
+    if (want("coreness_window")) report("coreness_window",
+      time2("coreness_window")(Graphs.corenessWindow(core)),
+      time2("coreness_window10")(Graphs.corenessWindow(core10C)))
     // densest subgraph: each copy carries the same density profile, so
     // the peel thresholds are copy-invariant and rounds match 1x
     if (want("densest")) report("densest",
@@ -433,7 +433,7 @@ object SkewScale {
     lazy val coreS = Inflate.replicateGraphSkewed(core, k, hubEvery)._1
       .localCheckpoint(eager = true)
     if (Seq("matching", "mis", "walks", "coreness",
-        "coreness_agg").exists(want)) {
+        "coreness_window").exists(want)) {
       coreU.count(); coreS.count()
     }
 
@@ -462,7 +462,7 @@ object SkewScale {
         time2(Graphs.kTruss(ktU, 3, maxWedges = Long.MaxValue)),
         time2(Graphs.kTruss(ktS, 3, maxWedges = Long.MaxValue)))
     }
-    if (Seq("matching", "mis", "walks", "coreness", "coreness_agg").exists(want))
+    if (Seq("matching", "mis", "walks", "coreness", "coreness_window").exists(want))
       reportEdges("core", coreU, coreS)
     // walk corpus under the global hub: many walks route THROUGH the hub
     // each step — the min-agg's map-side partials are the claimed defense
@@ -473,15 +473,16 @@ object SkewScale {
       }
       report("walks", time2(wk(coreU)), time2(wk(coreS)))
     }
-    // coreness under the hub: the per-round h-index window sorts the
-    // hub's whole degree on one task — the documented hazard, priced
-    if (want("coreness")) report("coreness",
-      time2(Graphs.coreness(coreU)), time2(Graphs.coreness(coreS)))
-    // the bucketed twin under the SAME hub: the defense, priced — the
+    // the rank-window twin under the hub: the per-round h-index window
+    // sorts the hub's whole degree on one task — the documented hazard,
+    // priced (round 13 demoted it to Graphs.corenessWindow)
+    if (want("coreness_window")) report("coreness_window",
+      time2(Graphs.corenessWindow(coreU)), time2(Graphs.corenessWindow(coreS)))
+    // the bucketed DEFAULT under the SAME hub: the defense, priced — the
     // histogram shuffle + histogram-sized window must stay ~flat where
     // the rank window pays the hub's degree on one task
-    if (want("coreness_agg")) report("coreness_agg",
-      time2(Graphs.corenessAgg(coreU)), time2(Graphs.corenessAgg(coreS)))
+    if (want("coreness")) report("coreness",
+      time2(Graphs.coreness(coreU)), time2(Graphs.coreness(coreS)))
     if (want("matching")) report("matching",
       time2(Graphs.maximalMatching(coreU)),
       time2(Graphs.maximalMatching(coreS)))

@@ -645,19 +645,20 @@ class GraphSpec extends SparkSpec {
     assert(c == Set(2L))
   }
 
-  test("corenessAgg: bucketed h-index ≡ rank-window coreness (hub fixture)") {
+  test("coreness: bucketed h-index ≡ rank-window twin (hub fixture)") {
     // star hub (0 — 5..40) + disjoint K4 + a 6-cycle: mixes a
     // high-degree hub (the case the bucketing exists for), a clique and
-    // a cycle; both formulations must agree EXACTLY vertex-by-vertex
+    // a cycle; the bucketed default and the didactic rank-window twin
+    // must agree EXACTLY vertex-by-vertex
     val star = (5L to 40L).map(i => 0L -> i)
     val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield a -> b
     val cyc = (50L to 55L).map(i => i -> (if (i == 55L) 50L else i + 1))
     val e = edges((star ++ k4 ++ cyc): _*)
-    val plain = Graphs.coreness(e).collect()
+    val window = Graphs.corenessWindow(e).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val agg = Graphs.corenessAgg(e).collect()
+    val agg = Graphs.coreness(e).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(agg == plain)
+    assert(agg == window)
     // and the values are the true core numbers: hub 1 (leaves strip),
     // K4 3, cycle 2
     assert(agg(0L) == 1L && agg(2L) == 3L && agg(50L) == 2L)

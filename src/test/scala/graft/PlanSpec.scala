@@ -270,13 +270,28 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_sim_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    val filterIdx = "(?m)^\\s*\\(\\d+\\) Filter".r.findAllMatchIn(p)
-      .map(_.start).toSeq
-    val windowIdx = p.indexOf(") Window")
-    assert(filterIdx.nonEmpty && windowIdx > 0, p)
-    // at least one Filter mentions the score band and sits upstream of the
-    // ranking window in the formatted plan's bottom-up numbering
-    assert(p.contains("< 0.3") || p.contains("0.3)"), p)
+    // formatted-explain operator ids number the tree bottom-up (scans
+    // lowest, root highest), so "the band Filter sits upstream of the
+    // ranking window" means: some Filter whose details block mentions the
+    // 0.3 band ceiling carries a SMALLER plan-step id than the Window
+    // node — compare the ids, not string offsets (a regression that ranks
+    // the full pair relation before band-filtering must fail here)
+    val headers = "(?m)^\\s*\\((\\d+)\\) ([A-Za-z]+)".r.findAllMatchIn(p).toSeq
+    val blocks = headers.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < headers.length) headers(i + 1).start else p.length
+      (m.group(1).toInt, m.group(2), p.substring(m.start, end))
+    }
+    val windowId = blocks.collectFirst { case (id, "Window", _) => id }
+    // Catalyst pushes the band predicate into the join condition itself
+    // (BroadcastNestedLoopJoin node) when it can — either a standalone
+    // Filter or the join node carrying the 0.3 ceiling counts, as long
+    // as it evaluates BEFORE the ranking Window
+    val bandNodeIds = blocks.collect {
+      case (id, op, b)
+        if (op == "Filter" || op == "BroadcastNestedLoopJoin") &&
+          b.contains("0.3") => id }
+    assert(windowId.nonEmpty, p)
+    assert(bandNodeIds.nonEmpty && bandNodeIds.min < windowId.get, p)
   }
 
   test("metadata-only multimodal query prunes the binary payload derivation") {
