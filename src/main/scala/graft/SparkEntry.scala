@@ -115,5 +115,8 @@ object SparkEntry {
     // mining, and the two trailing-window state folds (Holt, CUSUM)
     "q_dedup_winnow", "q_sim_hard_negatives", "q_time_holt", "q_time_cusum",
     "q_dedup_winnow_capped", "q_dedup_winnow_inc", "q_bpe_fertility",
+    // round 13: the routed winnow entry point (duplication probe + capped
+    // screen; prices probe overhead next to its capped twin)
+    "q_dedup_winnow_auto",
   ).filter(queries.contains)
 }

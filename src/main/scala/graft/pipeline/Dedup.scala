@@ -882,6 +882,52 @@ object Dedup {
     winnowPairsFrom(fps.join(broadcast(hot), Seq("fp"), "left_anti"), minShared)
   }
 
+  /** Duplication ratio (corpus rows / distinct exact fingerprints) above
+    * which [[winnowPairsAuto]] collapses exact-text families before the
+    * capped screen. Calibration: real curated corpora sit at ~1.0 (the
+    * test tables measure 1.000-1.002); the regime the route exists for —
+    * the BASELINE r12 100×-replica note, ratio ~100 — is decades past any
+    * value near 1. 2.0 (half the corpus is copies) splits the decades:
+    * below it the replica pair space is at most ~n extra pairs (linear,
+    * the uncapped output stays sane and the cap stays meaningful); above
+    * it replica families are the corpus and exact-dedup-first is the
+    * documented answer, now automatic. */
+  val WinnowAutoDupRatio = 2.0
+
+  /** Single winnow entry point — closes the capped-vs-uncapped regime
+    * fork (BASELINE r12 100× note, the [[containmentDedupAuto]] recipe):
+    * on a duplication-heavy corpus the uncapped pair output is quadratic
+    * in replicas (real pairs) while the df cap classifies every heavy
+    * family as a template and EMPTIES the join. The route is one narrow
+    * probe aggregate — corpus rows vs distinct exact (fp, len)
+    * fingerprints, 16 B/row, the [[exactByFingerprint]] shuffle
+    * discipline:
+    *  - ratio <= [[WinnowAutoDupRatio]] (every non-degenerate corpus):
+    *    the capped screen runs directly — output, plan, and oracle SQL
+    *    are [[winnowPairs]](docs, k, w, minShared, maxDf) verbatim;
+    *  - ratio above it: exact-dedup FIRST (the curate pipeline's
+    *    documented ordering, now automatic): each exact-text family
+    *    collapses to its min-doc_id representative, then the capped
+    *    screen runs over representatives — a print's df counts FAMILIES
+    *    again, so the cap regains its template meaning, and the
+    *    replica-quadratic pair space never exists. Pair ids are
+    *    representative ids (one per family, the dedup-cluster keeper
+    *    convention). */
+  def winnowPairsAuto(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 4L, maxDf: Long = 16L): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      GraftFunctions.polyHash(col("text")).as("fp"),
+      length(col("text")).as("len"))
+    val probe = fps.agg(count(lit(1)).as("n"),
+      count_distinct(col("fp"), col("len")).as("nd")).head()
+    val (n, nd) = (probe.getLong(0), probe.getLong(1))
+    if (nd > 0 && n.toDouble / nd > WinnowAutoDupRatio) {
+      val repIds = fps.groupBy("fp", "len").agg(min("doc_id").as("doc_id"))
+      val reps = docs.join(repIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      winnowPairs(reps, k, w, minShared, maxDf)
+    } else winnowPairs(docs, k, w, minShared, maxDf)
+  }
+
   private def winnowPairsFrom(fps: DataFrame, minShared: Long): DataFrame = {
     // bind by NAME: the capped path's USING-join reorders columns, so a
     // positional toDF would silently swap (doc_id, fp) — the

@@ -528,6 +528,19 @@ object PipelineQueries {
           WinnowMinShared, WinnowMaxDf)
         .orderBy("doc_a", "doc_b")),
 
+    // single entry point (r12 verdict item 5): a 16 B/row duplication
+    // probe (rows vs distinct exact fps) routes the plan — non-degenerate
+    // corpora (these tables: ratio 1.000-1.002) run the capped screen
+    // directly, so this row's output and oracle SQL are
+    // q_dedup_winnow_capped VERBATIM; duplication-heavy corpora collapse
+    // exact families to representatives first, so the cap counts families
+    // and the replica-quadratic pair space never exists (PipelineSpec
+    // fixes the routed branch on a 10-replica fixture)
+    "q_dedup_winnow_auto" -> ((s, d) =>
+      Dedup.winnowPairsAuto(Tables.documents(s, d), WinnowK, WinnowW,
+          WinnowMinShared, WinnowMaxDf)
+        .orderBy("doc_a", "doc_b")),
+
     // incremental ingest: odd-id batch screened against the even-id
     // corpus's STORED fingerprint index + itself; winnow selection is
     // doc-local, so the result must equal the batch run over the union
@@ -2837,6 +2850,10 @@ object PipelineQueries {
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_winnow" -> winnowSql,
     "q_dedup_winnow_capped" -> winnowCappedSql,
+    // the auto route picks the direct capped path on every non-degenerate
+    // corpus (probe ratio 1.000-1.002 on these tables) — one SQL, routed
+    // plan, the containmentDedupAuto proof shape
+    "q_dedup_winnow_auto" -> winnowCappedSql,
     "q_dedup_winnow_inc" -> winnowIncSql,
     "q_sim_hard_negatives" -> simHardNegSql,
     "q_dedup_embedding" -> embDedupSql,

@@ -935,6 +935,35 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("winnow auto-route: replica-heavy corpus dedups first where the naive cap empties") {
+    // the BASELINE r12 100x regime, in miniature: 10 exact replicas of a
+    // template A plus ONE near-dup B of A (shares A's 30-word prefix) and
+    // an unrelated doc. Naive capped screen: every A-print has df 11 >
+    // cap 4, so ALL of them leave the join and the genuine A~B evidence
+    // vanishes (the documented fork). Auto route: the probe ratio
+    // 12/3 = 4 > 2 collapses the A-family to its min-id representative
+    // first, so A's prints carry df 2 (rep + B) and the pair surfaces.
+    val tmplA = (1 to 40).map(i => s"fam$i").mkString(" ")
+    val nearB = ((1 to 30).map(i => s"fam$i") ++ (300 to 310).map(i => s"q$i")).mkString(" ")
+    val other = (200 to 240).map(i => s"z$i").mkString(" ")
+    val d = docs(Seq(50L -> nearB, 60L -> other) ++
+      (1 to 10).map(i => i.toLong -> tmplA): _*)
+    val naiveCapped = Dedup.winnowPairs(d, 3, 4, 4L, 4L).collect()
+    assert(naiveCapped.isEmpty)
+    val routed = Dedup.winnowPairsAuto(d, 3, 4, 4L, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // representative of the A-family is min doc_id 1; pair (1, 50) found
+    assert(routed == Set((1L, 50L)))
+    // and on a low-duplication corpus the route is the capped screen
+    // verbatim (the catalog/oracle contract at every real sf)
+    val low = docs(1L -> tmplA, 2L -> nearB, 3L -> other)
+    val direct = Dedup.winnowPairs(low, 3, 4, 4L, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = Dedup.winnowPairsAuto(low, 3, 4, 4L, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == direct && auto.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("winnowing: doc shorter than the window still fingerprints; sub-k doc yields none") {
     val d = docs(1L -> "a b c d", 2L -> "a b") // 2 grams / 0 grams at k=3
     val byDoc = Dedup.winnowIndex(d).collect().groupBy(_.getLong(0))
