@@ -116,7 +116,8 @@ object SparkEntry {
     "q_dedup_winnow", "q_sim_hard_negatives", "q_time_holt", "q_time_cusum",
     "q_dedup_winnow_capped", "q_dedup_winnow_inc", "q_bpe_fertility",
     // round 13: the routed winnow entry point (duplication probe + capped
-    // screen; prices probe overhead next to its capped twin)
-    "q_dedup_winnow_auto",
+    // screen; prices probe overhead next to its capped twin), and the
+    // mergeable HDR quantile sketch (merge face + IVM face)
+    "q_dedup_winnow_auto", "q_agg_quantile_merge", "q_agg_quantile_inc",
   ).filter(queries.contains)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
+import graft.ops.QuantileSketch
 
 /** Relational operator coverage (SURVEY §2.1–2.8) as named queries over the
   * driver testdata, each with a DuckDB oracle.
@@ -205,6 +206,47 @@ object RelQueries {
           expr("0.709D * 137438953472D / CAST(st + (64 - nb) * 33554432 AS DOUBLE)")
             .as("apx_parts"))
         .orderBy("l_returnflag")),
+
+    // Quantile-sketch MERGEABILITY (the r12 verdict's missing sketch
+    // family member): per-(flag, status) HDR bucket histograms merged
+    // across status by bucket-wise SUM — never re-scanning the input —
+    // must yield the same quantile estimates as the sketch built flat per
+    // flag, because addition is associative/commutative. The oracle
+    // computes the FLAT histogram directly, so hash equality IS the
+    // merge(sk(A), sk(B)) == sk(A ∪ B) proof — the property that lets a
+    // 100 TB profiler roll p50/p99 cubes up from per-partition sketches
+    // instead of re-ranking raw values. All bucket math is log-free
+    // integer bit arithmetic; see ops/QuantileSketch.
+    "q_agg_quantile_merge" -> ((s, d) => {
+      val cents = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_linestatus"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      val parts = QuantileSketch.sketch(cents,
+        Seq("l_returnflag", "l_linestatus"), "v")
+      val merged = QuantileSketch.merge(parts, Seq("l_returnflag")) // the merge
+      QuantileSketch.quantiles(merged, Seq("l_returnflag"), Seq(50, 90, 99))
+        .orderBy("l_returnflag")
+    }),
+
+    // IVM face of the same sketch: a STORED sketch (even orderkeys) plus
+    // the incoming batch's delta sketch, merged — the incremental
+    // maintenance contract (base relation never re-scanned) must equal
+    // the flat sketch over everything, which is exactly what the oracle
+    // computes. The stored histogram is the entire state: ≤ 53·16 ints
+    // per group, whatever the base size.
+    "q_agg_quantile_inc" -> ((s, d) => {
+      val cents = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      val stored = QuantileSketch.sketch(
+        cents.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), "v")
+      val delta = QuantileSketch.sketch(
+        cents.filter(col("l_orderkey") % 2 === 1), Seq("l_returnflag"), "v")
+      val merged = QuantileSketch.merge(
+        stored.unionByName(delta), Seq("l_returnflag"))
+      QuantileSketch.quantiles(merged, Seq("l_returnflag"), Seq(50, 90, 99))
+        .orderBy("l_returnflag")
+    }),
 
     // ---- filters / projections (SURVEY §2.2) ----
     // P5/P6 range predicates + column pruning
@@ -661,7 +703,28 @@ object RelQueries {
         .orderBy("user_id", "session_idx")),
   )
 
+  /** FLAT per-flag HDR histogram + quantile extraction — deliberately not
+    * the engine's two-level/stored-plus-delta merge, so the hash equality
+    * IS the mergeability proof (the q_agg_hll_merge pattern). Exact
+    * integer bucket/rank math end to end; the only DOUBLEs are the
+    * power-of-two-exact boundary decodes. */
+  private val quantileFlatSql = {
+    val cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT l_returnflag,
+       |    ${graft.ops.QuantileSketch.bucketKeyDuckSelect(cents)}
+       |  FROM lineitem),
+       |hist AS MATERIALIZED (
+       |  SELECT l_returnflag, bkt, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cents GROUP BY 1, 2)
+       |${graft.ops.QuantileSketch.quantilesDuck("hist", "l_returnflag", Seq(50, 90, 99))}
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_agg_quantile_merge" -> quantileFlatSql,
+    "q_agg_quantile_inc" -> quantileFlatSql,
+
     "q_agg_count" ->
       "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey ORDER BY o_custkey",
 
