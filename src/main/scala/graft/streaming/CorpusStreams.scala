@@ -125,17 +125,29 @@ object CorpusStreams {
     * per trigger over PREFIX counts (index-so-far + batch), so a gram
     * that only becomes hot in the final union can anchor early-batch
     * spans the one-shot run would drop; with the cap effectively off the
-    * stream total is exactly the batch total (StreamingSpec proves it). */
+    * stream total is exactly the batch total (StreamingSpec proves it).
+    *
+    * Steady-state reads stay bounded (r13 compaction parity): gram
+    * postings are per-doc state — nothing aggregates away — but the
+    * PARTITION/small-file count still grew one per batch, so every
+    * `compactEvery` batches the trigger rewrites prior postings + its own
+    * under the current batch_id (a pure concatenation over disjoint
+    * batches — exact trivially) and retires the older partitions, with
+    * the [[compactionMarker]] replay protocol. */
   def substringIngest(docs: DataFrame, indexDir: String, spansDir: String,
       checkpointDir: String, k: Int = 8, minLen: Int = 16,
-      maxOcc: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+      maxOcc: Long = 1000L,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val b = batch.localCheckpoint(eager = true)
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId); ()
+        } else {
+        val b = batch.localCheckpoint(eager = true)
         // REPLAY-IDEMPOTENT (the curateBatch discipline): reads exclude
         // rows at or past the current batch — a batch that crashed after
         // writing its index partition must not match itself through the
@@ -168,7 +180,15 @@ object CorpusStreams {
         writePartition(spans, spansDir)
         // index grows only after the check: a batch never matches itself
         // through the index (its internal pairs come from the batch side)
-        writePartition(graft.pipeline.Dedup.substringIndex(b, k), indexDir)
+        val batchIdx = graft.pipeline.Dedup.substringIndex(b, k)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val folded = index.unionByName(batchIdx)
+            .localCheckpoint(eager = true) // sever the read before overwrite
+          writePartition(folded, indexDir)
+          markCompacted(fs, idxPath, batchId) // all writes done; deletes follow
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchIdx, indexDir)
+        }
         ()
       }
       .start()
@@ -185,17 +205,24 @@ object CorpusStreams {
     * no online-decision caveat at all, the cleanest member of the ingest
     * family. Replay-idempotent by the curateBatch discipline: reads
     * exclude batch_id >= current, writes dynamically overwrite their own
-    * partition. */
+    * partition. Steady-state reads stay bounded (r13 compaction parity):
+    * every `compactEvery` batches the trigger rewrites prior prints +
+    * its own under the current batch_id (pure concatenation over
+    * disjoint batches) and retires the older partitions, with the
+    * [[compactionMarker]] replay protocol. */
   def winnowIngest(docs: DataFrame, indexDir: String, pairsDir: String,
-      checkpointDir: String, k: Int = 3, w: Int = 4,
-      minShared: Long = 4L): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, k: Int = 3, w: Int = 4, minShared: Long = 4L,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val b = batch.localCheckpoint(eager = true)
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
         val index =
           if (fs.exists(idxPath))
             sp.read.parquet(indexDir)
@@ -211,7 +238,15 @@ object CorpusStreams {
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(dir)
         writePartition(pairs, pairsDir)
-        writePartition(graft.pipeline.Dedup.winnowIndex(b, k, w), indexDir)
+        val batchIdx = graft.pipeline.Dedup.winnowIndex(b, k, w)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val folded = index.unionByName(batchIdx)
+            .localCheckpoint(eager = true) // sever the read before overwrite
+          writePartition(folded, indexDir)
+          markCompacted(fs, idxPath, batchId) // all writes done; deletes follow
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchIdx, indexDir)
+        }
         ()
       }
       .start()
@@ -246,9 +281,14 @@ object CorpusStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val b = batch.localCheckpoint(eager = true)
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          // every content write of this batch completed before the marker
+          // appeared; only the partition deletes may be unfinished
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
         val index =
           if (fs.exists(idxPath))
             sp.read.parquet(indexDir)
@@ -274,8 +314,10 @@ object CorpusStreams {
             .groupBy("h").agg(min("first_doc").as("first_doc"))
             .localCheckpoint(eager = true) // sever the read before overwrite
           writePartition(folded, indexDir)
+          markCompacted(fs, idxPath, batchId) // all writes done; deletes follow
           compactOlderPartitions(fs, idxPath, batchId)
         } else writePartition(batchIdx, indexDir)
+        }
         ()
       }
       .start()
@@ -303,11 +345,14 @@ object CorpusStreams {
     * partitions per trigger instead of every batch since t₀, and the
     * small-file count is capped identically. Crash-safe at every cut:
     * folded content is localCheckpoint'd before the write (no
-    * read-while-overwrite), a replay after the write but before the
-    * deletes re-reads only batch_id < current (the folded partition
-    * carries the CURRENT id, so it is excluded) and recomputes the same
-    * fold; a replay after the deletes reads the folded partition alone —
-    * the same sums either way. */
+    * read-while-overwrite); a replay after the fold write but before the
+    * marker re-reads only batch_id < current (priors still intact —
+    * deletes only run after the marker) and recomputes byte-identical
+    * state; a replay at or after the marker finds it, finishes the
+    * deletes, and no-ops — see [[compactionMarker]] (the r13 fix: without
+    * the marker, a replay after the deletes would see an EMPTY prior
+    * index, because the folded partition carries the current id that
+    * every read excludes). */
   def importanceIngest(docs: DataFrame, target: DataFrame, indexDir: String,
       scoresDir: String, checkpointDir: String,
       k: Int = 2, compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
@@ -315,9 +360,12 @@ object CorpusStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val b = batch.localCheckpoint(eager = true)
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
         val index =
           if (fs.exists(idxPath))
             sp.read.parquet(indexDir)
@@ -342,23 +390,53 @@ object CorpusStreams {
             .groupBy("h").agg(sum("r_df").as("r_df"))
             .localCheckpoint(eager = true) // sever the read before overwrite
           writePartition(folded, indexDir)
+          markCompacted(fs, idxPath, batchId) // all writes done; deletes follow
           compactOlderPartitions(fs, idxPath, batchId)
         } else writePartition(batchIdx, indexDir)
+        }
         ()
       }
       .start()
 
   /** drop index partitions older than `keepId` after a compaction fold —
-    * the folded partition (batch_id = keepId) carries their content */
+    * the folded partition (batch_id = keepId) carries their content.
+    * Also retires older compaction markers (underscore-prefixed, so
+    * invisible to Spark's parquet reads). */
   private def compactOlderPartitions(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, keepId: Long): Unit =
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("batch_id=") &&
-          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
-            .exists(_ < keepId))
-        fs.delete(st.getPath, true)
+      val oldPartition = n.startsWith("batch_id=") &&
+        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+          .exists(_ < keepId)
+      val oldMarker = n.startsWith("_compacted_") &&
+        scala.util.Try(n.stripPrefix("_compacted_").toLong).toOption
+          .exists(_ < keepId)
+      if (oldPartition || oldMarker) fs.delete(st.getPath, true)
     }
+
+  /** Compaction replay marker (r13 audit fix): created AFTER every
+    * content write of a compaction batch and BEFORE the partition
+    * deletes, so its existence means "all of this batch's writes are
+    * complete; only the deletes may be unfinished". Without it, a crash
+    * between the deletes and the streaming checkpoint commit replays the
+    * batch against an index whose prior partitions are GONE — the folded
+    * partition carries the CURRENT batch id, which every read excludes
+    * (the never-see-your-own-rows rule) — so the replay would silently
+    * re-score the batch as if it were the first ever. A replayed
+    * compaction batch that finds its own marker instead finishes the
+    * deletes and no-ops; a crash BEFORE the marker leaves the priors
+    * intact (deletes only run after it), so a full re-run recomputes
+    * byte-identical state. */
+  private def compactionMarker(dir: org.apache.hadoop.fs.Path,
+      id: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir, s"_compacted_$id")
+  private def markCompacted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, id: Long): Unit =
+    fs.create(compactionMarker(dir, id), true).close()
+  private def replayAfterCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, id: Long): Boolean =
+    fs.exists(dir) && fs.exists(compactionMarker(dir, id))
 
   /** documents frame → (doc_id, source, n_tokens) with the same BPE-ish
     * token estimate as the batch allocator; works on static AND streaming
@@ -463,11 +541,24 @@ object CorpusStreams {
   def curateBatch(batch: DataFrame, batchId: Long, stateDir: String,
       admittedDir: String, quotas: Map[String, Long],
       minWords: Int = 10, minUniqRatio: Double = 0.3,
-      threshold: Double = 0.8): Unit = {
+      threshold: Double = 0.8, compactEvery: Int = 16): Unit = {
     val sp = batch.sparkSession
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(s"$stateDir/fp_index")
+    val sigPath = new org.apache.hadoop.fs.Path(s"$stateDir/sig_index")
+    // r13 compaction parity: the exact/near-dup screen indexes grew one
+    // partition per batch; every compactEvery batches they are rewritten
+    // (pure concatenation over disjoint batches) under the current
+    // batch_id and older partitions retired, with the compactionMarker
+    // replay protocol (marker at the stateDir root covers all three
+    // state dirs — it is created only after every write of the batch)
+    if (replayAfterCompaction(fs, statePath, batchId)) {
+      Seq(fpPath, sigPath, new org.apache.hadoop.fs.Path(s"$stateDir/totals"))
+        .foreach(p => if (fs.exists(p)) compactOlderPartitions(fs, p, batchId))
+      return
+    }
     val b = batch.localCheckpoint(eager = true)
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(sp.sparkContext.hadoopConfiguration)
     def readOr(dir: String, empty: => DataFrame): DataFrame =
       if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
         sp.read.parquet(dir).filter(col("batch_id") < batchId)
@@ -542,14 +633,34 @@ object CorpusStreams {
     // state updates AFTER the decisions (a batch never sees itself
     // through the indexes; its internal duplicates were handled by the
     // within-batch rules above)
-    writePartition(bFps.join(exactIds, Seq("doc_id"), "left_semi")
-      .select("fp_hi", "fp_lo", "len"), s"$stateDir/fp_index")
-    writePartition(sigsB, s"$stateDir/sig_index")
+    val newFp = bFps.join(exactIds, Seq("doc_id"), "left_semi")
+      .select("fp_hi", "fp_lo", "len")
+    val compacting = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    if (compacting) {
+      // fold = priors ∪ own batch (disjoint concatenation — exact), under
+      // the current batch_id; the reads were severed by localCheckpoint
+      // before the overwrite
+      writePartition(fpIndex.select("fp_hi", "fp_lo", "len").unionByName(newFp)
+        .localCheckpoint(eager = true), s"$stateDir/fp_index")
+      writePartition(sigIndex.select("doc_id", "hs", "mh").unionByName(sigsB)
+        .localCheckpoint(eager = true), s"$stateDir/sig_index")
+    } else {
+      writePartition(newFp, s"$stateDir/fp_index")
+      writePartition(sigsB, s"$stateDir/sig_index")
+    }
     val newTotals = used0 ++ admitted.groupBy("source")
       .agg(max("cum_tokens").as("used"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     import sp.implicits._
     writePartition(newTotals.toSeq.toDF("source", "used"), s"$stateDir/totals")
+    if (compacting) {
+      compactOlderPartitions(fs, statePath, batchId) // retire old root markers
+      markCompacted(fs, statePath, batchId) // all writes done; deletes follow
+      compactOlderPartitions(fs, fpPath, batchId)
+      compactOlderPartitions(fs, sigPath, batchId)
+      compactOlderPartitions(fs,
+        new org.apache.hadoop.fs.Path(s"$stateDir/totals"), batchId)
+    }
   }
 
   /** Streaming composition of the whole curate pipeline — quality gate,
@@ -573,12 +684,13 @@ object CorpusStreams {
   def curateIngest(docs: DataFrame, stateDir: String, admittedDir: String,
       checkpointDir: String, quotas: Map[String, Long],
       minWords: Int = 10, minUniqRatio: Double = 0.3,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.8,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(batch, batchId, stateDir, admittedDir, quotas,
-          minWords, minUniqRatio, threshold)
+          minWords, minUniqRatio, threshold, compactEvery)
       }
       .start()
 }

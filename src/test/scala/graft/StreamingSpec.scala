@@ -618,6 +618,126 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == rows.distinct.length)
   }
 
+  test("winnow ingest compaction: partitions bounded, pairs unchanged") {
+    import graft.streaming.CorpusStreams
+    import graft.pipeline.Dedup
+    val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-winnow-compact")
+    // four micro-batches; compactEvery=2 folds prior prints at batch 2
+    (0 until 4).foreach { i =>
+      batchDocs.filter(col("doc_id") % 4 === i).coalesce(1)
+        .write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.winnowIngest(stream, dir.resolve("index").toString,
+      dir.resolve("pairs").toString, dir.resolve("ck").toString,
+      compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // batches 0,1 were folded into partition 2 and deleted — the index
+    // holds exactly {2 (the fold, incl. batch 2's own prints), 3}
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the concatenation fold lost nothing: the surviving partitions hold
+    // the full corpus's fingerprint relation
+    val grown = spark.read.parquet(dir.resolve("index").toString)
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grown == Dedup.winnowIndex(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // pair union still equals the one-shot batch run (winnow pairs are
+    // NOT order-sensitive: doc-local selection + symmetric join)
+    val streamed = spark.read.parquet(dir.resolve("pairs").toString)
+      .select("doc_a", "doc_b", "shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.winnowPairs(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
+  test("substring ingest compaction: partitions bounded, spans unchanged") {
+    import graft.streaming.CorpusStreams
+    import graft.pipeline.Dedup
+    val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-ss-compact")
+    (0 until 4).foreach { i =>
+      batchDocs.filter(col("doc_id") % 4 === i).coalesce(1)
+        .write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.substringIngest(stream,
+      dir.resolve("index").toString, dir.resolve("spans").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    val grown = spark.read.parquet(dir.resolve("index").toString)
+      .select("doc_id", "pos", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grown == Dedup.substringIndex(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val streamed = spark.read.parquet(dir.resolve("spans").toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = Dedup.substringSpans(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
+  test("curate compaction: state bounded, replay of the compaction batch is a marker no-op") {
+    import graft.streaming.CorpusStreams
+    val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft-curate-compact")
+    val state = dir.resolve("state").toString
+    val admitted = dir.resolve("admitted").toString
+    val quotas = (0 to 19).map(i => s"src$i" -> 800L).toMap
+    // id-ordered batches (the curate arrival contract); compactEvery=2
+    // folds fp/sig/totals at batch 2
+    val slices = Seq(
+      batchDocs.filter(col("doc_id") < 150),
+      batchDocs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      batchDocs.filter(col("doc_id") >= 300))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      CorpusStreams.curateBatch(b, i.toLong, state, admitted, quotas,
+        compactEvery = 2)
+    }
+    def pidsOf(sub: String): Set[Long] =
+      spark.read.parquet(s"$state/$sub")
+        .select(col("batch_id").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet
+    // batch 2 folded partitions 0,1 into 2 for every state dir
+    assert(pidsOf("fp_index") == Set(2L), pidsOf("fp_index"))
+    assert(pidsOf("sig_index") == Set(2L), pidsOf("sig_index"))
+    assert(pidsOf("totals") == Set(2L), pidsOf("totals"))
+    // the compacted run still equals the one-shot screen
+    val streamed = spark.read.parquet(admitted)
+      .select("doc_id", "source", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = CorpusStreams.curateScreenBatch(batchDocs, quotas).collect()
+      .map(a => (a.doc_id, a.source, a.cum_tokens)).toSet
+    assert(streamed == oneShot && streamed.nonEmpty,
+      s"extra=${(streamed -- oneShot).take(3)} missing=${(oneShot -- streamed).take(3)}")
+    // crash-after-marker replay: re-running the compaction batch finds
+    // its marker and no-ops (finishing only the deletes) — state,
+    // admissions, and partition layout all unchanged
+    def snap(): (Set[Long], Set[Long], Set[Long], Set[Any]) = (
+      pidsOf("fp_index"), pidsOf("sig_index"), pidsOf("totals"),
+      spark.read.parquet(admitted).collect().map(_.toSeq: Any).toSet)
+    val before = snap()
+    CorpusStreams.curateBatch(slices(2), 2L, state, admitted, quotas,
+      compactEvery = 2)
+    assert(snap() == before)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
