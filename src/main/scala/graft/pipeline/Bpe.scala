@@ -133,8 +133,9 @@ object Bpe {
     *
     * Batch selection rule (deterministic, SQL-replayable): rank this
     * round's pair counts by (count DESC, lhs ASC, rhs ASC), take the top
-    * B, and accept candidate i iff NO higher-ranked candidate among the
-    * top B shares a symbol with it (lhs or rhs). Disjoint symbols make
+    * B, and greedily accept candidate i iff no previously ACCEPTED
+    * candidate shares a symbol with it (lhs or rhs) — the standard
+    * parallel-BPE batching rule. Disjoint symbols make
     * simultaneous application ≡ any sequential order of the batch:
     * a position matches at most one accepted merge (a shared adjacent
     * token would be a shared symbol), runs of consecutive matches can
@@ -173,12 +174,24 @@ object Bpe {
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(batch).collect()
         .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
-      // accept i iff no higher-ranked top-B candidate shares a symbol —
-      // the non-recursive rule the oracle replays with one NOT EXISTS
-      val acc = top.zipWithIndex.filter { case ((a, b, _), i) =>
-        !top.take(i).exists { case (pa, pb, _) =>
-          pa == a || pa == b || pb == a || pb == b }
-      }.map(_._1)
+      // greedy accept-vs-ACCEPTED (the standard parallel-BPE batching
+      // rule, r13): candidate i joins the batch iff it shares no symbol
+      // with a previously ACCEPTED candidate. The earlier stricter rule
+      // (reject on any conflict with a higher-RANKED candidate, even a
+      // rejected one — one NOT EXISTS in SQL) measured only ~2-3 accepted
+      // merges/round at vocabulary depth (BpeScale, BASELINE r13): hot
+      // symbols dominate the top ranks, so most of the batch was rejected
+      // for touching candidates that were themselves rejected, and the
+      // B-fold driver collapse evaporated. Accept-vs-accepted keeps the
+      // accepted set pairwise symbol-disjoint (each candidate is checked
+      // against every accepted one), so simultaneous application is still
+      // ≡ any sequential order; the oracle replays the same greedy fold
+      // over the rank-ordered top-B list (a DuckDB list_reduce with LIST
+      // state — the proven multi-var-fold encoding).
+      val used = scala.collection.mutable.Set.empty[String]
+      val acc = top.filter { case (a, b, _) =>
+        if (used(a) || used(b)) false else { used += a; used += b; true }
+      }
       if (acc.isEmpty) exhausted = true
       else {
         acc.foreach { case (a, b, c) => rank += 1; learned += ((rank, a, b, c)) }

@@ -2351,12 +2351,22 @@ object PipelineQueries {
       .mkString("\nUNION ALL\n") + "\nORDER BY rank"
 
   /** Unrolled BATCHED BPE training (Bpe.trainBatched): per round, the
-    * top-B pair counts (cd), the symbol-disjoint acceptance filter (ac —
-    * accept iff no higher-ranked top-B candidate shares a symbol, one
-    * NOT EXISTS), the keep set carrying each match's rhs, and the
-    * simultaneous rewrite; global merge rank is round-major. Exhausted
-    * rounds pass state through unchanged (empty cd/ac/kp), matching the
-    * engine's early exit. */
+    * top-B pair counts (cd), the GREEDY accept-vs-accepted filter —
+    * candidate i accepted iff no previously ACCEPTED candidate shares a
+    * symbol, exactly the engine's driver-side greedy scan. Replayed as
+    * ONE uncorrelated rank-ordered list_reduce (acl) whose LIST-typed
+    * accumulator carries accepted symbols plus 'a|b' pair markers
+    * (symbols are [a-z]+ so the marker can never collide with a bare
+    * symbol); ac then keeps the cd rows whose marker appears.
+    * Two DuckDB-1.0 lambda traps dodged here (both reproduce on
+    * literals): an inequality-CORRELATED list(ORDER BY) aggregate
+    * resets per vector chunk, and a lambda branch returning the
+    * accumulator IDENTITY (unchanged `acc`) loses all accumulated state
+    * — hence the single uncorrelated fold whose reject branch returns
+    * list_concat(acc, []) instead of acc. The keep set carries each
+    * match's rhs; the rewrite is simultaneous; global merge rank is
+    * round-major. Exhausted rounds pass state through unchanged (empty
+    * cd/ac/kp), matching the engine's early exit. */
   private def bpeBatchedCtes(rounds: Int, batch: Int,
       docsWhere: String = "TRUE"): String = {
     val sb = new StringBuilder
@@ -2383,10 +2393,18 @@ object PipelineQueries {
         |      SELECT tok AS a, ntok AS b, CAST(sum(freq) AS BIGINT) AS c
         |      FROM nx$i WHERE ntok IS NOT NULL GROUP BY 1, 2))
         |  WHERE rk <= $batch),
+        |acl$i AS MATERIALIZED (
+        |  SELECT coalesce(list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+        |      coalesce(list([a, b] ORDER BY rk), CAST([] AS VARCHAR[][]))),
+        |    (acc, p) -> list_concat(acc,
+        |      CASE WHEN list_contains(acc, p[1]) OR list_contains(acc, p[2])
+        |           THEN CAST([] AS VARCHAR[])
+        |           ELSE [p[1], p[2], p[1] || '|' || p[2]] END)),
+        |    CAST([] AS VARCHAR[])) AS acc
+        |  FROM cd$i),
         |ac$i AS MATERIALIZED (
-        |  SELECT i.a, i.b, i.c, i.rk FROM cd$i i WHERE NOT EXISTS (
-        |    SELECT 1 FROM cd$i j WHERE j.rk < i.rk
-        |      AND (j.a = i.a OR j.a = i.b OR j.b = i.a OR j.b = i.b))),
+        |  SELECT i.a, i.b, i.c, i.rk FROM cd$i i, acl$i
+        |  WHERE list_contains(acl$i.acc, i.a || '|' || i.b)),
         |kp$i AS MATERIALIZED (
         |  SELECT word, pos, b FROM (
         |    SELECT word, pos, b, pos - min(pos) OVER (PARTITION BY word, grp) AS off

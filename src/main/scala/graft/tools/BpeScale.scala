@@ -10,16 +10,59 @@ package graft.tools
   * claim.
   *
   * Usage: runMain graft.tools.BpeScale [sfDir] [rounds] [batch] [plainMerges]
-  */
+  *    or: runMain graft.tools.BpeScale --synth <nWords> <vocab> <rounds> <batch> [plainMerges]
+  *
+  * `--synth` prices training at REAL VOCABULARY DEPTH (r12 verdict
+  * item 4): the test corpus holds only 31 distinct [a-z]+ words, so
+  * training exhausts at ~86 merges and the ceil(32k/B) round-trip
+  * collapse rested on measured unit costs, not a ≥1k-merge run. The
+  * synthetic corpus is `nWords` tokens drawn from `vocab` distinct
+  * letter-encoded words (wid's decimal digits mapped a–j, 'w'-prefixed,
+  * Zipf-ish skew via wid = floor(sqrt(id))) packed 64 words per doc —
+  * enough adjacent-pair diversity to sustain thousands of merges, with
+  * the identical training machinery on the identical code path. */
 object BpeScale {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val rounds = if (args.length > 1) args(1).toInt else 16
-    val batch = if (args.length > 2) args(2).toInt else 64
-    val plainMerges = if (args.length > 3) args(3).toInt else 64
+    val synth = args.headOption.contains("--synth")
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.core.Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val (docs, rounds, batch, plainMerges) =
+      if (synth) {
+        val nWords = if (args.length > 1) args(1).toLong else 2000000L
+        val vocab = if (args.length > 2) args(2).toLong else 50000L
+        val r = if (args.length > 3) args(3).toInt else 32
+        val b = if (args.length > 4) args(4).toInt else 64
+        val pm = if (args.length > 5) args(5).toInt else 64
+        // skewed two-tier frequency profile: half the tokens concentrate
+        // in 100 hot words (high pair counts — informative argmaxes),
+        // half spread uniformly over the full `vocab` (the long tail
+        // that sustains merge diversity for thousands of rounds). Words
+        // are 5-char base-26 encodings of the word id — the full
+        // lowercase alphabet, so the batched trainer's symbol-disjoint
+        // acceptance filter sees realistic candidate diversity (a 10-
+        // letter fixture measured ~2.5 accepted merges/round — alphabet
+        // starvation, not a property of the algorithm)
+        def ch(div: Long) =
+          s"substring('abcdefghijklmnopqrstuvwxyz', CAST((wid div $div) % 26 AS INT) + 1, 1)"
+        val d = spark.range(nWords)
+          .withColumn("wid", expr(s"CASE WHEN id % 2 = 0 THEN (id div 2) % 100 " +
+            s"ELSE id % $vocab END"))
+          .select(expr(s"concat(${ch(456976)}, ${ch(17576)}, ${ch(676)}, " +
+              s"${ch(26)}, ${ch(1)})").as("w"),
+            expr("id div 64").as("doc_id"))
+          .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+          .localCheckpoint(eager = true)
+        println(s"[bpescale] synth corpus: $nWords words, vocab cap $vocab, " +
+          s"${d.count()} docs")
+        (d, r, b, pm)
+      } else {
+        val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+        val r = if (args.length > 1) args(1).toInt else 16
+        val b = if (args.length > 2) args(2).toInt else 64
+        val pm = if (args.length > 3) args(3).toInt else 64
+        (graft.core.Tables.documents(spark, sfDir), r, b, pm)
+      }
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }

@@ -157,15 +157,20 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList ==
       List(("a", "b", 2L), ("c", "d", 1L)))
     assert(st.collect().map(_.getString(3)).sorted.toList == List("ab", "cd"))
-    // the low-corpus chain: every later pair shares a symbol with a
-    // higher-ranked candidate ((o,w) shares o with (l,o); (w,e) shares w
-    // with the REJECTED (o,w) — the conservative rule still defers it),
-    // so each round accepts exactly one merge and the chain serializes
+    // the low-corpus chain under the GREEDY accept-vs-accepted rule
+    // (r13): (o,w) shares o with the ACCEPTED (l,o) and defers, but
+    // (w,e) conflicts only with the REJECTED (o,w), so it joins round 1
+    // — the case the old stricter rule (reject on any higher-RANKED
+    // conflict) wrongly serialized, measured at ~2-3 accepted
+    // merges/round at vocabulary depth. Hand trace: round 1 accepts
+    // (l,o,5),(w,e,2),(s,t,1); round 2 over the rewritten state accepts
+    // (lo,w,3) and (we,r,1) ((lo,we) defers on lo, (we,st) on we)
     val low = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
     val (m2, _) = Bpe.trainBatched(low, rounds = 2, batch = 8)
     assert(m2.orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList ==
-      List(("l", "o", 5L), ("lo", "w", 5L)))
+      List(("l", "o", 5L), ("w", "e", 2L), ("s", "t", 1L),
+        ("lo", "w", 3L), ("we", "r", 1L)))
   }
 
   test("bpe batched: aa-run merge keeps the greedy even offsets under batching") {
