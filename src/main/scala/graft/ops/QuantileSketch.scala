@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * re-ranking raw values.
   *
   * Shape: an HDR-histogram-style fixed-boundary log₂ histogram (same
-  * boundary algebra as HdrHistogram, Tene's public design) over POSITIVE
-  * integer values. Bucket key = octave (index of the highest set bit)
+  * boundary algebra as HdrHistogram, Tene's public design) over
+  * NON-NEGATIVE integer values (zero gets its own exact bucket, key -1). Bucket key = octave (index of the highest set bit)
   * × [[SubBuckets]] + linear sub-bucket within the octave, so relative
   * error per bucket is ≤ 1/[[SubBuckets]] across ALL decades of the
   * value range — the property equi-width buckets lose the moment values
@@ -58,8 +58,12 @@ object QuantileSketch {
       "qs_s5" -> "qs_s4 | shiftright(qs_s4, 16)",
       "qs_s6" -> "qs_s5 | shiftright(qs_s5, 32)",
       "qs_p" -> "qs_s6 - shiftright(qs_s6, 1)",
-      "bkt" -> (s"CAST(bit_count(qs_p - 1) AS BIGINT) * $SubBuckets" +
-        s" + ((qs_v - qs_p) * $SubBuckets) div qs_p"))
+      // zero gets its own exact bucket (key -1, boundary 0.0, zero
+      // error) — the CASE also guards the division for v = 0, where
+      // p = 0; domain contract: values are NON-negative
+      "bkt" -> (s"CASE WHEN qs_v <= 0 THEN CAST(-1 AS BIGINT) ELSE " +
+        s"CAST(bit_count(qs_p - 1) AS BIGINT) * $SubBuckets" +
+        s" + ((qs_v - qs_p) * $SubBuckets) div qs_p END"))
     staged.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
       .drop(staged.map(_._1).filter(_ != "bkt"): _*)
   }
@@ -79,17 +83,20 @@ object QuantileSketch {
        |    qs_s4 | (qs_s4 >> 16) AS qs_s5,
        |    qs_s5 | (qs_s5 >> 32) AS qs_s6,
        |    qs_s6 - (qs_s6 >> 1) AS qs_p,
-       |    CAST(bit_count(qs_p - 1) AS BIGINT) * $SubBuckets
-       |      + ((qs_v - qs_p) * $SubBuckets) // qs_p AS bkt""".stripMargin
+       |    CASE WHEN qs_v <= 0 THEN CAST(-1 AS BIGINT) ELSE
+       |      CAST(bit_count(qs_p - 1) AS BIGINT) * $SubBuckets
+       |        + ((qs_v - qs_p) * $SubBuckets) // qs_p END AS bkt""".stripMargin
 
   /** Lower boundary of bucket `b` as an exact DOUBLE: (S + sub) << o is
     * an exact BIGINT and S is a power of two, so the division is exact.
     * Spark and DuckDB forms differ only in shift spelling. */
   def boundarySpark(b: String): String =
-    s"CAST(shiftleft($SubBuckets + (($b) % $SubBuckets), " +
-      s"CAST(($b) div $SubBuckets AS INT)) AS DOUBLE) / $SubBuckets.0"
+    s"CASE WHEN ($b) < 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"CAST(shiftleft($SubBuckets + (($b) % $SubBuckets), " +
+      s"CAST(($b) div $SubBuckets AS INT)) AS DOUBLE) / $SubBuckets.0 END"
   def boundaryDuck(b: String): String =
-    s"CAST((($SubBuckets + (($b) % $SubBuckets)) << (($b) // $SubBuckets)) AS DOUBLE) / $SubBuckets.0"
+    s"CASE WHEN ($b) < 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"CAST((($SubBuckets + (($b) % $SubBuckets)) << (($b) // $SubBuckets)) AS DOUBLE) / $SubBuckets.0 END"
 
   /** Build the sketch: one histogram row per (groupCols, bkt) with its
     * count — the shuffle carries ≤ 53·S ints per group, never values.
@@ -129,6 +136,23 @@ object QuantileSketch {
     val qcols = pcts.map(p => expr(boundarySpark(s"b$p")).as(s"p$p"))
     agged.select(groupCols.map(col) ++ (col("n") +: qcols): _*)
   }
+
+  /** Complete flat-sketch oracle SQL over `table`: histogram per
+    * (groupCol, bkt) built directly from the full relation + quantile
+    * extraction + a total order on the group — the one SQL every engine
+    * face (two-level merge, stored+delta IVM, streaming fold) must
+    * hash-match, which is exactly the mergeability proof. */
+  def flatSql(table: String, groupCol: String, valueSql: String,
+      pcts: Seq[Int]): String =
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT $groupCol,
+       |    ${bucketKeyDuckSelect(valueSql)}
+       |  FROM $table),
+       |hist AS MATERIALIZED (
+       |  SELECT $groupCol, bkt, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cents GROUP BY 1, 2)
+       |${quantilesDuck("hist", groupCol, pcts)}
+       |ORDER BY $groupCol""".stripMargin
 
   /** The matching DuckDB extraction over a histogram CTE with columns
     * (groupCol, bkt, cnt) — no trailing ORDER BY so callers append their

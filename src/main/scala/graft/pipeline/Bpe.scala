@@ -153,6 +153,23 @@ object Bpe {
       batch: Int = MergeBatch, maxWordLen: Int = MaxWordLen): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (groups, state) = trainBatchedGrouped(docs, rounds, batch, maxWordLen)
+    var rank = 0L
+    val learned = groups.flatten.map { case (a, b, c) =>
+      rank += 1; (rank, a, b, c) }
+    (learned.toDF("rank", "lhs", "rhs", "pair_count"), state)
+  }
+
+  /** [[trainBatched]] with the per-ROUND structure preserved: returns the
+    * accepted merges grouped by training round (each group pairwise
+    * symbol-disjoint by the greedy rule) plus the final state — the shape
+    * [[encodeBatched]] needs to replay deployment tokenization round-
+    * simultaneously, exactly as training rewrote its own state. */
+  def trainBatchedGrouped(docs: DataFrame, rounds: Int = BatchRounds,
+      batch: Int = MergeBatch,
+      maxWordLen: Int = MaxWordLen): (Seq[Seq[(String, String, Long)]], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val vocab = wordFreqs(docs, maxWordLen)
     var state = vocab
       .join(spark.range(maxWordLen).toDF("pos"), expr("pos < length(word)"))
@@ -160,8 +177,7 @@ object Bpe {
         expr("substring(word, CAST(pos AS INT) + 1, 1)").as("tok"))
       .localCheckpoint(eager = true)
     val byWord = Window.partitionBy("word").orderBy("pos")
-    val learned = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-    var rank = 0L
+    val groups = scala.collection.mutable.ListBuffer.empty[Seq[(String, String, Long)]]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -194,7 +210,7 @@ object Bpe {
       }
       if (acc.isEmpty) exhausted = true
       else {
-        acc.foreach { case (a, b, c) => rank += 1; learned += ((rank, a, b, c)) }
+        groups += acc.toSeq
         val mdf = broadcast(acc.toSeq.toDF("ma", "mb", "mc").select("ma", "mb"))
         // disjoint symbols => each position matches at most one merge;
         // the matched rhs travels with the row for the rewrite
@@ -220,7 +236,7 @@ object Bpe {
       }
       r += 1
     }
-    (learned.toSeq.toDF("rank", "lhs", "rhs", "pair_count"), state)
+    (groups.toSeq, state)
   }
 
   /** Trained subword vocabulary: (tok, n_positions, n_occurrences) where
@@ -230,6 +246,56 @@ object Bpe {
   def subwordVocab(finalState: DataFrame): DataFrame =
     finalState.groupBy("tok")
       .agg(count(lit(1)).as("n_positions"), sum("freq").as("n_occurrences"))
+
+  /** Tokenize with a BATCH-trained merge table, round-simultaneously:
+    * each training round's accepted set (pairwise symbol-disjoint by the
+    * greedy rule) is applied in ONE pass, exactly the rewrite
+    * [[trainBatchedGrouped]] used on its own state — so deployment
+    * tokenization reproduces training tokenization by construction, and
+    * the encode chain costs `rounds` passes instead of one per merge
+    * (the r13 fix for the 19-sequential-round deployment faces; at a 32k
+    * vocabulary this is the difference between ~500 and ~32k passes).
+    * Note round-simultaneous ≢ merge-sequential in one edge case — a
+    * round accepting (a,b) and (ab,c) together applies (ab,c) only to
+    * PRE-existing "ab" tokens — which is precisely why it matches the
+    * trainer (also round-simultaneous), and why the oracle replays the
+    * identical per-round rewrite. */
+  def encodeBatched(words: DataFrame, groups: Seq[Seq[(String, String)]],
+      maxWordLen: Int = MaxWordLen): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var state = words.select(col("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+      .distinct()
+      .join(spark.range(maxWordLen).toDF("pos"), expr("pos < length(word)"))
+      .select(col("word"), col("pos"),
+        expr("substring(word, CAST(pos AS INT) + 1, 1)").as("tok"))
+      .localCheckpoint(eager = true)
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    for (group <- groups; if group.nonEmpty) {
+      val mdf = broadcast(group.toDF("ma", "mb"))
+      val withNext = state.withColumn("ntok", lead("tok", 1).over(byWord))
+      val matches = withNext
+        .join(mdf, col("tok") === col("ma") && col("ntok") === col("mb"))
+        .select(col("word"), col("pos"), col("mb"))
+        .withColumn("grp", col("pos") - row_number().over(byWord))
+      val kept = matches
+        .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
+        .filter(col("off") % 2 === 0)
+        .select(col("word").as("kw"), col("pos").as("kp"), col("mb"))
+        .localCheckpoint(eager = true)
+      val merged = state
+        .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
+        .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), col("mb")))
+          .otherwise(col("tok")))
+        .select(col("word"), col("pos"), col("tok2").as("tok"))
+      val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
+      state = merged.join(consumed, Seq("word", "pos"), "left_anti")
+        .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+        .localCheckpoint(eager = true)
+    }
+    state
+  }
 
   /** Tokenize with a learned merge table: replays the merge list in rank
     * order over the given words — the ENCODE path, shaped exactly like

@@ -1174,6 +1174,22 @@ object AnalyticsQueries {
     // bit-identical cross-engine. Bounding the fold to the trailing
     // window bounds per-user state at W rows — the hot-user hazard the
     // chunked sessionize family prices never materializes here.
+    // per-type value-distribution profile via the mergeable HDR quantile
+    // sketch (ops/QuantileSketch, the q_agg_quantile_merge machinery on
+    // the events stream): hot-type-safe BY CONSTRUCTION — the shuffle
+    // carries bucket histograms (<= 53·16 ints per type, map-side
+    // partials absorb a hot type before the exchange), never events, so
+    // the 25%-on-one-key log that forces the sessionize family's chunked
+    // twin costs this plan nothing
+    "q_events_quantile" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.sketch(ev, Seq("event_type"), "v"),
+        Seq("event_type"), Seq(50, 90, 99))
+        .orderBy("event_type")
+    }),
+
     "q_time_ewma" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
       Tables.events(s, d)
@@ -1475,6 +1491,10 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_quantile" -> graft.ops.QuantileSketch.flatSql("events",
+      "event_type", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+      Seq(50, 90, 99)),
+
     "q_tpch_q3" ->
       s"""SELECT l_orderkey,
          |  CAST(sum($revenueTermDuck) AS DOUBLE) AS revenue,

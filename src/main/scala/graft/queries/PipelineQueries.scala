@@ -978,18 +978,17 @@ object PipelineQueries {
     // train/apply tokenizer split: merges learned on the even-doc slice
     // by the BATCHED trainer (the deployment-shaped faces price the
     // engine's best training plan — r12 verdict item 2; the sequential
-    // trainer stays as the didactic twin q_bpe_train), applied one at a
-    // time in global rank order to the odd slice's words — Bpe.encode is
-    // the deployment path (merge table collected at k-row scale,
-    // broadcast)
+    // trainer stays as the didactic twin q_bpe_train), applied
+    // ROUND-SIMULTANEOUSLY to the odd slice's words — Bpe.encodeBatched
+    // is the deployment path (BatchRounds rewrite passes, not one per
+    // merge; merge groups collected at k-row scale, broadcast)
     "q_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainBatched(docs.filter(col("doc_id") % 2 === 0))._1
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val groups = Bpe.trainBatchedGrouped(docs.filter(col("doc_id") % 2 === 0))._1
+        .map(_.map { case (a, b, _) => (a, b) })
       val words = docs.filter(col("doc_id") % 2 === 1)
         .select(explode(expr(wordsSpark("text"))).as("word"))
-      Bpe.encode(words, merges).orderBy("word", "pos")
+      Bpe.encodeBatched(words, groups).orderBy("word", "pos")
     }),
 
     // tokenizer-accurate token counting: per held-out doc, Σ encoded
@@ -998,12 +997,11 @@ object PipelineQueries {
     // computed exactly; encode prices only the DISTINCT vocabulary
     "q_text_tokens_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainBatched(docs.filter(col("doc_id") % 2 === 0))._1
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val groups = Bpe.trainBatchedGrouped(docs.filter(col("doc_id") % 2 === 0))._1
+        .map(_.map { case (a, b, _) => (a, b) })
       val words = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), explode(expr(wordsSpark("text"))).as("word"))
-      val encLen = Bpe.encode(words.select("word"), merges)
+      val encLen = Bpe.encodeBatched(words.select("word"), groups)
         .groupBy("word").agg(count(lit(1)).as("n_tok"))
       // vocabulary-sized (Heaps' law: sub-GB at any corpus scale) — the
       // occurrence side never reshuffles for the lookup
@@ -1023,12 +1021,11 @@ object PipelineQueries {
     // prices only the distinct vocabulary (the tokens_bpe shape)
     "q_bpe_fertility" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.trainBatched(docs.filter(col("doc_id") % 2 === 0))._1
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val groups = Bpe.trainBatchedGrouped(docs.filter(col("doc_id") % 2 === 0))._1
+        .map(_.map { case (a, b, _) => (a, b) })
       val words = docs.filter(col("doc_id") % 2 === 1)
         .select(col("source"), explode(expr(wordsSpark("text"))).as("word"))
-      val encLen = Bpe.encode(words.select("word"), merges)
+      val encLen = Bpe.encodeBatched(words.select("word"), groups)
         .groupBy("word").agg(count(lit(1)).as("n_tok"))
       words.join(broadcast(encLen), Seq("word"), "left")
         .groupBy("source")
@@ -2437,24 +2434,19 @@ object PipelineQueries {
        |FROM s${Bpe.DefaultMerges} GROUP BY tok ORDER BY tok""".stripMargin
 
   /** train/apply split on the BATCHED trainer (the deployment faces'
-    * round-13 re-point, r12 verdict item 2): merges trained by the batched
-    * CTEs on the EVEN-doc slice, then replayed ONE AT A TIME in global
-    * rank order over the ODD slice's distinct eligible words — sequential
-    * rank-order replay is the standard BPE encode semantics and exactly
-    * what Bpe.encode does with the collected merge table, so parity is
-    * engine-sequential vs oracle-sequential by construction (merge-table
-    * parity itself is the already-proven q_bpe_train_batched contract).
-    * The replay unrolls to the trainer's capacity (rounds × batch); a
-    * global rank with no accepted merge yields an empty mg CTE whose
-    * round no-ops in both engines (the early-exit contract). */
+    * round-13 re-point, r12 verdict item 2): merges trained by the
+    * batched CTEs on the EVEN-doc slice, then replayed over the ODD
+    * slice's distinct eligible words ROUND-SIMULTANEOUSLY — each training
+    * round's accepted set (ac$g, pairwise symbol-disjoint) applies in one
+    * rewrite pass with the matched rhs traveling on the keep row, exactly
+    * the rewrite the trainer used on its own state (Bpe.encodeBatched
+    * does the same, so deployment tokenization ≡ training tokenization by
+    * construction and the chain costs BatchRounds passes, not one per
+    * merge). An exhausted round's empty ac$g no-ops in both engines. */
   private val bpeBatchedEncodeCtes: String = {
-    val cap = Bpe.BatchRounds * Bpe.MergeBatch
     val sb = new StringBuilder
     sb ++= bpeBatchedCtes(Bpe.BatchRounds, Bpe.MergeBatch, "doc_id % 2 = 0")
     sb ++= s""",
-      |mr AS MATERIALIZED (
-      |  SELECT CAST(row_number() OVER (ORDER BY rnd, rk) AS BIGINT) AS g, a, b
-      |  FROM (${(1 to Bpe.BatchRounds).map(i => s"SELECT $i AS rnd, rk, a, b FROM ac$i").mkString(" UNION ALL ")})),
       |e0 AS MATERIALIZED (
       |  SELECT word, CAST(j AS BIGINT) AS pos,
       |         substr(word, CAST(j + 1 AS INT), 1) AS tok
@@ -2463,26 +2455,24 @@ object PipelineQueries {
       |        WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= ${Bpe.MaxWordLen})
       |  CROSS JOIN range(0, ${Bpe.MaxWordLen}) r(j)
       |  WHERE j < length(word))""".stripMargin
-    for (g <- 1 to cap) {
+    for (g <- 1 to Bpe.BatchRounds) {
       val p = g - 1
       sb ++= s""",
-        |mg$g AS MATERIALIZED (SELECT a, b FROM mr WHERE g = $g),
         |ne$g AS MATERIALIZED (
         |  SELECT word, pos, tok,
         |         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
         |  FROM e$p),
         |ke$g AS MATERIALIZED (
-        |  SELECT word, pos FROM (
-        |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, grp) AS off
-        |    FROM (SELECT t.word, t.pos,
+        |  SELECT word, pos, b FROM (
+        |    SELECT word, pos, b, pos - min(pos) OVER (PARTITION BY word, grp) AS off
+        |    FROM (SELECT t.word, t.pos, w.b,
         |            t.pos - row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS grp
-        |          FROM ne$g t, mg$g w WHERE t.tok = w.a AND t.ntok = w.b))
+        |          FROM ne$g t, ac$g w WHERE t.tok = w.a AND t.ntok = w.b))
         |  WHERE off % 2 = 0),
         |e$g AS MATERIALIZED (
         |  SELECT s.word,
         |    CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS BIGINT) AS pos,
-        |    CASE WHEN k.pos IS NOT NULL THEN s.tok || (SELECT b FROM mg$g)
-        |         ELSE s.tok END AS tok
+        |    CASE WHEN k.pos IS NOT NULL THEN s.tok || k.b ELSE s.tok END AS tok
         |  FROM e$p s
         |  LEFT JOIN ke$g k ON k.word = s.word AND k.pos = s.pos
         |  LEFT JOIN ke$g k2 ON k2.word = s.word AND k2.pos + 1 = s.pos
@@ -2491,9 +2481,8 @@ object PipelineQueries {
     sb.toString
   }
 
-  /** the final encode-chain CTE name under the batched trainer's
-    * capacity unroll */
-  private val bpeBatchedEncodeLast = s"e${Bpe.BatchRounds * Bpe.MergeBatch}"
+  /** the final encode-chain CTE name under the per-round batched replay */
+  private val bpeBatchedEncodeLast = s"e${Bpe.BatchRounds}"
 
   private val bpeEncodeSql =
     bpeBatchedEncodeCtes +

@@ -708,18 +708,9 @@ object RelQueries {
     * IS the mergeability proof (the q_agg_hll_merge pattern). Exact
     * integer bucket/rank math end to end; the only DOUBLEs are the
     * power-of-two-exact boundary decodes. */
-  private val quantileFlatSql = {
-    val cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-    s"""WITH cents AS MATERIALIZED (
-       |  SELECT l_returnflag,
-       |    ${graft.ops.QuantileSketch.bucketKeyDuckSelect(cents)}
-       |  FROM lineitem),
-       |hist AS MATERIALIZED (
-       |  SELECT l_returnflag, bkt, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM cents GROUP BY 1, 2)
-       |${graft.ops.QuantileSketch.quantilesDuck("hist", "l_returnflag", Seq(50, 90, 99))}
-       |ORDER BY l_returnflag""".stripMargin
-  }
+  private val quantileFlatSql = QuantileSketch.flatSql("lineitem",
+    "l_returnflag", "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    Seq(50, 90, 99))
 
   val oracles: Map[String, String] = Map(
     "q_agg_quantile_merge" -> quantileFlatSql,

@@ -398,6 +398,67 @@ object CorpusStreams {
       }
       .start()
 
+  /** Streaming quantile-profile ingest — the mergeable HDR sketch's
+    * streaming face ([[importanceIngest]]'s shape over any keyed value
+    * stream): per trigger, the arriving batch's bucket histogram
+    * ([[graft.ops.QuantileSketch.sketch]]) is merged with the stored
+    * per-batch histogram partitions (bucket counts are SUM-mergeable on
+    * disjoint batches — exact, the QuantileSketch contract) and the
+    * running quantile profile AFTER this batch lands in `profileDir`
+    * under the batch id; the batch's own histogram is appended to
+    * `indexDir`. Every `compactEvery` batches the fully-folded histogram
+    * is materialized and older partitions retired under the
+    * [[compactionMarker]] replay protocol. Unlike the text ingests there
+    * is NO arrival-order caveat at all: the sketch of a multiset is a
+    * pure function of the multiset, so the profile after batch n equals
+    * the batch computation over everything ingested through n, whatever
+    * the batch boundaries — the cleanest mergeability story in the
+    * ingest family. State is ≤ 53·16 ints per group forever. */
+  def quantileIngest(rows: DataFrame, groupCol: String, valueExpr: String,
+      indexDir: String, profileDir: String, checkpointDir: String,
+      pcts: Seq[Int] = Seq(50, 90, 99),
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
+        val batchHist = graft.ops.QuantileSketch
+          .sketch(b, Seq(groupCol), valueExpr).localCheckpoint(eager = true)
+        val stored =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId)
+              .select(col(groupCol), col("bkt"), col("cnt"))
+          else batchHist.limit(0)
+        val merged = graft.ops.QuantileSketch
+          .merge(stored.unionByName(batchHist), Seq(groupCol))
+          .localCheckpoint(eager = true) // sever the stored read
+        val profile = graft.ops.QuantileSketch
+          .quantiles(merged, Seq(groupCol), pcts)
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(profile, profileDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          // merged IS the fold (priors + own batch, regrouped exactly —
+          // sum-mergeable), already checkpointed above
+          writePartition(merged, indexDir)
+          markCompacted(fs, idxPath, batchId) // all writes done; deletes follow
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchHist, indexDir)
+        }
+        ()
+      }
+      .start()
+
   /** drop index partitions older than `keepId` after a compaction fold —
     * the folded partition (batch_id = keepId) carries their content.
     * Also retires older compaction markers (underscore-prefixed, so

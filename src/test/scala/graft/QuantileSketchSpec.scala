@@ -23,6 +23,12 @@ class QuantileSketchSpec extends SparkSpec {
       assert(lo <= v && v < hi, s"v=$v lo=$lo hi=$hi")
       assert(hi - lo <= lo / 16.0 + 1e-9, s"v=$v width=${hi - lo} lo=$lo")
     }
+    // zero has its own EXACT bucket (key -1, boundary 0.0) — the sf0.1
+    // events table carries genuine zero values
+    val z = QuantileSketch.withBucketKey(Seq(0L).toDF("v"), "v")
+      .select(col("bkt"), expr(QuantileSketch.boundarySpark("bkt")).as("lo"))
+      .collect().head
+    assert(z.getLong(0) == -1L && z.getDouble(1) == 0.0)
   }
 
   test("quantile estimate lands within the per-bucket relative error of the true quantile") {

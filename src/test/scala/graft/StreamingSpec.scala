@@ -738,6 +738,44 @@ class StreamingSpec extends SparkSpec {
     assert(snap() == before)
   }
 
+  test("quantile ingest: running profile equals the batch sketch, compaction bounds partitions") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.QuantileSketch
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select("event_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft-quant-stream")
+    // four arbitrary micro-batches — the sketch is a pure function of
+    // the multiset, so boundaries cannot matter
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).select("event_type", "value")
+        .coalesce(1).write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val schema = ev.select("event_type", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val vexpr = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    val q = CorpusStreams.quantileIngest(stream, "event_type", vexpr,
+      dir.resolve("index").toString, dir.resolve("profile").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // compaction at batch 2 folded partitions 0,1 — index holds {2, 3}
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the batch-3 profile equals the one-shot sketch over ALL events
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "n", "p50", "p90", "p99").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val streamed = rows(spark.read.parquet(dir.resolve("profile").toString)
+      .filter(col("batch_id") === 3))
+    val batch = rows(QuantileSketch.quantiles(
+      QuantileSketch.sketch(ev, Seq("event_type"), vexpr),
+      Seq("event_type"), Seq(50, 90, 99)))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
