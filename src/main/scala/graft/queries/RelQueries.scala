@@ -228,6 +228,28 @@ object RelQueries {
         .orderBy("l_returnflag")
     }),
 
+    // CUBE face of the same sketch: the per-(flag, status) partials are
+    // built ONCE and rolled up to BOTH levels — per-flag and the grand
+    // total — without touching the input again; the oracle computes every
+    // level FLAT from the raw relation, so the hash equality proves the
+    // rollup at each cube level simultaneously (the "roll p50/p99 cubes
+    // from per-partition sketches" claim, literally)
+    "q_agg_quantile_cube" -> ((s, d) => {
+      val cents = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_linestatus"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      val parts = QuantileSketch.sketch(cents,
+          Seq("l_returnflag", "l_linestatus"), "v")
+        .localCheckpoint(eager = true) // built once, rolled twice
+      val perFlag = QuantileSketch.quantiles(
+        QuantileSketch.merge(parts.withColumnRenamed("l_returnflag", "grp"),
+          Seq("grp")), Seq("grp"), Seq(50, 90, 99))
+      val total = QuantileSketch.quantiles(
+        QuantileSketch.merge(parts.select(lit("ALL").as("grp"), col("bkt"),
+          col("cnt")), Seq("grp")), Seq("grp"), Seq(50, 90, 99))
+      perFlag.unionByName(total).orderBy("grp")
+    }),
+
     // IVM face of the same sketch: a STORED sketch (even orderkeys) plus
     // the incoming batch's delta sketch, merged — the incremental
     // maintenance contract (base relation never re-scanned) must equal
@@ -712,9 +734,30 @@ object RelQueries {
     "l_returnflag", "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
     Seq(50, 90, 99))
 
+  /** every cube level computed FLAT from the raw relation (per-flag AND
+    * the grand total each get their own direct histogram — never from
+    * partials), so hash equality against the engine's rolled-up partials
+    * is the multi-level mergeability proof */
+  private val quantileCubeSql = {
+    val v = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT l_returnflag,
+       |    ${graft.ops.QuantileSketch.bucketKeyDuckSelect(v)}
+       |  FROM lineitem),
+       |histg AS MATERIALIZED (
+       |  SELECT l_returnflag AS grp, bkt, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cents GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'ALL' AS grp, bkt, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cents GROUP BY 1, 2)
+       |${graft.ops.QuantileSketch.quantilesDuck("histg", "grp", Seq(50, 90, 99))}
+       |ORDER BY grp""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_agg_quantile_merge" -> quantileFlatSql,
     "q_agg_quantile_inc" -> quantileFlatSql,
+    "q_agg_quantile_cube" -> quantileCubeSql,
 
     "q_agg_count" ->
       "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey ORDER BY o_custkey",

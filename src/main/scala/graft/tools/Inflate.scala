@@ -580,7 +580,7 @@ object SkewScale {
     // events span the full window, maximizing its per-partition sort.
     if (Seq("sessionize", "asof", "funnel", "retention",
         "sessionize_chunked", "asof_chunked", "latest", "latest_agg",
-        "ewma", "holt", "cusum").exists(want)) {
+        "ewma", "holt", "cusum", "quantile").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -618,6 +618,22 @@ object SkewScale {
         .foreach { case (m, qn) =>
           if (want(m)) report(m, time2(q(qn, uDir)), time2(q(qn, sDir)))
         }
+      // per-USER quantile profile under the hot user: the sketch's
+      // hot-key-safe-by-construction claim, priced — the shuffle carries
+      // bucket histograms (map-side partials absorb the bot's rows
+      // before the exchange), so one user owning 25% of the log must
+      // cost ~nothing vs the uniform twin
+      if (want("quantile")) {
+        def qsk(dir: String): DataFrame = {
+          val e = spark.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+          graft.ops.QuantileSketch.quantiles(
+            graft.ops.QuantileSketch.sketch(e, Seq("user_id"), "v"),
+            Seq("user_id"), Seq(50, 90, 99))
+        }
+        report("quantile", time2(qsk(uDir)), time2(qsk(sDir)))
+      }
     }
 
     if (Seq("minhash", "minhash_capped", "substring", "boilerplate",
