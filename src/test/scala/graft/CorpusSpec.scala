@@ -199,6 +199,28 @@ class CorpusSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("bpe: round-batched encode reproduces the batched-training tokenization") {
+    // the encodeBatched contract (r13): deployment replays each training
+    // round's accepted set round-SIMULTANEOUSLY — the exact rewrite the
+    // trainer used on its own state — so encoding the training words
+    // with the learned groups must reproduce the final training state
+    // token-for-token (the batched twin of the sequential test above;
+    // merge-sequential replay would NOT satisfy this when a round
+    // accepts (a,b) and a later-created symbol collides)
+    val d = Seq((1L, "banana band bans low lower lowest"),
+      (2L, "banana banana bandana slows slowest")).toDF("doc_id", "text")
+    val (groups, st) = Bpe.trainBatchedGrouped(d, rounds = 3, batch = 4)
+    val enc = Bpe.encodeBatched(st.select("word").distinct(),
+      groups.map(_.map { case (a, b, _) => (a, b) }))
+    val a = st.select("word", "pos", "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    val b = enc.select("word", "pos", "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(a.sameElements(b))
+    assert(groups.map(_.size).sum >= 3 && groups.exists(_.size > 1),
+      s"fixture too thin to exercise batching: ${groups.map(_.size)}")
+  }
+
   test("mixture weights: sqrt temperature damps the head source") {
     val d = ((1 to 9).map(i => (i.toLong, "t", "s_big")) ++ Seq((10L, "t", "s_small")))
       .toDF("doc_id", "text", "source")
