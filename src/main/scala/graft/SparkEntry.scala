@@ -119,6 +119,6 @@ object SparkEntry {
     // screen; prices probe overhead next to its capped twin), and the
     // mergeable HDR quantile sketch (merge face + IVM face)
     "q_dedup_winnow_auto", "q_agg_quantile_merge", "q_agg_quantile_inc",
-    "q_events_quantile", "q_agg_quantile_cube",
+    "q_events_quantile", "q_agg_quantile_cube", "q_agg_hll_cube",
   ).filter(queries.contains)
 }

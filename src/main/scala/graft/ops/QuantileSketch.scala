@@ -168,8 +168,8 @@ object QuantileSketch {
        |  SELECT $groupCol, CAST(max(n) AS BIGINT) AS n,
        |  $bs
        |  FROM (
-       |    SELECT $groupCol, bkt, cnt,
-       |      sum(cnt) OVER (PARTITION BY $groupCol ORDER BY bkt
+    |    SELECT $groupCol, bkt, cnt,
+       |      sum(cnt) OVER (PARTITION BY $groupCol ORDER BY bkt NULLS FIRST
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |      sum(cnt) OVER (PARTITION BY $groupCol) AS n
        |    FROM $histCte)

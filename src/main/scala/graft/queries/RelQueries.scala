@@ -207,6 +207,35 @@ object RelQueries {
             .as("apx_parts"))
         .orderBy("l_returnflag")),
 
+    // CUBE face of the HLL family (r13 — the quantile cube's twin, so
+    // BOTH sketch families carry the multi-level rollup proof): the
+    // per-(flag, status) register tables are built ONCE and max-merged
+    // to per-flag AND the grand total; the oracle computes each level's
+    // registers flat from the hashed relation, so the hash equality
+    // proves register-max mergeability at both cube levels
+    "q_agg_hll_cube" -> ((s, d) => {
+      val regs = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("(2654435761 * l_partkey + 12345) % 1000000007").as("h"))
+        .select(col("l_returnflag"), col("l_linestatus"), expr("h % 64").as("bkt"),
+          expr("CASE WHEN h div 64 = 0 THEN 16777216 " +
+            "ELSE (h div 64) & -(h div 64) END").as("low"))
+        .groupBy("l_returnflag", "l_linestatus", "bkt").agg(max("low").as("mlow"))
+        .localCheckpoint(eager = true) // partials built once, rolled twice
+      def estimate(partials: DataFrame): DataFrame = partials
+        .groupBy("grp", "bkt").agg(max("mlow").as("mlow")) // the merge
+        .groupBy("grp")
+        .agg(expr("sum(33554432 div (2 * mlow))").as("st"),
+          count(lit(1)).as("nb"))
+        .select(col("grp"),
+          expr("0.709D * 137438953472D / CAST(st + (64 - nb) * 33554432 AS DOUBLE)")
+            .as("apx_parts"))
+      estimate(regs.select(col("l_returnflag").as("grp"), col("bkt"), col("mlow")))
+        .unionByName(
+          estimate(regs.select(lit("ALL").as("grp"), col("bkt"), col("mlow"))))
+        .orderBy("grp")
+    }),
+
     // Quantile-sketch MERGEABILITY (the r12 verdict's missing sketch
     // family member): per-(flag, status) HDR bucket histograms merged
     // across status by bucket-wise SUM — never re-scanning the input —
@@ -758,6 +787,30 @@ object RelQueries {
     "q_agg_quantile_merge" -> quantileFlatSql,
     "q_agg_quantile_inc" -> quantileFlatSql,
     "q_agg_quantile_cube" -> quantileCubeSql,
+
+    // each cube level's registers computed FLAT from the hashed relation
+    // — never from the other level — the q_agg_hll_merge convention at
+    // two levels
+    "q_agg_hll_cube" ->
+      """WITH hashed AS MATERIALIZED (
+        |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
+        |  FROM lineitem),
+        |regs AS MATERIALIZED (
+        |  SELECT l_returnflag AS grp, h % 64 AS bkt,
+        |    max(CASE WHEN h // 64 = 0 THEN 16777216
+        |             ELSE (h // 64) & -(h // 64) END) AS mlow
+        |  FROM hashed GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'ALL' AS grp, h % 64 AS bkt,
+        |    max(CASE WHEN h // 64 = 0 THEN 16777216
+        |             ELSE (h // 64) & -(h // 64) END) AS mlow
+        |  FROM hashed GROUP BY 1, 2)
+        |SELECT grp,
+        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
+        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
+        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
+        |FROM regs GROUP BY grp
+        |ORDER BY grp""".stripMargin,
 
     "q_agg_count" ->
       "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey ORDER BY o_custkey",
