@@ -294,6 +294,24 @@ class PlanSpec extends SparkSpec {
     assert(bandNodeIds.nonEmpty && bandNodeIds.min < windowId.get, p)
   }
 
+  test("quantile sketch: map-side histogram partials sit below the first exchange") {
+    // the sketch's 100 TB claim is that raw rows are absorbed into
+    // (group, bkt) histogram partials BEFORE anything moves — so the
+    // first Exchange in the plan must sit ABOVE a HashAggregate keyed on
+    // bkt (formatted-explain ids number bottom-up, scans lowest)
+    val p = plan("q_agg_quantile_merge")
+    val headers = "(?m)^\\s*\\((\\d+)\\) ([A-Za-z]+)".r.findAllMatchIn(p).toSeq
+    val blocks = headers.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < headers.length) headers(i + 1).start else p.length
+      (m.group(1).toInt, m.group(2), p.substring(m.start, end))
+    }
+    val firstBktAgg = blocks.collect {
+      case (id, "HashAggregate", b) if b.contains("bkt") => id }
+    val firstExchange = blocks.collect { case (id, "Exchange", _) => id }
+    assert(firstBktAgg.nonEmpty && firstExchange.nonEmpty, p)
+    assert(firstBktAgg.min < firstExchange.min, p)
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
