@@ -120,5 +120,12 @@ object SparkEntry {
     // mergeable HDR quantile sketch (merge face + IVM face)
     "q_dedup_winnow_auto", "q_agg_quantile_merge", "q_agg_quantile_inc",
     "q_events_quantile", "q_agg_quantile_cube", "q_agg_hll_cube",
+    // round 13, sketch-family completion: Count-Min is the FREQUENCY
+    // member (HLL: distinct, max-merge; quantile: ranks, sum-merge; CMS:
+    // point counts, sum-merge + linear, so merges are bit-exact)
+    "q_agg_cms_merge", "q_agg_cms_inc", "q_agg_cms_cube",
+    // ...and Bloom is the MEMBERSHIP member (OR-merge, idempotent —
+    // replay-safe where the linear CMS would double-count)
+    "q_agg_bloom_merge", "q_agg_bloom_inc", "q_agg_bloom_cube",
   ).filter(queries.contains)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
-import graft.ops.QuantileSketch
+import graft.ops.{BloomSketch, CountMin, QuantileSketch}
 
 /** Relational operator coverage (SURVEY §2.1–2.8) as named queries over the
   * driver testdata, each with a DuckDB oracle.
@@ -31,6 +31,42 @@ object RelQueries {
 
   // autocorrelation lag bound (engine banded self-join and oracle share it)
   private val AcfMaxLag = 7
+
+  /** Shared probe/exact/report tail of the CMS faces: point-query
+    * estimates for the k % 50 == 0 keys at each `grp` level, joined to
+    * exact counts, with the never-underestimate law emitted as an in-band
+    * boolean (TRUE by CMS construction — the hash match proves it held
+    * for every probe). `allKeys` columns (grp, k), one row per key
+    * OCCURRENCE, so exact counts derive from it directly. */
+  /** Shared probe/report tail of the Bloom faces: membership tests for
+    * the k % 50 == 0 PRESENT keys plus 40 keys ABSENT at any sf (fixed
+    * literals far past the partkey domain), with the no-false-negative
+    * law as an in-band boolean (present → hit, TRUE by construction —
+    * bits are never cleared). False positives on the absent keys are
+    * deterministic (fixed hashes, fixed data) and simply replayed. */
+  private def bloomProbeFace(cells: DataFrame, allKeys: DataFrame): DataFrame = {
+    val s = cells.sparkSession
+    val present = allKeys.filter(col("k") % 50 === 0).distinct()
+    val absent = allKeys.select("grp").distinct().crossJoin(
+      s.range(40).select((lit(10000000L) + col("id") * 37L).as("k")))
+    val truth = allKeys.distinct().withColumn("present", lit(true))
+    BloomSketch.contains(cells, Seq("grp"), present.unionByName(absent))
+      .join(truth, Seq("grp", "k"), "left")
+      .select(col("grp"), col("k"), col("hit"),
+        coalesce(col("present"), lit(false)).as("present"),
+        (col("hit") || !coalesce(col("present"), lit(false))).as("no_false_neg"))
+      .orderBy("grp", "k")
+  }
+
+  private def cmsProbeFace(cells: DataFrame, allKeys: DataFrame): DataFrame = {
+    val probes = allKeys.filter(col("k") % 50 === 0).distinct()
+    val exact = allKeys.groupBy("grp", "k").agg(count(lit(1)).as("exact_cnt"))
+    CountMin.estimate(cells, Seq("grp"), probes)
+      .join(exact, Seq("grp", "k"))
+      .select(col("grp"), col("k"), col("est"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("no_underest"))
+      .orderBy("grp", "k")
+  }
 
   val defs: Map[String, Q] = Map(
     // ---- aggregations (SURVEY §2.4: A1-A5 grouped count) ----
@@ -297,6 +333,102 @@ object RelQueries {
         stored.unionByName(delta), Seq("l_returnflag"))
       QuantileSketch.quantiles(merged, Seq("l_returnflag"), Seq(50, 90, 99))
         .orderBy("l_returnflag")
+    }),
+
+    // Count-Min MERGEABILITY — the FREQUENCY member of the sketch family
+    // (HLL: distinct counts, max-merge; quantile histogram: ranks,
+    // sum-merge; CMS: point frequencies, sum-merge). The sketch is LINEAR,
+    // so per-(flag, status) cell tables summed across status are
+    // cell-for-cell EQUAL to the flat per-flag sketch — the oracle builds
+    // the flat side and replays the same affine row hashes, so the hash
+    // equality proves both the merge law and the never-underestimate law
+    // (the in-band no_underest boolean, TRUE by CMS construction). Probes
+    // are data-derived (k % 50 = 0 partkeys — present keys populate all
+    // their cells, so the sparse form never reads an absent cell).
+    "q_agg_cms_merge" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), col("l_partkey").cast("long").as("k"))
+      val parts = CountMin.sketch(keys, Seq("grp", "l_linestatus"), "k")
+      val cells = CountMin.merge(parts, Seq("grp")) // the merge
+      cmsProbeFace(cells, keys.select("grp", "k"))
+    }),
+
+    // CUBE face of the CMS: per-(flag, status) partials built ONCE roll to
+    // per-flag AND the grand total (the hll/quantile cube twins — all
+    // three sketch families now carry the multi-level rollup proof); every
+    // level oracle-checked FLAT from the raw key relation.
+    "q_agg_cms_cube" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), col("l_partkey").cast("long").as("k"))
+      val parts = CountMin.sketch(keys, Seq("grp", "l_linestatus"), "k")
+        .localCheckpoint(eager = true) // partials built once, rolled twice
+      val cells = CountMin.merge(parts, Seq("grp")).unionByName(
+        CountMin.merge(parts.withColumn("grp", lit("ALL")), Seq("grp")))
+      val lvls = keys.select("grp", "k")
+        .unionByName(keys.select(lit("ALL").as("grp"), col("k")))
+      cmsProbeFace(cells, lvls)
+    }),
+
+    // IVM face: a STORED sketch (even orderkeys) plus the incoming batch's
+    // delta sketch, summed — the base relation is never re-scanned, and by
+    // linearity the maintained cells are EXACTLY the flat sketch's (not an
+    // approximation of them), which is what the oracle computes.
+    "q_agg_cms_inc" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_orderkey"), col("l_partkey").cast("long").as("k"))
+      val stored = CountMin.sketch(
+        keys.filter(col("l_orderkey") % 2 === 0), Seq("grp"), "k")
+      val delta = CountMin.sketch(
+        keys.filter(col("l_orderkey") % 2 === 1), Seq("grp"), "k")
+      val cells = CountMin.merge(stored.unionByName(delta), Seq("grp"))
+      cmsProbeFace(cells, keys.select("grp", "k"))
+    }),
+
+    // Bloom MERGEABILITY — the MEMBERSHIP member of the sketch family.
+    // bits(A ∪ B) = bits(A) ∪ bits(B), so per-(flag, status) bit sets
+    // OR-merged across status are bit-for-bit the flat per-flag filter —
+    // the oracle builds the flat side and replays the same affine row
+    // hashes, proving both the merge law and no-false-negatives (the
+    // in-band boolean). Probes mix present keys (k % 50 = 0) with 40
+    // absent-at-any-sf keys, so the definite-reject path is exercised
+    // and the (deterministic) false positives are replayed, not bounded.
+    "q_agg_bloom_merge" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), col("l_partkey").cast("long").as("k"))
+      val parts = BloomSketch.sketch(keys, Seq("grp", "l_linestatus"), "k")
+      val cells = BloomSketch.merge(parts, Seq("grp")) // the OR-merge
+      bloomProbeFace(cells, keys.select("grp", "k"))
+    }),
+
+    // CUBE face: per-(flag, status) bit sets built ONCE roll to per-flag
+    // AND the grand total by union — all four sketch families now carry
+    // the multi-level rollup proof; every level oracle-checked FLAT.
+    "q_agg_bloom_cube" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), col("l_partkey").cast("long").as("k"))
+      val parts = BloomSketch.sketch(keys, Seq("grp", "l_linestatus"), "k")
+        .localCheckpoint(eager = true) // partials built once, rolled twice
+      val cells = BloomSketch.merge(parts, Seq("grp")).unionByName(
+        BloomSketch.merge(parts.withColumn("grp", lit("ALL")), Seq("grp")))
+      val lvls = keys.select("grp", "k")
+        .unionByName(keys.select(lit("ALL").as("grp"), col("k")))
+      bloomProbeFace(cells, lvls)
+    }),
+
+    // IVM face: stored filter (even orderkeys) OR delta filter (odd),
+    // never re-scanning the base — and because OR is IDEMPOTENT the
+    // fold is replay-safe: re-merging an overlapping batch cannot
+    // corrupt the bits (the property the linear CMS does NOT have, and
+    // why Bloom state suits at-least-once streaming ingest).
+    "q_agg_bloom_inc" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_orderkey"), col("l_partkey").cast("long").as("k"))
+      val stored = BloomSketch.sketch(
+        keys.filter(col("l_orderkey") % 2 === 0), Seq("grp"), "k")
+      val delta = BloomSketch.sketch(
+        keys.filter(col("l_orderkey") % 2 === 1), Seq("grp"), "k")
+      val cells = BloomSketch.merge(stored.unionByName(delta), Seq("grp"))
+      bloomProbeFace(cells, keys.select("grp", "k"))
     }),
 
     // ---- filters / projections (SURVEY §2.2) ----
@@ -783,10 +915,102 @@ object RelQueries {
        |ORDER BY grp""".stripMargin
   }
 
+  /** Flat CMS replay in DuckDB over a (grp, k) key-level relation: cells
+    * built directly from the full relation + probe point queries + exact
+    * counts — the one SQL every engine face (two-level merge, cube
+    * rollup, stored-plus-delta IVM) must hash-match, which is the
+    * linear-sketch mergeability proof. Same affine row hashes as
+    * ops.CountMin, spelled for DuckDB (every intermediate integral). */
+  private def cmsSql(keysSql: String): String =
+    s"""WITH keys AS MATERIALIZED ($keysSql),
+       |d(r, a, b) AS (
+       |  VALUES (0, CAST(2654435761 AS BIGINT), CAST(12345 AS BIGINT)),
+       |         (1, CAST(2246822519 AS BIGINT), CAST(54321 AS BIGINT)),
+       |         (2, CAST(3266489917 AS BIGINT), CAST(98765 AS BIGINT)),
+       |         (3, CAST(668265263 AS BIGINT), CAST(13579 AS BIGINT))),
+       |cells AS MATERIALIZED (
+       |  SELECT grp, r, ((a * k + b) % 1000000007) % 64 AS c,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM keys CROSS JOIN d GROUP BY 1, 2, 3),
+       |probes AS MATERIALIZED (
+       |  SELECT DISTINCT grp, k FROM keys WHERE k % 50 = 0),
+       |pcells AS (
+       |  SELECT grp, k, r, ((a * k + b) % 1000000007) % 64 AS c
+       |  FROM probes CROSS JOIN d),
+       |est AS (
+       |  SELECT grp, k, min(cnt) AS est
+       |  FROM pcells JOIN cells USING (grp, r, c) GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT grp, k, CAST(count(*) AS BIGINT) AS exact_cnt
+       |  FROM keys GROUP BY 1, 2)
+       |SELECT grp, k, est, exact_cnt, est >= exact_cnt AS no_underest
+       |FROM est JOIN exact USING (grp, k)
+       |ORDER BY grp, k""".stripMargin
+
+  private val cmsFlagKeys =
+    "SELECT l_returnflag AS grp, CAST(l_partkey AS BIGINT) AS k FROM lineitem"
+
+  /** Flat Bloom replay in DuckDB over a (grp, k) key-level relation:
+    * occupied cells from the full relation, membership probes over the
+    * present (k % 50 = 0) + absent (fixed literals) mix, the
+    * no-false-negative law in-band — the one SQL the OR-merge, cube and
+    * IVM engine faces must hash-match. Same affine hashes as
+    * ops.BloomSketch at Width 8192. */
+  private def bloomSql(keysSql: String): String =
+    s"""WITH keys AS MATERIALIZED ($keysSql),
+       |d(r, a, b) AS (
+       |  VALUES (0, CAST(2654435761 AS BIGINT), CAST(12345 AS BIGINT)),
+       |         (1, CAST(2246822519 AS BIGINT), CAST(54321 AS BIGINT)),
+       |         (2, CAST(3266489917 AS BIGINT), CAST(98765 AS BIGINT)),
+       |         (3, CAST(668265263 AS BIGINT), CAST(13579 AS BIGINT))),
+       |cells AS MATERIALIZED (
+       |  SELECT DISTINCT grp, r, ((a * k + b) % 1000000007) % 8192 AS c
+       |  FROM keys CROSS JOIN d),
+       |probes AS MATERIALIZED (
+       |  SELECT DISTINCT grp, k FROM keys WHERE k % 50 = 0
+       |  UNION ALL
+       |  SELECT g.grp, 10000000 + CAST(x.range AS BIGINT) * 37 AS k
+       |  FROM (SELECT DISTINCT grp FROM keys) g CROSS JOIN range(40) x),
+       |pcells AS (
+       |  SELECT grp, k, r, ((a * k + b) % 1000000007) % 8192 AS c
+       |  FROM probes CROSS JOIN d),
+       |hits AS (
+       |  SELECT p.grp, p.k, count(t.c) = 4 AS hit
+       |  FROM pcells p LEFT JOIN cells t
+       |    ON p.grp = t.grp AND p.r = t.r AND p.c = t.c
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT DISTINCT grp, k, TRUE AS present FROM keys)
+       |SELECT h.grp, h.k, h.hit,
+       |  coalesce(t.present, FALSE) AS present,
+       |  (h.hit OR NOT coalesce(t.present, FALSE)) AS no_false_neg
+       |FROM hits h LEFT JOIN truth t ON h.grp = t.grp AND h.k = t.k
+       |ORDER BY h.grp, h.k""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_agg_quantile_merge" -> quantileFlatSql,
     "q_agg_quantile_inc" -> quantileFlatSql,
     "q_agg_quantile_cube" -> quantileCubeSql,
+
+    // FLAT per-flag CMS — deliberately not the engine's two-level merge /
+    // stored-plus-delta fold, so hash equality IS the linearity proof
+    "q_agg_cms_merge" -> cmsSql(cmsFlagKeys),
+    "q_agg_cms_inc" -> cmsSql(cmsFlagKeys),
+    // both cube levels flat from the raw key relation (the hll/quantile
+    // cube convention)
+    "q_agg_cms_cube" -> cmsSql(
+      s"""$cmsFlagKeys
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, CAST(l_partkey AS BIGINT) AS k FROM lineitem""".stripMargin),
+
+    // FLAT per-flag Bloom bit set — deliberately not the engine's
+    // OR-merge / stored-OR-delta fold, so hash equality IS the
+    // idempotent-union proof
+    "q_agg_bloom_merge" -> bloomSql(cmsFlagKeys),
+    "q_agg_bloom_inc" -> bloomSql(cmsFlagKeys),
+    "q_agg_bloom_cube" -> bloomSql(
+      s"""$cmsFlagKeys
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, CAST(l_partkey AS BIGINT) AS k FROM lineitem""".stripMargin),
 
     // each cube level's registers computed FLAT from the hashed relation
     // — never from the other level — the q_agg_hll_merge convention at

@@ -580,7 +580,7 @@ object SkewScale {
     // events span the full window, maximizing its per-partition sort.
     if (Seq("sessionize", "asof", "funnel", "retention",
         "sessionize_chunked", "asof_chunked", "latest", "latest_agg",
-        "ewma", "holt", "cusum", "quantile").exists(want)) {
+        "ewma", "holt", "cusum", "quantile", "cms", "bloom").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -633,6 +633,33 @@ object SkewScale {
             Seq("user_id"), Seq(50, 90, 99))
         }
         report("quantile", time2(qsk(uDir)), time2(qsk(sDir)))
+      }
+      // per-USER Count-Min frequency sketch under the hot user: the CMS
+      // twin of the quantile claim — the shuffle carries ≤ Depth·Width
+      // cells per group however many events the bot owns (map-side
+      // partials fold raw rows into cells before the exchange), so the
+      // hot user must cost ~nothing; skew SHRINKS the distinct-group
+      // count, so it can even be cheaper (the quantile pattern)
+      if (want("cms")) {
+        def csk(dir: String): DataFrame = {
+          val e = spark.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("k"))
+          graft.ops.CountMin.sketch(e, Seq("user_id"), "k")
+        }
+        report("cms", time2(csk(uDir)), time2(csk(sDir)))
+      }
+      // per-USER Bloom filter under the hot user: same fixed-size-state
+      // argument via map-side partial DISTINCT (bits fold before the
+      // exchange; ≤ Depth·min(Width, distinct values) bits per group)
+      if (want("bloom")) {
+        def bsk(dir: String): DataFrame = {
+          val e = spark.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("k"))
+          graft.ops.BloomSketch.sketch(e, Seq("user_id"), "k")
+        }
+        report("bloom", time2(bsk(uDir)), time2(bsk(sDir)))
       }
     }
 
