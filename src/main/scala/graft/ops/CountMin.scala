@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   * carries cells only, and per-partition sketches roll up a cube by plain
   * addition (never re-scanning the input). The frequency twin of rolling
   * distinct-count cubes from HLL registers.
+  *
+  * Relationship to [[HeavyHitters]]: that operator uses Spark's NATIVE
+  * CMS (`df.stat.countMinSketch`) as a pure prune whose estimates never
+  * reach the result, so engine-specific hashing is fine there; THIS
+  * sketch's cells ARE the result (merged, cubed, incrementally
+  * maintained), so every bit must replay cross-engine.
   */
 object CountMin {
 
