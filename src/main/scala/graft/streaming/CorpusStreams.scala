@@ -459,6 +459,110 @@ object CorpusStreams {
       }
       .start()
 
+  /** Streaming Count-Min ingest — the frequency sketch's streaming face
+    * ([[quantileIngest]]'s shape): per trigger, the arriving batch's cell
+    * table ([[graft.ops.CountMin.sketch]]) is sum-merged with the stored
+    * per-batch partitions (exact by linearity on disjoint batches) and
+    * the running sketch AFTER this batch lands in `sketchDir` under the
+    * batch id; the batch's own cells are appended to `indexDir`, folded
+    * every `compactEvery` batches under the [[compactionMarker]] replay
+    * protocol. Like the quantile ingest there is no arrival-order caveat
+    * — the sketch is a pure function of the multiset. State is
+    * ≤ Depth·Width cells per group forever. The exactly-once batch_id
+    * discipline MATTERS here: a replayed overlapping batch would
+    * double-count (CMS is linear, not idempotent) — which is what the
+    * marker protocol and the `batch_id < batchId` stored-read guard
+    * prevent, and what [[bloomIngest]] is immune to by construction. */
+  def cmsIngest(rows: DataFrame, groupCol: String, keyExpr: String,
+      indexDir: String, sketchDir: String, checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
+        val batchCells = graft.ops.CountMin
+          .sketch(b, Seq(groupCol), keyExpr).localCheckpoint(eager = true)
+        val stored =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId)
+              .select(col(groupCol), col("r"), col("c"), col("cnt"))
+          else batchCells.limit(0)
+        val merged = graft.ops.CountMin
+          .merge(stored.unionByName(batchCells), Seq(groupCol))
+          .localCheckpoint(eager = true) // sever the stored read
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(merged, sketchDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          writePartition(merged, indexDir)
+          markCompacted(fs, idxPath, batchId)
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchCells, indexDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Streaming Bloom ingest — the membership filter's streaming face,
+    * and the one ingest in the family whose state fold is IDEMPOTENT:
+    * the OR-merge (DISTINCT union of occupied bits) absorbs overlapping
+    * or replayed batches without corruption, so unlike [[cmsIngest]] the
+    * correctness of the maintained bits never leans on exactly-once
+    * batch delivery — at-least-once is enough (the marker protocol still
+    * bounds duplicate WORK and partition growth). Running filter after
+    * each batch lands in `filterDir` under the batch id; per-batch bits
+    * append to `indexDir` with the standard compaction fold. State is
+    * ≤ Depth·min(Width, distinct keys) bits per group forever. */
+  def bloomIngest(rows: DataFrame, groupCol: String, keyExpr: String,
+      indexDir: String, filterDir: String, checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
+        val batchBits = graft.ops.BloomSketch
+          .sketch(b, Seq(groupCol), keyExpr).localCheckpoint(eager = true)
+        val stored =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId)
+              .select(col(groupCol), col("r"), col("c"))
+          else batchBits.limit(0)
+        val merged = graft.ops.BloomSketch
+          .merge(stored.unionByName(batchBits), Seq(groupCol))
+          .localCheckpoint(eager = true) // sever the stored read
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(merged, filterDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          writePartition(merged, indexDir)
+          markCompacted(fs, idxPath, batchId)
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchBits, indexDir)
+        }
+        ()
+      }
+      .start()
+
   /** drop index partitions older than `keepId` after a compaction fold —
     * the folded partition (batch_id = keepId) carries their content.
     * Also retires older compaction markers (underscore-prefixed, so

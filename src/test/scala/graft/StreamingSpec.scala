@@ -776,6 +776,83 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("cms ingest: running sketch equals the batch sketch, compaction bounds partitions") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.CountMin
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select("event_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft-cms-stream")
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).select("event_type", "value")
+        .coalesce(1).write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val schema = ev.select("event_type", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val kexpr = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    val q = CorpusStreams.cmsIngest(stream, "event_type", kexpr,
+      dir.resolve("index").toString, dir.resolve("sketch").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // compaction at batch 2 folded partitions 0,1 — index holds {2, 3}
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the batch-3 running sketch equals the one-shot cells over ALL
+    // events, cell-for-cell (linearity across arbitrary batch cuts)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "r", "c", "cnt").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = cells(spark.read.parquet(dir.resolve("sketch").toString)
+      .filter(col("batch_id") === 3))
+    val batch = cells(CountMin.sketch(ev, Seq("event_type"), kexpr))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("bloom ingest: running filter equals the batch filter; replayed overlap is absorbed") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.BloomSketch
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select("event_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft-bloom-stream")
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).select("event_type", "value")
+        .coalesce(1).write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val schema = ev.select("event_type", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val kexpr = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    val q = CorpusStreams.bloomIngest(stream, "event_type", kexpr,
+      dir.resolve("index").toString, dir.resolve("filter").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    def bits(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "r", "c").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val streamed = bits(spark.read.parquet(dir.resolve("filter").toString)
+      .filter(col("batch_id") === 3))
+    val batch = bits(BloomSketch.sketch(ev, Seq("event_type"), kexpr))
+    assert(streamed == batch && streamed.nonEmpty)
+    // the idempotence claim: OR-merging an ALREADY-INGESTED batch's bits
+    // into the final state changes nothing — at-least-once delivery
+    // cannot corrupt a Bloom fold (a linear CMS would double-count here)
+    val overlap = BloomSketch.sketch(
+      ev.filter(col("event_id") % 4 === 1), Seq("event_type"), kexpr)
+    val replayed = bits(BloomSketch.merge(
+      spark.read.parquet(dir.resolve("filter").toString)
+        .filter(col("batch_id") === 3)
+        .select("event_type", "r", "c")
+        .unionByName(overlap), Seq("event_type")))
+    assert(replayed == streamed)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
