@@ -127,5 +127,7 @@ object SparkEntry {
     // ...and Bloom is the MEMBERSHIP member (OR-merge, idempotent —
     // replay-safe where the linear CMS would double-count)
     "q_agg_bloom_merge", "q_agg_bloom_inc", "q_agg_bloom_cube",
+    // HLL's IVM face closes the 4-sketch × {merge, cube, inc} matrix
+    "q_agg_hll_inc",
   ).filter(queries.contains)
 }

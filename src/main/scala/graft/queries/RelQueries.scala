@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
-import graft.ops.{BloomSketch, CountMin, QuantileSketch}
+import graft.ops.{BloomSketch, CountMin, Hll, QuantileSketch}
 
 /** Relational operator coverage (SURVEY §2.1–2.8) as named queries over the
   * driver testdata, each with a DuckDB oracle.
@@ -204,19 +204,8 @@ object RelQueries {
     // ln() correction — n >> 2.5m here, where raw HLL needs none; the
     // sketch shuffles 64 ints per group regardless of input size.
     "q_agg_hll" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"),
-          expr("(2654435761 * l_partkey + 12345) % 1000000007").as("h"))
-        .select(col("l_returnflag"), expr("h % 64").as("bkt"),
-          expr("CASE WHEN h div 64 = 0 THEN 16777216 " +
-            "ELSE (h div 64) & -(h div 64) END").as("low"))
-        .groupBy("l_returnflag", "bkt").agg(max("low").as("mlow"))
-        .groupBy("l_returnflag")
-        .agg(expr("sum(33554432 div (2 * mlow))").as("st"),
-          count(lit(1)).as("nb"))
-        .select(col("l_returnflag"),
-          expr("0.709D * 137438953472D / CAST(st + (64 - nb) * 33554432 AS DOUBLE)")
-            .as("apx_parts"))
+      Hll.estimate(Hll.registers(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_partkey"), Seq("l_returnflag"))
         .orderBy("l_returnflag")),
 
     // Sketch MERGEABILITY: per-(flag, status) partial HLL register tables
@@ -227,21 +216,29 @@ object RelQueries {
     // sk(A ∪ B) proof — the property that lets 100 TB distinct-count
     // cubes roll up from per-partition sketches instead of raw keys.
     "q_agg_hll_merge" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_linestatus"),
-          expr("(2654435761 * l_partkey + 12345) % 1000000007").as("h"))
-        .select(col("l_returnflag"), col("l_linestatus"), expr("h % 64").as("bkt"),
-          expr("CASE WHEN h div 64 = 0 THEN 16777216 " +
-            "ELSE (h div 64) & -(h div 64) END").as("low"))
-        .groupBy("l_returnflag", "l_linestatus", "bkt").agg(max("low").as("mlow"))
-        .groupBy("l_returnflag", "bkt").agg(max("mlow").as("mlow")) // the merge
-        .groupBy("l_returnflag")
-        .agg(expr("sum(33554432 div (2 * mlow))").as("st"),
-          count(lit(1)).as("nb"))
-        .select(col("l_returnflag"),
-          expr("0.709D * 137438953472D / CAST(st + (64 - nb) * 33554432 AS DOUBLE)")
-            .as("apx_parts"))
+      Hll.estimate(
+        Hll.merge( // the merge
+          Hll.registers(Tables.lineitem(s, d),
+            Seq("l_returnflag", "l_linestatus"), "l_partkey"),
+          Seq("l_returnflag")),
+        Seq("l_returnflag"))
         .orderBy("l_returnflag")),
+
+    // IVM face (completing the 4×{merge,cube,inc} sketch matrix): STORED
+    // registers (even orderkeys) max-merged with the incoming batch's
+    // delta registers (odd) — the base relation is never re-scanned, and
+    // like Bloom's OR the max-fold is IDEMPOTENT, so replayed overlap
+    // cannot corrupt the maintained registers. Oracle = the flat sketch.
+    "q_agg_hll_inc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stored = Hll.registers(li.filter(col("l_orderkey") % 2 === 0),
+        Seq("l_returnflag"), "l_partkey")
+      val delta = Hll.registers(li.filter(col("l_orderkey") % 2 === 1),
+        Seq("l_returnflag"), "l_partkey")
+      Hll.estimate(Hll.merge(stored.unionByName(delta), Seq("l_returnflag")),
+          Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
 
     // CUBE face of the HLL family (r13 — the quantile cube's twin, so
     // BOTH sketch families carry the multi-level rollup proof): the
@@ -250,25 +247,14 @@ object RelQueries {
     // registers flat from the hashed relation, so the hash equality
     // proves register-max mergeability at both cube levels
     "q_agg_hll_cube" -> ((s, d) => {
-      val regs = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_linestatus"),
-          expr("(2654435761 * l_partkey + 12345) % 1000000007").as("h"))
-        .select(col("l_returnflag"), col("l_linestatus"), expr("h % 64").as("bkt"),
-          expr("CASE WHEN h div 64 = 0 THEN 16777216 " +
-            "ELSE (h div 64) & -(h div 64) END").as("low"))
-        .groupBy("l_returnflag", "l_linestatus", "bkt").agg(max("low").as("mlow"))
+      val regs = Hll.registers(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"), "l_partkey")
+        .withColumnRenamed("l_returnflag", "grp")
         .localCheckpoint(eager = true) // partials built once, rolled twice
-      def estimate(partials: DataFrame): DataFrame = partials
-        .groupBy("grp", "bkt").agg(max("mlow").as("mlow")) // the merge
-        .groupBy("grp")
-        .agg(expr("sum(33554432 div (2 * mlow))").as("st"),
-          count(lit(1)).as("nb"))
-        .select(col("grp"),
-          expr("0.709D * 137438953472D / CAST(st + (64 - nb) * 33554432 AS DOUBLE)")
-            .as("apx_parts"))
-      estimate(regs.select(col("l_returnflag").as("grp"), col("bkt"), col("mlow")))
-        .unionByName(
-          estimate(regs.select(lit("ALL").as("grp"), col("bkt"), col("mlow"))))
+      def level(partials: DataFrame): DataFrame =
+        Hll.estimate(Hll.merge(partials, Seq("grp")), Seq("grp"))
+      level(regs)
+        .unionByName(level(regs.withColumn("grp", lit("ALL"))))
         .orderBy("grp")
     }),
 
@@ -950,6 +936,24 @@ object RelQueries {
   private val cmsFlagKeys =
     "SELECT l_returnflag AS grp, CAST(l_partkey AS BIGINT) AS k FROM lineitem"
 
+  /** The flat per-flag HLL sketch in DuckDB — see the q_agg_hll oracle
+    * comment; shared verbatim by the plain/merge/IVM faces. */
+  private val hllFlatSql: String =
+    """WITH hashed AS MATERIALIZED (
+      |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
+      |  FROM lineitem),
+      |regs AS (
+      |  SELECT l_returnflag, h % 64 AS bkt,
+      |    max(CASE WHEN h // 64 = 0 THEN 16777216
+      |             ELSE (h // 64) & -(h // 64) END) AS mlow
+      |  FROM hashed GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
+      |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
+      |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
+      |FROM regs GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Flat Bloom replay in DuckDB over a (grp, k) key-level relation:
     * occupied cells from the full relation, membership probes over the
     * present (k % 50 = 0) + absent (fixed literals) mix, the
@@ -1253,40 +1257,13 @@ object RelQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // same register algebra as the engine, spelled in DuckDB (// integer
-    // division, & bitwise AND on BIGINT); every intermediate is integral
-    "q_agg_hll" ->
-      """WITH hashed AS MATERIALIZED (
-        |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
-        |  FROM lineitem),
-        |regs AS (
-        |  SELECT l_returnflag, h % 64 AS bkt,
-        |    max(CASE WHEN h // 64 = 0 THEN 16777216
-        |             ELSE (h // 64) & -(h // 64) END) AS mlow
-        |  FROM hashed GROUP BY 1, 2)
-        |SELECT l_returnflag,
-        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
-        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
-        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
-        |FROM regs GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    // the FLAT per-flag sketch — deliberately not the engine's two-level
-    // merge, so the hash equality proves merge-associativity
-    "q_agg_hll_merge" ->
-      """WITH hashed AS MATERIALIZED (
-        |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
-        |  FROM lineitem),
-        |regs AS (
-        |  SELECT l_returnflag, h % 64 AS bkt,
-        |    max(CASE WHEN h // 64 = 0 THEN 16777216
-        |             ELSE (h // 64) & -(h // 64) END) AS mlow
-        |  FROM hashed GROUP BY 1, 2)
-        |SELECT l_returnflag,
-        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
-        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
-        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
-        |FROM regs GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+    // division, & bitwise AND on BIGINT); every intermediate is integral.
+    // The SAME flat SQL also oracles the merge and IVM faces —
+    // deliberately not the engine's two-level / stored-plus-delta folds,
+    // so hash equality proves max-merge associativity and idempotence
+    "q_agg_hll" -> hllFlatSql,
+    "q_agg_hll_merge" -> hllFlatSql,
+    "q_agg_hll_inc" -> hllFlatSql,
 
     "q_set_except_all" ->
       """SELECT k, count(*) AS n FROM (

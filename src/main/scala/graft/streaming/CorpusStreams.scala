@@ -563,6 +563,58 @@ object CorpusStreams {
       }
       .start()
 
+  /** Streaming HLL ingest — the distinct-count sketch's streaming face,
+    * completing the family's streaming symmetry (quantile: sum-fold;
+    * CMS: sum-fold, exactly-once-dependent; Bloom and HLL: idempotent
+    * folds — register-wise MAX absorbs replayed or overlapping batches,
+    * so at-least-once delivery suffices for state correctness and the
+    * marker protocol only bounds duplicate work). Per trigger: the
+    * batch's register table ([[graft.ops.Hll.registers]]) max-merges
+    * with the stored partitions; the running cardinality estimates land
+    * in `estDir` under the batch id; per-batch registers append to
+    * `indexDir` with the standard compaction fold. State is ≤ 64
+    * register rows per group forever. */
+  def hllIngest(rows: DataFrame, groupCol: String, keyExpr: String,
+      indexDir: String, estDir: String, checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
+        val batchRegs = graft.ops.Hll
+          .registers(b, Seq(groupCol), keyExpr).localCheckpoint(eager = true)
+        val stored =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId)
+              .select(col(groupCol), col("bkt"), col("mlow"))
+          else batchRegs.limit(0)
+        val merged = graft.ops.Hll
+          .merge(stored.unionByName(batchRegs), Seq(groupCol))
+          .localCheckpoint(eager = true) // sever the stored read
+        val estimates = graft.ops.Hll.estimate(merged, Seq(groupCol))
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(estimates, estDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          writePartition(merged, indexDir)
+          markCompacted(fs, idxPath, batchId)
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchRegs, indexDir)
+        }
+        ()
+      }
+      .start()
+
   /** drop index partitions older than `keepId` after a compaction fold —
     * the folded partition (batch_id = keepId) carries their content.
     * Also retires older compaction markers (underscore-prefixed, so

@@ -312,6 +312,33 @@ class PlanSpec extends SparkSpec {
     assert(firstBktAgg.min < firstExchange.min, p)
   }
 
+  test("cms/bloom sketches: cell partials sit below the first exchange") {
+    // same 100 TB claim as the quantile guard for the other two sketch
+    // families: raw rows fold into (group, r, c) cell partials — a
+    // HashAggregate (cms counts) or a partial-distinct HashAggregate
+    // (bloom bits) keyed on the cell column — BEFORE the cell shuffle,
+    // so that exchange carries sketch cells, never raw keys. The plan
+    // has several branches (probes, exact counts), so the assertion is
+    // local, not global: SOME cell-keyed HashAggregate must sit
+    // IMMEDIATELY below an Exchange (adjacent formatted-plan ids — a
+    // child's id precedes its parent's within a linear segment)
+    for (q <- Seq("q_agg_cms_merge", "q_agg_bloom_merge")) {
+      val p = plan(q)
+      val headers = "(?m)^\\s*\\((\\d+)\\) ([A-Za-z]+)".r.findAllMatchIn(p).toSeq
+      val blocks = headers.zipWithIndex.map { case (m, i) =>
+        val end = if (i + 1 < headers.length) headers(i + 1).start else p.length
+        (m.group(1).toInt, m.group(2), p.substring(m.start, end))
+      }
+      val exchangeIds = blocks.collect { case (id, "Exchange", _) => id }.toSet
+      val partialBelowShuffle = blocks.exists {
+        case (id, "HashAggregate", b) =>
+          b.contains("c#") && exchangeIds.contains(id + 1)
+        case _ => false
+      }
+      assert(partialBelowShuffle, s"$q\n$p")
+    }
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned

@@ -853,6 +853,52 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == streamed)
   }
 
+  test("hll ingest: running estimates equal the batch sketch; max-fold absorbs replayed overlap") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.Hll
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select("event_id", "event_type", "user_id")
+    val dir = Files.createTempDirectory("graft-hll-stream")
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).select("event_type", "user_id")
+        .coalesce(1).write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val schema = ev.select("event_type", "user_id").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.hllIngest(stream, "event_type", "user_id",
+      dir.resolve("index").toString, dir.resolve("est").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the batch-3 estimates equal the one-shot sketch over ALL events
+    def ests(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "apx_parts").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val streamed = ests(spark.read.parquet(dir.resolve("est").toString)
+      .filter(col("batch_id") === 3))
+    val batch = ests(Hll.estimate(
+      Hll.registers(ev, Seq("event_type"), "user_id"), Seq("event_type")))
+    assert(streamed == batch && streamed.nonEmpty)
+    // idempotence: max-merging an ALREADY-INGESTED batch's registers
+    // into the final folded state changes nothing (at-least-once safety,
+    // the Bloom property — sum-fold sketches do not have this)
+    val finalRegs = spark.read.parquet(dir.resolve("index").toString)
+      .select("event_type", "bkt", "mlow")
+    val overlap = Hll.registers(
+      ev.filter(col("event_id") % 4 === 1), Seq("event_type"), "user_id")
+    def regset(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "bkt", "mlow").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val folded = regset(Hll.merge(finalRegs, Seq("event_type")))
+    val replayed = regset(Hll.merge(
+      finalRegs.unionByName(overlap), Seq("event_type")))
+    assert(replayed == folded)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
