@@ -127,7 +127,8 @@ object SparkEntry {
     // ...and Bloom is the MEMBERSHIP member (OR-merge, idempotent —
     // replay-safe where the linear CMS would double-count)
     "q_agg_bloom_merge", "q_agg_bloom_inc", "q_agg_bloom_cube",
-    // HLL's IVM face closes the 4-sketch × {merge, cube, inc} matrix
-    "q_agg_hll_inc",
+    // HLL's IVM face closes the 4-sketch × {merge, cube, inc} matrix;
+    // the rollup is the telemetry-shaped hierarchical merge over time
+    "q_agg_hll_inc", "q_events_distinct_rollup",
   ).filter(queries.contains)
 }

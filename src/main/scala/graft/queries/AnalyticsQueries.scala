@@ -1190,6 +1190,30 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Hierarchical distinct-user rollup — THE 100 TB telemetry shape:
+    // per-(type, hour) HLL register tables (ops/Hll, ≤ 64 ints per cell
+    // however many events land in the hour) are built ONCE from the
+    // stream and max-merged up the time hierarchy to per-type totals;
+    // the raw events are scanned exactly once and never re-touched for
+    // the coarser level. hr = -1 marks the rollup rows. The oracle
+    // computes BOTH levels' registers flat from the hashed relation, so
+    // the hash equality proves the hierarchical merge (a per-day level
+    // would compose identically — max is associative all the way up).
+    "q_events_distinct_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("ts div 3600000000000").as("hr"), col("user_id"))
+      val hourly = graft.ops.Hll
+        .registers(ev, Seq("event_type", "hr"), "user_id")
+        .localCheckpoint(eager = true) // built once, rolled twice
+      graft.ops.Hll.estimate(hourly, Seq("event_type", "hr"))
+        .unionByName(graft.ops.Hll
+          .estimate(graft.ops.Hll.merge(hourly, Seq("event_type")),
+            Seq("event_type"))
+          .select(col("event_type"), lit(-1L).as("hr"), col("apx_parts")))
+        .withColumnRenamed("apx_parts", "apx_users")
+        .orderBy("event_type", "hr")
+    }),
+
     "q_time_ewma" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
       Tables.events(s, d)
@@ -1494,6 +1518,32 @@ object AnalyticsQueries {
     "q_events_quantile" -> graft.ops.QuantileSketch.flatSql("events",
       "event_type", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
       Seq(50, 90, 99)),
+
+    // both hierarchy levels' registers computed FLAT from the hashed
+    // relation — never from each other — so the hash equality proves the
+    // hierarchical max-merge (the q_agg_hll_cube convention over time
+    // buckets; µs//hour == ns//hour composition as everywhere)
+    "q_events_distinct_rollup" ->
+      """WITH hashed AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    (2654435761 * user_id + 12345) % 1000000007 AS h
+        |  FROM events),
+        |regs AS MATERIALIZED (
+        |  SELECT event_type, hr, h % 64 AS bkt,
+        |    max(CASE WHEN h // 64 = 0 THEN 16777216
+        |             ELSE (h // 64) & -(h // 64) END) AS mlow
+        |  FROM hashed GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT event_type, CAST(-1 AS BIGINT) AS hr, h % 64 AS bkt,
+        |    max(CASE WHEN h // 64 = 0 THEN 16777216
+        |             ELSE (h // 64) & -(h // 64) END) AS mlow
+        |  FROM hashed GROUP BY 1, 2, 3)
+        |SELECT event_type, hr,
+        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
+        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
+        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_users
+        |FROM regs GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin,
 
     "q_tpch_q3" ->
       s"""SELECT l_orderkey,
