@@ -580,7 +580,8 @@ object SkewScale {
     // events span the full window, maximizing its per-partition sort.
     if (Seq("sessionize", "asof", "funnel", "retention",
         "sessionize_chunked", "asof_chunked", "latest", "latest_agg",
-        "ewma", "holt", "cusum", "quantile", "cms", "bloom").exists(want)) {
+        "ewma", "holt", "cusum", "quantile", "cms", "bloom",
+        "hll").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -660,6 +661,18 @@ object SkewScale {
           graft.ops.BloomSketch.sketch(e, Seq("user_id"), "k")
         }
         report("bloom", time2(bsk(uDir)), time2(bsk(sDir)))
+      }
+      // per-USER HLL registers under the hot user — the fourth sketch
+      // family's sweep row: ≤ 64 register ints per group via map-side
+      // partial max, whatever the bot owns
+      if (want("hll")) {
+        def hsk(dir: String): DataFrame = {
+          val e = spark.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("k"))
+          graft.ops.Hll.registers(e, Seq("user_id"), "k")
+        }
+        report("hll", time2(hsk(uDir)), time2(hsk(sDir)))
       }
     }
 
