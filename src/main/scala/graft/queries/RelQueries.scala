@@ -907,21 +907,25 @@ object RelQueries {
     * rollup, stored-plus-delta IVM) must hash-match, which is the
     * linear-sketch mergeability proof. Same affine row hashes as
     * ops.CountMin, spelled for DuckDB (every intermediate integral). */
+  /** The Depth affine hash rows as a DuckDB VALUES relation —
+    * interpolated from the ops constants so engine and oracle share ONE
+    * definition (the single-source rule). */
+  private val sketchRowsSql: String = (0 until CountMin.Depth).map { i =>
+    s"($i, CAST(${CountMin.RowA(i)} AS BIGINT), CAST(${CountMin.RowB(i)} AS BIGINT))"
+  }.mkString("VALUES ", ",\n         ", "")
+
   private def cmsSql(keysSql: String): String =
     s"""WITH keys AS MATERIALIZED ($keysSql),
        |d(r, a, b) AS (
-       |  VALUES (0, CAST(2654435761 AS BIGINT), CAST(12345 AS BIGINT)),
-       |         (1, CAST(2246822519 AS BIGINT), CAST(54321 AS BIGINT)),
-       |         (2, CAST(3266489917 AS BIGINT), CAST(98765 AS BIGINT)),
-       |         (3, CAST(668265263 AS BIGINT), CAST(13579 AS BIGINT))),
+       |  $sketchRowsSql),
        |cells AS MATERIALIZED (
-       |  SELECT grp, r, ((a * k + b) % 1000000007) % 64 AS c,
+       |  SELECT grp, r, ((a * k + b) % ${CountMin.P}) % ${CountMin.Width} AS c,
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM keys CROSS JOIN d GROUP BY 1, 2, 3),
        |probes AS MATERIALIZED (
        |  SELECT DISTINCT grp, k FROM keys WHERE k % 50 = 0),
        |pcells AS (
-       |  SELECT grp, k, r, ((a * k + b) % 1000000007) % 64 AS c
+       |  SELECT grp, k, r, ((a * k + b) % ${CountMin.P}) % ${CountMin.Width} AS c
        |  FROM probes CROSS JOIN d),
        |est AS (
        |  SELECT grp, k, min(cnt) AS est
@@ -963,12 +967,9 @@ object RelQueries {
   private def bloomSql(keysSql: String): String =
     s"""WITH keys AS MATERIALIZED ($keysSql),
        |d(r, a, b) AS (
-       |  VALUES (0, CAST(2654435761 AS BIGINT), CAST(12345 AS BIGINT)),
-       |         (1, CAST(2246822519 AS BIGINT), CAST(54321 AS BIGINT)),
-       |         (2, CAST(3266489917 AS BIGINT), CAST(98765 AS BIGINT)),
-       |         (3, CAST(668265263 AS BIGINT), CAST(13579 AS BIGINT))),
+       |  $sketchRowsSql),
        |cells AS MATERIALIZED (
-       |  SELECT DISTINCT grp, r, ((a * k + b) % 1000000007) % 8192 AS c
+       |  SELECT DISTINCT grp, r, ((a * k + b) % ${CountMin.P}) % ${BloomSketch.Width} AS c
        |  FROM keys CROSS JOIN d),
        |probes AS MATERIALIZED (
        |  SELECT DISTINCT grp, k FROM keys WHERE k % 50 = 0
@@ -976,10 +977,10 @@ object RelQueries {
        |  SELECT g.grp, 10000000 + CAST(x.range AS BIGINT) * 37 AS k
        |  FROM (SELECT DISTINCT grp FROM keys) g CROSS JOIN range(40) x),
        |pcells AS (
-       |  SELECT grp, k, r, ((a * k + b) % 1000000007) % 8192 AS c
+       |  SELECT grp, k, r, ((a * k + b) % ${CountMin.P}) % ${BloomSketch.Width} AS c
        |  FROM probes CROSS JOIN d),
        |hits AS (
-       |  SELECT p.grp, p.k, count(t.c) = 4 AS hit
+       |  SELECT p.grp, p.k, count(t.c) = ${BloomSketch.Depth} AS hit
        |  FROM pcells p LEFT JOIN cells t
        |    ON p.grp = t.grp AND p.r = t.r AND p.c = t.c
        |  GROUP BY 1, 2),
