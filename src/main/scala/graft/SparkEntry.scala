@@ -130,5 +130,7 @@ object SparkEntry {
     // HLL's IVM face closes the 4-sketch × {merge, cube, inc} matrix;
     // the rollup is the telemetry-shaped hierarchical merge over time
     "q_agg_hll_inc", "q_events_distinct_rollup",
+    // FastSS edit-distance similarity join (structurally bounded buckets)
+    "q_text_editjoin",
   ).filter(queries.contains)
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity JOIN via deletion-neighborhood blocking
+  * (FastSS — Bocek et al., U. Zurich TR 2007): all unordered pairs of
+  * rows whose strings are within Levenshtein distance 1, without ever
+  * forming the all-pairs relation.
+  *
+  * Blocking law (k = 1): ed(a, b) ≤ 1 implies a and b share a member of
+  * {s} ∪ del1(s) — equal strings share s itself, a substitution pair
+  * shares the deletion at the substituted position, an insertion/
+  * deletion pair shares the shorter string. So an equi-join on the
+  * deletion variants is candidate-COMPLETE, and the exact levenshtein
+  * verify restores precision (variant-sharing pairs can be at distance
+  * 2 — e.g. a deletion of a and an insertion into b at different spots).
+  * EditJoinSpec pins completeness against a brute-force all-pairs DP —
+  * the algebraic property a parity oracle alone cannot see.
+  *
+  * 100 TB design: the candidate relation is banded, never quadratic —
+  * each variant v of length m is shared only by strings obtainable from
+  * v by inserting at most one character, so a bucket's size is
+  * STRUCTURALLY bounded by (m+1)·|Σ| + 1 (alphabet Σ), independent of
+  * corpus size: no postings cap, no salting needed — the df bound that
+  * LSH band joins get probabilistically, this blocking gets by
+  * construction. Candidate generation is O(n·L) rows of width ≤ L.
+  * Empty strings are dropped (the empty variant is degenerate — every
+  * 1-char string matches it — and Spark's `sequence(1, 0)` would run
+  * DESCENDING where DuckDB's `range(1, 1)` is empty, a cross-engine
+  * trap documented here so the oracle's WHERE length > 0 stays in step).
+  */
+object EditJoin {
+
+  /** Deletion variants as a SQL expression: the string itself plus every
+    * single-character deletion, deduplicated (adjacent equal characters
+    * yield equal variants). */
+  def variantsExpr(s: String): String =
+    s"array_union(array($s), transform(sequence(1, length($s)), " +
+      s"i -> concat(substr($s, 1, i - 1), substr($s, i + 1))))"
+
+  /** All unordered pairs (id1 < id2) of `df` rows with
+    * levenshtein(str1, str2) ≤ 1, with the exact distance. `idCol` must
+    * be unique per row; empty strings are dropped (see class doc). */
+  def pairsWithin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val vars = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+      .select(col("id"), col("s"),
+        explode(expr(variantsExpr("s"))).as("v"))
+    val a = vars.select(col("id").as("id1"), col("s").as("s1"), col("v"))
+    val b = vars.select(col("id").as("id2"), col("s").as("s2"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2").distinct()
+      .filter(expr("levenshtein(s1, s2) <= 1"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(levenshtein(s1, s2) AS BIGINT)").as("dist"))
+  }
+}

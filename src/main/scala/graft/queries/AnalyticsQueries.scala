@@ -919,6 +919,18 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance similarity JOIN (ops/EditJoin): every customer-name
+    // pair within levenshtein 1, found by a deletion-neighborhood
+    // equi-join (FastSS) — never the all-pairs relation. Bucket sizes
+    // are structurally bounded at (L+1)·|Σ|+1, so the plan needs no cap
+    // or salt at any corpus size; the exact verify restores precision
+    // over the (distance ≤ 2) candidates. Customer names are zero-padded
+    // serials, so one-digit-substitution neighbors are dense — a
+    // realistic near-miss-identifier dedup shape.
+    "q_text_editjoin" -> ((s, d) =>
+      graft.ops.EditJoin.pairsWithin1(Tables.customer(s, d), "c_custkey", "c_name")
+        .orderBy("id1", "id2")),
+
     // Semi-structured extraction: pull a typed field out of a JSON props
     // column at scan time and aggregate on it — the schema-on-read path
     // for event payloads (get_json_object is codegen'd; at 100 TB the
@@ -2054,6 +2066,25 @@ object AnalyticsQueries {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id < 100
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the same deletion-neighborhood blocking, spelled in DuckDB (range
+    // is empty for start == stop, matching the engine's length > 0
+    // guard; list_distinct mirrors array_union's dedup — candidate
+    // DISTINCT makes both folds equivalent anyway)
+    "q_text_editjoin" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE length(c_name) > 0),
+        |vars AS MATERIALIZED (
+        |  SELECT id, s, unnest(list_distinct(list_prepend(s,
+        |    list_transform(range(1, length(s) + 1),
+        |      i -> substr(s, 1, CAST(i - 1 AS INT)) || substr(s, CAST(i + 1 AS INT)))))) AS v
+        |  FROM c),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+        |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(s1, s2) <= 1
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.EditJoin
+
+class EditJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // plain DP Levenshtein — the brute-force truth the blocked join must
+  // reproduce (completeness is the FastSS property a parity oracle
+  // cannot see: both engines share the blocking)
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("blocked join == brute-force all-pairs at distance <= 1") {
+    // substitution, insertion, deletion, exact-duplicate, and far pairs;
+    // plus a variant-sharing distance-2 pair (kitten/sittin shares no…
+    // but kitte/sitten does via deletions) that the verify must reject
+    val rows = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "sittin", 4L -> "kitte",
+      5L -> "kittten", 6L -> "kitten", 7L -> "apple", 8L -> "appl",
+      9L -> "xapple", 10L -> "orange", 11L -> "aaa", 12L -> "aba")
+    val blocked = EditJoin.pairsWithin1(rows.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      d = lev(a, b) if d <= 1
+    } yield (i, j, d.toLong)).toSet
+    assert(blocked == brute,
+      s"extra=${blocked -- brute} missing=${brute -- blocked}")
+    // the fixture exercises every pair class: at least one of each
+    assert(brute.exists(_._3 == 0L)) // duplicate strings
+    assert(brute.exists(_._3 == 1L)) // within-1 neighbors
+    assert(brute.size < rows.combinations(2).size) // far pairs rejected
+  }
+
+  test("bucket sizes are structurally bounded — a shared-prefix corpus stays banded") {
+    // 400 zero-padded serials (the customer-name shape): every deletion
+    // variant bucket must stay under (L+1)*|alphabet|+1 even though all
+    // strings share a 12-char prefix — the no-cap-needed claim
+    val rows = (1L to 400L).map(i => i -> f"Customer#$i%09d")
+    val vars = rows.toDF("id", "s")
+      .select(col("id"), explode(expr(EditJoin.variantsExpr("s"))).as("v"))
+    val maxDf = vars.groupBy("v").agg(count(lit(1)).as("df"))
+      .agg(max("df")).first().getLong(0)
+    val L = rows.head._2.length
+    assert(maxDf <= (L + 1) * 10 + 1, s"maxDf=$maxDf")
+  }
+}
