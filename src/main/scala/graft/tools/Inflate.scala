@@ -545,6 +545,35 @@ object SkewScale {
       }
     }
 
+    // ---- edit-join side: K× customers with REGENERATED serial names
+    // (disjoint ranges — the realistic growth shape; buckets stay at the
+    // structural (L+1)·|Σ| bound). The skew twin collapses 1-in-hotEvery
+    // customers onto ONE shared name: every collapsed pair is a REAL
+    // distance-0 pair, so the true output is quadratic in the duplicate
+    // count — the winnow-family regime, priced honestly (exact dedup
+    // first is the pipeline's documented answer, not a cap).
+    if (want("editjoin")) {
+      val cust = graft.core.Tables.customer(spark, sfDir)
+        .select("c_custkey")
+      val cbase = cust.agg(max(col("c_custkey"))).first().getLong(0) + 1L
+      def crep(hot: Boolean): DataFrame = {
+        val rep = (0 until k).map(i =>
+          cust.withColumn("c_custkey", col("c_custkey") + lit(i * cbase)))
+          .reduce(_ unionByName _)
+        val named = rep.withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey")))
+        if (!hot) named
+        else named.withColumn("c_name",
+          when(col("c_custkey") % hotEvery === 0, lit("Customer#000000000"))
+            .otherwise(col("c_name")))
+      }
+      val cU = crep(hot = false).localCheckpoint(eager = true)
+      val cS = crep(hot = true).localCheckpoint(eager = true)
+      def ej(df: DataFrame): DataFrame =
+        graft.ops.EditJoin.pairsWithin1(df, "c_custkey", "c_name")
+      report("editjoin", time2(ej(cU)), time2(ej(cS)))
+    }
+
     // ---- text side: shared boilerplate = hot shingles / grams / bands
     def docReplicas(hot: Boolean): DataFrame = {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
