@@ -130,7 +130,8 @@ object SparkEntry {
     // HLL's IVM face closes the 4-sketch × {merge, cube, inc} matrix;
     // the rollup is the telemetry-shaped hierarchical merge over time
     "q_agg_hll_inc", "q_events_distinct_rollup",
-    // FastSS edit-distance similarity join (structurally bounded buckets)
-    "q_text_editjoin",
+    // FastSS edit-distance similarity join (structurally bounded
+    // buckets) + the duplicate-safe grouped twin
+    "q_text_editjoin", "q_text_editjoin_grouped",
   ).filter(queries.contains)
 }

@@ -931,6 +931,15 @@ object AnalyticsQueries {
       graft.ops.EditJoin.pairsWithin1(Tables.customer(s, d), "c_custkey", "c_name")
         .orderBy("id1", "id2")),
 
+    // the duplicate-safe twin: exact-duplicate names collapse before the
+    // blocked join and pairs carry integer multiplicities — output
+    // bounded in DISTINCT names (the 4.6x duplicate-identity sweep
+    // regime, closed by restating the result instead of capping it)
+    "q_text_editjoin_grouped" -> ((s, d) =>
+      graft.ops.EditJoin.pairsWithin1Grouped(Tables.customer(s, d),
+          "c_custkey", "c_name")
+        .orderBy("rep1", "rep2")),
+
     // Semi-structured extraction: pull a typed field out of a JSON props
     // column at scan time and aggregate on it — the schema-on-read path
     // for event payloads (get_json_object is codegen'd; at 100 TB the
@@ -2085,6 +2094,33 @@ object AnalyticsQueries {
         |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(s1, s2) <= 1
         |ORDER BY id1, id2""".stripMargin,
+
+    // grouped twin: same blocking over DISTINCT names, multiplicities
+    // from the group sizes; rep1 = rep2 rows carry the intra-group
+    // C(n,2) duplicate mass
+    "q_text_editjoin_grouped" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE length(c_name) > 0),
+        |g AS MATERIALIZED (
+        |  SELECT s, min(id) AS rep, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY s),
+        |vars AS MATERIALIZED (
+        |  SELECT rep, s, unnest(list_distinct(list_prepend(s,
+        |    list_transform(range(1, length(s) + 1),
+        |      i -> substr(s, 1, CAST(i - 1 AS INT)) || substr(s, CAST(i + 1 AS INT)))))) AS v
+        |  FROM g),
+        |cand AS (
+        |  SELECT DISTINCT a.rep AS rep1, b.rep AS rep2, a.s AS s1, b.s AS s2
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.rep < b.rep),
+        |inter AS (
+        |  SELECT rep1, rep2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+        |  FROM cand WHERE levenshtein(s1, s2) <= 1)
+        |SELECT rep AS rep1, rep AS rep2, CAST(0 AS BIGINT) AS dist,
+        |  n * (n - 1) // 2 AS n_pairs
+        |FROM g WHERE n > 1
+        |UNION ALL
+        |SELECT i.rep1, i.rep2, i.dist, g1.n * g2.n AS n_pairs
+        |FROM inter i JOIN g g1 ON g1.rep = i.rep1 JOIN g g2 ON g2.rep = i.rep2
+        |ORDER BY rep1, rep2""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,

@@ -552,7 +552,7 @@ object SkewScale {
     // distance-0 pair, so the true output is quadratic in the duplicate
     // count — the winnow-family regime, priced honestly (exact dedup
     // first is the pipeline's documented answer, not a cap).
-    if (want("editjoin")) {
+    if (Seq("editjoin", "editjoin_grouped").exists(want)) {
       val cust = graft.core.Tables.customer(spark, sfDir)
         .select("c_custkey")
       val cbase = cust.agg(max(col("c_custkey"))).first().getLong(0) + 1L
@@ -571,7 +571,15 @@ object SkewScale {
       val cS = crep(hot = true).localCheckpoint(eager = true)
       def ej(df: DataFrame): DataFrame =
         graft.ops.EditJoin.pairsWithin1(df, "c_custkey", "c_name")
-      report("editjoin", time2(ej(cU)), time2(ej(cS)))
+      if (want("editjoin"))
+        report("editjoin", time2(ej(cU)), time2(ej(cS)))
+      // the grouped twin under the SAME duplicate identity: one group
+      // row carries the C(n,2) mass the exploded form must write out
+      if (want("editjoin_grouped")) {
+        def ejg(df: DataFrame): DataFrame =
+          graft.ops.EditJoin.pairsWithin1Grouped(df, "c_custkey", "c_name")
+        report("editjoin_grouped", time2(ejg(cU)), time2(ejg(cS)))
+      }
     }
 
     // ---- text side: shared boilerplate = hot shingles / grams / bands

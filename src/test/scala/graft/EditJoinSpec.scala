@@ -41,6 +41,36 @@ class EditJoinSpec extends SparkSpec {
     assert(brute.size < rows.combinations(2).size) // far pairs rejected
   }
 
+  test("grouped twin conserves the exploded pair mass exactly") {
+    // duplicates (three 'kitten', two 'appl') force both row classes:
+    // intra-group C(n,2) rows and inter-group n1*n2 rows. The grouped
+    // result must carry EXACTLY the exploded form's pairs, re-stated:
+    // total n_pairs == exploded row count, and each exploded pair's
+    // (group(rep), group(rep)) key appears with the right multiplicity
+    val rows = Seq(
+      1L -> "kitten", 2L -> "kitten", 3L -> "kitten", 4L -> "sitten",
+      5L -> "appl", 6L -> "appl", 7L -> "apple", 8L -> "orange")
+    val df = rows.toDF("id", "s")
+    val exploded = EditJoin.pairsWithin1(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val grouped = EditJoin.pairsWithin1Grouped(df, "id", "s")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(grouped.map(_._3).sum == exploded.length)
+    // re-key each exploded pair by its strings' representatives and
+    // count — must equal the grouped multiplicities row-for-row
+    val rep = rows.groupBy(_._2).map { case (_, g) => g.map(_._1).min }
+      .toSet
+    val repOf = rows.toMap.map { case (id, s) =>
+      id -> rows.filter(_._2 == s).map(_._1).min }
+    val rekeyed = exploded.groupBy { case (i, j, _) =>
+      val (a, b) = (repOf(i), repOf(j)); (math.min(a, b), math.max(a, b)) }
+      .map { case (k, v) => (k, v.length.toLong) }
+    val groupedMap = grouped.map { case (k, _, np) => (k, np) }.toMap
+    assert(rekeyed == groupedMap,
+      s"extra=${groupedMap.toSet -- rekeyed.toSet} missing=${rekeyed.toSet -- groupedMap.toSet}")
+    assert(rep.size < rows.size) // the fixture really has duplicates
+  }
+
   test("bucket sizes are structurally bounded — a shared-prefix corpus stays banded") {
     // 400 zero-padded serials (the customer-name shape): every deletion
     // variant bucket must stay under (L+1)*|alphabet|+1 even though all
