@@ -55,13 +55,8 @@ object EditJoin {
     val g = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) > 0)
       .groupBy("s").agg(min("id").as("rep"), count(lit(1)).as("n"))
-      // the dedup agg's output is tiny, so AQE coalesces it to ONE
-      // partition — and everything downstream of a 1-partition input
-      // (the ×(L+1) variant fan-out, the join build) runs single-
-      // threaded: measured 73 s vs 8 s at 150k names. An EXPLICIT
-      // partition count is exempt from AQE coalescing; spread by s.
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("s"))
+      // (AQE coalesces this tiny agg output to one partition; the
+      // fan-out defense lives in pairsWithin1, which re-spreads by id)
       .localCheckpoint(eager = true) // one pass feeds blocking + sizes
     val intra = g.filter(col("n") > 1)
       .select(col("rep").as("rep1"), col("rep").as("rep2"),
@@ -81,6 +76,14 @@ object EditJoin {
     val vars = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) > 0)
+      // a small scan (or AQE-coalesced upstream) hands the ×(L+1)
+      // fan-out and the join build ONE partition and everything
+      // downstream runs single-threaded (measured 73 s vs 8 s at 150k
+      // names in the grouped twin — same hazard here: the sf0.1 catalog
+      // face dropped 6.2 s → ~2.5 s). Explicit-count repartition is
+      // exempt from AQE coalescing; spread by the unique id.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
       .select(col("id"), col("s"),
         explode(expr(variantsExpr("s"))).as("v"))
     val a = vars.select(col("id").as("id1"), col("s").as("s1"), col("v"))
