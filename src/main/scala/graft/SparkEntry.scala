@@ -131,7 +131,8 @@ object SparkEntry {
     // the rollup is the telemetry-shaped hierarchical merge over time
     "q_agg_hll_inc", "q_events_distinct_rollup",
     // FastSS edit-distance similarity join (structurally bounded
-    // buckets) + the duplicate-safe grouped twin
-    "q_text_editjoin", "q_text_editjoin_grouped",
+    // buckets) + the duplicate-safe grouped twin, and sorted-neighborhood
+    // blocking on the distributed global rank
+    "q_text_editjoin", "q_text_editjoin_grouped", "q_dedup_sorted_block",
   ).filter(queries.contains)
 }

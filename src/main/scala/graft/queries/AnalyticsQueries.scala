@@ -940,6 +940,17 @@ object AnalyticsQueries {
           "c_custkey", "c_name")
         .orderBy("rep1", "rep2")),
 
+    // Sorted-neighborhood blocking (ops/SortedNeighborhood): every
+    // record paired with its 4 successors in (name, id) sort order —
+    // n·(w-1) candidates by construction. The global rank is the
+    // scale-safe distributed form (range partition + offset broadcast +
+    // within-partition window); PlanSpec asserts the naive
+    // one-task-global-sort plan (Exchange SinglePartition) never appears.
+    "q_dedup_sorted_block" -> ((s, d) =>
+      graft.ops.SortedNeighborhood.pairs(Tables.customer(s, d),
+          "c_custkey", "c_name", 5)
+        .orderBy("id1", "id2")),
+
     // Semi-structured extraction: pull a typed field out of a JSON props
     // column at scan time and aggregate on it — the schema-on-read path
     // for event payloads (get_json_object is codegen'd; at 100 TB the
@@ -2121,6 +2132,17 @@ object AnalyticsQueries {
         |SELECT i.rep1, i.rep2, i.dist, g1.n * g2.n AS n_pairs
         |FROM inter i JOIN g g1 ON g1.rep = i.rep1 JOIN g g2 ON g2.rep = i.rep2
         |ORDER BY rep1, rep2""".stripMargin,
+
+    // flat global rank + banded self-join — the window-of-5 neighborhood
+    // spelled directly (DuckDB's IEJoin handles the rank-range predicate)
+    "q_dedup_sorted_block" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT c_custkey AS id,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS BIGINT) AS rk
+        |  FROM customer)
+        |SELECT a.id AS id1, b.id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,

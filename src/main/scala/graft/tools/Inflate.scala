@@ -552,7 +552,7 @@ object SkewScale {
     // distance-0 pair, so the true output is quadratic in the duplicate
     // count — the winnow-family regime, priced honestly (exact dedup
     // first is the pipeline's documented answer, not a cap).
-    if (Seq("editjoin", "editjoin_grouped").exists(want)) {
+    if (Seq("editjoin", "editjoin_grouped", "sorted_block").exists(want)) {
       val cust = graft.core.Tables.customer(spark, sfDir)
         .select("c_custkey")
       val cbase = cust.agg(max(col("c_custkey"))).first().getLong(0) + 1L
@@ -579,6 +579,15 @@ object SkewScale {
         def ejg(df: DataFrame): DataFrame =
           graft.ops.EditJoin.pairsWithin1Grouped(df, "c_custkey", "c_name")
         report("editjoin_grouped", time2(ejg(cU)), time2(ejg(cS)))
+      }
+      // sorted-neighborhood under the same duplicate identity: the tie
+      // block lands in one range partition but the per-row work stays
+      // linear (row_number, then w-1 banded successors) — the window
+      // method's structural insensitivity to value skew, priced
+      if (want("sorted_block")) {
+        def snb(df: DataFrame): DataFrame =
+          graft.ops.SortedNeighborhood.pairs(df, "c_custkey", "c_name", 5)
+        report("sorted_block", time2(snb(cU)), time2(snb(cS)))
       }
     }
 

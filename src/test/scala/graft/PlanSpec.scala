@@ -339,6 +339,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sorted-neighborhood rank never plans a single-partition global window") {
+    // the naive row_number() OVER (ORDER BY name) would exchange the
+    // whole relation to ONE task (Exchange SinglePartition) — the
+    // distributed rank (range partition + offset broadcast + pid-local
+    // window) must keep every exchange partitioned
+    val p = plan("q_dedup_sorted_block")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p) // the pid-local window is still there
+  }
+
   test("metadata-only multimodal query prunes the binary payload derivation") {
     // the stand-in binarize derives metadata from text, so the scan reads
     // text — but the binary content column (encode(...)) must be pruned
