@@ -137,6 +137,18 @@ object Bench {
     // are listed in "fused_from_history", so fusion is auditable, never
     // silent. Subset (BENCH_ONLY) runs never fuse: the isolation protocol
     // wants raw numbers.
+    //
+    // Round-14 extension (r13 verdict item 7): at HOT context (> 1.3 on
+    // the canaries) the whole SESSION is suspect, not just the pinned
+    // queries — BENCH_r13 committed a ctx-1.89 burst as the round record
+    // (296.8 s vs the same head's quiet 214.6 s). So when the run is hot,
+    // EVERY query fuses against its same-git-head history min, and the
+    // reported total becomes the sum of fused values — a quiet-equivalent
+    // number for the same code. Same-head-only still holds: a regression
+    // introduced by a commit has no donor runs and stays visible; a hot
+    // session with NO earlier same-head run simply fuses nothing (the
+    // round-close protocol runs the full catalog at least twice at the
+    // final head precisely so a quiet donor exists).
     def gitHead(): Option[String] = try {
       val headFile = java.nio.file.Paths.get(".git/HEAD")
       val head = new String(java.nio.file.Files.readAllBytes(headFile),
@@ -155,7 +167,7 @@ object Bench {
             .filter(l => l.contains(s""""git_head":"$h"""") &&
               l.contains(s""""sf":"$sfDir""""))
             .toSeq
-          spikeBandHigh.keys.flatMap { q =>
+          selected.flatMap { q =>
             val re = ("\"" + q + "\":([0-9]+\\.[0-9]+)").r
             val vs = lines.flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
               .filter(_ > 0)
@@ -166,12 +178,15 @@ object Bench {
     }
     val fused = scala.collection.mutable.ListBuffer.empty[String]
     val finalResults = resampled.map { case (name, v) =>
-      (spikeBandHigh.get(name), historyMins.get(name)) match {
-        case (Some(hi), Some(hm)) if v > hi && hm < v =>
-          fused += name
-          name -> math.min(v, hm)
-        case _ => name -> v
-      }
+      val hm = historyMins.get(name).filter(_ < v).filter(_ => v > 0)
+      // hot run: every query may fuse (the session is the artifact);
+      // quiet run: only a pinned query above its band-high (a quiet
+      // elevation elsewhere is a genuine signal and must stay visible)
+      val eligible =
+        if (hot) hm.isDefined
+        else spikeBandHigh.get(name).exists(hi => v > hi) && hm.isDefined
+      if (eligible) { fused += name; name -> hm.get }
+      else name -> v
     }
     val fusedField =
       if (fused.isEmpty) ""

@@ -105,12 +105,14 @@ object SparkEntry {
     "q_select_training",
     "q_graph_walks", "q_graph_walk_pairs", "q_graph_walks_biased",
     "q_graph_coreness", "q_graph_densest",
-    // round 12: the bucketed-h-index form priced NEXT TO the rank-window
-    // form (the chunked-twin pricing convention; round 13 made the
-    // bucketed plan the q_graph_coreness default and demoted the window
-    // form to this didactic twin), plus the batched BPE trainer and the
-    // SGNS negative-sampling table
-    "q_graph_coreness_window", "q_bpe_train_batched", "q_graph_walk_negatives",
+    // q_graph_coreness_window (the rank-window didactic twin) left the
+    // bench set in round 14 — the q_graph_ktruss precedent: ~10 s/run
+    // priced a plan the engine itself documents as the hub-hazard form,
+    // ~5% of the whole bench budget for zero coverage (it shares
+    // q_graph_coreness's oracle verbatim and stays catalog+verify-green;
+    // an isolated band can be recorded per round via BENCH_ONLY if the
+    // pair comparison is wanted)
+    "q_bpe_train_batched", "q_graph_walk_negatives",
     // round 12 wave: winnowing fingerprint screen, semi-hard negative
     // mining, and the two trailing-window state folds (Holt, CUSUM)
     "q_dedup_winnow", "q_sim_hard_negatives", "q_time_holt", "q_time_cusum",

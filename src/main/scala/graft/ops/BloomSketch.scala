@@ -68,12 +68,17 @@ object BloomSketch {
     * true iff all Depth addressed cells are occupied ("may contain");
     * false is a DEFINITE absence. Works for absent keys (unlike
     * [[CountMin.estimate]]'s present-key contract) — unmatched cells
-    * survive the left join as nulls and fail the count. */
+    * survive the left join as nulls and fail the count. Duplicate probe
+    * rows for the same (groupCols, k) are safe: the predicate compares
+    * occupied-cell rows against TOTAL rows per group, so a probe stacked
+    * n times needs n·Depth occupied matches, not exactly Depth (round-14
+    * ADVICE — the old `count(occ) === Depth` would report a genuinely
+    * present key as absent if a caller ever passed a duplicated probe). */
   def contains(cells: DataFrame, groupCols: Seq[String],
       probes: DataFrame): DataFrame =
     probes.selectExpr(groupCols ++ Seq("k", stackCells("k")): _*)
       .join(cells.withColumn("occ", lit(1)),
         groupCols ++ Seq("r", "c"), "left")
       .groupBy((groupCols :+ "k").map(col): _*)
-      .agg((count("occ") === Depth).as("hit"))
+      .agg((count("occ") === count(lit(1))).as("hit"))
 }

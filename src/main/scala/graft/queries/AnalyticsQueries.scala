@@ -1556,26 +1556,18 @@ object AnalyticsQueries {
     // hierarchical max-merge (the q_agg_hll_cube convention over time
     // buckets; µs//hour == ns//hour composition as everywhere)
     "q_events_distinct_rollup" ->
-      """WITH hashed AS MATERIALIZED (
-        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-        |    (2654435761 * user_id + 12345) % 1000000007 AS h
-        |  FROM events),
-        |regs AS MATERIALIZED (
-        |  SELECT event_type, hr, h % 64 AS bkt,
-        |    max(CASE WHEN h // 64 = 0 THEN 16777216
-        |             ELSE (h // 64) & -(h // 64) END) AS mlow
-        |  FROM hashed GROUP BY 1, 2, 3
-        |  UNION ALL
-        |  SELECT event_type, CAST(-1 AS BIGINT) AS hr, h % 64 AS bkt,
-        |    max(CASE WHEN h // 64 = 0 THEN 16777216
-        |             ELSE (h // 64) & -(h // 64) END) AS mlow
-        |  FROM hashed GROUP BY 1, 2, 3)
-        |SELECT event_type, hr,
-        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
-        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
-        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_users
-        |FROM regs GROUP BY event_type, hr
-        |ORDER BY event_type, hr""".stripMargin,
+      s"""WITH hashed AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         |    ${graft.ops.Hll.hashSql("user_id")} AS h
+         |  FROM events),
+         |regs AS MATERIALIZED (
+         |  ${graft.ops.Hll.regsDuck("event_type, hr")}
+         |  FROM hashed GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  ${graft.ops.Hll.regsDuck("event_type, CAST(-1 AS BIGINT) AS hr")}
+         |  FROM hashed GROUP BY 1, 2, 3)
+         |${graft.ops.Hll.estDuck("event_type, hr", "apx_users")}
+         |ORDER BY event_type, hr""".stripMargin,
 
     "q_tpch_q3" ->
       s"""SELECT l_orderkey,

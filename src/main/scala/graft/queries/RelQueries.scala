@@ -47,8 +47,15 @@ object RelQueries {
   private def bloomProbeFace(cells: DataFrame, allKeys: DataFrame): DataFrame = {
     val s = cells.sparkSession
     val present = allKeys.filter(col("k") % 50 === 0).distinct()
-    val absent = allKeys.select("grp").distinct().crossJoin(
-      s.range(40).select((lit(10000000L) + col("id") * 37L).as("k")))
+    // absent probes DERIVED from the data — strictly above max(k), so the
+    // definite-reject path stays exercised at ANY scale factor (round-14
+    // ADVICE: the old fixed literals 1e7+37i fall inside the partkey
+    // domain once SF >= 50). Stride 37 keeps them off the %50 lattice;
+    // max+1480 stays far under the ~2.8e9 affine-hash overflow bound.
+    val maxk = broadcast(allKeys.agg(max(col("k")).as("mk")))
+    val absent = allKeys.select("grp").distinct().crossJoin(maxk)
+      .crossJoin(s.range(40).toDF("i"))
+      .select(col("grp"), (col("mk") + (col("i") + 1L) * 37L).as("k"))
     val truth = allKeys.distinct().withColumn("present", lit(true))
     BloomSketch.contains(cells, Seq("grp"), present.unionByName(absent))
       .join(truth, Seq("grp", "k"), "left")
@@ -941,26 +948,21 @@ object RelQueries {
     "SELECT l_returnflag AS grp, CAST(l_partkey AS BIGINT) AS k FROM lineitem"
 
   /** The flat per-flag HLL sketch in DuckDB — see the q_agg_hll oracle
-    * comment; shared verbatim by the plain/merge/IVM faces. */
+    * comment; shared verbatim by the plain/merge/IVM faces. Interpolated
+    * from the ops.Hll constants/fragments (single-source rule). */
   private val hllFlatSql: String =
-    """WITH hashed AS MATERIALIZED (
-      |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
-      |  FROM lineitem),
-      |regs AS (
-      |  SELECT l_returnflag, h % 64 AS bkt,
-      |    max(CASE WHEN h // 64 = 0 THEN 16777216
-      |             ELSE (h // 64) & -(h // 64) END) AS mlow
-      |  FROM hashed GROUP BY 1, 2)
-      |SELECT l_returnflag,
-      |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
-      |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
-      |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
-      |FROM regs GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+    s"""WITH hashed AS MATERIALIZED (
+       |  SELECT l_returnflag, ${Hll.hashSql("l_partkey")} AS h
+       |  FROM lineitem),
+       |regs AS (
+       |  ${Hll.regsDuck("l_returnflag")}
+       |  FROM hashed GROUP BY 1, 2)
+       |${Hll.estDuck("l_returnflag", "apx_parts")}
+       |ORDER BY l_returnflag""".stripMargin
 
   /** Flat Bloom replay in DuckDB over a (grp, k) key-level relation:
     * occupied cells from the full relation, membership probes over the
-    * present (k % 50 = 0) + absent (fixed literals) mix, the
+    * present (k % 50 = 0) + absent (data-derived, above max(k)) mix, the
     * no-false-negative law in-band — the one SQL the OR-merge, cube and
     * IVM engine faces must hash-match. Same affine hashes as
     * ops.BloomSketch at Width 8192. */
@@ -974,8 +976,10 @@ object RelQueries {
        |probes AS MATERIALIZED (
        |  SELECT DISTINCT grp, k FROM keys WHERE k % 50 = 0
        |  UNION ALL
-       |  SELECT g.grp, 10000000 + CAST(x.range AS BIGINT) * 37 AS k
-       |  FROM (SELECT DISTINCT grp FROM keys) g CROSS JOIN range(40) x),
+       |  SELECT g.grp, m.mk + (CAST(x.range AS BIGINT) + 1) * 37 AS k
+       |  FROM (SELECT DISTINCT grp FROM keys) g
+       |  CROSS JOIN (SELECT max(k) AS mk FROM keys) m
+       |  CROSS JOIN range(40) x),
        |pcells AS (
        |  SELECT grp, k, r, ((a * k + b) % ${CountMin.P}) % ${BloomSketch.Width} AS c
        |  FROM probes CROSS JOIN d),
@@ -1021,25 +1025,17 @@ object RelQueries {
     // — never from the other level — the q_agg_hll_merge convention at
     // two levels
     "q_agg_hll_cube" ->
-      """WITH hashed AS MATERIALIZED (
-        |  SELECT l_returnflag, (2654435761 * l_partkey + 12345) % 1000000007 AS h
-        |  FROM lineitem),
-        |regs AS MATERIALIZED (
-        |  SELECT l_returnflag AS grp, h % 64 AS bkt,
-        |    max(CASE WHEN h // 64 = 0 THEN 16777216
-        |             ELSE (h // 64) & -(h // 64) END) AS mlow
-        |  FROM hashed GROUP BY 1, 2
-        |  UNION ALL
-        |  SELECT 'ALL' AS grp, h % 64 AS bkt,
-        |    max(CASE WHEN h // 64 = 0 THEN 16777216
-        |             ELSE (h // 64) & -(h // 64) END) AS mlow
-        |  FROM hashed GROUP BY 1, 2)
-        |SELECT grp,
-        |  CAST(0.709 AS DOUBLE) * CAST(137438953472 AS DOUBLE)
-        |    / CAST(CAST(sum(33554432 // (2 * mlow)) AS BIGINT)
-        |           + (64 - count(*)) * 33554432 AS DOUBLE) AS apx_parts
-        |FROM regs GROUP BY grp
-        |ORDER BY grp""".stripMargin,
+      s"""WITH hashed AS MATERIALIZED (
+         |  SELECT l_returnflag, ${Hll.hashSql("l_partkey")} AS h
+         |  FROM lineitem),
+         |regs AS MATERIALIZED (
+         |  ${Hll.regsDuck("l_returnflag AS grp")}
+         |  FROM hashed GROUP BY 1, 2
+         |  UNION ALL
+         |  ${Hll.regsDuck("'ALL' AS grp")}
+         |  FROM hashed GROUP BY 1, 2)
+         |${Hll.estDuck("grp", "apx_parts")}
+         |ORDER BY grp""".stripMargin,
 
     "q_agg_count" ->
       "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey ORDER BY o_custkey",

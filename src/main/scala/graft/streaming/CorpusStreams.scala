@@ -418,6 +418,31 @@ object CorpusStreams {
       indexDir: String, profileDir: String, checkpointDir: String,
       pcts: Seq[Int] = Seq(50, 90, 99),
       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    sketchIngest(rows, indexDir, profileDir, checkpointDir, compactEvery,
+      build = b => graft.ops.QuantileSketch.sketch(b, Seq(groupCol), valueExpr),
+      mergeAll = sk => graft.ops.QuantileSketch.merge(sk, Seq(groupCol)),
+      storedCols = Seq(groupCol, "bkt", "cnt"),
+      output = m => graft.ops.QuantileSketch.quantiles(m, Seq(groupCol), pcts))
+
+  /** Shared foreachBatch protocol of the four sketch ingests (round-14
+    * ADVICE — the ~40-line body was triplicating): the [[compactionMarker]]
+    * replay guard, the stored read with its `batch_id < batchId` filter,
+    * the batch sketch build, the merge (severed from the stored read by an
+    * eager checkpoint before any overwrite), the running-output write, the
+    * per-batch index append, and the every-`compactEvery` fold — all
+    * single-sourced here, parameterized ONLY by the sketch algebra
+    * (`build`/`mergeAll`/`storedCols`) and the output projection of the
+    * merged state (`output`: quantile profile, identity cells/bits, HLL
+    * estimates). Whether a family tolerates replay (idempotent OR/max
+    * folds) or depends on the exactly-once batch_id discipline (linear
+    * sum folds) is a property of `mergeAll`, documented at each public
+    * face — the protocol itself is identical. */
+  private def sketchIngest(rows: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, compactEvery: Int,
+      build: DataFrame => DataFrame,
+      mergeAll: DataFrame => DataFrame,
+      storedCols: Seq[String],
+      output: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -428,32 +453,28 @@ object CorpusStreams {
           compactOlderPartitions(fs, idxPath, batchId)
         } else {
         val b = batch.localCheckpoint(eager = true)
-        val batchHist = graft.ops.QuantileSketch
-          .sketch(b, Seq(groupCol), valueExpr).localCheckpoint(eager = true)
+        val batchSk = build(b).localCheckpoint(eager = true)
         val stored =
           if (fs.exists(idxPath))
             sp.read.parquet(indexDir)
               .filter(col("batch_id") < batchId)
-              .select(col(groupCol), col("bkt"), col("cnt"))
-          else batchHist.limit(0)
-        val merged = graft.ops.QuantileSketch
-          .merge(stored.unionByName(batchHist), Seq(groupCol))
+              .select(storedCols.map(col): _*)
+          else batchSk.limit(0)
+        val merged = mergeAll(stored.unionByName(batchSk))
           .localCheckpoint(eager = true) // sever the stored read
-        val profile = graft.ops.QuantileSketch
-          .quantiles(merged, Seq(groupCol), pcts)
         def writePartition(df: DataFrame, dir: String): Unit =
           df.withColumn("batch_id", lit(batchId))
             .write.partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(dir)
-        writePartition(profile, profileDir)
+        writePartition(output(merged), outDir)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          // merged IS the fold (priors + own batch, regrouped exactly —
-          // sum-mergeable), already checkpointed above
+          // merged IS the fold (priors + own batch, regrouped exactly),
+          // already checkpointed above
           writePartition(merged, indexDir)
           markCompacted(fs, idxPath, batchId) // all writes done; deletes follow
           compactOlderPartitions(fs, idxPath, batchId)
-        } else writePartition(batchHist, indexDir)
+        } else writePartition(batchSk, indexDir)
         }
         ()
       }
@@ -476,42 +497,11 @@ object CorpusStreams {
   def cmsIngest(rows: DataFrame, groupCol: String, keyExpr: String,
       indexDir: String, sketchDir: String, checkpointDir: String,
       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        if (replayAfterCompaction(fs, idxPath, batchId)) {
-          compactOlderPartitions(fs, idxPath, batchId)
-        } else {
-        val b = batch.localCheckpoint(eager = true)
-        val batchCells = graft.ops.CountMin
-          .sketch(b, Seq(groupCol), keyExpr).localCheckpoint(eager = true)
-        val stored =
-          if (fs.exists(idxPath))
-            sp.read.parquet(indexDir)
-              .filter(col("batch_id") < batchId)
-              .select(col(groupCol), col("r"), col("c"), col("cnt"))
-          else batchCells.limit(0)
-        val merged = graft.ops.CountMin
-          .merge(stored.unionByName(batchCells), Seq(groupCol))
-          .localCheckpoint(eager = true) // sever the stored read
-        def writePartition(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(dir)
-        writePartition(merged, sketchDir)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          writePartition(merged, indexDir)
-          markCompacted(fs, idxPath, batchId)
-          compactOlderPartitions(fs, idxPath, batchId)
-        } else writePartition(batchCells, indexDir)
-        }
-        ()
-      }
-      .start()
+    sketchIngest(rows, indexDir, sketchDir, checkpointDir, compactEvery,
+      build = b => graft.ops.CountMin.sketch(b, Seq(groupCol), keyExpr),
+      mergeAll = sk => graft.ops.CountMin.merge(sk, Seq(groupCol)),
+      storedCols = Seq(groupCol, "r", "c", "cnt"),
+      output = identity)
 
   /** Streaming Bloom ingest — the membership filter's streaming face,
     * and the one ingest in the family whose state fold is IDEMPOTENT:
@@ -526,42 +516,11 @@ object CorpusStreams {
   def bloomIngest(rows: DataFrame, groupCol: String, keyExpr: String,
       indexDir: String, filterDir: String, checkpointDir: String,
       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        if (replayAfterCompaction(fs, idxPath, batchId)) {
-          compactOlderPartitions(fs, idxPath, batchId)
-        } else {
-        val b = batch.localCheckpoint(eager = true)
-        val batchBits = graft.ops.BloomSketch
-          .sketch(b, Seq(groupCol), keyExpr).localCheckpoint(eager = true)
-        val stored =
-          if (fs.exists(idxPath))
-            sp.read.parquet(indexDir)
-              .filter(col("batch_id") < batchId)
-              .select(col(groupCol), col("r"), col("c"))
-          else batchBits.limit(0)
-        val merged = graft.ops.BloomSketch
-          .merge(stored.unionByName(batchBits), Seq(groupCol))
-          .localCheckpoint(eager = true) // sever the stored read
-        def writePartition(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(dir)
-        writePartition(merged, filterDir)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          writePartition(merged, indexDir)
-          markCompacted(fs, idxPath, batchId)
-          compactOlderPartitions(fs, idxPath, batchId)
-        } else writePartition(batchBits, indexDir)
-        }
-        ()
-      }
-      .start()
+    sketchIngest(rows, indexDir, filterDir, checkpointDir, compactEvery,
+      build = b => graft.ops.BloomSketch.sketch(b, Seq(groupCol), keyExpr),
+      mergeAll = sk => graft.ops.BloomSketch.merge(sk, Seq(groupCol)),
+      storedCols = Seq(groupCol, "r", "c"),
+      output = identity)
 
   /** Streaming HLL ingest — the distinct-count sketch's streaming face,
     * completing the family's streaming symmetry (quantile: sum-fold;
@@ -577,43 +536,11 @@ object CorpusStreams {
   def hllIngest(rows: DataFrame, groupCol: String, keyExpr: String,
       indexDir: String, estDir: String, checkpointDir: String,
       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        if (replayAfterCompaction(fs, idxPath, batchId)) {
-          compactOlderPartitions(fs, idxPath, batchId)
-        } else {
-        val b = batch.localCheckpoint(eager = true)
-        val batchRegs = graft.ops.Hll
-          .registers(b, Seq(groupCol), keyExpr).localCheckpoint(eager = true)
-        val stored =
-          if (fs.exists(idxPath))
-            sp.read.parquet(indexDir)
-              .filter(col("batch_id") < batchId)
-              .select(col(groupCol), col("bkt"), col("mlow"))
-          else batchRegs.limit(0)
-        val merged = graft.ops.Hll
-          .merge(stored.unionByName(batchRegs), Seq(groupCol))
-          .localCheckpoint(eager = true) // sever the stored read
-        val estimates = graft.ops.Hll.estimate(merged, Seq(groupCol))
-        def writePartition(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(dir)
-        writePartition(estimates, estDir)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          writePartition(merged, indexDir)
-          markCompacted(fs, idxPath, batchId)
-          compactOlderPartitions(fs, idxPath, batchId)
-        } else writePartition(batchRegs, indexDir)
-        }
-        ()
-      }
-      .start()
+    sketchIngest(rows, indexDir, estDir, checkpointDir, compactEvery,
+      build = b => graft.ops.Hll.registers(b, Seq(groupCol), keyExpr),
+      mergeAll = sk => graft.ops.Hll.merge(sk, Seq(groupCol)),
+      storedCols = Seq(groupCol, "bkt", "mlow"),
+      output = m => graft.ops.Hll.estimate(m, Seq(groupCol)))
 
   /** drop index partitions older than `keepId` after a compaction fold —
     * the folded partition (batch_id = keepId) carries their content.
