@@ -132,6 +132,10 @@ object SparkEntry {
     // HLL's IVM face closes the 4-sketch × {merge, cube, inc} matrix;
     // the rollup is the telemetry-shaped hierarchical merge over time
     "q_agg_hll_inc", "q_events_distinct_rollup",
+    // round 14: Misra–Gries heavy-hitters summary — the sketch family's
+    // fifth member (top-k), deterministic by construction, bounded-heap
+    // top-(K+1) extraction via the TopKPerKey physical operator
+    "q_agg_mg_merge", "q_agg_mg_inc", "q_agg_mg_cube",
     // FastSS edit-distance similarity join (structurally bounded
     // buckets) + the duplicate-safe grouped twin, and sorted-neighborhood
     // blocking on the distributed global rank

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
-import graft.ops.{BloomSketch, CountMin, Hll, QuantileSketch}
+import graft.ops.{BloomSketch, CountMin, Hll, MisraGries, QuantileSketch}
 
 /** Relational operator coverage (SURVEY §2.1–2.8) as named queries over the
   * driver testdata, each with a DuckDB oracle.
@@ -64,6 +64,31 @@ object RelQueries {
         (col("hit") || !coalesce(col("present"), lit(false))).as("no_false_neg"))
       .orderBy("grp", "k")
   }
+
+  /** Shared report tail of the Misra–Gries faces: every RETAINED
+    * (grp, k) counter joined to its exact count and the group total,
+    * with the two-sided MG law as an in-band boolean — est never
+    * overestimates, and underestimates by at most N/(K+1) (spelled
+    * integrally, (exact−est)·(K+1) ≤ n, so the check is exact
+    * cross-engine). `allKeys` columns (grp, k), one row per key
+    * OCCURRENCE. The hash match proves the law held for every counter
+    * the summary kept. */
+  private def mgProbeFace(mg: DataFrame, allKeys: DataFrame): DataFrame = {
+    val exact = allKeys.groupBy("grp", "k").agg(count(lit(1)).as("exact_cnt"))
+    val tot = allKeys.groupBy("grp").agg(count(lit(1)).as("n"))
+    mg.join(exact, Seq("grp", "k")).join(tot, Seq("grp"))
+      .select(col("grp"), col("k"), col("est"), col("exact_cnt"), col("n"),
+        (col("est") <= col("exact_cnt") &&
+          (col("exact_cnt") - col("est")) * (MisraGries.K + 1) <= col("n"))
+          .as("in_band"))
+      .orderBy("grp", "k")
+  }
+
+  /** Deterministically skewed BIGINT key over lineitem — floor(sqrt)
+    * ramps occurrence counts linearly in k (≈ 2k+1 partkeys collapse to
+    * key k), so the top-K extraction is non-trivial at every sf. Same
+    * text parses in Spark and DuckDB (shared by engine and oracle). */
+  private val mgKey = "CAST(floor(sqrt(l_partkey)) AS BIGINT)"
 
   private def cmsProbeFace(cells: DataFrame, allKeys: DataFrame): DataFrame = {
     val probes = allKeys.filter(col("k") % 50 === 0).distinct()
@@ -422,6 +447,56 @@ object RelQueries {
         keys.filter(col("l_orderkey") % 2 === 1), Seq("grp"), "k")
       val cells = BloomSketch.merge(stored.unionByName(delta), Seq("grp"))
       bloomProbeFace(cells, keys.select("grp", "k"))
+    }),
+
+    // Misra–Gries MERGEABILITY — the TOP-K member completing the sketch
+    // family's fifth seat (HLL: distinct; quantile: ranks; CMS: point
+    // frequency; Bloom: membership; MG: heavy hitters). Deterministic by
+    // construction — no hash rows — so the oracle replays the summary
+    // arithmetic EXACTLY (per-(flag, status) counts, (K+1)-th-largest
+    // subtraction, counter-join merge, second subtraction) and the hash
+    // match additionally proves the two-sided in-band law
+    // (true − N/(K+1) ≤ est ≤ true) for every retained counter. The merge
+    // is a SUM fold like quantile/CMS: exactly-once-dependent, NOT
+    // replay-idempotent — the fold-algebra taxonomy's placement.
+    "q_agg_mg_merge" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), expr(mgKey).as("k"))
+      val parts = MisraGries.summary(keys, Seq("grp", "l_linestatus"), "k")
+      val mg = MisraGries.merge(parts, Seq("grp")) // the counter-join merge
+      mgProbeFace(mg, keys.select("grp", "k"))
+    }),
+
+    // CUBE face: per-(flag, status) summaries built ONCE roll to per-flag
+    // AND the grand total — the fifth family member joins the multi-level
+    // rollup proof the other four carry; the oracle replays both levels
+    // from the same per-(flag, status) partials.
+    "q_agg_mg_cube" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), expr(mgKey).as("k"))
+      val parts = MisraGries.summary(keys, Seq("grp", "l_linestatus"), "k")
+        .localCheckpoint(eager = true) // partials built once, rolled twice
+      val mg = MisraGries.merge(parts, Seq("grp")).unionByName(
+        MisraGries.merge(parts.withColumn("grp", lit("ALL")), Seq("grp")))
+      val lvls = keys.select("grp", "k")
+        .unionByName(keys.select(lit("ALL").as("grp"), col("k")))
+      mgProbeFace(mg, lvls)
+    }),
+
+    // IVM face: stored summary (even orderkeys) + the incoming batch's
+    // delta summary, counter-join-merged — the base relation is never
+    // re-scanned, state is ≤ K counters per group forever, and the
+    // N/(K+1) band holds for the union because Σd over every build and
+    // merge is bounded by the UNION's mass (the PODS'12 argument).
+    "q_agg_mg_inc" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_orderkey"), expr(mgKey).as("k"))
+      val stored = MisraGries.summary(
+        keys.filter(col("l_orderkey") % 2 === 0), Seq("grp"), "k")
+      val delta = MisraGries.summary(
+        keys.filter(col("l_orderkey") % 2 === 1), Seq("grp"), "k")
+      val mg = MisraGries.merge(stored.unionByName(delta), Seq("grp"))
+      mgProbeFace(mg, keys.select("grp", "k"))
     }),
 
     // ---- filters / projections (SURVEY §2.2) ----
@@ -995,7 +1070,75 @@ object RelQueries {
        |FROM hits h LEFT JOIN truth t ON h.grp = t.grp AND h.k = t.k
        |ORDER BY h.grp, h.k""".stripMargin
 
+  /** Misra–Gries replay in DuckDB over a (grp, batch, k) key-occurrence
+    * relation: per-(grp, batch) exact counts, the (K+1)-th-largest
+    * subtraction (row_number by (cnt DESC, k) — the rn = K+1 row's count
+    * IS the (K+1)-th largest, matching the engine's min-over-top-(K+1)),
+    * counter-join merge to grp, second subtraction, then the exact/total
+    * join with the two-sided in-band law spelled integrally. The summary
+    * is deterministic by construction, so the replay is EXACT — no
+    * probabilistic slack anywhere. */
+  private def mgSql(keysSql: String): String = {
+    val k1 = MisraGries.K + 1
+    s"""WITH keys AS MATERIALIZED ($keysSql),
+       |cnts AS MATERIALIZED (
+       |  SELECT grp, batch, k, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM keys GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT grp, batch, k, cnt,
+       |    row_number() OVER (PARTITION BY grp, batch ORDER BY cnt DESC, k) AS rn
+       |  FROM cnts),
+       |doff AS (
+       |  SELECT grp, batch,
+       |    coalesce(max(CASE WHEN rn = $k1 THEN cnt END), CAST(0 AS BIGINT)) AS d
+       |  FROM rk GROUP BY 1, 2),
+       |summ AS MATERIALIZED (
+       |  SELECT r.grp, r.k, r.cnt - o.d AS est
+       |  FROM rk r JOIN doff o ON r.grp = o.grp AND r.batch = o.batch
+       |  WHERE r.cnt > o.d),
+       |comb AS (
+       |  SELECT grp, k, CAST(sum(est) AS BIGINT) AS cnt FROM summ GROUP BY 1, 2),
+       |rk2 AS (
+       |  SELECT grp, k, cnt,
+       |    row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, k) AS rn
+       |  FROM comb),
+       |doff2 AS (
+       |  SELECT grp,
+       |    coalesce(max(CASE WHEN rn = $k1 THEN cnt END), CAST(0 AS BIGINT)) AS d
+       |  FROM rk2 GROUP BY 1),
+       |mg AS (
+       |  SELECT r.grp, r.k, r.cnt - o.d AS est
+       |  FROM rk2 r JOIN doff2 o ON r.grp = o.grp
+       |  WHERE r.cnt > o.d),
+       |exact AS (
+       |  SELECT grp, k, CAST(count(*) AS BIGINT) AS exact_cnt
+       |  FROM keys GROUP BY 1, 2),
+       |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY 1)
+       |SELECT m.grp, m.k, m.est, e.exact_cnt, t.n,
+       |  (m.est <= e.exact_cnt AND (e.exact_cnt - m.est) * $k1 <= t.n) AS in_band
+       |FROM mg m
+       |JOIN exact e ON m.grp = e.grp AND m.k = e.k
+       |JOIN tot t ON m.grp = t.grp
+       |ORDER BY m.grp, m.k""".stripMargin
+  }
+
+  private val mgFlagKeys =
+    s"SELECT l_returnflag AS grp, l_linestatus AS batch, $mgKey AS k FROM lineitem"
+
   val oracles: Map[String, String] = Map(
+    // MG faces: the merge/IVM partial structure replayed exactly; the
+    // cube's batch key is flag||status at BOTH levels so the ALL level
+    // merges the same six per-(flag, status) partials the engine rolls up
+    "q_agg_mg_merge" -> mgSql(mgFlagKeys),
+    "q_agg_mg_inc" -> mgSql(
+      s"SELECT l_returnflag AS grp, l_orderkey % 2 AS batch, $mgKey AS k FROM lineitem"),
+    "q_agg_mg_cube" -> mgSql(
+      s"""SELECT l_returnflag AS grp, l_returnflag || l_linestatus AS batch,
+         |    $mgKey AS k FROM lineitem
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, l_returnflag || l_linestatus AS batch,
+         |    $mgKey AS k FROM lineitem""".stripMargin),
+
     "q_agg_quantile_merge" -> quantileFlatSql,
     "q_agg_quantile_inc" -> quantileFlatSql,
     "q_agg_quantile_cube" -> quantileCubeSql,

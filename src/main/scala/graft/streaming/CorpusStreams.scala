@@ -542,6 +542,27 @@ object CorpusStreams {
       storedCols = Seq(groupCol, "bkt", "mlow"),
       output = m => graft.ops.Hll.estimate(m, Seq(groupCol)))
 
+  /** Streaming Misra–Gries ingest — the heavy-hitters summary's streaming
+    * face, fifth in the ingest family. Per trigger: the batch's ≤ K
+    * counters ([[graft.ops.MisraGries.summary]]) counter-join-merge with
+    * the stored summary; the running heavy-hitter table lands in
+    * `summaryDir` under the batch id. Fold-algebra placement: the merge
+    * SUMS ests before re-truncating, so like quantile/CMS (and unlike
+    * Bloom's OR / HLL's max) the maintained STATE depends on the
+    * exactly-once batch_id discipline — a replayed overlapping batch
+    * double-counts its keys. The N/(K+1) error band, uniquely, survives
+    * replay anyway (replayed mass enters N too), but the estimates drift
+    * upward — so the marker protocol is still what keeps the state exact.
+    * State is ≤ K counters per group forever. */
+  def mgIngest(rows: DataFrame, groupCol: String, keyExpr: String,
+      indexDir: String, summaryDir: String, checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    sketchIngest(rows, indexDir, summaryDir, checkpointDir, compactEvery,
+      build = b => graft.ops.MisraGries.summary(b, Seq(groupCol), keyExpr),
+      mergeAll = sk => graft.ops.MisraGries.merge(sk, Seq(groupCol)),
+      storedCols = Seq(groupCol, "k", "est"),
+      output = identity)
+
   /** drop index partitions older than `keepId` after a compaction fold —
     * the folded partition (batch_id = keepId) carries their content.
     * Also retires older compaction markers (underscore-prefixed, so

@@ -627,7 +627,7 @@ object SkewScale {
     if (Seq("sessionize", "asof", "funnel", "retention",
         "sessionize_chunked", "asof_chunked", "latest", "latest_agg",
         "ewma", "holt", "cusum", "quantile", "cms", "bloom",
-        "hll").exists(want)) {
+        "hll", "mg").exists(want)) {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val eidBase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
       val uidBase = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
@@ -719,6 +719,23 @@ object SkewScale {
           graft.ops.Hll.registers(e, Seq("user_id"), "k")
         }
         report("hll", time2(hsk(uDir)), time2(hsk(sDir)))
+      }
+      // per-USER Misra–Gries heavy-hitters summary under the hot user —
+      // the FIFTH family member's sweep row: the build's exact batch
+      // count folds map-side and the top-(K+1) extraction caps every
+      // upstream partition at K+1 rows per group BEFORE the exchange
+      // (TopKPerKey's partial pass), so the bot's mass is absorbed like
+      // every other family member's
+      if (want("mg")) {
+        def msk(dir: String): DataFrame = {
+          val e = spark.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id"),
+              // the ramp key: counts rise linearly in k, so the top-K
+              // cut is non-trivial at every scale
+              expr("CAST(floor(sqrt(CAST(value AS DECIMAL(18,2)) * 100)) AS BIGINT)").as("k"))
+          graft.ops.MisraGries.summary(e, Seq("user_id"), "k")
+        }
+        report("mg", time2(msk(uDir)), time2(msk(sDir)))
       }
     }
 

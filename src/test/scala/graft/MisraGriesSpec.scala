@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MisraGries
+
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = MisraGries.K
+
+  // order-free MG summary in plain Scala — the value-roundtrip reference
+  // (a cross-engine hash match alone could share a bug with an oracle
+  // that mirrors the engine's arithmetic)
+  private def brute(occ: Seq[Long]): Map[Long, Long] = {
+    val cnts = occ.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sorted = cnts.values.toSeq.sorted(Ordering[Long].reverse)
+    val d = if (sorted.size > K) sorted(K) else 0L // the (K+1)-th largest
+    cnts.collect { case (k, c) if c > d => k -> (c - d) }
+  }
+
+  private def collectSummary(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("k", "est").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // zipf-ish ramp: key j occurs j times (j = 1..40) plus two heavy keys —
+  // ties, a long tail, and clear heavy hitters all at once
+  private val occ: Seq[Long] =
+    (1L to 40L).flatMap(j => Seq.fill(j.toInt)(j)) ++
+      Seq.fill(300)(777L) ++ Seq.fill(150)(888L)
+
+  test("summary == order-free brute force; <= K counters; two-sided band") {
+    val d = occ.toDF("k").withColumn("g", lit("all"))
+    val got = collectSummary(MisraGries.summary(d, Seq("g"), "k"))
+    assert(got == brute(occ))
+    assert(got.size <= K)
+    val exact = occ.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = occ.size.toLong
+    got.foreach { case (k, est) =>
+      assert(est <= exact(k), s"overestimate at $k")
+      assert((exact(k) - est) * (K + 1) <= n, s"band violated at $k")
+    }
+    // every key above the frequency threshold N/(K+1) must be retained
+    exact.foreach { case (k, c) =>
+      if (c * (K + 1) > n) assert(got.contains(k), s"heavy key $k dropped")
+    }
+  }
+
+  test("merged partial summaries keep the band against the UNION's mass") {
+    // arbitrary 3-way split; merge(summaries) must satisfy the same laws
+    // with N = the union's total (the PODS'12 mergeability theorem) even
+    // though merge(sk(A), sk(B)) != sk(A ∪ B) pointwise
+    val d = occ.zipWithIndex.toDF("k", "i")
+      .withColumn("g", lit("all")).withColumn("part", col("i") % 3)
+    val parts = MisraGries.summary(d, Seq("g", "part"), "k")
+    val got = collectSummary(MisraGries.merge(parts, Seq("g")))
+    assert(got.size <= K)
+    val exact = occ.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = occ.size.toLong
+    got.foreach { case (k, est) =>
+      assert(est <= exact(k), s"overestimate at $k")
+      assert((exact(k) - est) * (K + 1) <= n, s"merged band violated at $k")
+    }
+    exact.foreach { case (k, c) =>
+      if (c * (K + 1) > n) assert(got.contains(k), s"heavy key $k dropped by merge")
+    }
+  }
+
+  test("the merge is a SUM fold — replaying a summary double-counts") {
+    // the fold-algebra placement the streaming ingest documents: unlike
+    // Bloom's OR / HLL's max, merging a summary with ITSELF is not the
+    // identity — ests double (minus a possibly larger offset)
+    val d = occ.toDF("k").withColumn("g", lit("all"))
+    val s1 = MisraGries.summary(d, Seq("g"), "k").localCheckpoint(true)
+    val once = collectSummary(s1)
+    val twice = collectSummary(
+      MisraGries.merge(s1.unionByName(s1), Seq("g")))
+    assert(twice != once)
+    // the top key's doubled est confirms the mechanism is double-counting
+    val top = once.maxBy(_._2)._1
+    assert(twice(top) > once(top))
+  }
+
+  test("groups truncate independently; <= K distinct keys means exact") {
+    val d = (occ.map(_ -> "skew") ++ (1L to 5L).map(_ -> "tiny"))
+      .toDF("k", "g")
+    val got = MisraGries.summary(d, Seq("g"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // tiny group: 5 distinct keys <= K, d = 0, ests are the exact counts
+    (1L to 5L).foreach(k => assert(got((("tiny"), k)) == 1L))
+    val skewGot = got.collect { case (("skew", k), e) => k -> e }
+    assert(skewGot == brute(occ))
+  }
+}

@@ -899,6 +899,58 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == folded)
   }
 
+  test("mg ingest: running summary equals the replayed merge tree; band holds on the union") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.MisraGries
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select("event_id", "event_type", "user_id")
+    val dir = Files.createTempDirectory("graft-mg-stream")
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).select("event_type", "user_id")
+        .coalesce(1).write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val schema = ev.select("event_type", "user_id").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    // low-cardinality ramp key so the top-K extraction is non-trivial
+    val kexpr = "CAST(floor(sqrt(user_id)) AS BIGINT)"
+    val q = CorpusStreams.mgIngest(stream, "event_type", kexpr,
+      dir.resolve("index").toString, dir.resolve("summary").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // MG is NOT a pure function of the multiset (unlike the four hashed
+    // families): merge(sk(A), sk(B)) != sk(A ∪ B) pointwise — so the
+    // parity target is the ingest's OWN merge tree, replayed in batch:
+    // s0..s2 fold at the batch-2 compaction, then s3 merges in
+    def summ(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "k", "est").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val s = (0 until 4).map(i => MisraGries.summary(
+      ev.filter(col("event_id") % 4 === i), Seq("event_type"), kexpr))
+    val m2 = MisraGries.merge(
+      s(0).unionByName(s(1)).unionByName(s(2)), Seq("event_type"))
+    val expect = summ(MisraGries.merge(m2.unionByName(s(3)), Seq("event_type")))
+    val streamed = summ(spark.read.parquet(dir.resolve("summary").toString)
+      .filter(col("batch_id") === 3))
+    assert(streamed == expect && streamed.nonEmpty)
+    // ...and the N/(K+1) band holds against the UNION's exact counts,
+    // whatever the batch cuts (the mergeability theorem, streamed form)
+    val exact = ev.selectExpr("event_type", s"$kexpr AS k")
+      .groupBy("event_type", "k").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (g, k, est) =>
+      assert(est <= exact((g, k)), s"overestimate at ($g, $k)")
+      assert((exact((g, k)) - est) * (MisraGries.K + 1) <= tot(g),
+        s"band violated at ($g, $k)")
+    }
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
