@@ -140,5 +140,13 @@ object SparkEntry {
     // buckets) + the duplicate-safe grouped twin, and sorted-neighborhood
     // blocking on the distributed global rank
     "q_text_editjoin", "q_text_editjoin_grouped", "q_dedup_sorted_block",
+    // round 14: FastSS at k=2 (budget-guarded fan-out, capped serial
+    // domain) + its grouped twin; the incremental twins of both new
+    // blocking families (stored variant index / rank-merge — the
+    // equality-contract pricing class: the clock includes replaying the
+    // stored-state build, like q_graph_cc_inc); and the two-pass SN
+    // recall repair
+    "q_text_editjoin2", "q_text_editjoin2_grouped", "q_text_editjoin_inc",
+    "q_dedup_sorted_block_inc", "q_dedup_sorted_block2",
   ).filter(queries.contains)
 }

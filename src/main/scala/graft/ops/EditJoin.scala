@@ -39,6 +39,32 @@ object EditJoin {
     s"array_union(array($s), transform(sequence(1, length($s)), " +
       s"i -> concat(substr($s, 1, i - 1), substr($s, i + 1))))"
 
+  /** Depth-≤2 deletion neighborhood: the string, every 1-deletion, and
+    * every 2-deletion (positions i < j), deduplicated. The i-range is
+    * `slice(sequence(1, L), 1, L - 1)` rather than `sequence(1, L - 1)`
+    * because Spark's sequence RUNS DESCENDING when start > stop (the
+    * L = 1 case) — slice of length 0 is safely empty; the j-range
+    * `sequence(i + 1, L)` has i ≤ L − 1 so it never descends. */
+  def variants2Expr(s: String): String =
+    s"array_distinct(concat(" +
+      s"array($s), " +
+      s"transform(sequence(1, length($s)), " +
+      s"i -> concat(substr($s, 1, i - 1), substr($s, i + 1))), " +
+      s"flatten(transform(slice(sequence(1, length($s)), 1, length($s) - 1), " +
+      s"i -> transform(sequence(i + 1, length($s)), " +
+      s"j -> concat(substr($s, 1, i - 1), substr($s, i + 1, j - i - 1), " +
+      s"substr($s, j + 1)))))))"
+
+  /** Candidate-pair budget above which [[pairsWithin2]] refuses to join
+    * by default (the kTruss wedge-budget pattern): the guarded quantity
+    * is the join's exact fan-out Σ_v cnt(v)² over variant buckets — the
+    * number of candidate rows the equi-join will actually emit. The k=2
+    * bucket bound grows to ~O(L²·|Σ|²) (insert up to two characters
+    * back), so unlike k=1 the fan-out deserves a measurement before the
+    * spend; ~2e8 candidate rows is tens of seconds on 32 cores. Callers
+    * who know their corpus pass an explicit budget. */
+  val DefaultPairs2CandidateBudget = 200000000L
+
   /** The duplicate-safe twin of [[pairsWithin1]]: exact-duplicate
     * strings collapse to one representative (min id) BEFORE the blocked
     * join, and the result carries pair MULTIPLICITIES instead of
@@ -69,23 +95,28 @@ object EditJoin {
     intra.unionByName(inter)
   }
 
+  /** The depth-1 deletion-variant relation (id, s, v) — the BLOCKING
+    * INDEX of [[pairsWithin1]], exposed so an ingest pipeline can store
+    * it and join only incoming batches against it
+    * ([[incrementalPairsWithin1]]). Carries the explicit-count
+    * repartition defense: a small scan (or AQE-coalesced upstream) would
+    * hand the ×(L+1) fan-out and the join build ONE partition and
+    * everything downstream runs single-threaded (measured 73 s vs 8 s at
+    * 150k names in the grouped twin; the sf0.1 catalog face dropped
+    * 6.2 s → ~2.5 s). Explicit-count repartition is exempt from AQE
+    * coalescing; spread by the unique id. */
+  def variantIndex(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
+      .select(col("id"), col("s"), explode(expr(variantsExpr("s"))).as("v"))
+
   /** All unordered pairs (id1 < id2) of `df` rows with
     * levenshtein(str1, str2) ≤ 1, with the exact distance. `idCol` must
     * be unique per row; empty strings are dropped (see class doc). */
   def pairsWithin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val vars = df
-      .select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(length(col("s")) > 0)
-      // a small scan (or AQE-coalesced upstream) hands the ×(L+1)
-      // fan-out and the join build ONE partition and everything
-      // downstream runs single-threaded (measured 73 s vs 8 s at 150k
-      // names in the grouped twin — same hazard here: the sf0.1 catalog
-      // face dropped 6.2 s → ~2.5 s). Explicit-count repartition is
-      // exempt from AQE coalescing; spread by the unique id.
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("id"))
-      .select(col("id"), col("s"),
-        explode(expr(variantsExpr("s"))).as("v"))
+    val vars = variantIndex(df, idCol, strCol)
     val a = vars.select(col("id").as("id1"), col("s").as("s1"), col("v"))
     val b = vars.select(col("id").as("id2"), col("s").as("s2"), col("v"))
     a.join(b, Seq("v"))
@@ -94,5 +125,106 @@ object EditJoin {
       .filter(expr("levenshtein(s1, s2) <= 1"))
       .select(col("id1"), col("id2"),
         expr("CAST(levenshtein(s1, s2) AS BIGINT)").as("dist"))
+  }
+
+  /** Incremental twin of [[pairsWithin1]] (round-13 verdict item 4a —
+    * the incrementalDeduplicate convention): merge a new `incoming`
+    * batch into an already-joined corpus whose stored state is
+    * (`existingIndex` = the [[variantIndex]] of the existing rows,
+    * `storedPairs` = their [[pairsWithin1]] output). The batch's
+    * variants join against index ∪ batch — NEVER existing-vs-existing,
+    * so per-batch cost is linear in the batch plus its candidates, and
+    * the existing corpus's STRINGS are never re-shingled. Exactly
+    * equivalent to `pairsWithin1(existing ∪ incoming)`: a qualifying
+    * pair either lies wholly in the existing corpus (in `storedPairs`)
+    * or touches ≥ 1 incoming row — and then it shares a variant with
+    * that row's depth-1 neighborhood, which the batch side generates.
+    * The union-replay oracle (q_text_editjoin_inc) checks the equality
+    * literally. */
+  def incrementalPairsWithin1(existingIndex: DataFrame, storedPairs: DataFrame,
+      incoming: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val inc = variantIndex(incoming, idCol, strCol)
+    val all = existingIndex.select("id", "s", "v")
+      .unionByName(inc.select("id", "s", "v"))
+    val joined = inc.select(col("id").as("ia"), col("s").as("sa"), col("v"))
+      .join(all.select(col("id").as("ib"), col("s").as("sb"), col("v")), Seq("v"))
+      .filter(col("ia") =!= col("ib"))
+    val newPairs = joined
+      .select(
+        least(col("ia"), col("ib")).as("id1"),
+        greatest(col("ia"), col("ib")).as("id2"),
+        when(col("ia") < col("ib"), col("sa")).otherwise(col("sb")).as("s1"),
+        when(col("ia") < col("ib"), col("sb")).otherwise(col("sa")).as("s2"))
+      .distinct()
+      .filter(expr("levenshtein(s1, s2) <= 1"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(levenshtein(s1, s2) AS BIGINT)").as("dist"))
+    // disjoint by construction: stored pairs are existing-existing, new
+    // pairs touch >= 1 incoming id
+    storedPairs.unionByName(newPairs)
+  }
+
+  /** All unordered pairs (id1 < id2) within levenshtein distance 2, via
+    * the depth-≤2 deletion neighborhood: ed(a, b) ≤ 2 implies a and b
+    * share a member of D≤2 — align an optimal edit script and delete
+    * each side's edited characters (≤ 2 per side) down to a common
+    * subsequence — so the equi-join on [[variants2Expr]] is candidate-
+    * complete (EditJoinSpec pins it against the brute-force DP at k=2)
+    * and the exact verify restores precision. Empty VARIANTS are kept:
+    * dropping them would lose pairs of 1–2-char strings whose only
+    * shared member is "" (the bucket is still structurally bounded —
+    * only strings of length ≤ 2 reach it, ≤ |Σ|²+|Σ|+1 of which exist).
+    *
+    * Scale guard: unlike k=1's (L+1)·|Σ|+1, the k=2 bucket bound grows
+    * ~O(L²·|Σ|²), so the join's EXACT fan-out (Σ cnt² over buckets) is
+    * measured first — one aggregate over the variant relation — and the
+    * join refuses above `maxCandidates` with guidance (the kTruss
+    * budget-guard pattern) instead of silently burning a cluster. */
+  def pairsWithin2(df: DataFrame, idCol: String, strCol: String,
+      maxCandidates: Long = DefaultPairs2CandidateBudget): DataFrame = {
+    val vars = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id")) // the AQE single-partition fan-out defense (class doc)
+      .select(col("id"), col("s"), explode(expr(variants2Expr("s"))).as("v"))
+    // density guard: one cheap aggregate prices the join before paying it
+    val fanout = vars.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .agg(sum(expr("cnt * cnt")).as("f")).first().getLong(0)
+    if (fanout > maxCandidates)
+      throw new IllegalArgumentException(
+        s"pairsWithin2: variant buckets fan out to $fanout candidate rows " +
+          s"(> budget $maxCandidates); at k = 2 bucket occupancy grows " +
+          "with L²·|Σ|² — pre-block the corpus (length/prefix buckets), " +
+          "run pairsWithin1, or pass an explicit maxCandidates to proceed")
+    val a = vars.select(col("id").as("id1"), col("s").as("s1"), col("v"))
+    val b = vars.select(col("id").as("id2"), col("s").as("s2"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2").distinct()
+      .filter(expr("levenshtein(s1, s2) <= 2"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(levenshtein(s1, s2) AS BIGINT)").as("dist"))
+  }
+
+  /** Duplicate-safe grouped twin of [[pairsWithin2]] — identical
+    * restatement to [[pairsWithin1Grouped]] (collapse exact duplicates
+    * to a min-id representative BEFORE blocking; carry multiplicities,
+    * output bounded in DISTINCT strings) at distance 2. */
+  def pairsWithin2Grouped(df: DataFrame, idCol: String, strCol: String,
+      maxCandidates: Long = DefaultPairs2CandidateBudget): DataFrame = {
+    val g = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+      .groupBy("s").agg(min("id").as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // one pass feeds blocking + sizes
+    val intra = g.filter(col("n") > 1)
+      .select(col("rep").as("rep1"), col("rep").as("rep2"),
+        lit(0L).as("dist"), expr("n * (n - 1) div 2").as("n_pairs"))
+    val inter = pairsWithin2(g.select(col("rep"), col("s")), "rep", "s",
+        maxCandidates)
+      .join(g.select(col("rep").as("id1"), col("n").as("n1")), "id1")
+      .join(g.select(col("rep").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1").as("rep1"), col("id2").as("rep2"), col("dist"),
+        (col("n1") * col("n2")).as("n_pairs"))
+    intra.unionByName(inter)
   }
 }

@@ -36,7 +36,16 @@ object SortedNeighborhood {
   /** Exact dense global rank 0..n−1 of `df` rows under (keyCol, idCol) —
     * distributed; see class doc. `idCol` must be unique (it breaks key
     * ties, making the order total). Output: (id, sk, rank). */
-  def globalRank(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+  def globalRank(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    rankedState(df, idCol, keyCol).select(col("id"), col("sk"), col("rank"))
+
+  /** [[globalRank]] WITH the range-partition id retained — the STORED
+    * form an ingest pipeline keeps so batches merge without a global
+    * re-rank ([[incrementalPairs]]): the pid column is the insertion
+    * directory (each pid's minimum (sk, id) is its range boundary,
+    * recoverable from the state itself by a ≤ #partitions aggregate).
+    * Output: (id, sk, rank, pid). */
+  def rankedState(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(col(keyCol).as("sk"), col(idCol).as("id"))
     val parts = spark.sparkContext.defaultParallelism.max(1).min(32)
@@ -53,7 +62,7 @@ object SortedNeighborhood {
     ranged.join(F.broadcast(offDf), "pid")
       .withColumn("rank",
         row_number().over(win).cast("long") - 1L + col("off"))
-      .select(col("id"), col("sk"), col("rank"))
+      .select(col("id"), col("sk"), col("rank"), col("pid"))
   }
 
   /** Candidate pairs within a sliding window of `w` records in
@@ -65,5 +74,125 @@ object SortedNeighborhood {
     RangeJoin.pairsWithin(ranked, "all", "id", "rank", (w - 1).toLong)
       .select(col("id_a").as("id1"), col("id_b").as("id2"),
         (col("ts_b") - col("ts_a")).as("gap"))
+  }
+
+  /** Multi-pass sorted neighborhood (Hernández–Stolfo's standard recall
+    * repair): one [[pairs]] pass per independent blocking key, candidate
+    * union, deduplicated on the UNORDERED id pair — a near-miss whose
+    * strings diverge in the first character (invisible to a prefix-sorted
+    * window) is caught by a pass on an independent key (reversed string,
+    * secondary attribute). Output (id1 < id2 BY ID — pass rank orders
+    * differ — and n_passes = how many passes proposed the pair); bounded
+    * at |keys|·n·(w−1) candidates by construction. */
+  def pairsMultiKey(df: DataFrame, idCol: String, keyCols: Seq[String],
+      w: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one blocking key")
+    keyCols.map(k => pairs(df, idCol, k, w)
+        .select(least(col("id1"), col("id2")).as("id1"),
+          greatest(col("id1"), col("id2")).as("id2")))
+      .reduce(_ unionByName _)
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_passes"))
+  }
+
+  /** Incremental twin of [[pairs]] (round-13 verdict item 4b): merge a
+    * new `incoming` batch into a corpus whose stored state is
+    * (`state` = the [[rankedState]] of the existing rows, `storedPairs`
+    * = their [[pairs]] output), producing the EXACT pair set of
+    * `pairs(existing ∪ incoming, w)` — without a global re-rank.
+    *
+    * How (all driver collects are ≤ #partitions rows by contract):
+    *  1. the stored pids' range boundaries (min (sk, id) per pid) are
+    *     recovered from the state by one tiny aggregate and broadcast;
+    *     each incoming row routes to the pid whose boundary precedes it;
+    *  2. only TOUCHED pids (those receiving ≥ 1 incoming row) re-run a
+    *     partition-LOCAL window over existing ∪ incoming — merged global
+    *     rank = pid's stored min rank + incoming-in-earlier-pids prefix
+    *     + local position − 1, exact because range partitions are
+    *     order-contiguous; untouched pids shift by a broadcast offset
+    *     (no recompute, no shuffle of their rows);
+    *  3. NEW pairs (≥ 1 incoming member) come from a banded rank join of
+    *     the incoming rows' ±(w−1) neighborhoods against the merged
+    *     relation — incoming-vs-all, never existing-vs-existing;
+    *  4. stored pairs re-gap by joining their endpoints' merged ranks
+    *     (insertions can push a stored pair OUT of the window — gap only
+    *     grows); kept pairs and new pairs are disjoint by construction.
+    *
+    * Per-batch cost: linear in the batch, the touched pids' rows, and
+    * the stored pair relation — the whole-corpus sort never re-runs. */
+  def incrementalPairs(state: DataFrame, storedPairs: DataFrame,
+      incoming: DataFrame, idCol: String, keyCol: String, w: Int): DataFrame = {
+    require(w >= 2, "window must cover at least two records")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val delta = (w - 1).toLong
+    // 1. the insertion directory: boundaries + stored min rank per pid
+    val bounds = state.groupBy("pid").agg(
+        F.min(struct(col("sk"), col("id"))).as("lo"),
+        F.min("rank").as("r0"))
+      .collect() // ≤ #partitions rows by the rankedState contract
+      .map(r => (r.getInt(0), r.getStruct(1), r.getLong(2)))
+      .sortBy(_._1)
+    val minPid = bounds.head._1
+    val boundsDf = F.broadcast(
+      bounds.map { case (p, lo, _) => (p, lo.getString(0), lo.getLong(1)) }
+        .toSeq.toDF("bpid", "losk", "loid"))
+    val inc = incoming.select(col(keyCol).as("sk"), col(idCol).as("id"))
+    val routed = inc
+      .join(boundsDf,
+        struct(col("sk"), col("id")) >= struct(col("losk"), col("loid")),
+        "left")
+      .groupBy("sk", "id")
+      .agg(coalesce(F.max("bpid"), lit(minPid)).as("pid"))
+      .localCheckpoint(eager = true) // consumed by counts + window + join
+    // incoming-count prefix per pid (rows in EARLIER pids), broadcast back
+    val incCounts = routed.groupBy("pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ parts
+    val touched = incCounts.map(_._1)
+    val incPrefix = bounds.map { case (p, _, _) =>
+      p -> incCounts.filter(_._1 < p).map(_._2).sum }
+    val metaDf = F.broadcast(
+      bounds.map { case (p, _, r0) =>
+        (p, r0, incPrefix.find(_._1 == p).map(_._2).getOrElse(0L))
+      }.toSeq.toDF("pid", "r0", "ip"))
+    // 2. merged ranks: touched pids re-window locally; the rest shift
+    val exTouched = state.filter(col("pid").isin(touched.map(Int.box): _*))
+      .select(col("pid"), col("id"), col("sk")).withColumn("is_new", lit(0))
+    val incTagged = routed.select(col("pid"), col("id"), col("sk"))
+      .withColumn("is_new", lit(1))
+    val lwin = Window.partitionBy("pid").orderBy("sk", "id")
+    val mergedTouched = exTouched.unionByName(incTagged)
+      .withColumn("lpos", row_number().over(lwin).cast("long"))
+      .join(metaDf, "pid")
+      .select(col("id"), col("sk"),
+        (col("r0") + col("ip") + col("lpos") - 1L).as("rank"), col("is_new"))
+    val untouched = state.filter(!col("pid").isin(touched.map(Int.box): _*))
+      .join(metaDf, "pid")
+      .select(col("id"), col("sk"), (col("rank") + col("ip")).as("rank"),
+        lit(0).as("is_new"))
+    val merged = mergedTouched.unionByName(untouched)
+      .localCheckpoint(eager = true) // probe + target + re-gap share it
+    // 3. new pairs: banded rank join, incoming-vs-all
+    val probe = merged.filter(col("is_new") === 1)
+      .select(col("id").as("iid"), col("rank").as("irank"),
+        explode(array(expr(s"rank div $delta - 1"), expr(s"rank div $delta"),
+          expr(s"rank div $delta + 1"))).as("b"))
+    val target = merged.select(col("id").as("tid"), col("rank").as("trank"),
+      expr(s"rank div $delta").as("b"))
+    val newPairs = probe.join(target, Seq("b"))
+      .filter(col("trank") =!= col("irank") &&
+        F.abs(col("trank") - col("irank")) <= delta)
+      .select(
+        when(col("irank") < col("trank"), col("iid")).otherwise(col("tid")).as("id1"),
+        when(col("irank") < col("trank"), col("tid")).otherwise(col("iid")).as("id2"),
+        F.abs(col("trank") - col("irank")).as("gap"))
+      .distinct() // both-incoming pairs are found from each side once
+    // 4. stored pairs re-gap (insertions only ever GROW a stored gap)
+    val ranks = merged.select(col("id"), col("rank"))
+    val kept = storedPairs.select("id1", "id2")
+      .join(ranks.select(col("id").as("id1"), col("rank").as("r1")), Seq("id1"))
+      .join(ranks.select(col("id").as("id2"), col("rank").as("r2")), Seq("id2"))
+      .filter(col("r2") - col("r1") <= delta)
+      .select(col("id1"), col("id2"), (col("r2") - col("r1")).as("gap"))
+    kept.unionByName(newPairs)
   }
 }

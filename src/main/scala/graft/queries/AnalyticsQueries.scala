@@ -951,6 +951,79 @@ object AnalyticsQueries {
           "c_custkey", "c_name", 5)
         .orderBy("id1", "id2")),
 
+    // FastSS at k = 2 (r13 verdict item 3): every pair within levenshtein
+    // 2 via the depth-≤2 deletion neighborhood — candidate-complete by
+    // the same pigeonhole argument, with the fan-out priced BEFORE the
+    // join (the budget guard measures Σcnt² over variant buckets — 10.3M
+    // here — and refuses past 2e8). Domain: the dense serial PREFIX
+    // custkey ≤ 4000 — keeps the near-miss density that makes the face
+    // meaningful while bounding the (quadratic-in-density) pair output;
+    // sf0.01 is unrestricted (1,500 < 4,000).
+    "q_text_editjoin2" -> ((s, d) =>
+      graft.ops.EditJoin.pairsWithin2(
+          Tables.customer(s, d).filter(col("c_custkey") <= 4000),
+          "c_custkey", "c_name")
+        .orderBy("id1", "id2")),
+
+    // the duplicate-safe grouped twin at k = 2 (multiplicities, output
+    // bounded in DISTINCT names — the pairsWithin1Grouped restatement)
+    "q_text_editjoin2_grouped" -> ((s, d) =>
+      graft.ops.EditJoin.pairsWithin2Grouped(
+          Tables.customer(s, d).filter(col("c_custkey") <= 4000),
+          "c_custkey", "c_name")
+        .orderBy("rep1", "rep2")),
+
+    // Incremental edit join (r13 verdict item 4a): the odd-custkey batch
+    // merges into the even-custkey corpus via its STORED variant index +
+    // stored pairs — batch-vs-(index ∪ batch), never existing-vs-
+    // existing. Union-replay oracle: the output must equal the flat
+    // pairsWithin1 over ALL customers (shares q_text_editjoin's SQL
+    // verbatim), which is the family's restriction-equality contract.
+    "q_text_editjoin_inc" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val existing = c.filter(col("c_custkey") % 2 === 0)
+      val incoming = c.filter(col("c_custkey") % 2 === 1)
+      val idx = graft.ops.EditJoin.variantIndex(existing, "c_custkey", "c_name")
+      val stored = graft.ops.EditJoin.pairsWithin1(existing, "c_custkey", "c_name")
+      graft.ops.EditJoin.incrementalPairsWithin1(idx, stored, incoming,
+          "c_custkey", "c_name")
+        .orderBy("id1", "id2")
+    }),
+
+    // Incremental sorted-neighborhood (r13 verdict item 4b): the
+    // odd-custkey batch rank-merges into the even-custkey corpus's
+    // stored ranked state — boundary routing + touched-pid local windows
+    // + broadcast offsets, NO global re-rank (the whole-corpus sort
+    // never re-runs); stored pairs re-gap (insertions can evict them
+    // from the window), new pairs come from a banded incoming-vs-all
+    // rank join. Union-replay oracle: equals pairs(all customers, 5) —
+    // shares q_dedup_sorted_block's SQL verbatim.
+    "q_dedup_sorted_block_inc" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val existing = c.filter(col("c_custkey") % 2 === 0)
+      val incoming = c.filter(col("c_custkey") % 2 === 1)
+      val state = graft.ops.SortedNeighborhood.rankedState(existing,
+        "c_custkey", "c_name")
+      val stored = graft.ops.SortedNeighborhood.pairs(existing,
+        "c_custkey", "c_name", 5)
+      graft.ops.SortedNeighborhood.incrementalPairs(state, stored, incoming,
+          "c_custkey", "c_name", 5)
+        .orderBy("id1", "id2")
+    }),
+
+    // Multi-pass sorted neighborhood (r13 verdict item 6): a second
+    // blocking pass on the REVERSED name catches near-misses that
+    // diverge in the first character (invisible to a prefix-sorted
+    // window — the standard SN recall repair); candidate union, dedup on
+    // the unordered pair, n_passes in-band. SortedNeighborhoodSpec pins
+    // a fixture where a prefix-divergent near-miss is caught ONLY by
+    // pass 2.
+    "q_dedup_sorted_block2" -> ((s, d) =>
+      graft.ops.SortedNeighborhood.pairsMultiKey(
+          Tables.customer(s, d).withColumn("rname", reverse(col("c_name"))),
+          "c_custkey", Seq("c_name", "rname"), 5)
+        .orderBy("id1", "id2")),
+
     // Semi-structured extraction: pull a typed field out of a JSON props
     // column at scan time and aggregate on it — the schema-on-read path
     // for event payloads (get_json_object is codegen'd; at 100 TB the
@@ -1546,6 +1619,53 @@ object AnalyticsQueries {
         .orderBy("source")),
   )
 
+  /** Flat FastSS k=1 join over the whole customer table — shared
+    * verbatim by the batch face and the incremental union-replay face. */
+  private val editJoinFlatSql: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE length(c_name) > 0),
+      |vars AS MATERIALIZED (
+      |  SELECT id, s, unnest(list_distinct(list_prepend(s,
+      |    list_transform(range(1, length(s) + 1),
+      |      i -> substr(s, 1, CAST(i - 1 AS INT)) || substr(s, CAST(i + 1 AS INT)))))) AS v
+      |  FROM c),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+      |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(s1, s2) <= 1
+      |ORDER BY id1, id2""".stripMargin
+
+  /** The depth-≤2 deletion neighborhood of a column `s` as a DuckDB list
+    * expression (mirrors EditJoin.variants2Expr; DuckDB's range is empty
+    * when start ≥ stop, so no descending-sequence guard is needed). */
+  private val editJoin2VariantsDuck: String =
+    // NOTE: this fragment is interpolated into s-strings that call
+    // stripMargin AGAIN, so no line may BEGIN with '|' ('||' would lose
+    // a pipe and become the bitwise-or operator) — concatenation pipes
+    // stay at line ENDS
+    """list_distinct(list_concat(list_concat(
+      |    [s],
+      |    list_transform(range(1, length(s) + 1),
+      |      i -> substr(s, 1, CAST(i - 1 AS INT)) || substr(s, CAST(i + 1 AS INT)))),
+      |    flatten(list_transform(range(1, length(s)), i ->
+      |      list_transform(range(i + 1, length(s) + 1), j ->
+      |        substr(s, 1, CAST(i - 1 AS INT)) ||
+      |          substr(s, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
+      |          substr(s, CAST(j + 1 AS INT)))))))""".stripMargin
+
+  /** Flat sorted-neighborhood blocking (w = 5) over the whole customer
+    * table — shared verbatim by the batch face and the incremental
+    * rank-merge face. */
+  private val sortedBlockFlatSql: String =
+    """WITH r AS MATERIALIZED (
+      |  SELECT c_custkey AS id,
+      |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS BIGINT) AS rk
+      |  FROM customer)
+      |SELECT a.id AS id1, b.id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap
+      |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+      |ORDER BY id1, id2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_events_quantile" -> graft.ops.QuantileSketch.flatSql("events",
       "event_type", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
@@ -2083,20 +2203,50 @@ object AnalyticsQueries {
     // is empty for start == stop, matching the engine's length > 0
     // guard; list_distinct mirrors array_union's dedup — candidate
     // DISTINCT makes both folds equivalent anyway)
-    "q_text_editjoin" ->
-      """WITH c AS MATERIALIZED (
-        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE length(c_name) > 0),
-        |vars AS MATERIALIZED (
-        |  SELECT id, s, unnest(list_distinct(list_prepend(s,
-        |    list_transform(range(1, length(s) + 1),
-        |      i -> substr(s, 1, CAST(i - 1 AS INT)) || substr(s, CAST(i + 1 AS INT)))))) AS v
-        |  FROM c),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
-        |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
-        |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(s1, s2) <= 1
-        |ORDER BY id1, id2""".stripMargin,
+    "q_text_editjoin" -> editJoinFlatSql,
+    // union-replay contract: the incremental face must EQUAL the flat
+    // join over the whole table — same SQL verbatim
+    "q_text_editjoin_inc" -> editJoinFlatSql,
+
+    // depth-≤2 neighborhood in DuckDB (range(a, b) is EMPTY when a ≥ b,
+    // so the 2-deletion inner ranges need no length guard — unlike
+    // Spark's descending sequence, documented at EditJoin.variants2Expr)
+    "q_text_editjoin2" ->
+      s"""WITH c AS MATERIALIZED (
+         |  SELECT c_custkey AS id, c_name AS s FROM customer
+         |  WHERE length(c_name) > 0 AND c_custkey <= 4000),
+         |vars AS MATERIALIZED (
+         |  SELECT id, s, unnest($editJoin2VariantsDuck) AS v
+         |  FROM c),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
+         |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+         |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(s1, s2) <= 2
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_text_editjoin2_grouped" ->
+      s"""WITH c AS MATERIALIZED (
+         |  SELECT c_custkey AS id, c_name AS s FROM customer
+         |  WHERE length(c_name) > 0 AND c_custkey <= 4000),
+         |g AS MATERIALIZED (
+         |  SELECT s, min(id) AS rep, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY s),
+         |vars AS MATERIALIZED (
+         |  SELECT rep, s, unnest($editJoin2VariantsDuck) AS v
+         |  FROM g),
+         |cand AS (
+         |  SELECT DISTINCT a.rep AS rep1, b.rep AS rep2, a.s AS s1, b.s AS s2
+         |  FROM vars a JOIN vars b ON a.v = b.v AND a.rep < b.rep),
+         |inter AS (
+         |  SELECT rep1, rep2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+         |  FROM cand WHERE levenshtein(s1, s2) <= 2)
+         |SELECT rep AS rep1, rep AS rep2, CAST(0 AS BIGINT) AS dist,
+         |  n * (n - 1) // 2 AS n_pairs
+         |FROM g WHERE n > 1
+         |UNION ALL
+         |SELECT i.rep1, i.rep2, i.dist, g1.n * g2.n AS n_pairs
+         |FROM inter i JOIN g g1 ON g1.rep = i.rep1 JOIN g g2 ON g2.rep = i.rep2
+         |ORDER BY rep1, rep2""".stripMargin,
 
     // grouped twin: same blocking over DISTINCT names, multiplicities
     // from the group sizes; rep1 = rep2 rows carry the intra-group
@@ -2127,13 +2277,30 @@ object AnalyticsQueries {
 
     // flat global rank + banded self-join — the window-of-5 neighborhood
     // spelled directly (DuckDB's IEJoin handles the rank-range predicate)
-    "q_dedup_sorted_block" ->
-      """WITH r AS MATERIALIZED (
+    "q_dedup_sorted_block" -> sortedBlockFlatSql,
+    // union-replay contract: the rank-merge face must EQUAL the flat
+    // two-pass-free blocking over the whole table — same SQL verbatim
+    "q_dedup_sorted_block_inc" -> sortedBlockFlatSql,
+
+    // two independent rank passes (name; reversed name), candidate
+    // union, dedup on the unordered id pair with the pass count in-band
+    "q_dedup_sorted_block2" ->
+      """WITH r1 AS MATERIALIZED (
         |  SELECT c_custkey AS id,
         |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS BIGINT) AS rk
-        |  FROM customer)
-        |SELECT a.id AS id1, b.id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap
-        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+        |  FROM customer),
+        |r2 AS MATERIALIZED (
+        |  SELECT c_custkey AS id,
+        |    CAST(row_number() OVER (ORDER BY reverse(c_name), c_custkey) - 1 AS BIGINT) AS rk
+        |  FROM customer),
+        |u AS (
+        |  SELECT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2
+        |  FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + 4
+        |  UNION ALL
+        |  SELECT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2
+        |  FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + 4)
+        |SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_passes
+        |FROM u GROUP BY id1, id2
         |ORDER BY id1, id2""".stripMargin,
 
     "q_events_json" ->

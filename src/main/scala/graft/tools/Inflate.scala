@@ -552,7 +552,8 @@ object SkewScale {
     // distance-0 pair, so the true output is quadratic in the duplicate
     // count — the winnow-family regime, priced honestly (exact dedup
     // first is the pipeline's documented answer, not a cap).
-    if (Seq("editjoin", "editjoin_grouped", "sorted_block").exists(want)) {
+    if (Seq("editjoin", "editjoin_grouped", "sorted_block",
+        "editjoin2").exists(want)) {
       val cust = graft.core.Tables.customer(spark, sfDir)
         .select("c_custkey")
       val cbase = cust.agg(max(col("c_custkey"))).first().getLong(0) + 1L
@@ -588,6 +589,22 @@ object SkewScale {
         def snb(df: DataFrame): DataFrame =
           graft.ops.SortedNeighborhood.pairs(df, "c_custkey", "c_name", 5)
         report("sorted_block", time2(snb(cU)), time2(snb(cS)))
+      }
+      // k=2 blocking at scale: SPARSE serials (×37) keep true distance-2
+      // pairs rare, so the row prices the blocking machinery (the L²/2
+      // variant fan-out, the bucket join, the verify) rather than a
+      // dense-lattice quadratic OUTPUT — the dense regime is the catalog
+      // face's job (capped serial prefix) and the duplicate regime is the
+      // grouped twin's. The skew twin collapses 1-in-hotEvery names, so
+      // run it with hotEvery ≥ ~200 to keep the true C(n,2) mass bounded.
+      if (want("editjoin2")) {
+        def sparse(df: DataFrame): DataFrame = df.withColumn("c_name",
+          when(col("c_name") === "Customer#000000000", col("c_name"))
+            .otherwise(format_string("Customer#%09d", col("c_custkey") * 37)))
+        def ej2(df: DataFrame): DataFrame =
+          graft.ops.EditJoin.pairsWithin2(sparse(df), "c_custkey", "c_name",
+            maxCandidates = Long.MaxValue) // the sweep prices, never refuses
+        report("editjoin2", time2(ej2(cU)), time2(ej2(cS)))
       }
     }
 

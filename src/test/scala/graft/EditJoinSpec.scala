@@ -71,6 +71,88 @@ class EditJoinSpec extends SparkSpec {
     assert(rep.size < rows.size) // the fixture really has duplicates
   }
 
+  test("k=2 blocked join == brute-force all-pairs at distance <= 2") {
+    // every distance-2 edit class: 2 substitutions, 2 insertions,
+    // 2 deletions, sub+ins, sub+del, ins+del at different spots; plus
+    // distance-3 pairs that SHARE depth-2 variants (must be rejected by
+    // the verify) and 1-char strings whose only shared variant is the
+    // EMPTY string (kept by design — dropping "" would lose them)
+    val rows = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "sittin", 4L -> "bitten",
+      5L -> "kit", 6L -> "kitt", 7L -> "kittenxy", 8L -> "itten",
+      9L -> "ktten", 10L -> "tten", 11L -> "skitten", 12L -> "sitteng",
+      13L -> "a", 14L -> "b", 15L -> "ab", 16L -> "ba", 17L -> "xy",
+      18L -> "orange", 19L -> "oranges", 20L -> "ranger")
+    val blocked = EditJoin.pairsWithin2(rows.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      d = lev(a, b) if d <= 2
+    } yield (i, j, d.toLong)).toSet
+    assert(blocked == brute,
+      s"extra=${blocked -- brute} missing=${brute -- blocked}")
+    // the fixture really exercises all three distances and rejects far pairs
+    assert(Seq(0L, 1L, 2L).forall(d => brute.exists(_._3 == d) || d == 0L))
+    assert(brute.exists(_._3 == 2L))
+    assert(brute.size < rows.combinations(2).size)
+    // the empty-variant path really fired: ("a","b") is distance 1 via
+    // substitution but shares ONLY "" as a deletion variant
+    assert(blocked.contains((13L, 14L, 1L)))
+  }
+
+  test("k=2 grouped twin conserves the exploded pair mass exactly") {
+    val rows = Seq(
+      1L -> "kitten", 2L -> "kitten", 3L -> "sittin", 4L -> "sitten",
+      5L -> "appl", 6L -> "appl", 7L -> "apple", 8L -> "applesx",
+      9L -> "orange")
+    val df = rows.toDF("id", "s")
+    val exploded = EditJoin.pairsWithin2(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val grouped = EditJoin.pairsWithin2Grouped(df, "id", "s")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(grouped.map(_._3).sum == exploded.length)
+    val repOf = rows.toMap.map { case (id, s) =>
+      id -> rows.filter(_._2 == s).map(_._1).min }
+    val rekeyed = exploded.groupBy { case (i, j, _) =>
+      val (a, b) = (repOf(i), repOf(j)); (math.min(a, b), math.max(a, b)) }
+      .map { case (k, v) => (k, v.length.toLong) }
+    val groupedMap = grouped.map { case (k, _, np) => (k, np) }.toMap
+    assert(rekeyed == groupedMap)
+  }
+
+  test("k=2 budget guard refuses past maxCandidates with guidance") {
+    val rows = (1L to 60L).map(i => i -> f"serial$i%04d")
+    val e = intercept[IllegalArgumentException] {
+      EditJoin.pairsWithin2(rows.toDF("id", "s"), "id", "s",
+        maxCandidates = 10L)
+    }
+    assert(e.getMessage.contains("pairsWithin2") &&
+      e.getMessage.contains("budget"))
+  }
+
+  test("incremental join over stored index == batch join over the union") {
+    // odd ids arrive as the batch; the stored state is the evens' variant
+    // index + pairs. Includes cross-side pairs (kitten/sitten split) and
+    // batch-internal pairs (appl/apple both odd)
+    val rows = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "appl", 4L -> "kitte",
+      5L -> "apple", 6L -> "orange", 7L -> "orangs", 8L -> "kitten",
+      9L -> "aaa", 10L -> "aba")
+    val df = rows.toDF("id", "s")
+    val existing = df.filter(col("id") % 2 === 0)
+    val incoming = df.filter(col("id") % 2 === 1)
+    val idx = EditJoin.variantIndex(existing, "id", "s")
+    val stored = EditJoin.pairsWithin1(existing, "id", "s")
+    val inc = EditJoin.incrementalPairsWithin1(idx, stored, incoming, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EditJoin.pairsWithin1(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == batch, s"extra=${inc -- batch} missing=${batch -- inc}")
+    // the fixture exercises cross-side AND batch-internal pairs
+    assert(batch.exists { case (a, b, _) => a % 2 != b % 2 })
+    assert(batch.exists { case (a, b, _) => a % 2 == 1 && b % 2 == 1 })
+  }
+
   test("bucket sizes are structurally bounded — a shared-prefix corpus stays banded") {
     // 400 zero-padded serials (the customer-name shape): every deletion
     // variant bucket must stay under (L+1)*|alphabet|+1 even though all

@@ -29,4 +29,52 @@ class SortedNeighborhoodSpec extends SparkSpec {
     } yield (sorted(i), sorted(i + g), g.toLong)).toSet
     assert(blocked == brute && blocked.nonEmpty)
   }
+
+  test("incremental rank-merge == batch pairs over the union (no global re-rank)") {
+    // every 3rd row arrives as the batch — insertions land inside stored
+    // neighborhoods (evicting stored pairs from the window), between
+    // them, AND before the smallest stored key (the minPid fallback)
+    // ids divisible by 3 so the before-all-keys rows land in the BATCH
+    // and exercise the minPid routing fallback
+    val all = rows :+ (9000L, "aaaaa") :+ (9003L, "aab")
+    val df = all.toDF("id", "k")
+    val existing = df.filter(col("id") % 3 =!= 0L)
+    val incoming = df.filter(col("id") % 3 === 0L)
+    val state = SortedNeighborhood.rankedState(
+      existing.repartition(11), "id", "k")
+    val stored = SortedNeighborhood.pairs(existing, "id", "k", 4)
+    val inc = SortedNeighborhood
+      .incrementalPairs(state, stored, incoming, "id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SortedNeighborhood.pairs(df, "id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == batch, s"extra=${inc -- batch} missing=${batch -- inc}")
+    // the merge really changed stored gaps: some stored pair is evicted
+    val storedSet = stored.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedSet.exists { case (a, b) => !batch.exists(p =>
+      p._1 == a && p._2 == b) })
+  }
+
+  test("multi-pass: a prefix-divergent near-miss is caught ONLY by pass 2") {
+    // asmith_0099 / zsmith_0099 differ in char 1 — 30 filler names sort
+    // BETWEEN them (pass-1 window can never bridge) — but their REVERSED
+    // strings share the long suffix and sit adjacent in pass 2
+    val fillers = (1L to 30L).map(i => (i, f"name$i%04d"))
+    val all = fillers :+ (101L, "asmith_0099") :+ (102L, "zsmith_0099")
+    val df = all.toDF("id", "name")
+      .withColumn("rname", reverse(col("name")))
+    val pass1 = SortedNeighborhood.pairs(df, "id", "name", 3)
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pass1.contains((101L, 102L)), "pass 1 should miss the pair")
+    val multi = SortedNeighborhood.pairsMultiKey(df, "id",
+        Seq("name", "rname"), 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(multi.contains((101L, 102L)), "pass 2 must catch the pair")
+    assert(multi((101L, 102L)) == 1L, "caught by exactly one pass")
+    // and a same-prefix adjacent pair is proposed by pass 1 too
+    assert(multi.exists(_._2 == 2L) || multi.size > 1)
+  }
 }
