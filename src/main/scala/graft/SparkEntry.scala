@@ -148,5 +148,9 @@ object SparkEntry {
     // recall repair
     "q_text_editjoin2", "q_text_editjoin2_grouped", "q_text_editjoin_inc",
     "q_dedup_sorted_block_inc", "q_dedup_sorted_block2",
+    // the routed entry point priced next to its exploded twin (the
+    // q_dedup_winnow_auto convention — probe overhead is the delta);
+    // q_sql_* sketch faces stay catalog+verify-only like q_sql_dedup
+    "q_text_editjoin_auto",
   ).filter(queries.contains)
 }

@@ -95,6 +95,41 @@ object EditJoin {
     intra.unionByName(inter)
   }
 
+  /** Duplication ratio (rows / distinct strings) above which
+    * [[pairsWithin1Auto]] routes to the grouped twin — same calibration
+    * as Dedup.WinnowAutoDupRatio (curated corpora sit at ~1.0; the
+    * duplicate-identity regime the route exists for is decades past 2):
+    * below it the exploded relation is at most ~n rows larger than the
+    * grouped one and skips the groupBy + two multiplicity joins; above
+    * it the exploded OUTPUT is quadratic in replicas (the 2.74x sweep
+    * row) while the grouped twin stays bounded in DISTINCT strings. */
+  val AutoDupRatio = 2.0
+
+  /** Single edit-join entry point (the winnowPairsAuto recipe): one
+    * 16 B/row probe aggregate (rows vs distinct strings) picks the
+    * execution. Output is ALWAYS the grouped schema (rep1, rep2, dist,
+    * n_pairs) so the route is invisible to consumers:
+    *  - ratio ≤ [[AutoDupRatio]]: the exploded join runs and each real
+    *    pair is emitted with n_pairs = 1 (ids are raw ids — on
+    *    duplicate-free data this IS the grouped relation, the
+    *    conservation law EditJoinSpec pins);
+    *  - ratio above: [[pairsWithin1Grouped]] — duplicate families
+    *    collapse to min-id representatives with exact multiplicities,
+    *    and the replica-quadratic output never exists. */
+  def pairsWithin1Auto(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val st = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+    val probe = st.agg(count(lit(1)).as("n"),
+      count_distinct(col("s")).as("nd")).head()
+    val (n, nd) = (probe.getLong(0), probe.getLong(1))
+    if (nd > 0 && n.toDouble / nd > AutoDupRatio)
+      pairsWithin1Grouped(df, idCol, strCol)
+    else
+      pairsWithin1(df, idCol, strCol)
+        .select(col("id1").as("rep1"), col("id2").as("rep2"),
+          col("dist"), lit(1L).as("n_pairs"))
+  }
+
   /** The depth-1 deletion-variant relation (id, s, v) — the BLOCKING
     * INDEX of [[pairsWithin1]], exposed so an ingest pipeline can store
     * it and join only incoming batches against it

@@ -1011,6 +1011,17 @@ object AnalyticsQueries {
         .orderBy("id1", "id2")
     }),
 
+    // Auto-routed edit join (r13 verdict stretch item 8): one 16 B/row
+    // duplication probe (rows vs distinct names) picks exploded vs
+    // grouped execution; output is always the grouped schema, so the
+    // route is invisible downstream. Customer names are duplicate-free
+    // (ratio 1.0) → the exploded path runs here with n_pairs = 1; the
+    // grouped branch fires on duplicate-heavy corpora (spec-pinned).
+    "q_text_editjoin_auto" -> ((s, d) =>
+      graft.ops.EditJoin.pairsWithin1Auto(Tables.customer(s, d),
+          "c_custkey", "c_name")
+        .orderBy("rep1", "rep2")),
+
     // Multi-pass sorted neighborhood (r13 verdict item 6): a second
     // blocking pass on the REVERSED name catches near-misses that
     // diverge in the first character (invisible to a prefix-sorted
@@ -1619,9 +1630,10 @@ object AnalyticsQueries {
         .orderBy("source")),
   )
 
-  /** Flat FastSS k=1 join over the whole customer table — shared
-    * verbatim by the batch face and the incremental union-replay face. */
-  private val editJoinFlatSql: String =
+  /** Flat FastSS k=1 blocking CTEs over the whole customer table —
+    * shared by the batch face, the incremental union-replay face, and
+    * the auto-route face (which relabels to the grouped schema). */
+  private val editJoinFlatBody: String =
     """WITH c AS MATERIALIZED (
       |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE length(c_name) > 0),
       |vars AS MATERIALIZED (
@@ -1631,10 +1643,13 @@ object AnalyticsQueries {
       |  FROM c),
       |cand AS (
       |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
-      |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
-      |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
-      |FROM cand WHERE levenshtein(s1, s2) <= 1
-      |ORDER BY id1, id2""".stripMargin
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)""".stripMargin
+
+  private val editJoinFlatSql: String =
+    s"""$editJoinFlatBody
+       |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(s1, s2) <= 1
+       |ORDER BY id1, id2""".stripMargin
 
   /** The depth-≤2 deletion neighborhood of a column `s` as a DuckDB list
     * expression (mirrors EditJoin.variants2Expr; DuckDB's range is empty
@@ -2207,6 +2222,18 @@ object AnalyticsQueries {
     // union-replay contract: the incremental face must EQUAL the flat
     // join over the whole table — same SQL verbatim
     "q_text_editjoin_inc" -> editJoinFlatSql,
+    // the auto route picks the exploded path on every non-degenerate
+    // corpus (customer names are duplicate-free, ratio 1.0), emitted in
+    // the grouped schema with n_pairs = 1 — the winnowPairsAuto proof
+    // shape; the routed (grouped) branch is pinned by an EditJoinSpec
+    // duplicate-heavy fixture
+    "q_text_editjoin_auto" ->
+      s"""$editJoinFlatBody
+         |SELECT id1 AS rep1, id2 AS rep2,
+         |  CAST(levenshtein(s1, s2) AS BIGINT) AS dist,
+         |  CAST(1 AS BIGINT) AS n_pairs
+         |FROM cand WHERE levenshtein(s1, s2) <= 1
+         |ORDER BY rep1, rep2""".stripMargin,
 
     // depth-≤2 neighborhood in DuckDB (range(a, b) is EMPTY when a ≥ b,
     // so the 2-deletion inner ranges need no length guard — unlike

@@ -499,6 +499,98 @@ object RelQueries {
       mgProbeFace(mg, keys.select("grp", "k"))
     }),
 
+    // ---- pure-SQL sketch surface (r13 verdict stretch item 9, the
+    // q_sql_dedup pattern): each face composes a whole sketch pipeline —
+    // partial build, merge, probe/estimate, law check — in ONE spark.sql
+    // statement over the single-sourced ops constants, and shares the
+    // corresponding Column-API face's DuckDB oracle verbatim. A SQL-only
+    // user gets the same telemetry engine; the ops objects remain the
+    // scale surface (e.g. the MG SQL spells the top-(K+1) cut as a rank
+    // window — the didactic plan — where the Column API rides the
+    // bounded-heap TopKPerKey operator). ----
+
+    // CMS merge face in one statement: per-(flag, status) cells summed
+    // to per-flag (bit-exact by linearity), probed at the k % 50 lattice
+    "q_sql_cms" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      val stack = (0 until CountMin.Depth)
+        .map(i => s"$i, ${CountMin.cellExpr("k", i)}")
+        .mkString(s"stack(${CountMin.Depth}, ", ", ", ") AS (r, c)")
+      s.sql(
+        s"""WITH keys AS (
+           |  SELECT l_returnflag AS grp, l_linestatus, CAST(l_partkey AS BIGINT) AS k
+           |  FROM graft_lineitem),
+           |parts AS (
+           |  SELECT grp, l_linestatus, r, c, count(1) AS cnt FROM (
+           |    SELECT grp, l_linestatus, $stack FROM keys)
+           |  GROUP BY grp, l_linestatus, r, c),
+           |cells AS (SELECT grp, r, c, sum(cnt) AS cnt FROM parts GROUP BY grp, r, c),
+           |probes AS (SELECT DISTINCT grp, k FROM keys WHERE k % 50 = 0),
+           |pcells AS (SELECT grp, k, $stack FROM probes),
+           |est AS (
+           |  SELECT p.grp, p.k, min(t.cnt) AS est
+           |  FROM pcells p JOIN cells t ON p.grp = t.grp AND p.r = t.r AND p.c = t.c
+           |  GROUP BY p.grp, p.k),
+           |exact AS (SELECT grp, k, count(1) AS exact_cnt FROM keys GROUP BY grp, k)
+           |SELECT e.grp, e.k, e.est, x.exact_cnt, e.est >= x.exact_cnt AS no_underest
+           |FROM est e JOIN exact x ON e.grp = x.grp AND e.k = x.k
+           |ORDER BY e.grp, e.k""".stripMargin)
+    }),
+
+    // HLL flat face in one statement (register algebra from ops.Hll)
+    "q_sql_hll" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        s"""WITH hashed AS (
+           |  SELECT l_returnflag, ${Hll.hashSql("l_partkey")} AS h FROM graft_lineitem),
+           |regs AS (
+           |  SELECT l_returnflag, h % ${Hll.M} AS bkt,
+           |    max(CASE WHEN h div ${Hll.M} = 0 THEN ${Hll.EmptyLow}
+           |             ELSE (h div ${Hll.M}) & -(h div ${Hll.M}) END) AS mlow
+           |  FROM hashed GROUP BY 1, 2)
+           |SELECT l_returnflag,
+           |  ${Hll.AlphaM2KSql} / CAST(CAST(sum(${Hll.K} div (2 * mlow)) AS BIGINT)
+           |    + (${Hll.M} - count(1)) * ${Hll.K} AS DOUBLE) AS apx_parts
+           |FROM regs GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // MG merge face in one statement (counts → (K+1)-th-largest cut →
+    // counter-join merge → second cut → two-sided law)
+    "q_sql_mg" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      val k1 = MisraGries.K + 1
+      s.sql(
+        s"""WITH keys AS (
+           |  SELECT l_returnflag AS grp, l_linestatus AS batch, $mgKey AS k
+           |  FROM graft_lineitem),
+           |cnts AS (SELECT grp, batch, k, count(1) AS cnt FROM keys GROUP BY grp, batch, k),
+           |rk AS (SELECT grp, batch, k, cnt,
+           |  row_number() OVER (PARTITION BY grp, batch ORDER BY cnt DESC, k) AS rn
+           |  FROM cnts),
+           |doff AS (SELECT grp, batch,
+           |  coalesce(max(CASE WHEN rn = $k1 THEN cnt END), CAST(0 AS BIGINT)) AS d
+           |  FROM rk GROUP BY grp, batch),
+           |summ AS (SELECT r.grp, r.k, r.cnt - o.d AS est
+           |  FROM rk r JOIN doff o ON r.grp = o.grp AND r.batch = o.batch
+           |  WHERE r.cnt > o.d),
+           |comb AS (SELECT grp, k, sum(est) AS cnt FROM summ GROUP BY grp, k),
+           |rk2 AS (SELECT grp, k, cnt,
+           |  row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, k) AS rn FROM comb),
+           |doff2 AS (SELECT grp,
+           |  coalesce(max(CASE WHEN rn = $k1 THEN cnt END), CAST(0 AS BIGINT)) AS d
+           |  FROM rk2 GROUP BY grp),
+           |mg AS (SELECT r.grp, r.k, r.cnt - o.d AS est
+           |  FROM rk2 r JOIN doff2 o ON r.grp = o.grp WHERE r.cnt > o.d),
+           |exact AS (SELECT grp, k, count(1) AS exact_cnt FROM keys GROUP BY grp, k),
+           |tot AS (SELECT grp, count(1) AS n FROM keys GROUP BY grp)
+           |SELECT m.grp, m.k, m.est, e.exact_cnt, t.n,
+           |  (m.est <= e.exact_cnt AND (e.exact_cnt - m.est) * $k1 <= t.n) AS in_band
+           |FROM mg m JOIN exact e ON m.grp = e.grp AND m.k = e.k
+           |JOIN tot t ON m.grp = t.grp
+           |ORDER BY m.grp, m.k""".stripMargin)
+    }),
+
     // ---- filters / projections (SURVEY §2.2) ----
     // P5/P6 range predicates + column pruning
     "q_filter_range" -> ((s, d) =>
@@ -1130,6 +1222,11 @@ object RelQueries {
     // cube's batch key is flag||status at BOTH levels so the ALL level
     // merges the same six per-(flag, status) partials the engine rolls up
     "q_agg_mg_merge" -> mgSql(mgFlagKeys),
+    // the SQL-surface faces must reproduce the Column-API pipelines
+    // exactly, so they share those faces' oracles (q_sql_dedup pattern)
+    "q_sql_cms" -> cmsSql(cmsFlagKeys),
+    "q_sql_hll" -> hllFlatSql,
+    "q_sql_mg" -> mgSql(mgFlagKeys),
     "q_agg_mg_inc" -> mgSql(
       s"SELECT l_returnflag AS grp, l_orderkey % 2 AS batch, $mgKey AS k FROM lineitem"),
     "q_agg_mg_cube" -> mgSql(

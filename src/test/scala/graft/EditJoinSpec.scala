@@ -153,6 +153,28 @@ class EditJoinSpec extends SparkSpec {
     assert(batch.exists { case (a, b, _) => a % 2 == 1 && b % 2 == 1 })
   }
 
+  test("auto route: dup-free stays exploded (n_pairs=1), heavy dup collapses") {
+    // dup-free: ratio 1.0 → exploded path, every row n_pairs = 1, raw ids
+    val dupFree = Seq(1L -> "kitten", 2L -> "sitten", 3L -> "apple",
+      4L -> "appl")
+    val a1 = EditJoin.pairsWithin1Auto(dupFree.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a1.nonEmpty && a1.forall(_._4 == 1L))
+    assert(a1.map(t => (t._1, t._2, t._3)).toSet ==
+      EditJoin.pairsWithin1(dupFree.toDF("id", "s"), "id", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // 27 replicas of one identity (ratio 30/4 > 2) → grouped path: the
+    // family collapses to ONE intra row carrying the C(27,2) mass
+    val heavy = (1L to 27L).map(_ -> "kitten") ++
+      Seq(28L -> "sitten", 29L -> "apple", 30L -> "orange")
+    val a2 = EditJoin.pairsWithin1Auto(
+        heavy.map { case (i, s) => (i, s) }.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a2.contains((1L, 1L, 0L, 27L * 26 / 2)),
+      s"collapsed intra row missing in ${a2.toSeq}")
+    assert(a2.contains((1L, 28L, 1L, 27L))) // inter multiplicity n1*n2
+  }
+
   test("bucket sizes are structurally bounded — a shared-prefix corpus stays banded") {
     // 400 zero-padded serials (the customer-name shape): every deletion
     // variant bucket must stay under (L+1)*|alphabet|+1 even though all
