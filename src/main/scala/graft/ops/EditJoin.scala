@@ -177,11 +177,44 @@ object EditJoin {
     * The union-replay oracle (q_text_editjoin_inc) checks the equality
     * literally. */
   def incrementalPairsWithin1(existingIndex: DataFrame, storedPairs: DataFrame,
-      incoming: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val inc = variantIndex(incoming, idCol, strCol)
+      incoming: DataFrame, idCol: String, strCol: String): DataFrame =
+    incrementalFromIndex(existingIndex, storedPairs,
+      variantIndex(incoming, idCol, strCol), maxDist = 1)
+
+  /** The depth-≤2 variant relation (id, s, v) — [[pairsWithin2]]'s
+    * blocking index, exposed as stored state for
+    * [[incrementalPairsWithin2]] (the [[variantIndex]] convention). */
+  def variant2Index(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
+      .select(col("id"), col("s"), explode(expr(variants2Expr("s"))).as("v"))
+
+  /** Incremental twin of [[pairsWithin2]]: same contract as
+    * [[incrementalPairsWithin1]] with the stored state being the
+    * depth-≤2 index — a qualifying new pair shares a depth-≤2 variant
+    * with its incoming member, so batch-vs-(index ∪ batch) loses no
+    * edge. No budget guard here: the stored index was built under
+    * [[pairsWithin2]]'s guard, and the batch side's fan-out is the
+    * caller's per-batch sizing (spec pins equality with the batch run
+    * over the union). */
+  def incrementalPairsWithin2(existingIndex: DataFrame, storedPairs: DataFrame,
+      incoming: DataFrame, idCol: String, strCol: String): DataFrame =
+    incrementalFromIndex(existingIndex, storedPairs,
+      variant2Index(incoming, idCol, strCol), maxDist = 2)
+
+  /** Shared incremental protocol of the two edit-join depths: the batch
+    * index joins against index ∪ batch, pairs orient by id (strings
+    * swap with them), candidate DISTINCT, exact verify at `maxDist`,
+    * union with the stored pairs (disjoint by construction: stored
+    * pairs are existing-existing, new pairs touch ≥ 1 incoming id). */
+  private def incrementalFromIndex(existingIndex: DataFrame,
+      storedPairs: DataFrame, incIndex: DataFrame, maxDist: Int): DataFrame = {
     val all = existingIndex.select("id", "s", "v")
-      .unionByName(inc.select("id", "s", "v"))
-    val joined = inc.select(col("id").as("ia"), col("s").as("sa"), col("v"))
+      .unionByName(incIndex.select("id", "s", "v"))
+    val joined = incIndex
+      .select(col("id").as("ia"), col("s").as("sa"), col("v"))
       .join(all.select(col("id").as("ib"), col("s").as("sb"), col("v")), Seq("v"))
       .filter(col("ia") =!= col("ib"))
     val newPairs = joined
@@ -191,11 +224,9 @@ object EditJoin {
         when(col("ia") < col("ib"), col("sa")).otherwise(col("sb")).as("s1"),
         when(col("ia") < col("ib"), col("sb")).otherwise(col("sa")).as("s2"))
       .distinct()
-      .filter(expr("levenshtein(s1, s2) <= 1"))
+      .filter(expr(s"levenshtein(s1, s2) <= $maxDist"))
       .select(col("id1"), col("id2"),
         expr("CAST(levenshtein(s1, s2) AS BIGINT)").as("dist"))
-    // disjoint by construction: stored pairs are existing-existing, new
-    // pairs touch >= 1 incoming id
     storedPairs.unionByName(newPairs)
   }
 

@@ -990,6 +990,22 @@ object AnalyticsQueries {
         .orderBy("id1", "id2")
     }),
 
+    // k=2 incremental twin over the stored depth-≤2 index — the same
+    // union-replay contract at distance 2 (shares q_text_editjoin2's
+    // flat SQL verbatim); catalog+verify-only (the editjoin2 family
+    // already holds three bench seats — an isolated band is recorded in
+    // BASELINE instead, the ktruss-dense precedent)
+    "q_text_editjoin2_inc" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 4000)
+      val existing = c.filter(col("c_custkey") % 2 === 0)
+      val incoming = c.filter(col("c_custkey") % 2 === 1)
+      val idx = graft.ops.EditJoin.variant2Index(existing, "c_custkey", "c_name")
+      val stored = graft.ops.EditJoin.pairsWithin2(existing, "c_custkey", "c_name")
+      graft.ops.EditJoin.incrementalPairsWithin2(idx, stored, incoming,
+          "c_custkey", "c_name")
+        .orderBy("id1", "id2")
+    }),
+
     // Incremental sorted-neighborhood (r13 verdict item 4b): the
     // odd-custkey batch rank-merges into the even-custkey corpus's
     // stored ranked state — boundary routing + touched-pid local windows
@@ -1669,6 +1685,22 @@ object AnalyticsQueries {
       |          substr(s, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
       |          substr(s, CAST(j + 1 AS INT)))))))""".stripMargin
 
+  /** Flat FastSS k=2 join over the capped serial prefix — shared
+    * verbatim by the batch face and the incremental union-replay face. */
+  private val editJoin2FlatSql: String =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT c_custkey AS id, c_name AS s FROM customer
+       |  WHERE length(c_name) > 0 AND c_custkey <= 4000),
+       |vars AS MATERIALIZED (
+       |  SELECT id, s, unnest($editJoin2VariantsDuck) AS v
+       |  FROM c),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
+       |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+       |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(s1, s2) <= 2
+       |ORDER BY id1, id2""".stripMargin
+
   /** Flat sorted-neighborhood blocking (w = 5) over the whole customer
     * table — shared verbatim by the batch face and the incremental
     * rank-merge face. */
@@ -2238,19 +2270,9 @@ object AnalyticsQueries {
     // depth-≤2 neighborhood in DuckDB (range(a, b) is EMPTY when a ≥ b,
     // so the 2-deletion inner ranges need no length guard — unlike
     // Spark's descending sequence, documented at EditJoin.variants2Expr)
-    "q_text_editjoin2" ->
-      s"""WITH c AS MATERIALIZED (
-         |  SELECT c_custkey AS id, c_name AS s FROM customer
-         |  WHERE length(c_name) > 0 AND c_custkey <= 4000),
-         |vars AS MATERIALIZED (
-         |  SELECT id, s, unnest($editJoin2VariantsDuck) AS v
-         |  FROM c),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
-         |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
-         |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
-         |FROM cand WHERE levenshtein(s1, s2) <= 2
-         |ORDER BY id1, id2""".stripMargin,
+    "q_text_editjoin2" -> editJoin2FlatSql,
+    // k=2 union-replay contract: same SQL verbatim
+    "q_text_editjoin2_inc" -> editJoin2FlatSql,
 
     "q_text_editjoin2_grouped" ->
       s"""WITH c AS MATERIALIZED (

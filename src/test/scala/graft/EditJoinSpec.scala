@@ -153,6 +153,25 @@ class EditJoinSpec extends SparkSpec {
     assert(batch.exists { case (a, b, _) => a % 2 == 1 && b % 2 == 1 })
   }
 
+  test("k=2 incremental join over stored depth-2 index == batch join over the union") {
+    val rows = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "appl", 4L -> "kite",
+      5L -> "apple", 6L -> "orange", 7L -> "oran", 8L -> "kitten",
+      9L -> "a", 10L -> "bc")
+    val df = rows.toDF("id", "s")
+    val existing = df.filter(col("id") % 2 === 0)
+    val incoming = df.filter(col("id") % 2 === 1)
+    val idx = EditJoin.variant2Index(existing, "id", "s")
+    val stored = EditJoin.pairsWithin2(existing, "id", "s")
+    val inc = EditJoin.incrementalPairsWithin2(idx, stored, incoming, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EditJoin.pairsWithin2(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == batch, s"extra=${inc -- batch} missing=${batch -- inc}")
+    // distance-2 pairs cross the batch boundary in the fixture
+    assert(batch.exists { case (a, b, d) => d == 2L && a % 2 != b % 2 })
+  }
+
   test("auto route: dup-free stays exploded (n_pairs=1), heavy dup collapses") {
     // dup-free: ratio 1.0 → exploded path, every row n_pairs = 1, raw ids
     val dupFree = Seq(1L -> "kitten", 2L -> "sitten", 3L -> "apple",

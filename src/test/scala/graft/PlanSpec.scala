@@ -347,6 +347,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dedup_sorted_block")
     assert(!p.contains("SinglePartition"), p)
     assert(p.contains("Window"), p) // the pid-local window is still there
+    // the incremental rank-merge face must hold the same guarantee: the
+    // touched-pid local windows and the banded join never serialize
+    val pi = plan("q_dedup_sorted_block_inc")
+    assert(!pi.contains("SinglePartition"), pi)
   }
 
   test("metadata-only multimodal query prunes the binary payload derivation") {
