@@ -100,7 +100,10 @@ object SortedNeighborhood {
     * = their [[pairs]] output), producing the EXACT pair set of
     * `pairs(existing ∪ incoming, w)` — without a global re-rank.
     *
-    * How (all driver collects are ≤ #partitions rows by contract):
+    * How (all driver collects are ≤ #partitions rows by contract; every
+    * corpus-sized relation — state, stored pairs, the merged rank view —
+    * is SCANNED but never SHUFFLED: all joins against them carry a
+    * broadcast batch-derived side):
     *  1. the stored pids' range boundaries (min (sk, id) per pid) are
     *     recovered from the state by one tiny aggregate and broadcast;
     *     each incoming row routes to the pid whose boundary precedes it;
@@ -109,16 +112,27 @@ object SortedNeighborhood {
     *     rank = pid's stored min rank + incoming-in-earlier-pids prefix
     *     + local position − 1, exact because range partitions are
     *     order-contiguous; untouched pids shift by a broadcast offset
-    *     (no recompute, no shuffle of their rows);
+    *     (no recompute, no shuffle of their rows). The same window also
+    *     yields each incoming row's OLD-rank insertion point
+    *     p = r0 + lpos − (running incoming count) — the pid-local
+    *     identity that makes affected-pair detection batch-local;
     *  3. NEW pairs (≥ 1 incoming member) come from a banded rank join of
-    *     the incoming rows' ±(w−1) neighborhoods against the merged
-    *     relation — incoming-vs-all, never existing-vs-existing;
-    *  4. stored pairs re-gap by joining their endpoints' merged ranks
-    *     (insertions can push a stored pair OUT of the window — gap only
-    *     grows); kept pairs and new pairs are disjoint by construction.
+    *     the incoming rows' ±(w−1) neighborhoods BROADCAST against the
+    *     merged relation — incoming-vs-all, never existing-vs-existing;
+    *  4. a stored pair's gap changes ONLY if an insertion lands strictly
+    *     inside its rank interval (ra < p ≤ ra + gap), so the AFFECTED
+    *     id1 candidates are the ≤ |batch|·(w−1) existing ranks in
+    *     [p − (w−1), p) — found by a broadcast banded probe of the
+    *     state, then stored pairs split by a broadcast semi/anti join:
+    *     unaffected pairs pass through VERBATIM (gap unchanged — both
+    *     endpoints shift equally), affected ones re-gap against the
+    *     merged ranks of their (broadcast) endpoint set and drop out of
+    *     the window when the gap grows past w−1.
     *
-    * Per-batch cost: linear in the batch, the touched pids' rows, and
-    * the stored pair relation — the whole-corpus sort never re-runs. */
+    * Per-batch cost: the whole-corpus sort never re-runs, and the only
+    * exchanges are batch-sized — the corpus relations contribute scans
+    * (which a 100 TB deployment prunes by pid/rank range, since every
+    * probe carries its bucket). */
   def incrementalPairs(state: DataFrame, storedPairs: DataFrame,
       incoming: DataFrame, idCol: String, keyCol: String, w: Int): DataFrame = {
     require(w >= 2, "window must cover at least two records")
@@ -154,7 +168,9 @@ object SortedNeighborhood {
       bounds.map { case (p, _, r0) =>
         (p, r0, incPrefix.find(_._1 == p).map(_._2).getOrElse(0L))
       }.toSeq.toDF("pid", "r0", "ip"))
-    // 2. merged ranks: touched pids re-window locally; the rest shift
+    // 2. merged ranks: touched pids re-window locally; the rest shift.
+    // icnt (running incoming count within the pid) gives incoming rows
+    // their old-rank insertion point p = r0 + lpos − icnt (see doc).
     val exTouched = state.filter(col("pid").isin(touched.map(Int.box): _*))
       .select(col("pid"), col("id"), col("sk")).withColumn("is_new", lit(0))
     val incTagged = routed.select(col("pid"), col("id"), col("sk"))
@@ -162,23 +178,27 @@ object SortedNeighborhood {
     val lwin = Window.partitionBy("pid").orderBy("sk", "id")
     val mergedTouched = exTouched.unionByName(incTagged)
       .withColumn("lpos", row_number().over(lwin).cast("long"))
+      .withColumn("icnt", sum("is_new").over(
+        lwin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(metaDf, "pid")
       .select(col("id"), col("sk"),
-        (col("r0") + col("ip") + col("lpos") - 1L).as("rank"), col("is_new"))
+        (col("r0") + col("ip") + col("lpos") - 1L).as("rank"), col("is_new"),
+        (col("r0") + col("lpos") - col("icnt")).as("insp"))
     val untouched = state.filter(!col("pid").isin(touched.map(Int.box): _*))
       .join(metaDf, "pid")
       .select(col("id"), col("sk"), (col("rank") + col("ip")).as("rank"),
-        lit(0).as("is_new"))
+        lit(0).as("is_new"), lit(null).cast("long").as("insp"))
     val merged = mergedTouched.unionByName(untouched)
-      .localCheckpoint(eager = true) // probe + target + re-gap share it
-    // 3. new pairs: banded rank join, incoming-vs-all
+      .localCheckpoint(eager = true) // probe + target + affected share it
+    // 3. new pairs: banded rank join, the batch side broadcast so the
+    // merged relation is scanned, never shuffled
     val probe = merged.filter(col("is_new") === 1)
       .select(col("id").as("iid"), col("rank").as("irank"),
         explode(array(expr(s"rank div $delta - 1"), expr(s"rank div $delta"),
           expr(s"rank div $delta + 1"))).as("b"))
     val target = merged.select(col("id").as("tid"), col("rank").as("trank"),
       expr(s"rank div $delta").as("b"))
-    val newPairs = probe.join(target, Seq("b"))
+    val newPairs = target.join(F.broadcast(probe), Seq("b"))
       .filter(col("trank") =!= col("irank") &&
         F.abs(col("trank") - col("irank")) <= delta)
       .select(
@@ -186,13 +206,37 @@ object SortedNeighborhood {
         when(col("irank") < col("trank"), col("tid")).otherwise(col("iid")).as("id2"),
         F.abs(col("trank") - col("irank")).as("gap"))
       .distinct() // both-incoming pairs are found from each side once
-    // 4. stored pairs re-gap (insertions only ever GROW a stored gap)
-    val ranks = merged.select(col("id"), col("rank"))
-    val kept = storedPairs.select("id1", "id2")
-      .join(ranks.select(col("id").as("id1"), col("rank").as("r1")), Seq("id1"))
-      .join(ranks.select(col("id").as("id2"), col("rank").as("r2")), Seq("id2"))
+    // 4. split stored pairs by the affected-id1 candidate set: existing
+    // OLD ranks in [p − delta, p) for some insertion point p — a
+    // broadcast banded probe of the state (≤ |batch|·delta candidates)
+    val ips = merged.filter(col("is_new") === 1)
+      .select(col("insp").as("p"),
+        explode(array(expr(s"(insp - 1) div $delta"),
+          expr(s"(insp - $delta) div $delta"))).as("b"))
+      .distinct()
+    val affectedA = state
+      .withColumn("b", expr(s"rank div $delta"))
+      .join(F.broadcast(ips), Seq("b"))
+      .filter(col("rank") >= col("p") - delta && col("rank") < col("p"))
+      .select(col("id").as("id1")).distinct()
+      .localCheckpoint(eager = true) // bounded: |batch| · (w−1)
+    val unaffected = storedPairs
+      .join(F.broadcast(affectedA), Seq("id1"), "left_anti")
+    val affected = storedPairs
+      .join(F.broadcast(affectedA), Seq("id1"), "left_semi")
+      .localCheckpoint(eager = true) // bounded, feeds the endpoint probe
+    // re-gap the (small) affected set against merged ranks — endpoint
+    // ids broadcast so merged is scanned once more, never shuffled
+    val endIds = affected.select(col("id1").as("id"))
+      .unionByName(affected.select(col("id2").as("id"))).distinct()
+    val endRanks = merged.join(F.broadcast(endIds), Seq("id"))
+      .select(col("id"), col("rank"))
+    val regapped = affected.select("id1", "id2")
+      .join(endRanks.select(col("id").as("id1"), col("rank").as("r1")), Seq("id1"))
+      .join(endRanks.select(col("id").as("id2"), col("rank").as("r2")), Seq("id2"))
       .filter(col("r2") - col("r1") <= delta)
       .select(col("id1"), col("id2"), (col("r2") - col("r1")).as("gap"))
-    kept.unionByName(newPairs)
+    unaffected.select("id1", "id2", "gap").unionByName(regapped)
+      .unionByName(newPairs)
   }
 }
