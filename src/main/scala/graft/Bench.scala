@@ -160,11 +160,33 @@ object Bench {
       } else Some(head)
     } catch { case _: Throwable => None }
     val headHash = gitHead()
-    val historyMins: Map[String, Double] = (only, headHash) match {
+    // Round-14 fix of a structural fusion gap: stamping with the COMMIT
+    // hash orphans donors on every commit — including doc-only ones and
+    // the round driver's own auto-commit of BENCH_HISTORY right before
+    // it runs the round bench, which guaranteed the round artifact could
+    // never fuse. The donor-validity condition is "same CODE", so the
+    // stamp is now the git TREE hash of src/main/scala — invariant
+    // across doc/history commits, changed by any source edit. A dirty
+    // source tree disables fusion entirely (the committed hash would lie
+    // about what actually ran). The commit hash stays in the record for
+    // audit; matching uses src_tree when present.
+    def srcTreeHash(): Option[String] = try {
+      def run(cmd: Seq[String]): Option[String] = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        if (p.waitFor() == 0) Some(out) else None
+      }
+      run(Seq("git", "status", "--porcelain", "src/main/scala")).flatMap {
+        case "" => run(Seq("git", "rev-parse", "HEAD:src/main/scala"))
+        case _ => None // dirty source: no donor, no fusion
+      }
+    } catch { case _: Throwable => None }
+    val treeHash = srcTreeHash()
+    val historyMins: Map[String, Double] = (only, treeHash) match {
       case (None, Some(h)) =>
         try {
           val lines = scala.io.Source.fromFile("BENCH_HISTORY.jsonl").getLines()
-            .filter(l => l.contains(s""""git_head":"$h"""") &&
+            .filter(l => l.contains(s""""src_tree":"$h"""") &&
               l.contains(s""""sf":"$sfDir""""))
             .toSeq
           selected.flatMap { q =>
@@ -241,11 +263,12 @@ object Bench {
     // permanent record. Subset runs (SPARK_GRAFT_BENCH_ONLY) are dev-loop
     // probes, not round records — skipped to keep the history comparable.
     if (only.isEmpty) try {
-      // git HEAD stamp: history fusion (above) may only cross runs of the
-      // SAME tree — without the stamp a number from old code could mask a
-      // regression in new code
+      // source-tree stamp: history fusion (above) may only cross runs of
+      // the SAME code — without it a number from old code could mask a
+      // regression in new code. The commit hash rides along for audit.
       val headField = headHash.map(h => s""""git_head":"$h",""").getOrElse("")
-      val entry = s"""{"ts_ms":${System.currentTimeMillis()},$headField""" + json.stripPrefix("{")
+      val treeField = treeHash.map(h => s""""src_tree":"$h",""").getOrElse("")
+      val entry = s"""{"ts_ms":${System.currentTimeMillis()},$headField$treeField""" + json.stripPrefix("{")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         (entry + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
