@@ -165,21 +165,29 @@ object Bench {
     // the round driver's own auto-commit of BENCH_HISTORY right before
     // it runs the round bench, which guaranteed the round artifact could
     // never fuse. The donor-validity condition is "same CODE", so the
-    // stamp is now the git TREE hash of src/main/scala — invariant
-    // across doc/history commits, changed by any source edit. A dirty
-    // source tree disables fusion entirely (the committed hash would lie
-    // about what actually ran). The commit hash stays in the record for
-    // audit; matching uses src_tree when present.
+    // stamp is the git TREE hash of the runtime-affecting paths —
+    // invariant across doc/history commits, changed by any source edit.
+    // Round-15 extension (r14 ADVICE): "runtime-affecting" is src/main/
+    // scala PLUS build.sbt (scalac flags, dependency wiring) — the
+    // session config lives in src/main (core/Sessions), so those two
+    // paths cover what actually runs; dirtiness is checked over the same
+    // set. A dirty tree disables fusion entirely (the committed hash
+    // would lie about what actually ran). The commit hash stays in the
+    // record for audit; matching uses src_tree when present.
     def srcTreeHash(): Option[String] = try {
       def run(cmd: Seq[String]): Option[String] = {
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
         if (p.waitFor() == 0) Some(out) else None
       }
-      run(Seq("git", "status", "--porcelain", "src/main/scala")).flatMap {
-        case "" => run(Seq("git", "rev-parse", "HEAD:src/main/scala"))
-        case _ => None // dirty source: no donor, no fusion
-      }
+      run(Seq("git", "status", "--porcelain", "src/main/scala", "build.sbt"))
+        .flatMap {
+          case "" => for {
+            src <- run(Seq("git", "rev-parse", "HEAD:src/main/scala"))
+            bld <- run(Seq("git", "rev-parse", "HEAD:build.sbt"))
+          } yield src + "+" + bld.take(12)
+          case _ => None // dirty source: no donor, no fusion
+        }
     } catch { case _: Throwable => None }
     val treeHash = srcTreeHash()
     val historyMins: Map[String, Double] = (only, treeHash) match {
@@ -213,6 +221,25 @@ object Bench {
     val fusedField =
       if (fused.isEmpty) ""
       else s""","fused_from_history":[${fused.map("\"" + _ + "\"").mkString(",")}]"""
+    // Round-15 (r14 verdict item 2): pin verdicts are MECHANICAL and
+    // ctx-scaled — a pinned query passes iff its recorded value is
+    // ≤ band_high × max(1, context_index). The r14 close proved that
+    // prose-conditioned bands ("catalog-warm at ctx ≤ 1.9") cannot fail
+    // anything: both freshly re-pinned bands were exceeded in the same
+    // round's own hot runs with no structured signal. pin_fails in the
+    // record makes a breached band a machine-readable fact; bands beyond
+    // the spike set cover the two r14 re-pins (re-pin in the same commit
+    // as any band change — the canary-ref discipline).
+    val pinnedBands = spikeBandHigh ++ Map(
+      "q_dedup_containment" -> 2.6, "q_graph_cc_inc" -> 7.6)
+    val ctxScale = math.max(1.0, ctxNum.getOrElse(1.0))
+    val pinFails = finalResults.collect {
+      case (n, v) if v > 0 && pinnedBands.get(n).exists(hi => v > hi * ctxScale) =>
+        "\"" + n + "\":" + f"$v%.3f"
+    }
+    val pinField =
+      if (pinFails.isEmpty) ""
+      else s""","pin_fails":{${pinFails.mkString(",")}}"""
     val contextIndex = ctxNum.map(c => f"$c%.2f").getOrElse("null")
     val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -223,7 +250,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = finalResults.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","context_index":$contextIndex$fusedField,"queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","context_index":$contextIndex$fusedField$pinField,"queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
     println(json)
     // The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
     // what it finds there; the full line above (~5 KB with samples) overflows

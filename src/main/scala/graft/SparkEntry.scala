@@ -152,5 +152,10 @@ object SparkEntry {
     // q_dedup_winnow_auto convention — probe overhead is the delta);
     // q_sql_* sketch faces stay catalog+verify-only like q_sql_dedup
     "q_text_editjoin_auto",
+    // round 15: KMV/theta — the sketch family's sixth (set-operation)
+    // member; merge/inc/cube on lineitem plus the cross-source overlap
+    // face priced against its exact twin (q_dedup_source_overlap's
+    // diagnostic, at sketch cost)
+    "q_agg_kmv_merge", "q_agg_kmv_inc", "q_agg_kmv_cube", "q_kmv_overlap",
   ).filter(queries.contains)
 }

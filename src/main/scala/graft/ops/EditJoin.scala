@@ -254,8 +254,11 @@ object EditJoin {
         col("id")) // the AQE single-partition fan-out defense (class doc)
       .select(col("id"), col("s"), explode(expr(variants2Expr("s"))).as("v"))
     // density guard: one cheap aggregate prices the join before paying it
+    // (coalesce: sum over ZERO bucket rows — empty/all-empty-string input
+    // — is NULL, which must price as zero fan-out, not throw; r14 ADVICE)
     val fanout = vars.groupBy("v").agg(count(lit(1)).as("cnt"))
-      .agg(sum(expr("cnt * cnt")).as("f")).first().getLong(0)
+      .agg(coalesce(sum(expr("cnt * cnt")), lit(0L)).as("f"))
+      .first().getLong(0)
     if (fanout > maxCandidates)
       throw new IllegalArgumentException(
         s"pairsWithin2: variant buckets fan out to $fanout candidate rows " +

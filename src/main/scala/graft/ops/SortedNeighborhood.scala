@@ -139,17 +139,32 @@ object SortedNeighborhood {
     val spark = state.sparkSession
     import spark.implicits._
     val delta = (w - 1).toLong
-    // 1. the insertion directory: boundaries + stored min rank per pid
+    // 1. the insertion directory: boundaries + stored min rank per pid.
+    // Boundary values are read GENERICALLY (Row.get + the state's own
+    // datatypes), so any orderable (key, id) types work — only pid (int,
+    // spark_partition_id) and rank (long, rankedState's contract) are
+    // typed reads (round-14 ADVICE: the old getString/getLong pair made
+    // the generic-looking API string/long-only at runtime).
     val bounds = state.groupBy("pid").agg(
         F.min(struct(col("sk"), col("id"))).as("lo"),
         F.min("rank").as("r0"))
       .collect() // ≤ #partitions rows by the rankedState contract
       .map(r => (r.getInt(0), r.getStruct(1), r.getLong(2)))
       .sortBy(_._1)
+    // cold start (round-14 ADVICE): no stored rows means no boundaries to
+    // route by — the merged corpus IS the batch, and the batch pairs are
+    // the whole answer (storedPairs is empty by the same contract)
+    if (bounds.isEmpty) return pairs(incoming, idCol, keyCol, w)
     val minPid = bounds.head._1
-    val boundsDf = F.broadcast(
-      bounds.map { case (p, lo, _) => (p, lo.getString(0), lo.getLong(1)) }
-        .toSeq.toDF("bpid", "losk", "loid"))
+    val bschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bpid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("losk", state.schema("sk").dataType),
+      org.apache.spark.sql.types.StructField("loid", state.schema("id").dataType)))
+    val boundRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(bounds.map { case (p, lo, _) =>
+        org.apache.spark.sql.Row(p, lo.get(0), lo.get(1)) }: _*)
+    val boundsDf = F.broadcast(spark.createDataFrame(boundRows, bschema))
     val inc = incoming.select(col(keyCol).as("sk"), col(idCol).as("id"))
     val routed = inc
       .join(boundsDf,

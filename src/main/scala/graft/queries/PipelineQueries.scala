@@ -346,6 +346,54 @@ object PipelineQueries {
         .orderBy("s1", "s2")
     }),
 
+    // KMV set-operation face (the sixth sketch family member's REASON to
+    // exist): per source pair, |∪| / |∩| / Jaccard of the distinct
+    // 3-gram-hash sets estimated from two K=64-row K-min sketches —
+    // joined against the EXACT pair arithmetic (the q_dedup_source_
+    // overlap/q_decontam_overlap price this face avoids at scale: the
+    // sketch join touches ≤ K·|pairs| rows where the exact twin joins
+    // the full gram relation). In-band law on the union estimate
+    // ([0.5, 2]× the exact union — 13% σ at K = 64); intersection and
+    // Jaccard estimates ride as REPORTED values (a 1–8%-Jaccard pair
+    // keeps ~0–5 common hashes, so their relative error is unbounded by
+    // design — the absolute theta-scale, not the face, is the contract).
+    "q_kmv_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = Dedup.shingleHashes(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode(col("hs")).as("g"))
+      val sk = graft.ops.KmvSketch.sketch(grams, Seq("source"), "g")
+        .localCheckpoint(eager = true) // built once, paired twice
+      val srcs = sk.select("source").distinct()
+      val prs = srcs.toDF("s1").crossJoin(srcs.toDF("s2"))
+        .filter(col("s1") < col("s2"))
+      val est = graft.ops.KmvSketch.overlap(
+        prs.join(sk.toDF("s1", "h"), "s1"),
+        prs.join(sk.toDF("s2", "h"), "s2"), Seq("s1", "s2"))
+      // the exact twin (distinct gram sets; pairs with no shared gram
+      // carry zeros through the left join)
+      val dg = grams.distinct().localCheckpoint(eager = true)
+      val nd = dg.groupBy("source").agg(count(lit(1)).as("nd"))
+      val iex = dg.toDF("s1", "g")
+        .join(dg.toDF("s2", "g2"),
+          col("g") === col("g2") && col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter_exact"))
+      est
+        .join(nd.toDF("s1", "nda"), "s1")
+        .join(nd.toDF("s2", "ndb"), "s2")
+        .join(iex, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          col("n_union_kept"), col("n_inter_kept"),
+          col("union_est"), col("inter_est"), col("jaccard_est"),
+          (col("nda") + col("ndb") - coalesce(col("inter_exact"), lit(0L)))
+            .as("union_exact"),
+          coalesce(col("inter_exact"), lit(0L)).as("inter_exact"))
+        .withColumn("in_band",
+          col("union_est") >= lit(0.5) * col("union_exact") &&
+            col("union_est") <= lit(2.0) * col("union_exact"))
+        .orderBy("s1", "s2")
+    }),
+
     // binary-content exact dedup: the multimodal twin of q_dedup_exact_fp
     // — fingerprint the payload BYTES (not a text projection), group on
     // (fp, n_bytes); the dedupe that runs before any expensive decode
@@ -1133,6 +1181,78 @@ object PipelineQueries {
        |JOIN documents da ON da.doc_id = doc_a
        |JOIN documents db ON db.doc_id = doc_b
        |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
+
+  /** KMV overlap replay: distinct per-source gram hashes, the affine
+    * K-min sample per source (row_number over hash order), per-pair
+    * theta restriction, kept-union/intersection counts, the theta-scaled
+    * estimates, and the exact pair arithmetic — all from the same
+    * TextHash/KmvSketch constants the engine uses. */
+  private val kmvOverlapSql: String = {
+    val kk = graft.ops.KmvSketch.K
+    val pp = graft.ops.KmvSketch.P
+    s"""WITH $docsCte,
+       |src AS MATERIALIZED (SELECT doc_id, source FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT s.source, ${shingleHashesDuck("ws")} AS hs
+       |  FROM docs JOIN src s USING (doc_id) WHERE len(ws) >= 3),
+       |g0 AS (SELECT source, unnest(hs) AS g FROM sh),
+       |g AS MATERIALIZED (SELECT DISTINCT source, g FROM g0),
+       |hv AS MATERIALIZED (
+       |  SELECT DISTINCT source, ${graft.ops.KmvSketch.hashSql("g")} AS h FROM g),
+       |rk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hv),
+       |sk AS MATERIALIZED (SELECT source, h FROM rk WHERE rn <= $kk),
+       |th AS (
+       |  SELECT source,
+       |    CASE WHEN count(*) = $kk THEN max(h) ELSE $pp END AS theta
+       |  FROM sk GROUP BY source),
+       |prs AS MATERIALIZED (
+       |  SELECT a.source AS s1, b.source AS s2, least(a.theta, b.theta) AS theta
+       |  FROM th a JOIN th b ON a.source < b.source),
+       |kept AS (
+       |  SELECT p.s1, p.s2, k.h,
+       |    max(CASE WHEN k.source = p.s1 THEN 1 ELSE 0 END) AS ina,
+       |    max(CASE WHEN k.source = p.s2 THEN 1 ELSE 0 END) AS inb
+       |  FROM prs p JOIN sk k
+       |    ON (k.source = p.s1 OR k.source = p.s2) AND k.h < p.theta
+       |  GROUP BY 1, 2, 3),
+       |cnt AS (
+       |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS nu,
+       |    CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ni
+       |  FROM kept GROUP BY 1, 2),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY source),
+       |iex AS (
+       |  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS ie
+       |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, n_union_kept, n_inter_kept, union_est, inter_est,
+       |  jaccard_est, union_exact, inter_exact,
+       |  (union_est >= 0.5 * union_exact AND union_est <= 2.0 * union_exact)
+       |    AS in_band
+       |FROM (
+       |  SELECT p.s1, p.s2,
+       |    coalesce(c.nu, CAST(0 AS BIGINT)) AS n_union_kept,
+       |    coalesce(c.ni, CAST(0 AS BIGINT)) AS n_inter_kept,
+       |    CASE WHEN p.theta = $pp THEN CAST(coalesce(c.nu, 0) AS DOUBLE)
+       |         ELSE CAST(coalesce(c.nu, 0) AS DOUBLE) * $pp / p.theta END
+       |      AS union_est,
+       |    CASE WHEN p.theta = $pp THEN CAST(coalesce(c.ni, 0) AS DOUBLE)
+       |         ELSE CAST(coalesce(c.ni, 0) AS DOUBLE) * $pp / p.theta END
+       |      AS inter_est,
+       |    CASE WHEN coalesce(c.nu, 0) > 0
+       |         THEN CAST(coalesce(c.ni, 0) AS DOUBLE) / c.nu ELSE 0.0 END
+       |      AS jaccard_est,
+       |    na.nd + nb.nd - coalesce(iex.ie, CAST(0 AS BIGINT)) AS union_exact,
+       |    coalesce(iex.ie, CAST(0 AS BIGINT)) AS inter_exact
+       |  FROM prs p
+       |  LEFT JOIN cnt c ON c.s1 = p.s1 AND c.s2 = p.s2
+       |  JOIN nd na ON na.source = p.s1
+       |  JOIN nd nb ON nb.source = p.s2
+       |  LEFT JOIN iex ON iex.s1 = p.s1 AND iex.s2 = p.s2)
+       |ORDER BY s1, s2""".stripMargin
+  }
 
   // binarize() is encode(text) — the payload round-trips UTF-8, so the
   // oracle fingerprints the text directly; n_bytes is the octet length
@@ -2841,6 +2961,7 @@ object PipelineQueries {
     "q_dedup_containment_pf" -> containmentSql,
     "q_dedup_containment_auto" -> containmentSql,
     "q_dedup_source_overlap" -> sourceOverlapSql,
+    "q_kmv_overlap" -> kmvOverlapSql,
     "q_multimodal_dedup" -> multimodalDedupSql,
     "q_dedup_priority" -> prioritySql,
     "q_decontaminate" -> decontamSql,

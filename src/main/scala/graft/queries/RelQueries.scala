@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
-import graft.ops.{BloomSketch, CountMin, Hll, MisraGries, QuantileSketch}
+import graft.ops.{BloomSketch, CountMin, Hll, KmvSketch, MisraGries, QuantileSketch}
 
 /** Relational operator coverage (SURVEY §2.1–2.8) as named queries over the
   * driver testdata, each with a DuckDB oracle.
@@ -50,7 +50,10 @@ object RelQueries {
     // absent probes DERIVED from the data — strictly above max(k), so the
     // definite-reject path stays exercised at ANY scale factor (round-14
     // ADVICE: the old fixed literals 1e7+37i fall inside the partkey
-    // domain once SF >= 50). Stride 37 keeps them off the %50 lattice;
+    // domain once SF >= 50). The real invariant is that strictly-above-
+    // max(k) keys are DISJOINT from the present set — a probe may well be
+    // ≡ 0 mod 50 (max(k)+37·(i+1) hits the lattice for some i), and that
+    // is fine: the %50 filter only selects which PRESENT keys are probed.
     // max+1480 stays far under the ~2.8e9 affine-hash overflow bound.
     val maxk = broadcast(allKeys.agg(max(col("k")).as("mk")))
     val absent = allKeys.select("grp").distinct().crossJoin(maxk)
@@ -82,6 +85,27 @@ object RelQueries {
           (col("exact_cnt") - col("est")) * (MisraGries.K + 1) <= col("n"))
           .as("in_band"))
       .orderBy("grp", "k")
+  }
+
+  /** Shared report tail of the KMV faces: the distinct-count estimate
+    * per grp joined to the exact distinct count, with the regime-split
+    * law as an in-band boolean — an UNSATURATED sketch (n_kept < K) is
+    * EXACT (the affine hash is a permutation of Z_P, so kept hashes
+    * count distinct keys), a saturated one estimates within [0.5, 2]×
+    * (13% σ at K = 64; measured 0.959–1.003 across the three sfs). The
+    * hash match proves the law held for every group. */
+  private def kmvProbeFace(sk: DataFrame, allKeys: DataFrame): DataFrame = {
+    val exact = allKeys.groupBy("grp")
+      .agg(count_distinct(col("k")).as("nd"))
+    KmvSketch.estimate(sk, Seq("grp"))
+      .join(exact, Seq("grp"))
+      .select(col("grp"), col("n_kept"), col("est"), col("nd"),
+        ((col("n_kept") < KmvSketch.K &&
+            col("est") === col("nd").cast("double")) ||
+          (col("n_kept") === KmvSketch.K &&
+            col("est") >= lit(0.5) * col("nd") &&
+            col("est") <= lit(2.0) * col("nd"))).as("in_band"))
+      .orderBy("grp")
   }
 
   /** Deterministically skewed BIGINT key over lineitem — floor(sqrt)
@@ -497,6 +521,56 @@ object RelQueries {
         keys.filter(col("l_orderkey") % 2 === 1), Seq("grp"), "k")
       val mg = MisraGries.merge(stored.unionByName(delta), Seq("grp"))
       mgProbeFace(mg, keys.select("grp", "k"))
+    }),
+
+    // KMV MERGEABILITY — the SET-OPERATION member completing the sketch
+    // family's sixth seat (HLL: distinct; quantile: ranks; CMS: point
+    // frequency; Bloom: membership; MG: heavy hitters; KMV: distinct +
+    // cross-set overlap). The K-min law K-min(A∪B) = K-min(K-min(A) ∪
+    // K-min(B)) is exact, so the per-(flag, status) partials MIN-merged
+    // to per-flag are bit-for-bit the flat sketch the oracle replays —
+    // and the estimate regime law (unsaturated ⇒ EXACT by the
+    // permutation argument; saturated ⇒ in [0.5, 2]×) rides in-band.
+    "q_agg_kmv_merge" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), col("l_partkey").cast("long").as("k"))
+      val parts = KmvSketch.sketch(keys, Seq("grp", "l_linestatus"), "k")
+      val sk = KmvSketch.merge(parts, Seq("grp")) // the MIN-merge
+      kmvProbeFace(sk, keys.select("grp", "k"))
+    }),
+
+    // CUBE face: per-(flag, status) K-min samples built ONCE roll to
+    // per-flag AND the grand total — the sixth family member joins the
+    // multi-level rollup proof; both levels oracle-checked FLAT.
+    "q_agg_kmv_cube" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_linestatus"), col("l_partkey").cast("long").as("k"))
+      val parts = KmvSketch.sketch(keys, Seq("grp", "l_linestatus"), "k")
+        .localCheckpoint(eager = true) // partials built once, rolled twice
+      val sk = KmvSketch.merge(parts, Seq("grp")).unionByName(
+        KmvSketch.merge(parts.withColumn("grp", lit("ALL")), Seq("grp")))
+      val lvls = keys.select("grp", "k")
+        .unionByName(keys.select(lit("ALL").as("grp"), col("k")))
+      kmvProbeFace(sk, lvls)
+    }),
+
+    // IVM face: stored sample (even orderkeys) MIN-merged with the
+    // incoming batch's delta — and because keep-K-smallest is IDEMPOTENT
+    // the fold is replay-safe: the stored sketch is deliberately merged
+    // TWICE here (stored ∪ stored ∪ delta), simulating an at-least-once
+    // replay, and the oracle's FLAT sketch still hash-matches — the
+    // Bloom/HLL replay-immunity property, which the linear CMS/quantile/
+    // MG folds do NOT have (the fold-algebra taxonomy's placement).
+    "q_agg_kmv_inc" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_orderkey"), col("l_partkey").cast("long").as("k"))
+      val stored = KmvSketch.sketch(
+        keys.filter(col("l_orderkey") % 2 === 0), Seq("grp"), "k")
+      val delta = KmvSketch.sketch(
+        keys.filter(col("l_orderkey") % 2 === 1), Seq("grp"), "k")
+      val sk = KmvSketch.merge(
+        stored.unionByName(stored).unionByName(delta), Seq("grp"))
+      kmvProbeFace(sk, keys.select("grp", "k"))
     }),
 
     // ---- pure-SQL sketch surface (r13 verdict stretch item 9, the
@@ -1217,6 +1291,37 @@ object RelQueries {
   private val mgFlagKeys =
     s"SELECT l_returnflag AS grp, l_linestatus AS batch, $mgKey AS k FROM lineitem"
 
+  /** Flat KMV replay in DuckDB over a (grp, k) key-level relation: the K
+    * smallest distinct affine hashes per grp (row_number over the hash
+    * order — the engine's bounded-heap TopKPerKey extraction produces
+    * the same set), the regime-split estimate (exact count below K, one
+    * IEEE division at saturation), the exact distinct join, and the
+    * in-band law. Deliberately FLAT — never the engine's two-level merge
+    * or replayed fold — so hash equality IS the K-min merge law and
+    * (for the inc face) the idempotence proof. Constants interpolated
+    * from ops.KmvSketch (single-source rule). */
+  private def kmvSql(keysSql: String): String = {
+    val kk = KmvSketch.K
+    s"""WITH keys AS MATERIALIZED ($keysSql),
+       |hs AS (SELECT DISTINCT grp, ${KmvSketch.hashSql("k")} AS h FROM keys),
+       |rk AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |  FROM hs),
+       |sk AS MATERIALIZED (SELECT grp, h FROM rk WHERE rn <= $kk),
+       |est AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CASE WHEN count(*) < $kk THEN CAST(count(*) AS DOUBLE)
+       |         ELSE CAST(${KmvSketch.EstNumerator} AS DOUBLE) / max(h) END AS est
+       |  FROM sk GROUP BY grp),
+       |exact AS (
+       |  SELECT grp, CAST(count(DISTINCT k) AS BIGINT) AS nd FROM keys GROUP BY grp)
+       |SELECT e.grp, e.n_kept, e.est, x.nd,
+       |  ((e.n_kept < $kk AND e.est = CAST(x.nd AS DOUBLE)) OR
+       |   (e.n_kept = $kk AND e.est >= 0.5 * x.nd AND e.est <= 2.0 * x.nd)) AS in_band
+       |FROM est e JOIN exact x USING (grp)
+       |ORDER BY grp""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // MG faces: the merge/IVM partial structure replayed exactly; the
     // cube's batch key is flag||status at BOTH levels so the ALL level
@@ -1235,6 +1340,16 @@ object RelQueries {
          |  UNION ALL
          |  SELECT 'ALL' AS grp, l_returnflag || l_linestatus AS batch,
          |    $mgKey AS k FROM lineitem""".stripMargin),
+
+    // FLAT per-flag KMV sample — deliberately not the engine's two-level
+    // MIN-merge (merge face), replayed fold (inc face), or two-level cube
+    // rollup, so hash equality IS the K-min merge law / idempotence proof
+    "q_agg_kmv_merge" -> kmvSql(cmsFlagKeys),
+    "q_agg_kmv_inc" -> kmvSql(cmsFlagKeys),
+    "q_agg_kmv_cube" -> kmvSql(
+      s"""$cmsFlagKeys
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, CAST(l_partkey AS BIGINT) AS k FROM lineitem""".stripMargin),
 
     "q_agg_quantile_merge" -> quantileFlatSql,
     "q_agg_quantile_inc" -> quantileFlatSql,

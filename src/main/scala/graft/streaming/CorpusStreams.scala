@@ -563,6 +563,26 @@ object CorpusStreams {
       storedCols = Seq(groupCol, "k", "est"),
       output = identity)
 
+  /** Streaming KMV ingest — the set-operation sketch's streaming face,
+    * sixth in the ingest family. Per trigger: the batch's K smallest
+    * distinct hashes ([[graft.ops.KmvSketch.sketch]]) MIN-merge with the
+    * stored sample (distinct union, re-take K smallest); the running
+    * distinct-count estimates land in `estDir` under the batch id, and
+    * the maintained sample itself is what downstream overlap joins
+    * consume. Fold-algebra placement: keep-K-smallest is IDEMPOTENT
+    * (with Bloom's OR and HLL's max) — re-merging an overlapping or
+    * replayed batch cannot corrupt the state, so at-least-once delivery
+    * suffices and the marker protocol only bounds duplicate work.
+    * State is ≤ K hash rows per group forever. */
+  def kmvIngest(rows: DataFrame, groupCol: String, keyExpr: String,
+      indexDir: String, estDir: String, checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    sketchIngest(rows, indexDir, estDir, checkpointDir, compactEvery,
+      build = b => graft.ops.KmvSketch.sketch(b, Seq(groupCol), keyExpr),
+      mergeAll = sk => graft.ops.KmvSketch.merge(sk, Seq(groupCol)),
+      storedCols = Seq(groupCol, "h"),
+      output = m => graft.ops.KmvSketch.estimate(m, Seq(groupCol)))
+
   /** drop index partitions older than `keepId` after a compaction fold —
     * the folded partition (batch_id = keepId) carries their content.
     * Also retires older compaction markers (underscore-prefixed, so

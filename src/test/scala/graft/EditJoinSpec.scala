@@ -130,6 +130,15 @@ class EditJoinSpec extends SparkSpec {
       e.getMessage.contains("budget"))
   }
 
+  test("k=2 on empty input prices as zero fan-out and returns empty") {
+    // sum over zero bucket rows is NULL — must coalesce to 0, not throw
+    // (r14 ADVICE); all-empty-string input takes the same path
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(EditJoin.pairsWithin2(empty, "id", "s").count() == 0L)
+    val blank = Seq((1L, ""), (2L, "")).toDF("id", "s")
+    assert(EditJoin.pairsWithin2(blank, "id", "s").count() == 0L)
+  }
+
   test("incremental join over stored index == batch join over the union") {
     // odd ids arrive as the batch; the stored state is the evens' variant
     // index + pairs. Includes cross-side pairs (kitten/sitten split) and

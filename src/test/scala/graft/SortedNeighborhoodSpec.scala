@@ -77,4 +77,32 @@ class SortedNeighborhoodSpec extends SparkSpec {
     // and a same-prefix adjacent pair is proposed by pass 1 too
     assert(multi.exists(_._2 == 2L) || multi.size > 1)
   }
+
+  test("incremental merge: cold start (empty state) == batch pairs over the batch") {
+    val df = rows.toDF("id", "k")
+    val state = SortedNeighborhood.rankedState(df.limit(0), "id", "k")
+    val stored = SortedNeighborhood.pairs(df, "id", "k", 4).limit(0)
+    val inc = SortedNeighborhood.incrementalPairs(state, stored, df, "id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SortedNeighborhood.pairs(df, "id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == batch && inc.nonEmpty)
+  }
+
+  test("incremental merge is type-generic: LONG sort key, same contract") {
+    // the boundary directory reads (sk, id) generically (r14 ADVICE) —
+    // a numeric blocking key must route identically to a string one
+    val all = (1L to 300L).map(i => (i, i % 37))
+    val df = all.toDF("id", "k")
+    val existing = df.filter(col("id") % 3 =!= 0L)
+    val incoming = df.filter(col("id") % 3 === 0L)
+    val state = SortedNeighborhood.rankedState(existing.repartition(7), "id", "k")
+    val stored = SortedNeighborhood.pairs(existing, "id", "k", 4)
+    val inc = SortedNeighborhood
+      .incrementalPairs(state, stored, incoming, "id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SortedNeighborhood.pairs(df, "id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == batch, s"extra=${inc -- batch} missing=${batch -- inc}")
+  }
 }

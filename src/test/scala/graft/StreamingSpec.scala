@@ -951,6 +951,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("kmv ingest: running estimates equal the batch sketch; min-fold absorbs replayed overlap") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.KmvSketch
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select("event_id", "event_type", "user_id")
+    val dir = Files.createTempDirectory("graft-kmv-stream")
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).select("event_type", "user_id")
+        .coalesce(1).write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val schema = ev.select("event_type", "user_id").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.kmvIngest(stream, "event_type", "user_id",
+      dir.resolve("index").toString, dir.resolve("est").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the batch-3 estimates equal the one-shot sketch over ALL events —
+    // the K-min law makes the ingest a pure function of the multiset
+    def ests(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "n_kept", "est").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = ests(spark.read.parquet(dir.resolve("est").toString)
+      .filter(col("batch_id") === 3))
+    val batch = ests(KmvSketch.estimate(
+      KmvSketch.sketch(ev, Seq("event_type"), "user_id"), Seq("event_type")))
+    assert(streamed == batch && streamed.nonEmpty)
+    // idempotence: min-merging an ALREADY-INGESTED batch's sample into
+    // the final folded state changes nothing (at-least-once safety — the
+    // Bloom/HLL property; sum-fold sketches do not have this)
+    val finalSk = spark.read.parquet(dir.resolve("index").toString)
+      .select("event_type", "h")
+    val overlap = KmvSketch.sketch(
+      ev.filter(col("event_id") % 4 === 1), Seq("event_type"), "user_id")
+    def skset(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "h").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val folded = skset(KmvSketch.merge(finalSk, Seq("event_type")))
+    val replayed = skset(KmvSketch.merge(
+      finalSk.unionByName(overlap), Seq("event_type")))
+    assert(replayed == folded)
+  }
+
   test("stateful running totals equal batch aggregation after one pass") {
     val evs = EventStreams.fromParquetDir(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
