@@ -157,5 +157,11 @@ object SparkEntry {
     // face priced against its exact twin (q_dedup_source_overlap's
     // diagnostic, at sketch cost)
     "q_agg_kmv_merge", "q_agg_kmv_inc", "q_agg_kmv_cube", "q_kmv_overlap",
+    // round 15: the sorted-neighborhood DEPLOYMENT layout — state
+    // persisted pid-partitioned + boundary directory, 1-in-10 batch
+    // folded with directory pruning; priced next to the _inc contract
+    // face (the clock includes the partitioned WRITE, so the delta vs
+    // _inc is the store round-trip minus the pruned reads)
+    "q_dedup_sorted_block_inc_idx",
   ).filter(queries.contains)
 }

@@ -130,27 +130,86 @@ object SortedNeighborhood {
     *     the window when the gap grows past w−1.
     *
     * Per-batch cost: the whole-corpus sort never re-runs, and the only
-    * exchanges are batch-sized — the corpus relations contribute scans
-    * (which a 100 TB deployment prunes by pid/rank range, since every
-    * probe carries its bucket). */
+    * exchanges are batch-sized — the corpus relations contribute scans,
+    * PRUNED to the pids the batch can influence: the driver knows every
+    * pid's stored rank interval (from the boundary directory) and every
+    * insertion's pid, so only pids whose interval lies within w−1 ranks
+    * of a touched pid participate in the merged view and the affected
+    * probe; on a [[writeRankedState]] layout those isin filters become
+    * directory-level PartitionFilters (the cluster-partitioned ANN
+    * precedent), so a clustered or append-shaped batch READS only its
+    * neighborhood's files. The honest floor: a batch that scatters
+    * insertions into EVERY pid re-windows every pid — that is rank-shift
+    * semantics (each insertion changes its pid's local positions), not a
+    * plan defect; pruning pays off exactly in proportion to how
+    * clustered the batch is. */
   def incrementalPairs(state: DataFrame, storedPairs: DataFrame,
+      incoming: DataFrame, idCol: String, keyCol: String, w: Int): DataFrame = {
+    // the insertion directory: boundaries + stored min rank per pid,
+    // recovered from the state by one tiny aggregate. Boundary values
+    // are read GENERICALLY (Row.get + the state's own datatypes), so any
+    // orderable (key, id) types work — only pid (int, spark_partition_id)
+    // and rank (long, rankedState's contract) are typed reads (round-14
+    // ADVICE: the old getString/getLong pair made the generic-looking
+    // API string/long-only at runtime).
+    val bounds = state.groupBy("pid").agg(
+        F.min(struct(col("sk"), col("id"))).as("lo"),
+        F.min("rank").as("r0"))
+      .collect() // ≤ #partitions rows by the rankedState contract
+      .map(r => (r.getInt(0), r.getStruct(1).get(0), r.getStruct(1).get(1),
+        r.getLong(2)))
+      .sortBy(_._1)
+    incrementalImpl(state, bounds, storedPairs, incoming, idCol, keyCol, w)
+  }
+
+  /** Directory suffix of the boundary relation a [[writeRankedState]]
+    * layout stores next to the pid-partitioned state. */
+  val BoundsSuffix = "_bounds"
+
+  /** Persist [[rankedState]] as the DEPLOYMENT layout: the state
+    * PARTITIONED BY pid (Hive directory layout — so
+    * [[incrementalPairsFromStore]]'s touched/relevant-pid isin filters
+    * prune whole directories before any I/O, PlanSpec-asserted) plus the
+    * tiny boundary directory (pid, losk, loid, r0) at `path`+
+    * [[BoundsSuffix]], written once here so no later ingest ever scans
+    * the full state just to recover ≤ #partitions boundary rows. */
+  def writeRankedState(df: DataFrame, idCol: String, keyCol: String,
+      path: String): Unit = {
+    val st = rankedState(df, idCol, keyCol).localCheckpoint(eager = true)
+    st.write.mode("overwrite").partitionBy("pid").parquet(path)
+    st.groupBy("pid").agg(
+        F.min(struct(col("sk"), col("id"))).as("lo"),
+        F.min("rank").as("r0"))
+      .select(col("pid"), col("lo").getField("sk").as("losk"),
+        col("lo").getField("id").as("loid"), col("r0"))
+      .write.mode("overwrite").parquet(path + BoundsSuffix)
+  }
+
+  /** [[incrementalPairs]] over a [[writeRankedState]] disk layout: the
+    * boundary directory comes from its own tiny parquet (never a
+    * full-state aggregate), and every state access carries a pid isin
+    * filter the partitioned layout turns into directory pruning. */
+  def incrementalPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, storedPairs: DataFrame, incoming: DataFrame,
+      idCol: String, keyCol: String, w: Int): DataFrame = {
+    val state = spark.read.parquet(statePath)
+    val bounds = spark.read.parquet(statePath + BoundsSuffix)
+      .select("pid", "losk", "loid", "r0")
+      .collect() // ≤ #partitions rows by the writeRankedState contract
+      .map(r => (r.getInt(0), r.get(1), r.get(2), r.getLong(3)))
+      .sortBy(_._1)
+    incrementalImpl(state, bounds, storedPairs, incoming, idCol, keyCol, w)
+  }
+
+  /** Shared core of the two incremental faces: `bounds` is the collected
+    * boundary directory (pid, lo key, lo id, min rank), sorted by pid. */
+  private def incrementalImpl(state: DataFrame,
+      bounds: Array[(Int, Any, Any, Long)], storedPairs: DataFrame,
       incoming: DataFrame, idCol: String, keyCol: String, w: Int): DataFrame = {
     require(w >= 2, "window must cover at least two records")
     val spark = state.sparkSession
     import spark.implicits._
     val delta = (w - 1).toLong
-    // 1. the insertion directory: boundaries + stored min rank per pid.
-    // Boundary values are read GENERICALLY (Row.get + the state's own
-    // datatypes), so any orderable (key, id) types work — only pid (int,
-    // spark_partition_id) and rank (long, rankedState's contract) are
-    // typed reads (round-14 ADVICE: the old getString/getLong pair made
-    // the generic-looking API string/long-only at runtime).
-    val bounds = state.groupBy("pid").agg(
-        F.min(struct(col("sk"), col("id"))).as("lo"),
-        F.min("rank").as("r0"))
-      .collect() // ≤ #partitions rows by the rankedState contract
-      .map(r => (r.getInt(0), r.getStruct(1), r.getLong(2)))
-      .sortBy(_._1)
     // cold start (round-14 ADVICE): no stored rows means no boundaries to
     // route by — the merged corpus IS the batch, and the batch pairs are
     // the whole answer (storedPairs is empty by the same contract)
@@ -162,8 +221,8 @@ object SortedNeighborhood {
       org.apache.spark.sql.types.StructField("losk", state.schema("sk").dataType),
       org.apache.spark.sql.types.StructField("loid", state.schema("id").dataType)))
     val boundRows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(bounds.map { case (p, lo, _) =>
-        org.apache.spark.sql.Row(p, lo.get(0), lo.get(1)) }: _*)
+      java.util.Arrays.asList(bounds.map { case (p, losk, loid, _) =>
+        org.apache.spark.sql.Row(p, losk, loid) }: _*)
     val boundsDf = F.broadcast(spark.createDataFrame(boundRows, bschema))
     val inc = incoming.select(col(keyCol).as("sk"), col(idCol).as("id"))
     val routed = inc
@@ -177,12 +236,32 @@ object SortedNeighborhood {
     val incCounts = routed.groupBy("pid").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ parts
     val touched = incCounts.map(_._1)
-    val incPrefix = bounds.map { case (p, _, _) =>
+    val incPrefix = bounds.map { case (p, _, _, _) =>
       p -> incCounts.filter(_._1 < p).map(_._2).sum }
     val metaDf = F.broadcast(
-      bounds.map { case (p, _, r0) =>
+      bounds.map { case (p, _, _, r0) =>
         (p, r0, incPrefix.find(_._1 == p).map(_._2).getOrElse(0L))
       }.toSeq.toDF("pid", "r0", "ip"))
+    // RELEVANT pids — the only ones whose rows can appear in a new pair,
+    // shift into/out of a stored pair's window, or anchor an affected
+    // probe: a pid whose stored rank interval [r0_i, r0_{i+1}) lies
+    // within delta OLD ranks of a touched pid's interval (rank distance
+    // in the merged order is ≥ the stored distance — insertions only
+    // push rows apart — so stored-interval slack is conservative-exact).
+    // Driver arithmetic over the ≤ #partitions boundary rows; on a
+    // writeRankedState layout the isin filters below prune directories.
+    val touchedSet = touched.toSet
+    val r0s = bounds.map(_._4)
+    val ends = r0s.drop(1) :+ Long.MaxValue
+    val touchedIdx = bounds.indices.filter(i => touchedSet(bounds(i)._1))
+    val relevant = bounds.indices.filter { i =>
+      touchedSet(bounds(i)._1) || touchedIdx.exists { t =>
+        val extEnd = if (ends(t) == Long.MaxValue) Long.MaxValue
+                     else ends(t) + delta
+        r0s(i) < extEnd && ends(i) > r0s(t) - delta
+      }
+    }.map(i => bounds(i)._1)
+    val relevantUntouched = relevant.filterNot(touchedSet)
     // 2. merged ranks: touched pids re-window locally; the rest shift.
     // icnt (running incoming count within the pid) gives incoming rows
     // their old-rank insertion point p = r0 + lpos − icnt (see doc).
@@ -199,7 +278,8 @@ object SortedNeighborhood {
       .select(col("id"), col("sk"),
         (col("r0") + col("ip") + col("lpos") - 1L).as("rank"), col("is_new"),
         (col("r0") + col("lpos") - col("icnt")).as("insp"))
-    val untouched = state.filter(!col("pid").isin(touched.map(Int.box): _*))
+    val untouched = state
+      .filter(col("pid").isin(relevantUntouched.map(Int.box): _*))
       .join(metaDf, "pid")
       .select(col("id"), col("sk"), (col("rank") + col("ip")).as("rank"),
         lit(0).as("is_new"), lit(null).cast("long").as("insp"))
@@ -230,6 +310,7 @@ object SortedNeighborhood {
           expr(s"(insp - $delta) div $delta"))).as("b"))
       .distinct()
     val affectedA = state
+      .filter(col("pid").isin(relevant.map(Int.box): _*))
       .withColumn("b", expr(s"rank div $delta"))
       .join(F.broadcast(ips), Seq("b"))
       .filter(col("rank") >= col("p") - delta && col("rank") < col("p"))

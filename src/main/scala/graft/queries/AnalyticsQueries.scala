@@ -1027,6 +1027,32 @@ object AnalyticsQueries {
         .orderBy("id1", "id2")
     }),
 
+    // The DEPLOYMENT-layout twin (r14 verdict item 1): the existing
+    // corpus's ranked state is PERSISTED partitioned by pid plus its
+    // tiny boundary directory (writeRankedState — the cluster-
+    // partitioned ANN precedent), and a 1-in-10 batch (steady-state
+    // convention) merges via incrementalPairsFromStore: the boundary
+    // parquet replaces the full-state aggregate and every state access
+    // carries a pid isin filter the layout turns into directory-level
+    // pruning (SortedNeighborhoodSpec meters an append batch reading a
+    // sliver of the corpus). Same union-replay oracle — shares
+    // q_dedup_sorted_block's SQL verbatim.
+    "q_dedup_sorted_block_inc_idx" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val existing = c.filter(col("c_custkey") % 10 =!= 0)
+      val incoming = c.filter(col("c_custkey") % 10 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sn-idx")
+        .toString + "/state"
+      graft.ops.SortedNeighborhood.writeRankedState(existing,
+        "c_custkey", "c_name", dir)
+      val stored = graft.ops.SortedNeighborhood.pairs(existing,
+          "c_custkey", "c_name", 5)
+        .localCheckpoint(eager = true) // persisted at prior-ingest time
+      graft.ops.SortedNeighborhood.incrementalPairsFromStore(s, dir, stored,
+          incoming, "c_custkey", "c_name", 5)
+        .orderBy("id1", "id2")
+    }),
+
     // Auto-routed edit join (r13 verdict stretch item 8): one 16 B/row
     // duplication probe (rows vs distinct names) picks exploded vs
     // grouped execution; output is always the grouped schema, so the
@@ -2329,7 +2355,10 @@ object AnalyticsQueries {
     "q_dedup_sorted_block" -> sortedBlockFlatSql,
     // union-replay contract: the rank-merge face must EQUAL the flat
     // two-pass-free blocking over the whole table — same SQL verbatim
+    // (the _idx twin runs the same contract over the pid-partitioned
+    // DISK layout with a 1-in-10 batch)
     "q_dedup_sorted_block_inc" -> sortedBlockFlatSql,
+    "q_dedup_sorted_block_inc_idx" -> sortedBlockFlatSql,
 
     // two independent rank passes (name; reversed name), candidate
     // union, dedup on the unordered id pair with the pass count in-band

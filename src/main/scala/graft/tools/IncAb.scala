@@ -49,13 +49,19 @@ object IncAb {
           ()
         }
       })
+    // file-bytes meter (r15): what a fold READS FROM DISK — the quantity
+    // directory pruning saves; cached/checkpointed reads don't touch it
+    import scala.jdk.CollectionConverters._
+    def fsRead(): Long = org.apache.hadoop.fs.FileSystem
+      .getAllStatistics.asScala.map(_.getBytesRead).sum
     def t(name: String)(f: => Long): Double = {
-      Thread.sleep(500); val s0 = shuffled.get()
+      Thread.sleep(500); val s0 = shuffled.get(); val b0 = fsRead()
       val t0 = System.nanoTime()
       val n = f
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let straggler listener events drain
-      println(f"[incab] $name%-26s $dt%8.3f s  rows=$n  shuffled=${shuffled.get() - s0}")
+      println(f"[incab] $name%-30s $dt%8.3f s  rows=$n  " +
+        f"shuffled=${shuffled.get() - s0}  fs_read=${fsRead() - b0}")
       dt
     }
     // ---- edit join: stored state built outside the clock
@@ -98,6 +104,40 @@ object IncAb {
       graft.ops.SortedNeighborhood.incrementalPairs(stateA, storedA, incA,
         "c_custkey", "c_name", 5).count())
     println(f"[incab] sorted append inc/full = ${incAa / fullA}%.2fx")
+    // ---- the DEPLOYMENT layout (r15): state persisted pid-partitioned
+    // with its boundary directory; the fold's state scans prune to
+    // relevant pids at the DIRECTORY level. Metered in two regimes:
+    // scattered (1-in-batchMod keys — every pid touched, the honest
+    // floor where pruning cannot help because rank-shift semantics
+    // re-window every pid) and CLUSTERED (same batch size, one
+    // contiguous key range — the regime pruning exists for: fs_read
+    // and shuffled records should be neighborhood-sized, not
+    // corpus-sized).
+    def storeOf(ex: DataFrame, tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-incab-$tag")
+        .toString + "/state"
+      graft.ops.SortedNeighborhood.writeRankedState(ex, "c_custkey", "c_name", p)
+      p
+    }
+    val storeS = storeOf(existing, "scat")
+    val _ = t("sorted inc (store, scattered)")(
+      graft.ops.SortedNeighborhood.incrementalPairsFromStore(spark, storeS,
+        snStored, incoming, "c_custkey", "c_name", 5).count())
+    val mid = cbase * (k / 2)
+    val exC = rep.filter(col("c_custkey") < mid ||
+        col("c_custkey") >= mid + nInc).localCheckpoint(eager = true)
+    val incC = rep.filter(col("c_custkey") >= mid &&
+        col("c_custkey") < mid + nInc).localCheckpoint(eager = true)
+    println(s"[incab] clustered regime: existing=${exC.count()} batch=${incC.count()}")
+    val storeC = storeOf(exC, "clus")
+    val storedC = graft.ops.SortedNeighborhood.pairs(exC,
+      "c_custkey", "c_name", 5).localCheckpoint(eager = true)
+    val fullC = t("sorted full (clustered)")(
+      graft.ops.SortedNeighborhood.pairs(rep, "c_custkey", "c_name", 5).count())
+    val incCc = t("sorted inc (store, clustered)")(
+      graft.ops.SortedNeighborhood.incrementalPairsFromStore(spark, storeC,
+        storedC, incC, "c_custkey", "c_name", 5).count())
+    println(f"[incab] sorted clustered inc/full = ${incCc / fullC}%.2fx")
     spark.stop()
   }
 }

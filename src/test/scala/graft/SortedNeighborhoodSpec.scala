@@ -89,6 +89,50 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(inc == batch && inc.nonEmpty)
   }
 
+  test("stored pid-partitioned state: append batch reads a sliver of the corpus") {
+    val all = (1L to 4000L).map(i => (i, f"key$i%06d"))
+    val df = all.toDF("id", "k")
+    val existing = df.filter(col("id") <= 3600L)
+    val incoming = df.filter(col("id") > 3600L) // keys sort past the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-sn-store")
+      .toString + "/state"
+    SortedNeighborhood.writeRankedState(existing.repartition(8), "id", "k", dir)
+    // the boundary directory is ≤ #partitions rows — the full-state
+    // aggregate never runs on the store path
+    assert(spark.read.parquet(dir + SortedNeighborhood.BoundsSuffix).count() <= 32L)
+    // the layout turns a pid filter into directory-level pruning
+    val prunedScan = spark.read.parquet(dir).filter(col("pid").isin(0))
+    assert(graft.ops.Bucketing.partitionFilters(prunedScan).contains("pid"),
+      prunedScan.queryExecution.executedPlan.toString)
+    val stored = SortedNeighborhood.pairs(existing, "id", "k", 4)
+      .localCheckpoint(eager = true)
+    // meter what the fold actually READS FROM DISK (task inputMetrics
+    // also count cached-block reads, so they cannot isolate file I/O):
+    // an append batch touches the last range partition only, so the fold
+    // must read a sliver of the state directory — the unpruned plan
+    // reads it 2-3 times over (merged-untouched scan + affected probe)
+    import scala.jdk.CollectionConverters._
+    def fsBytesRead(): Long = org.apache.hadoop.fs.FileSystem
+      .getAllStatistics.asScala.map(_.getBytesRead).sum
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    }
+    val stateBytes = dirBytes(dir)
+    val before = fsBytesRead()
+    val inc = SortedNeighborhood
+      .incrementalPairsFromStore(spark, dir, stored, incoming, "id", "k", 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val readBytes = fsBytesRead() - before
+    val batch = SortedNeighborhood.pairs(df, "id", "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == batch, s"extra=${inc -- batch} missing=${batch -- inc}")
+    assert(readBytes < stateBytes,
+      s"fold read $readBytes B of a $stateBytes B state — pruning failed")
+  }
+
   test("incremental merge is type-generic: LONG sort key, same contract") {
     // the boundary directory reads (sk, id) generically (r14 ADVICE) —
     // a numeric blocking key must route identically to a string one
