@@ -146,7 +146,13 @@ object SparkEntry {
     // equality-contract pricing class: the clock includes replaying the
     // stored-state build, like q_graph_cc_inc); and the two-pass SN
     // recall repair
-    "q_text_editjoin2", "q_text_editjoin2_grouped", "q_text_editjoin_inc",
+    // q_text_editjoin2_grouped left the bench set in round 15 (the
+    // coreness_window precedent / r14 verdict stretch item 8): its delta
+    // vs the exploded twin is pinned (0.76-0.95x — grouped ≈ exploded on
+    // this dup-free fixture), it stays catalog+verify-green, and the
+    // ~4 s seat funds the round's new faces (kmv, editjoin_idx,
+    // sorted_block_inc_idx)
+    "q_text_editjoin2", "q_text_editjoin_inc",
     "q_dedup_sorted_block_inc", "q_dedup_sorted_block2",
     // the routed entry point priced next to its exploded twin (the
     // q_dedup_winnow_auto convention — probe overhead is the delta);
@@ -163,5 +169,11 @@ object SparkEntry {
     // face (the clock includes the partitioned WRITE, so the delta vs
     // _inc is the store round-trip minus the pruned reads)
     "q_dedup_sorted_block_inc_idx",
+    // round 15: the edit-join stored-index steady-state twin (1-in-10
+    // batch over the materialized variant index — the family's _idx
+    // convention, pricing steady state in the CATALOG, not just IncAb);
+    // q_text_editjoin2_auto stays catalog+verify-only with the rest of
+    // the k=2 family's non-exploded faces
+    "q_text_editjoin_idx",
   ).filter(queries.contains)
 }

@@ -130,6 +130,29 @@ object EditJoin {
           col("dist"), lit(1L).as("n_pairs"))
   }
 
+  /** k = 2 twin of [[pairsWithin1Auto]] (r14 verdict item 4): the same
+    * one-aggregate duplication probe picks exploded vs grouped execution
+    * at distance 2, output always the grouped schema. The Σcnt² budget
+    * guard is FOLDED IN on both routes — the exploded path measures the
+    * raw relation's fan-out, the grouped path measures the collapsed
+    * relation's (inside [[pairsWithin2Grouped]]'s call), which is the
+    * point of routing: a duplicate-heavy corpus that would blow the raw
+    * budget can pass it grouped. */
+  def pairsWithin2Auto(df: DataFrame, idCol: String, strCol: String,
+      maxCandidates: Long = DefaultPairs2CandidateBudget): DataFrame = {
+    val st = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+    val probe = st.agg(count(lit(1)).as("n"),
+      count_distinct(col("s")).as("nd")).head()
+    val (n, nd) = (probe.getLong(0), probe.getLong(1))
+    if (nd > 0 && n.toDouble / nd > AutoDupRatio)
+      pairsWithin2Grouped(df, idCol, strCol, maxCandidates)
+    else
+      pairsWithin2(df, idCol, strCol, maxCandidates)
+        .select(col("id1").as("rep1"), col("id2").as("rep2"),
+          col("dist"), lit(1L).as("n_pairs"))
+  }
+
   /** The depth-1 deletion-variant relation (id, s, v) — the BLOCKING
     * INDEX of [[pairsWithin1]], exposed so an ingest pipeline can store
     * it and join only incoming batches against it

@@ -1064,6 +1064,37 @@ object AnalyticsQueries {
           "c_custkey", "c_name")
         .orderBy("rep1", "rep2")),
 
+    // The stored-index steady-state twin (r14 verdict item 4): a 1-in-10
+    // batch folds over the MATERIALIZED variant index + stored pairs —
+    // the q_dedup_substring_inc_idx convention, separating steady-state
+    // pricing (only the batch is ever variant-expanded; the index build
+    // is one checkpointed pass) from the 50/50 equality-contract clock
+    // of q_text_editjoin_inc. Same flat union-replay oracle verbatim.
+    "q_text_editjoin_idx" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val existing = c.filter(col("c_custkey") % 10 =!= 0)
+      val incoming = c.filter(col("c_custkey") % 10 === 0)
+      val idx = graft.ops.EditJoin.variantIndex(existing, "c_custkey", "c_name")
+        .localCheckpoint(eager = true) // persisted at prior-ingest time
+      val stored = graft.ops.EditJoin.pairsWithin1(existing, "c_custkey", "c_name")
+        .localCheckpoint(eager = true)
+      graft.ops.EditJoin.incrementalPairsWithin1(idx, stored, incoming,
+          "c_custkey", "c_name")
+        .orderBy("id1", "id2")
+    }),
+
+    // k=2 auto route (r14 verdict item 4): the duplication probe picks
+    // exploded vs grouped at distance 2 with the Σcnt² budget folded
+    // into both routes; dup-free serials take the exploded path with
+    // n_pairs = 1 (spec pins the grouped branch + the budget pass-
+    // through on a duplicate-heavy fixture). Catalog+verify-only — the
+    // editjoin2 family's bench budget stays with the exploded/inc seats.
+    "q_text_editjoin2_auto" -> ((s, d) =>
+      graft.ops.EditJoin.pairsWithin2Auto(
+          Tables.customer(s, d).filter(col("c_custkey") <= 4000),
+          "c_custkey", "c_name")
+        .orderBy("rep1", "rep2")),
+
     // Multi-pass sorted neighborhood (r13 verdict item 6): a second
     // blocking pass on the REVERSED name catches near-misses that
     // diverge in the first character (invisible to a prefix-sorted
@@ -1713,7 +1744,7 @@ object AnalyticsQueries {
 
   /** Flat FastSS k=2 join over the capped serial prefix — shared
     * verbatim by the batch face and the incremental union-replay face. */
-  private val editJoin2FlatSql: String =
+  private val editJoin2FlatBody: String =
     s"""WITH c AS MATERIALIZED (
        |  SELECT c_custkey AS id, c_name AS s FROM customer
        |  WHERE length(c_name) > 0 AND c_custkey <= 4000),
@@ -1722,7 +1753,10 @@ object AnalyticsQueries {
        |  FROM c),
        |cand AS (
        |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
-       |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+       |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)""".stripMargin
+
+  private val editJoin2FlatSql: String =
+    s"""$editJoin2FlatBody
        |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
        |FROM cand WHERE levenshtein(s1, s2) <= 2
        |ORDER BY id1, id2""".stripMargin
@@ -2278,8 +2312,10 @@ object AnalyticsQueries {
     // DISTINCT makes both folds equivalent anyway)
     "q_text_editjoin" -> editJoinFlatSql,
     // union-replay contract: the incremental face must EQUAL the flat
-    // join over the whole table — same SQL verbatim
+    // join over the whole table — same SQL verbatim (the _idx twin runs
+    // the same contract over the materialized index with a 1-in-10 batch)
     "q_text_editjoin_inc" -> editJoinFlatSql,
+    "q_text_editjoin_idx" -> editJoinFlatSql,
     // the auto route picks the exploded path on every non-degenerate
     // corpus (customer names are duplicate-free, ratio 1.0), emitted in
     // the grouped schema with n_pairs = 1 — the winnowPairsAuto proof
@@ -2299,6 +2335,15 @@ object AnalyticsQueries {
     "q_text_editjoin2" -> editJoin2FlatSql,
     // k=2 union-replay contract: same SQL verbatim
     "q_text_editjoin2_inc" -> editJoin2FlatSql,
+    // the k=2 auto route on dup-free serials: exploded path, grouped
+    // schema, n_pairs = 1 (the q_text_editjoin_auto proof shape)
+    "q_text_editjoin2_auto" ->
+      s"""$editJoin2FlatBody
+         |SELECT id1 AS rep1, id2 AS rep2,
+         |  CAST(levenshtein(s1, s2) AS BIGINT) AS dist,
+         |  CAST(1 AS BIGINT) AS n_pairs
+         |FROM cand WHERE levenshtein(s1, s2) <= 2
+         |ORDER BY rep1, rep2""".stripMargin,
 
     "q_text_editjoin2_grouped" ->
       s"""WITH c AS MATERIALIZED (

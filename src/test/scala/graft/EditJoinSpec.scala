@@ -203,6 +203,37 @@ class EditJoinSpec extends SparkSpec {
     assert(a2.contains((1L, 28L, 1L, 27L))) // inter multiplicity n1*n2
   }
 
+  test("k=2 auto route: dup-free conservation; grouped path passes the budget") {
+    // dup-free → exploded path: auto == pairsWithin2 in grouped dress
+    val dupFree = Seq(1L -> "kitten", 2L -> "ситтан", 3L -> "kifton",
+      4L -> "apple", 5L -> "aple", 6L -> "orange")
+    val a = EditJoin.pairsWithin2Auto(dupFree.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.nonEmpty && a.forall(_._4 == 1L))
+    assert(a.map(t => (t._1, t._2, t._3)).toSet ==
+      EditJoin.pairsWithin2(dupFree.toDF("id", "s"), "id", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // duplicate-heavy: the grouped route collapses BEFORE blocking, so a
+    // budget the RAW relation would blow passes on the collapsed one —
+    // the reason the guard is folded into the route
+    val heavy = (1L to 40L).map(_ -> "kitten") ++
+      Seq(41L -> "sitten", 42L -> "apple", 43L -> "orange")
+    val rawFanout = {
+      val vars = heavy.toDF("id", "s")
+        .select(col("id"), explode(expr(EditJoin.variants2Expr("s"))).as("v"))
+      vars.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(sum(expr("cnt * cnt"))).first().getLong(0)
+    }
+    val budget = rawFanout - 1 // raw relation would refuse at this budget
+    intercept[IllegalArgumentException] {
+      EditJoin.pairsWithin2(heavy.toDF("id", "s"), "id", "s", budget)
+    }
+    val g = EditJoin.pairsWithin2Auto(heavy.toDF("id", "s"), "id", "s", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g.contains((1L, 1L, 0L, 40L * 39 / 2)))
+    assert(g.contains((1L, 41L, 1L, 40L))) // inter multiplicity n1*n2
+  }
+
   test("bucket sizes are structurally bounded — a shared-prefix corpus stays banded") {
     // 400 zero-padded serials (the customer-name shape): every deletion
     // variant bucket must stay under (L+1)*|alphabet|+1 even though all
