@@ -227,20 +227,22 @@ object EditJoin {
     incrementalFromIndex(existingIndex, storedPairs,
       variant2Index(incoming, idCol, strCol), maxDist = 2)
 
-  /** Shared incremental protocol of the two edit-join depths: the batch
-    * index joins against index ∪ batch, pairs orient by id (strings
-    * swap with them), candidate DISTINCT, exact verify at `maxDist`,
-    * union with the stored pairs (disjoint by construction: stored
-    * pairs are existing-existing, new pairs touch ≥ 1 incoming id). */
-  private def incrementalFromIndex(existingIndex: DataFrame,
-      storedPairs: DataFrame, incIndex: DataFrame, maxDist: Int): DataFrame = {
+  /** New pairs TOUCHING a batch, given the stored variant index and the
+    * batch's own index: batch-vs-(index ∪ batch) — pairs within the
+    * batch plus batch-vs-existing, each exactly once. This is the
+    * streaming EMISSION ([[graft.streaming.CorpusStreams]] editJoinIngest):
+    * over a stream of batches, each qualifying pair is emitted at its
+    * LATER member's batch, so the per-batch union equals the one-shot
+    * batch run exactly. Pairs orient by id (strings swap with them),
+    * candidate DISTINCT, exact verify at `maxDist`. */
+  def newPairsAgainstIndex(existingIndex: DataFrame, incIndex: DataFrame,
+      maxDist: Int): DataFrame = {
     val all = existingIndex.select("id", "s", "v")
       .unionByName(incIndex.select("id", "s", "v"))
-    val joined = incIndex
+    incIndex
       .select(col("id").as("ia"), col("s").as("sa"), col("v"))
       .join(all.select(col("id").as("ib"), col("s").as("sb"), col("v")), Seq("v"))
       .filter(col("ia") =!= col("ib"))
-    val newPairs = joined
       .select(
         least(col("ia"), col("ib")).as("id1"),
         greatest(col("ia"), col("ib")).as("id2"),
@@ -250,8 +252,16 @@ object EditJoin {
       .filter(expr(s"levenshtein(s1, s2) <= $maxDist"))
       .select(col("id1"), col("id2"),
         expr("CAST(levenshtein(s1, s2) AS BIGINT)").as("dist"))
-    storedPairs.unionByName(newPairs)
   }
+
+  /** Shared incremental protocol of the two edit-join depths: the new
+    * pairs touching the batch ([[newPairsAgainstIndex]]) union the
+    * stored pairs (disjoint by construction: stored pairs are
+    * existing-existing, new pairs touch ≥ 1 incoming id). */
+  private def incrementalFromIndex(existingIndex: DataFrame,
+      storedPairs: DataFrame, incIndex: DataFrame, maxDist: Int): DataFrame =
+    storedPairs.unionByName(
+      newPairsAgainstIndex(existingIndex, incIndex, maxDist))
 
   /** All unordered pairs (id1 < id2) within levenshtein distance 2, via
     * the depth-≤2 deletion neighborhood: ed(a, b) ≤ 2 implies a and b

@@ -159,6 +159,26 @@ object SortedNeighborhood {
       .map(r => (r.getInt(0), r.getStruct(1).get(0), r.getStruct(1).get(1),
         r.getLong(2)))
       .sortBy(_._1)
+    incrementalImpl(state, bounds, storedPairs, incoming, idCol, keyCol, w)._1
+  }
+
+  /** [[incrementalPairs]] that ALSO returns the post-merge ranked state
+    * (id, sk, rank, pid) — the streaming fold's shape
+    * ([[graft.streaming.CorpusStreams]] snIngest): one fold yields the
+    * updated pair set AND the snapshot the next batch folds into, so the
+    * global sort never re-runs across the stream's lifetime. The
+    * non-relevant pids join the state output by a broadcast rank shift
+    * only (their rows never enter a window or a join). */
+  def incrementalPairsWithState(state: DataFrame, storedPairs: DataFrame,
+      incoming: DataFrame, idCol: String, keyCol: String,
+      w: Int): (DataFrame, DataFrame) = {
+    val bounds = state.groupBy("pid").agg(
+        F.min(struct(col("sk"), col("id"))).as("lo"),
+        F.min("rank").as("r0"))
+      .collect()
+      .map(r => (r.getInt(0), r.getStruct(1).get(0), r.getStruct(1).get(1),
+        r.getLong(2)))
+      .sortBy(_._1)
     incrementalImpl(state, bounds, storedPairs, incoming, idCol, keyCol, w)
   }
 
@@ -198,14 +218,16 @@ object SortedNeighborhood {
       .collect() // ≤ #partitions rows by the writeRankedState contract
       .map(r => (r.getInt(0), r.get(1), r.get(2), r.getLong(3)))
       .sortBy(_._1)
-    incrementalImpl(state, bounds, storedPairs, incoming, idCol, keyCol, w)
+    incrementalImpl(state, bounds, storedPairs, incoming, idCol, keyCol, w)._1
   }
 
-  /** Shared core of the two incremental faces: `bounds` is the collected
-    * boundary directory (pid, lo key, lo id, min rank), sorted by pid. */
+  /** Shared core of the incremental faces: `bounds` is the collected
+    * boundary directory (pid, lo key, lo id, min rank), sorted by pid.
+    * Returns (merged pair set, merged ranked state). */
   private def incrementalImpl(state: DataFrame,
       bounds: Array[(Int, Any, Any, Long)], storedPairs: DataFrame,
-      incoming: DataFrame, idCol: String, keyCol: String, w: Int): DataFrame = {
+      incoming: DataFrame, idCol: String, keyCol: String,
+      w: Int): (DataFrame, DataFrame) = {
     require(w >= 2, "window must cover at least two records")
     val spark = state.sparkSession
     import spark.implicits._
@@ -213,7 +235,9 @@ object SortedNeighborhood {
     // cold start (round-14 ADVICE): no stored rows means no boundaries to
     // route by — the merged corpus IS the batch, and the batch pairs are
     // the whole answer (storedPairs is empty by the same contract)
-    if (bounds.isEmpty) return pairs(incoming, idCol, keyCol, w)
+    if (bounds.isEmpty)
+      return (pairs(incoming, idCol, keyCol, w),
+        rankedState(incoming, idCol, keyCol))
     val minPid = bounds.head._1
     val bschema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("bpid",
@@ -277,12 +301,12 @@ object SortedNeighborhood {
       .join(metaDf, "pid")
       .select(col("id"), col("sk"),
         (col("r0") + col("ip") + col("lpos") - 1L).as("rank"), col("is_new"),
-        (col("r0") + col("lpos") - col("icnt")).as("insp"))
+        (col("r0") + col("lpos") - col("icnt")).as("insp"), col("pid"))
     val untouched = state
       .filter(col("pid").isin(relevantUntouched.map(Int.box): _*))
       .join(metaDf, "pid")
       .select(col("id"), col("sk"), (col("rank") + col("ip")).as("rank"),
-        lit(0).as("is_new"), lit(null).cast("long").as("insp"))
+        lit(0).as("is_new"), lit(null).cast("long").as("insp"), col("pid"))
     val merged = mergedTouched.unionByName(untouched)
       .localCheckpoint(eager = true) // probe + target + affected share it
     // 3. new pairs: banded rank join, the batch side broadcast so the
@@ -332,7 +356,19 @@ object SortedNeighborhood {
       .join(endRanks.select(col("id").as("id2"), col("rank").as("r2")), Seq("id2"))
       .filter(col("r2") - col("r1") <= delta)
       .select(col("id1"), col("id2"), (col("r2") - col("r1")).as("gap"))
-    unaffected.select("id1", "id2", "gap").unionByName(regapped)
+    val mergedPairs = unaffected.select("id1", "id2", "gap")
+      .unionByName(regapped)
       .unionByName(newPairs)
+    // the post-merge ranked state: relevant pids come from the merged
+    // view; non-relevant pids shift by the broadcast offset only — their
+    // rows never enter a window or a join
+    val nonRelevant = state
+      .filter(!col("pid").isin(relevant.map(Int.box): _*))
+      .join(metaDf, "pid")
+      .select(col("id"), col("sk"), (col("rank") + col("ip")).as("rank"),
+        col("pid"))
+    val newState = merged.select("id", "sk", "rank", "pid")
+      .unionByName(nonRelevant)
+    (mergedPairs, newState)
   }
 }

@@ -583,6 +583,147 @@ object CorpusStreams {
       storedCols = Seq(groupCol, "h"),
       output = m => graft.ops.KmvSketch.estimate(m, Seq(groupCol)))
 
+  /** Streaming edit-join ingest (r14 verdict item 3a): each micro-batch's
+    * deletion-variant index joins against the stored variant index
+    * ([[graft.ops.EditJoin.variantIndex]] layout) — batch-vs-(index ∪
+    * batch), never existing-vs-existing — and the pairs TOUCHING the
+    * batch land in `pairsDir` under the batch id; the batch's own
+    * variants append to `indexDir` AFTER the join, so later batches see
+    * earlier ones and the per-batch pair union equals the one-shot batch
+    * run EXACTLY (each pair is emitted at its later member's batch —
+    * deletion-variant blocking is doc-local, so there is no
+    * online-decision caveat, the winnowIngest property). Replay-
+    * idempotent by the curateBatch discipline: reads exclude batch_id ≥
+    * current, writes dynamically overwrite their own partition; the
+    * every-`compactEvery` concatenation fold bounds steady-state
+    * partitions under the [[compactionMarker]] protocol. Fold-algebra
+    * placement: the index fold is a set union over DISJOINT per-batch id
+    * sets — append-only state that GROWS with the corpus (unlike the six
+    * fixed-size sketch ingests); exactly-once emission rides the
+    * batch_id discipline. */
+  def editJoinIngest(rows: DataFrame, idCol: String, strCol: String,
+      indexDir: String, pairsDir: String, checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, idxPath, batchId)) {
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
+        val batchIdx = graft.ops.EditJoin.variantIndex(b, idCol, strCol)
+          .localCheckpoint(eager = true) // one expansion feeds join + write
+        val index =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch_id") < batchId).select("id", "s", "v")
+          else batchIdx.limit(0)
+        val pairs = graft.ops.EditJoin
+          .newPairsAgainstIndex(index, batchIdx, maxDist = 1)
+          .localCheckpoint(eager = true)
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(pairs, pairsDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val folded = index.unionByName(batchIdx.select("id", "s", "v"))
+            .localCheckpoint(eager = true) // sever the read before overwrite
+          writePartition(folded, indexDir)
+          markCompacted(fs, idxPath, batchId) // all writes done; deletes follow
+          compactOlderPartitions(fs, idxPath, batchId)
+        } else writePartition(batchIdx.select("id", "s", "v"), indexDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Streaming sorted-neighborhood ingest (r14 verdict item 3b): per
+    * trigger, the batch rank-merges into the stored ranked-state
+    * SNAPSHOT (boundary routing + touched-pid local windows — the
+    * whole-corpus sort runs once, at batch 0, and never again for the
+    * stream's lifetime) and BOTH artifacts land under the batch id: the
+    * post-merge ranked state in `stateDir`, the updated pair set in
+    * `pairsDir`. Unlike the emission-only text ingests (substring /
+    * winnow / edit join), SN's stored pairs are MUTABLE — an insertion
+    * can re-gap or evict a stored pair — so the running pair set is
+    * snapshot-maintained (the sketch-outDir semantics: "the state after
+    * this batch, under its id"), not emitted as disjoint per-batch sets.
+    *
+    * Replay discipline: reads take the LATEST snapshot with batch_id <
+    * current, so a replayed batch recomputes byte-identically from the
+    * pre-fold snapshot and dynamically overwrites its own partitions —
+    * exactly-once state through the batch_id protocol. Fold-algebra
+    * placement: with quantile/CMS/MG (NOT Bloom/HLL/KMV) — the rank
+    * merge is not idempotent (folding a batch twice would double-insert
+    * its rows), so state correctness depends on that discipline.
+    *
+    * Residual cost, stated plainly: each trigger WRITES a corpus-sized
+    * snapshot even though it only COMPUTES a batch-sized merge; the
+    * batch-driven path that avoids the write amplification is
+    * [[graft.ops.SortedNeighborhood.writeRankedState]] +
+    * incrementalPairsFromStore (touched pid partitions only). Superseded
+    * snapshots retire every `compactEvery` batches under the
+    * [[compactionMarker]] protocol (between compactions ≤ compactEvery
+    * snapshots coexist). */
+  def snIngest(rows: DataFrame, idCol: String, keyCol: String,
+      stateDir: String, pairsDir: String, checkpointDir: String, w: Int = 5,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val stPath = new org.apache.hadoop.fs.Path(stateDir)
+        val prPath = new org.apache.hadoop.fs.Path(pairsDir)
+        val fs = stPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (replayAfterCompaction(fs, stPath, batchId)) {
+          compactOlderPartitions(fs, stPath, batchId)
+          compactOlderPartitions(fs, prPath, batchId)
+        } else {
+        val b = batch.localCheckpoint(eager = true)
+        val prior: Option[Long] =
+          if (!fs.exists(stPath)) None
+          else fs.listStatus(stPath).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch_id="))
+            .flatMap(n => scala.util.Try(
+              n.stripPrefix("batch_id=").toLong).toOption)
+            .filter(_ < batchId).sorted.lastOption
+        val (newPairs, newState) = prior match {
+          case None =>
+            (graft.ops.SortedNeighborhood.pairs(b, idCol, keyCol, w),
+              graft.ops.SortedNeighborhood.rankedState(b, idCol, keyCol))
+          case Some(p) =>
+            val state = sp.read.parquet(stateDir)
+              .filter(col("batch_id") === p).select("id", "sk", "rank", "pid")
+            val stored = sp.read.parquet(pairsDir)
+              .filter(col("batch_id") === p).select("id1", "id2", "gap")
+            graft.ops.SortedNeighborhood.incrementalPairsWithState(
+              state, stored, b, idCol, keyCol, w)
+        }
+        // sever both reads before any overwrite of the dirs they read
+        val pr = newPairs.localCheckpoint(eager = true)
+        val st = newState.localCheckpoint(eager = true)
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(dir)
+        writePartition(pr, pairsDir)
+        writePartition(st, stateDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          markCompacted(fs, stPath, batchId) // all writes done; deletes follow
+          compactOlderPartitions(fs, stPath, batchId)
+          compactOlderPartitions(fs, prPath, batchId)
+        }
+        }
+        ()
+      }
+      .start()
+
   /** drop index partitions older than `keepId` after a compaction fold —
     * the folded partition (batch_id = keepId) carries their content.
     * Also retires older compaction markers (underscore-prefixed, so

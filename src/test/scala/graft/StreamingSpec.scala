@@ -692,6 +692,89 @@ class StreamingSpec extends SparkSpec {
       s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("editjoin ingest: per-batch pair union equals the one-shot join, index compacts") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.EditJoin
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select("c_custkey", "c_name")
+    val dir = Files.createTempDirectory("graft-ej-ingest")
+    (0 until 4).foreach { i =>
+      cust.filter(col("c_custkey") % 4 === i).coalesce(1)
+        .write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val stream = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.editJoinIngest(stream, "c_custkey", "c_name",
+      dir.resolve("index").toString, dir.resolve("pairs").toString,
+      dir.resolve("ck").toString, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // batches 0,1 folded into partition 2 and deleted
+    val pids = spark.read.parquet(dir.resolve("index").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the concatenation fold lost nothing: the surviving partitions hold
+    // the full corpus's variant relation
+    val grown = spark.read.parquet(dir.resolve("index").toString)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(grown == EditJoin.variantIndex(cust, "c_custkey", "c_name")
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+    // each pair is emitted exactly once, at its later member's batch —
+    // the union equals the one-shot join (doc-local blocking, no caveat)
+    val streamed = spark.read.parquet(dir.resolve("pairs").toString)
+      .select("id1", "id2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = EditJoin.pairsWithin1(cust, "c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.length == streamed.toSet.size, "a pair was emitted twice")
+    assert(streamed.toSet == batch && batch.nonEmpty,
+      s"extra=${(streamed.toSet -- batch).take(3)} missing=${(batch -- streamed.toSet).take(3)}")
+  }
+
+  test("sn ingest: running pair snapshot equals the one-shot blocking; snapshots retire") {
+    import graft.streaming.CorpusStreams
+    import graft.ops.SortedNeighborhood
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select("c_custkey", "c_name")
+    val dir = Files.createTempDirectory("graft-sn-ingest")
+    (0 until 4).foreach { i =>
+      cust.filter(col("c_custkey") % 4 === i).coalesce(1)
+        .write.parquet(dir.resolve(s"in/b$i").toString)
+    }
+    val stream = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q = CorpusStreams.snIngest(stream, "c_custkey", "c_name",
+      dir.resolve("state").toString, dir.resolve("pairs").toString,
+      dir.resolve("ck").toString, w = 4, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    // snapshots 0,1 retired at the batch-2 compaction; 2 and 3 remain
+    val pids = spark.read.parquet(dir.resolve("state").toString)
+      .select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(pids == Set(2L, 3L), pids)
+    // the final snapshots equal the one-shot run over everything arrived
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2", "gap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = pairSet(spark.read.parquet(dir.resolve("pairs").toString)
+      .filter(col("batch_id") === 3))
+    val batch = pairSet(SortedNeighborhood.pairs(cust, "c_custkey", "c_name", 4))
+    assert(streamed == batch && batch.nonEmpty,
+      s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    // ...and the final state snapshot is the exact global rank 0..n-1
+    val ranks = spark.read.parquet(dir.resolve("state").toString)
+      .filter(col("batch_id") === 3)
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = cust.select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(ranks == expected)
+  }
+
   test("curate compaction: state bounded, replay of the compaction batch is a marker no-op") {
     import graft.streaming.CorpusStreams
     val batchDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
