@@ -175,5 +175,9 @@ object SparkEntry {
     // q_text_editjoin2_auto stays catalog+verify-only with the rest of
     // the k=2 family's non-exploded faces
     "q_text_editjoin_idx",
+    // round 15: the MG-pruned heavy-hitters route priced NEXT TO the CMS
+    // route (q_heavy_hitters is a pinned canary — untouched); identical
+    // output, counter-row shuffle instead of candidate-row shuffle
+    "q_heavy_hitters_mg",
   ).filter(queries.contains)
 }

@@ -37,4 +37,52 @@ object HeavyHitters {
       .groupBy(key).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   }
+
+  /** Candidate-set size past which [[heavyHittersAuto]] keeps the CMS
+    * route: the MG route broadcasts its ≤ N/T+1 candidate keys, so it is
+    * the cheap path exactly when that set is broadcast-small. */
+  val MgRouteMaxCandidates = 65536L
+
+  /** The [[graft.ops.MisraGries]]-pruned route (r14 verdict stretch
+    * item 9) — same exact output as [[heavyHitters]], different prune:
+    * per-PARTITION MG summaries of size k = ⌊N/T⌋+1 (each capped at k+1
+    * counters BEFORE the exchange by the bounded-heap TopKPerKey pass)
+    * counter-join-merge into one summary whose retention law guarantees
+    * every key with true count > N/(k+1) — and N/(k+1) < T by the choice
+    * of k — survives; the ≤ k retained keys broadcast back as a semi-join
+    * prune, and the exact count discards the slack. Versus the CMS
+    * route: the shuffle carries ≤ partitions·(k+1) counter rows instead
+    * of every candidate ROW, there is no per-row hash evaluation, and
+    * the prune is deterministic (no eps/confidence sizing) — the cost is
+    * one extra count() pass to learn N and a candidate set that grows as
+    * N/T (the CMS candidate set is frequency-shaped instead). */
+  def heavyHittersMg(df: DataFrame, key: String, threshold: Long): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val n = df.count()
+    val k = math.min(Int.MaxValue.toLong, n / threshold + 1L).toInt
+    val keyed = df.select(col(key))
+      .withColumn("__g", lit(1))
+      .withColumn("__pid", spark_partition_id())
+    val partials = MisraGries.summary(keyed, Seq("__g", "__pid"), key, k)
+    val cands = MisraGries.merge(partials, Seq("__g"), k)
+      .select(col("k").as(key)) // ≤ k = N/T+1 keys
+    df.join(broadcast(cands), Seq(key), "left_semi")
+      .groupBy(key).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
+  /** Routed entry point (the winnowPairsAuto pattern): one count()
+    * probe derives the MG candidate budget N/T+1 and picks the summary
+    * prune when that set is broadcast-small, the CMS prune otherwise.
+    * Output identical on both routes (both prunes are exactness-
+    * preserving supersets ahead of the same exact count). */
+  def heavyHittersAuto(df: DataFrame, key: String, threshold: Long,
+      eps: Double = 0.0005, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val n = df.count()
+    if (n / threshold + 1L <= MgRouteMaxCandidates)
+      heavyHittersMg(df, key, threshold)
+    else heavyHitters(df, key, threshold, eps, confidence, seed)
+  }
 }

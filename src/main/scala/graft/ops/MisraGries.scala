@@ -62,34 +62,42 @@ object MisraGries {
       .groupBy((groupCols :+ "k").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 
-  /** The MG truncation: keep keys with cnt strictly above the (K+1)-th
-    * largest count d (so ≤ K survive even under ties), est = cnt − d.
-    * Top-(K+1) extraction rides the bounded-heap TopKPerKey physical
-    * operator — never a per-group sort of the full count relation; the
-    * d/filter pass is then a window over ≤ K+1 rows per group. */
-  private[graft] def truncate(cnts: DataFrame, groupCols: Seq[String]): DataFrame = {
+  /** The MG truncation at summary size `k`: keep keys with cnt strictly
+    * above the (k+1)-th largest count d (so ≤ k survive even under
+    * ties), est = cnt − d. Top-(k+1) extraction rides the bounded-heap
+    * TopKPerKey physical operator — never a per-group sort of the full
+    * count relation; the d/filter pass is then a window over ≤ k+1 rows
+    * per group. */
+  private[graft] def truncate(cnts: DataFrame, groupCols: Seq[String],
+      k: Int = K): DataFrame = {
     val top = graft.plans.TopKPerKey(cnts, groupCols,
-      Seq(("cnt", false), ("k", true)), K + 1)
+      Seq(("cnt", false), ("k", true)), k + 1)
     val w = Window.partitionBy(groupCols.map(col): _*)
     top
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__d",
-        when(col("__n") === (K + 1), min("cnt").over(w)).otherwise(lit(0L)))
+        when(col("__n") === (k + 1), min("cnt").over(w)).otherwise(lit(0L)))
       .filter(col("cnt") > col("__d"))
       .select((groupCols.map(col) :+ col("k") :+
         (col("cnt") - col("__d")).as("est")): _*)
   }
 
-  /** Build the summary of a batch: ≤ K rows (groupCols..., k, est). */
-  def summary(df: DataFrame, groupCols: Seq[String], keyExpr: String): DataFrame =
-    truncate(counts(df, groupCols, keyExpr), groupCols)
+  /** Build the summary of a batch: ≤ k rows (groupCols..., k, est).
+    * `k` defaults to the catalog's fixed [[K]]; callers sizing the
+    * summary to a retention threshold (every key with true count >
+    * N/(k+1) is retained — [[graft.ops.HeavyHitters.heavyHittersMg]])
+    * pass their derived k. */
+  def summary(df: DataFrame, groupCols: Seq[String], keyExpr: String,
+      k: Int = K): DataFrame =
+    truncate(counts(df, groupCols, keyExpr), groupCols, k)
 
   /** Merge summaries carrying extra partition columns down to `groupCols`:
-    * per-key est sum over the ≤ B·K combined rows, then the same
+    * per-key est sum over the ≤ B·k combined rows, then the same
     * truncation. SUM fold — exactly-once-dependent (see class doc). */
-  def merge(summaries: DataFrame, groupCols: Seq[String]): DataFrame =
+  def merge(summaries: DataFrame, groupCols: Seq[String],
+      k: Int = K): DataFrame =
     truncate(
       summaries.groupBy((groupCols :+ "k").map(col): _*)
         .agg(sum("est").as("cnt")),
-      groupCols)
+      groupCols, k)
 }

@@ -1251,6 +1251,18 @@ object AnalyticsQueries {
       graft.ops.HeavyHitters.heavyHitters(Tables.orders(s, d), "o_custkey", threshold = 18L)
         .orderBy("o_custkey")),
 
+    // the Misra–Gries-pruned route (r14 verdict stretch item 9): per-
+    // partition summaries of size N/T+1 (bounded-heap-capped BEFORE the
+    // exchange) merge into one retention-guaranteed candidate set that
+    // broadcasts back as a semi-join prune — identical exact output,
+    // shuffle carries counter rows instead of candidate rows, no per-row
+    // hashing, no eps/confidence sizing. Shares q_heavy_hitters' oracle
+    // verbatim (the identical-output claim IS the hash equality).
+    "q_heavy_hitters_mg" -> ((s, d) =>
+      graft.ops.HeavyHitters.heavyHittersMg(Tables.orders(s, d), "o_custkey",
+          threshold = 18L)
+        .orderBy("o_custkey")),
+
     // End-to-end training-data preparation — the full pre-training intake
     // in ONE plan: blocklist redaction -> quality gate -> exact dedup on
     // the redacted fingerprint -> content-hash train/val/test split ->
@@ -2490,6 +2502,11 @@ object AnalyticsQueries {
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_heavy_hitters" ->
+      """SELECT o_custkey, count(*) AS cnt
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 18
+        |ORDER BY o_custkey""".stripMargin,
+    // the MG-pruned route must produce the identical exact relation
+    "q_heavy_hitters_mg" ->
       """SELECT o_custkey, count(*) AS cnt
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 18
         |ORDER BY o_custkey""".stripMargin,

@@ -90,4 +90,35 @@ class MisraGriesSpec extends SparkSpec {
     val skewGot = got.collect { case (("skew", k), e) => k -> e }
     assert(skewGot == brute(occ))
   }
+
+  test("threshold-sized k: merged partition partials retain every T-heavy key") {
+    // the heavyHittersMg sizing law: k = floor(N/T)+1 makes N/(k+1) < T,
+    // so the merged summary must retain EVERY key with true count >= T —
+    // whatever the partition cuts
+    val n = occ.size.toLong
+    val threshold = 40L
+    val k = (n / threshold + 1L).toInt
+    val d = occ.zipWithIndex.toDF("k", "i")
+      .withColumn("g", lit("all")).withColumn("part", col("i") % 7)
+    val parts = MisraGries.summary(d, Seq("g", "part"), "k", k)
+    val retained = MisraGries.merge(parts, Seq("g"), k)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(retained.size <= k)
+    val exact = occ.groupBy(identity).map { case (x, v) => x -> v.size.toLong }
+    exact.foreach { case (key, c) =>
+      if (c >= threshold) assert(retained.contains(key), s"T-heavy $key dropped")
+    }
+  }
+
+  test("MG-pruned heavy hitters == CMS-pruned == plain GROUP BY HAVING") {
+    import graft.ops.HeavyHitters
+    val d = occ.toDF("k").repartition(9)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = rows(d.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 30L))
+    assert(rows(HeavyHitters.heavyHittersMg(d, "k", 30L)) == plain)
+    assert(rows(HeavyHitters.heavyHittersAuto(d, "k", 30L)) == plain)
+    assert(plain.nonEmpty)
+  }
 }
