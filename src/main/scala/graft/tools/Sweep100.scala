@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev-only single-sample 100× sweep rows (r14 verdict item 6) for the
+  * round-14/15 families whose min-of-2 SkewScale run exceeds a session
+  * budget at k = 100 (one editjoin2 sample alone runs >10 min there).
+  * Single samples at QUIET box load, labeled as such in BASELINE — the
+  * honest trade documented at the r13 editjoin 100× row (min across
+  * identical-data runs when budget allows).
+  *
+  * Usage: runMain graft.tools.Sweep100 [sfDir] [k] [algos]
+  */
+object Sweep100 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 100
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("editjoin2", "mg", "mg_hot")
+    def want(n: String): Boolean = only.contains(n)
+    val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    def t1(name: String)(f: => DataFrame): Unit = {
+      val keep = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+        if (!keep.contains(id)) r.unpersist(blocking = false)
+      }
+      println(f"[sweep100] $name%-22s ${k}x $dt%8.2f s (single sample)")
+    }
+    if (want("editjoin2")) {
+      // the SkewScale sparse-serial recipe: replicated custkeys respaced
+      // by x37 so near-miss density prices the blocking machinery
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey")
+      val cbase = cust.agg(max(col("c_custkey"))).first().getLong(0) + 1L
+      val rep = (0 until k).map(i =>
+          cust.withColumn("c_custkey", col("c_custkey") + lit(i * cbase)))
+        .reduce(_ unionByName _)
+        .withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey") * 37))
+        .localCheckpoint(eager = true)
+      println(s"[sweep100] editjoin2 corpus: ${rep.count()} rows")
+      t1("editjoin2")(graft.ops.EditJoin.pairsWithin2(rep,
+        "c_custkey", "c_name", maxCandidates = Long.MaxValue))
+    }
+    if (want("mg") || want("mg_hot")) {
+      // the SkewScale mg shape: replicated events, sqrt-ramp key; the hot
+      // twin collapses 1-in-50 events onto ONE user (the bot shape)
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_id", "user_id", "value")
+      val ebase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      def erep(hot: Boolean): DataFrame = {
+        val rep = (0 until k).map(i =>
+            ev.withColumn("event_id", col("event_id") + lit(i * ebase)))
+          .reduce(_ unionByName _)
+        val u = if (!hot) rep
+          else rep.withColumn("user_id",
+            when(col("event_id") % 50 === 0, lit(1L)).otherwise(col("user_id")))
+        u.select(col("user_id"),
+          expr("CAST(floor(sqrt(CAST(value AS DECIMAL(18,2)) * 100)) AS BIGINT)")
+            .as("k"))
+          .localCheckpoint(eager = true)
+      }
+      if (want("mg")) t1("mg_uniform")(
+        graft.ops.MisraGries.summary(erep(hot = false), Seq("user_id"), "k"))
+      if (want("mg_hot")) t1("mg_hot")(
+        graft.ops.MisraGries.summary(erep(hot = true), Seq("user_id"), "k"))
+    }
+    spark.stop()
+  }
+}
