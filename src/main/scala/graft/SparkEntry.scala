@@ -169,6 +169,11 @@ object SparkEntry {
     // face (the clock includes the partitioned WRITE, so the delta vs
     // _inc is the store round-trip minus the pruned reads)
     "q_dedup_sorted_block_inc_idx",
+    // round 16: its read-only decomposition — the store is built once
+    // per process outside the clock, so this seat prices the pure
+    // fold-over-stored-layout seconds and (_inc_idx − _idx_ro) is the
+    // measured state write/round-trip cost (r15 verdict item 3)
+    "q_dedup_sorted_block_idx_ro",
     // round 15: the edit-join stored-index steady-state twin (1-in-10
     // batch over the materialized variant index — the family's _idx
     // convention, pricing steady state in the CATALOG, not just IncAb);

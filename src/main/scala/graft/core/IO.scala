@@ -14,6 +14,24 @@ import org.apache.spark.sql.types._
   */
 object IO {
 
+  /** A temp directory that cleans up after itself: registered for
+    * recursive deletion at JVM exit, so repeated bench/verify runs stop
+    * accumulating store copies under /tmp (r15 ADVICE). Per-process
+    * scratch only — deployment stores pass their own durable paths. */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      scala.util.Try {
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => scala.util.Try(java.nio.file.Files.delete(p)))
+      }
+      ()
+    }))
+    dir.toString
+  }
+
   final case class Edge(src: Long, dst: Long)
 
   val edgeSchema: StructType = StructType(Seq(

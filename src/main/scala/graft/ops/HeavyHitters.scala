@@ -58,8 +58,18 @@ object HeavyHitters {
     * N/T (the CMS candidate set is frequency-shaped instead). */
   def heavyHittersMg(df: DataFrame, key: String, threshold: Long): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    val n = df.count()
-    val k = math.min(Int.MaxValue.toLong, n / threshold + 1L).toInt
+    heavyHittersMgImpl(df, key, threshold, df.count())
+  }
+
+  /** [[heavyHittersMg]] with N already known — the routed path learned it
+    * for the budget probe, so the MG route must not scan the input a
+    * second time just to recompute it (r15 ADVICE). */
+  private def heavyHittersMgImpl(df: DataFrame, key: String, threshold: Long,
+      n: Long): DataFrame = {
+    // cap BELOW Int.MaxValue: the bounded-heap pass truncates at k + 1
+    // counters, which must not overflow for a threshold=1 call on a
+    // multi-billion-row input (r15 ADVICE)
+    val k = math.min((Int.MaxValue - 1).toLong, n / threshold + 1L).toInt
     val keyed = df.select(col(key))
       .withColumn("__g", lit(1))
       .withColumn("__pid", spark_partition_id())
@@ -82,7 +92,7 @@ object HeavyHitters {
     require(threshold > 0, "threshold must be positive")
     val n = df.count()
     if (n / threshold + 1L <= MgRouteMaxCandidates)
-      heavyHittersMg(df, key, threshold)
+      heavyHittersMgImpl(df, key, threshold, n) // reuse the probe's N
     else heavyHitters(df, key, threshold, eps, confidence, seed)
   }
 }

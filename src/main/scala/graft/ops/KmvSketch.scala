@@ -46,8 +46,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism discipline: one explicit affine hash over int64 with
   * constants single-sourced HERE ([[hashSql]] — the CountMin/Hll
-  * convention, never engine-native hashing); key domain < ~4e9 so
-  * A·k stays under 2^63 (the affine-hash key-domain contract).
+  * convention, never engine-native hashing). Key-domain contract
+  * (r15 ADVICE, tightened): keys must be < P ≈ 1.0e9+7 — that is what
+  * the exactness/permutation guarantees (and the θ-restricted overlap
+  * sampling) quantify over. Keys in [P, ~4e9) merely avoid A·k
+  * overflowing 2^63 but ALIAS mod P: distinct keys can collide, the
+  * unsaturated "kept-count = true distinct count" law silently breaks,
+  * and both engines break identically — the oracle cannot catch it.
+  * All current callers (gram hashes mod P, TPC-H keys, user ids) are
+  * < P by construction.
   *
   * 100 TB design: state is ≤ K hash rows per group regardless of input
   * — the build's distinct is map-side-partial-absorbed, the K-smallest

@@ -25,6 +25,25 @@ object AnalyticsQueries {
 
   /** minimum releasable cohort size for the k-anonymity screen */
   private val KanonK = 6L
+
+  // --- sorted-neighborhood store scratch (r15 verdict item 3 + ADVICE) --
+  // one per-process dir for the write-inclusive face (overwritten each
+  // run, never accumulated), and a per-sfDir memoized store for the
+  // read-only steady-state face (built once, outside the clock)
+  private lazy val snIdxRwScratch = graft.core.IO.scratchDir("graft-sn-idx-rw")
+  private val snIdxRoStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+  private def snIdxRoStore(s: SparkSession, d: String): (String, DataFrame) =
+    snIdxRoStores.computeIfAbsent(d, _ => {
+      val existing = Tables.customer(s, d).filter(col("c_custkey") % 10 =!= 0)
+      val dir = graft.core.IO.scratchDir("graft-sn-idx-ro") + "/state"
+      graft.ops.SortedNeighborhood.writeRankedState(existing,
+        "c_custkey", "c_name", dir)
+      val stored = graft.ops.SortedNeighborhood.pairs(existing,
+          "c_custkey", "c_name", 5)
+        .localCheckpoint(eager = true) // persisted at prior-ingest time
+      (dir, stored)
+    })
   // EWMA: trailing-window length (bounds per-user state; contributions
   // beyond ~53 halvings are below double ulp anyway)
   private val EwmaWindow = 32
@@ -1041,13 +1060,32 @@ object AnalyticsQueries {
       val c = Tables.customer(s, d)
       val existing = c.filter(col("c_custkey") % 10 =!= 0)
       val incoming = c.filter(col("c_custkey") % 10 === 0)
-      val dir = java.nio.file.Files.createTempDirectory("graft-sn-idx")
-        .toString + "/state"
+      // write-INCLUSIVE pricing by design (state build + round-trip stay
+      // in the clock); one per-process scratch dir, overwritten each run
+      // instead of accumulating /tmp copies (r15 ADVICE) — the read-only
+      // steady-state decomposition is q_dedup_sorted_block_idx_ro
+      val dir = snIdxRwScratch + "/state"
       graft.ops.SortedNeighborhood.writeRankedState(existing,
         "c_custkey", "c_name", dir)
       val stored = graft.ops.SortedNeighborhood.pairs(existing,
           "c_custkey", "c_name", 5)
         .localCheckpoint(eager = true) // persisted at prior-ingest time
+      graft.ops.SortedNeighborhood.incrementalPairsFromStore(s, dir, stored,
+          incoming, "c_custkey", "c_name", 5)
+        .orderBy("id1", "id2")
+    }),
+
+    // The read-only fold decomposition (r15 verdict item 3): the SAME
+    // 1-in-10 steady-state fold as q_dedup_sorted_block_inc_idx, but the
+    // store is built ONCE per process (outside the clock, memoized per
+    // sf dir) — so this face prices the pure fold-over-stored-layout
+    // seconds, and the _inc_idx band minus this band IS the state
+    // write/round-trip cost the r15 baseline could not separate. Same
+    // union-replay oracle verbatim.
+    "q_dedup_sorted_block_idx_ro" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val incoming = c.filter(col("c_custkey") % 10 === 0)
+      val (dir, stored) = snIdxRoStore(s, d)
       graft.ops.SortedNeighborhood.incrementalPairsFromStore(s, dir, stored,
           incoming, "c_custkey", "c_name", 5)
         .orderBy("id1", "id2")
@@ -2416,6 +2454,7 @@ object AnalyticsQueries {
     // DISK layout with a 1-in-10 batch)
     "q_dedup_sorted_block_inc" -> sortedBlockFlatSql,
     "q_dedup_sorted_block_inc_idx" -> sortedBlockFlatSql,
+    "q_dedup_sorted_block_idx_ro" -> sortedBlockFlatSql,
 
     // two independent rank passes (name; reversed name), candidate
     // union, dedup on the unordered id pair with the pass count in-band

@@ -642,85 +642,47 @@ object CorpusStreams {
       }
       .start()
 
-  /** Streaming sorted-neighborhood ingest (r14 verdict item 3b): per
-    * trigger, the batch rank-merges into the stored ranked-state
-    * SNAPSHOT (boundary routing + touched-pid local windows — the
-    * whole-corpus sort runs once, at batch 0, and never again for the
-    * stream's lifetime) and BOTH artifacts land under the batch id: the
-    * post-merge ranked state in `stateDir`, the updated pair set in
-    * `pairsDir`. Unlike the emission-only text ingests (substring /
-    * winnow / edit join), SN's stored pairs are MUTABLE — an insertion
-    * can re-gap or evict a stored pair — so the running pair set is
-    * snapshot-maintained (the sketch-outDir semantics: "the state after
-    * this batch, under its id"), not emitted as disjoint per-batch sets.
+  /** Streaming sorted-neighborhood ingest (r14 verdict item 3b; bounded
+    * writes since r16, closing the r15 verdict's one wrong-at-scale
+    * item): each trigger folds the batch into the
+    * [[graft.ops.SortedNeighborhood.ingestLocalStore]] local-rank
+    * layout — state `(id, sk, lrank)` partitioned by pid, pairs
+    * partitioned by the anchor pid, plus a ≤ #partitions bounds
+    * snapshot per trigger. The whole-corpus sort runs once, at batch 0,
+    * and never again; after that a trigger COMPUTES a batch-sized merge
+    * and WRITES only the touched pid partitions, the relevant-apid pair
+    * partitions, and the tiny bounds file — untouched rows' global-rank
+    * shifts live in the driver-side prefix sums over the bounds, their
+    * bytes never rewritten. StreamingSpec meters filesystem WRITES per
+    * trigger against the state size (the read-side meter's twin).
     *
-    * Replay discipline: reads take the LATEST snapshot with batch_id <
-    * current, so a replayed batch recomputes byte-identically from the
-    * pre-fold snapshot and dynamically overwrites its own partitions —
-    * exactly-once state through the batch_id protocol. Fold-algebra
-    * placement: with quantile/CMS/MG (NOT Bloom/HLL/KMV) — the rank
-    * merge is not idempotent (folding a batch twice would double-insert
-    * its rows), so state correctness depends on that discipline.
+    * Unlike the emission-only text ingests (substring / winnow / edit
+    * join), SN's stored pairs are MUTABLE — an insertion can re-gap or
+    * evict a stored pair — so the pair store is partition-maintained in
+    * place, not emitted as disjoint per-batch sets; read it with
+    * [[graft.ops.SortedNeighborhood.readLocalPairs]].
     *
-    * Residual cost, stated plainly: each trigger WRITES a corpus-sized
-    * snapshot even though it only COMPUTES a batch-sized merge; the
-    * batch-driven path that avoids the write amplification is
-    * [[graft.ops.SortedNeighborhood.writeRankedState]] +
-    * incrementalPairsFromStore (touched pid partitions only). Superseded
-    * snapshots retire every `compactEvery` batches under the
-    * [[compactionMarker]] protocol (between compactions ≤ compactEvery
-    * snapshots coexist). */
+    * Replay discipline (exactly-once state without corpus-sized
+    * snapshots): only the TINY bounds relation is batch_id-snapshotted —
+    * a replayed batch re-routes against the latest snapshot < its own
+    * id, heals its own already-folded rows out of the state/pair reads
+    * by broadcast anti-joins on the batch ids, and re-derives affected
+    * anchors from window-internal old ranks, so the fold is IDEMPOTENT
+    * under any partial-write crash (argument and meter in
+    * SortedNeighborhood's layout doc; StreamingSpec replays a completed
+    * fold and asserts the store is unchanged). No compaction cadence is
+    * needed: dynamic partition overwrite rewrites partitions in place,
+    * so file counts stay bounded by the pid fan-out, and superseded
+    * bounds snapshots retire inside the fold itself. */
   def snIngest(rows: DataFrame, idCol: String, keyCol: String,
-      stateDir: String, pairsDir: String, checkpointDir: String, w: Int = 5,
-      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+      stateDir: String, pairsDir: String, checkpointDir: String,
+      w: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val stPath = new org.apache.hadoop.fs.Path(stateDir)
-        val prPath = new org.apache.hadoop.fs.Path(pairsDir)
-        val fs = stPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        if (replayAfterCompaction(fs, stPath, batchId)) {
-          compactOlderPartitions(fs, stPath, batchId)
-          compactOlderPartitions(fs, prPath, batchId)
-        } else {
         val b = batch.localCheckpoint(eager = true)
-        val prior: Option[Long] =
-          if (!fs.exists(stPath)) None
-          else fs.listStatus(stPath).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("batch_id="))
-            .flatMap(n => scala.util.Try(
-              n.stripPrefix("batch_id=").toLong).toOption)
-            .filter(_ < batchId).sorted.lastOption
-        val (newPairs, newState) = prior match {
-          case None =>
-            (graft.ops.SortedNeighborhood.pairs(b, idCol, keyCol, w),
-              graft.ops.SortedNeighborhood.rankedState(b, idCol, keyCol))
-          case Some(p) =>
-            val state = sp.read.parquet(stateDir)
-              .filter(col("batch_id") === p).select("id", "sk", "rank", "pid")
-            val stored = sp.read.parquet(pairsDir)
-              .filter(col("batch_id") === p).select("id1", "id2", "gap")
-            graft.ops.SortedNeighborhood.incrementalPairsWithState(
-              state, stored, b, idCol, keyCol, w)
-        }
-        // sever both reads before any overwrite of the dirs they read
-        val pr = newPairs.localCheckpoint(eager = true)
-        val st = newState.localCheckpoint(eager = true)
-        def writePartition(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(dir)
-        writePartition(pr, pairsDir)
-        writePartition(st, stateDir)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          markCompacted(fs, stPath, batchId) // all writes done; deletes follow
-          compactOlderPartitions(fs, stPath, batchId)
-          compactOlderPartitions(fs, prPath, batchId)
-        }
-        }
-        ()
+        graft.ops.SortedNeighborhood.ingestLocalStore(
+          b.sparkSession, stateDir, pairsDir, b, idCol, keyCol, w, batchId)
       }
       .start()
 

@@ -48,6 +48,29 @@ object Sweep100 {
       t1("editjoin2")(graft.ops.EditJoin.pairsWithin2(rep,
         "c_custkey", "c_name", maxCandidates = Long.MaxValue))
     }
+    if (want("editjoin2_grouped")) {
+      // r15 verdict item 4b: the duplicate-identity regime at the third
+      // decade — every replica KEEPS its base-copy name (sparse ×37
+      // serials), so each of the ~|customer| distinct names carries k
+      // identical copies. The grouped route dedups to one rep row per
+      // name before any variant expansion; the honest denominator: its
+      // n_pairs output encodes dup1·dup2 identity mass per name pair —
+      // k² per cross pair and C(k,2) within a name — which the exploded
+      // form would have to WRITE OUT as (k·distinct)² -scale rows.
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey")
+      val cbase = cust.agg(max(col("c_custkey"))).first().getLong(0) + 1L
+      val rep = (0 until k).map(i =>
+          cust.withColumn("c_custkey", col("c_custkey") + lit(i * cbase)))
+        .reduce(_ unionByName _)
+        .withColumn("c_name",
+          format_string("Customer#%09d", (col("c_custkey") % cbase) * 37))
+        .localCheckpoint(eager = true)
+      println(s"[sweep100] editjoin2_grouped corpus: ${rep.count()} rows, " +
+        s"distinct names: ${rep.select("c_name").distinct().count()}")
+      t1("editjoin2_grouped")(graft.ops.EditJoin.pairsWithin2Grouped(rep,
+        "c_custkey", "c_name", maxCandidates = Long.MaxValue))
+    }
     if (want("mg") || want("mg_hot")) {
       // the SkewScale mg shape: replicated events, sqrt-ramp key; the hot
       // twin collapses 1-in-50 events onto ONE user (the bot shape)
@@ -70,6 +93,30 @@ object Sweep100 {
         graft.ops.MisraGries.summary(erep(hot = false), Seq("user_id"), "k"))
       if (want("mg_hot")) t1("mg_hot")(
         graft.ops.MisraGries.summary(erep(hot = true), Seq("user_id"), "k"))
+    }
+    if (want("hh")) {
+      // r15 verdict item 5: the regime where the MG prune WINS — wide
+      // key domain with a tight threshold: ~1000 heavy keys hold half
+      // the mass, the other half of the rows carry ~unique tail keys.
+      // The CMS route's pass 2 shuffles every row of every candidate
+      // key (≥ half the corpus — and eps·N ≈ T here, so CMS error drags
+      // tail keys in too); the MG route shuffles ≤ partitions·(k+1)
+      // counter rows for k = N/T + 1 ≈ 2001. Same exact output.
+      val ev = spark.read.parquet(s"$sfDir/events.parquet").select("event_id")
+      val ebase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      val keyed = (0 until k).map(i =>
+          ev.withColumn("event_id", col("event_id") + lit(i * ebase)))
+        .reduce(_ unionByName _)
+        .select(when(col("event_id") % 2 === 0, col("event_id") % 1000)
+          .otherwise(lit(1000L) + col("event_id")).as("k"))
+        .localCheckpoint(eager = true)
+      val n = keyed.count()
+      val thr = n / 2000L
+      println(s"[sweep100] hh corpus: $n rows, threshold $thr, " +
+        s"mg candidate budget ${n / thr + 1L}")
+      t1("hh_cms")(graft.ops.HeavyHitters.heavyHitters(keyed, "k", thr))
+      t1("hh_mg")(graft.ops.HeavyHitters.heavyHittersMg(keyed, "k", thr))
+      t1("hh_auto")(graft.ops.HeavyHitters.heavyHittersAuto(keyed, "k", thr))
     }
     spark.stop()
   }

@@ -151,6 +151,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hh == Map(10L -> 41L, 20L -> 26L)) // each appears in 1..300 once more
   }
 
+  test("heavy-hitters auto: MG under the candidate budget, CMS above it, same output") {
+    // r15 verdict item 5b: verify the router picks each prune on its
+    // side of the MgRouteMaxCandidates budget — the CMS route is the
+    // only one whose plan carries a CountMinEstimateExpr
+    val data = spark.range(70000L)
+      .select((col("id") % 100L).as("k"), col("id"))
+    def usesCms(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.toLowerCase.contains("countmin")
+    // n/T+1 = 3501 ≤ 65536 → MG route
+    val tight = ops.HeavyHitters.heavyHittersAuto(data, "k", threshold = 20L)
+    assert(!usesCms(tight), "tight threshold should take the MG route")
+    // n/T+1 = 70001 > 65536 → CMS route
+    val loose = ops.HeavyHitters.heavyHittersAuto(data, "k", threshold = 1L)
+    assert(usesCms(loose), "loose threshold should take the CMS route")
+    // both routes reduce to the exact GROUP BY ... HAVING
+    val exact = data.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tm = tight.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tm == exact.filter(_._2 >= 20L) && tm.nonEmpty)
+    val lm = loose.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == exact)
+  }
+
   test("secondary sort: keys contiguous and ordered within one partition") {
     import graft.ops.SecondarySort
     val df = (for (k <- 1L to 20L; o <- 1L to 30L)

@@ -133,6 +133,72 @@ class SortedNeighborhoodSpec extends SparkSpec {
       s"fold read $readBytes B of a $stateBytes B state — pruning failed")
   }
 
+  test("local-rank store: fold writes touched partitions, not the corpus") {
+    // the bounded-WRITE twin of the read-sliver test above (r15 verdict
+    // item 1): a clustered append to a local-rank store must rewrite the
+    // touched pid partitions + relevant pair partitions + the tiny
+    // bounds snapshot — never a corpus-sized state/pair snapshot
+    import graft.ops.SortedNeighborhood
+    import scala.jdk.CollectionConverters._
+    val all = (1L to 4000L).map(i => (i, f"key$i%06d"))
+    val df = all.toDF("id", "k")
+    val existing = df.filter(col("id") <= 3960L)
+    val incoming = df.filter(col("id") > 3960L) // keys sort past the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-sn-lstore")
+    val st = dir.resolve("state").toString
+    val pr = dir.resolve("pairs").toString
+    SortedNeighborhood.ingestLocalStore(spark, st, pr, existing, "id", "k", 4, 0L)
+    def dirBytes(p: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    val storeBytes = dirBytes(st) + dirBytes(pr)
+    def fsBytesWritten(): Long = org.apache.hadoop.fs.FileSystem
+      .getAllStatistics.asScala.map(_.getBytesWritten).sum
+    val before = fsBytesWritten()
+    SortedNeighborhood.ingestLocalStore(spark, st, pr, incoming, "id", "k", 4, 1L)
+    val written = fsBytesWritten() - before
+    // 4 pids in this session: the append touches the last pid's state
+    // (≈ S/4) and the last two pair partitions (≈ P/2) — anything past
+    // (S+P)/2 + slack means a corpus-sized write crept back in
+    assert(written < storeBytes / 2 + 4096,
+      s"append fold wrote $written B against a $storeBytes B store")
+    // and the folded store equals the one-shot run
+    val pairs = SortedNeighborhood.readLocalPairs(spark, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SortedNeighborhood.pairs(df, "id", "k", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == batch, s"extra=${pairs -- batch} missing=${batch -- pairs}")
+    val ranks = SortedNeighborhood.readLocalState(spark, st)
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = all.sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(ranks == expected)
+  }
+
+  test("local-rank store: scattered fold still exact (every pid touched)") {
+    // the honest-floor regime: insertions land in EVERY pid — all
+    // partitions rewrite (rank-shift semantics), but the result must
+    // still equal the one-shot run, including stored-pair evictions
+    import graft.ops.SortedNeighborhood
+    val all = rows :+ (9000L, "aaaaa") :+ (9003L, "aab")
+    val df = all.toDF("id", "k")
+    val existing = df.filter(col("id") % 3 =!= 0L)
+    val incoming = df.filter(col("id") % 3 === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sn-lscat")
+    val st = dir.resolve("state").toString
+    val pr = dir.resolve("pairs").toString
+    SortedNeighborhood.ingestLocalStore(spark, st, pr,
+      existing.repartition(11), "id", "k", 4, 0L)
+    SortedNeighborhood.ingestLocalStore(spark, st, pr, incoming, "id", "k", 4, 1L)
+    val pairs = SortedNeighborhood.readLocalPairs(spark, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SortedNeighborhood.pairs(df, "id", "k", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == batch, s"extra=${pairs -- batch} missing=${batch -- pairs}")
+  }
+
   test("incremental merge is type-generic: LONG sort key, same contract") {
     // the boundary directory reads (sk, id) generically (r14 ADVICE) —
     // a numeric blocking key must route identically to a string one

@@ -733,39 +733,71 @@ class StreamingSpec extends SparkSpec {
       s"extra=${(streamed.toSet -- batch).take(3)} missing=${(batch -- streamed.toSet).take(3)}")
   }
 
-  test("sn ingest: running pair snapshot equals the one-shot blocking; snapshots retire") {
+  test("sn ingest: running pair store equals the one-shot blocking; writes are batch-proportional") {
     import graft.streaming.CorpusStreams
     import graft.ops.SortedNeighborhood
+    import scala.jdk.CollectionConverters._
     val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
       .select("c_custkey", "c_name")
     val dir = Files.createTempDirectory("graft-sn-ingest")
+    // batches 0..3 build the store; batch 4 is a SMALL clustered append
+    // (the last 8 keys in sort order) for the bounded-write meter
+    val tail = cust.orderBy(desc("c_name")).limit(8)
+      .localCheckpoint(eager = true)
+    val head = cust.join(tail.select("c_custkey"), Seq("c_custkey"),
+      "left_anti").localCheckpoint(eager = true)
     (0 until 4).foreach { i =>
-      cust.filter(col("c_custkey") % 4 === i).coalesce(1)
+      head.filter(col("c_custkey") % 4 === i).coalesce(1)
         .write.parquet(dir.resolve(s"in/b$i").toString)
     }
     val stream = spark.readStream.schema(cust.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
     val q = CorpusStreams.snIngest(stream, "c_custkey", "c_name",
       dir.resolve("state").toString, dir.resolve("pairs").toString,
-      dir.resolve("ck").toString, w = 4, compactEvery = 2)
+      dir.resolve("ck").toString, w = 4)
     q.processAllAvailable(); q.stop()
-    // snapshots 0,1 retired at the batch-2 compaction; 2 and 3 remain
-    val pids = spark.read.parquet(dir.resolve("state").toString)
-      .select(col("batch_id").cast("long")).distinct().collect()
-      .map(_.getLong(0)).toSet
-    assert(pids == Set(2L, 3L), pids)
-    // the final snapshots equal the one-shot run over everything arrived
+    // after the 4 build batches the store equals the one-shot run
     def pairSet(df: org.apache.spark.sql.DataFrame) = df
       .select("id1", "id2", "gap").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val streamed = pairSet(spark.read.parquet(dir.resolve("pairs").toString)
-      .filter(col("batch_id") === 3))
+    val mid = pairSet(SortedNeighborhood.readLocalPairs(spark,
+      dir.resolve("pairs").toString))
+    val midExpected = pairSet(
+      SortedNeighborhood.pairs(head, "c_custkey", "c_name", 4))
+    assert(mid == midExpected && mid.nonEmpty,
+      s"extra=${(mid -- midExpected).take(3)} missing=${(midExpected -- mid).take(3)}")
+    // bounded-write meter (the r15 verdict item): restart the stream
+    // with one small append batch and meter filesystem BYTES WRITTEN —
+    // the fold must rewrite touched partitions + the tiny bounds, not a
+    // corpus-sized snapshot
+    def dirBytes(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    val storeBytes = dirBytes(dir.resolve("state")) + dirBytes(dir.resolve("pairs"))
+    def fsBytesWritten(): Long = org.apache.hadoop.fs.FileSystem
+      .getAllStatistics.asScala.map(_.getBytesWritten).sum
+    tail.coalesce(1).write.parquet(dir.resolve("in/b4").toString)
+    val before = fsBytesWritten()
+    val stream2 = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/in/*")
+    val q2 = CorpusStreams.snIngest(stream2, "c_custkey", "c_name",
+      dir.resolve("state").toString, dir.resolve("pairs").toString,
+      dir.resolve("ck").toString, w = 4)
+    q2.processAllAvailable(); q2.stop()
+    val written = fsBytesWritten() - before
+    assert(written < storeBytes,
+      s"append trigger wrote $written B against a $storeBytes B store — " +
+        "the corpus-sized snapshot write is back")
+    // the appended store equals the one-shot run over everything arrived
+    val streamed = pairSet(SortedNeighborhood.readLocalPairs(spark,
+      dir.resolve("pairs").toString))
     val batch = pairSet(SortedNeighborhood.pairs(cust, "c_custkey", "c_name", 4))
     assert(streamed == batch && batch.nonEmpty,
       s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
-    // ...and the final state snapshot is the exact global rank 0..n-1
-    val ranks = spark.read.parquet(dir.resolve("state").toString)
-      .filter(col("batch_id") === 3)
+    // ...and the state's reconstructed global rank is the exact 0..n-1
+    val ranks = SortedNeighborhood.readLocalState(spark,
+        dir.resolve("state").toString)
       .select("id", "rank").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = cust.select("c_custkey", "c_name").collect()
@@ -773,6 +805,39 @@ class StreamingSpec extends SparkSpec {
       .sortBy { case (id, k) => (k, id) }
       .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
     assert(ranks == expected)
+  }
+
+  test("sn ingest: a replayed fold is idempotent — state, pairs, and bounds unchanged") {
+    import graft.ops.SortedNeighborhood
+    // drive the store directly (no stream) so the replay is exact: fold
+    // batch 1 twice under the same id — the second run must find its own
+    // rows, heal them out, and rewrite byte-identical content (the
+    // crash-between-write-and-checkpoint-commit scenario, worst case:
+    // every write of the first run completed)
+    val all = (1L to 400L).map(i => (i, f"key$i%06d"))
+    val df = all.toDF("id", "k")
+    val base = df.filter(col("id") <= 360L)
+    val batch = df.filter(col("id") > 360L)
+    val dir = Files.createTempDirectory("graft-sn-replay")
+    val st = dir.resolve("state").toString; val pr = dir.resolve("pairs").toString
+    SortedNeighborhood.ingestLocalStore(spark, st, pr, base, "id", "k", 4, 0L)
+    SortedNeighborhood.ingestLocalStore(spark, st, pr, batch, "id", "k", 4, 1L)
+    def snapshot() = (
+      SortedNeighborhood.readLocalState(spark, st)
+        .collect().map(_.toSeq).toSet,
+      SortedNeighborhood.readLocalPairs(spark, pr)
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(st + SortedNeighborhood.BoundsSuffix)
+        .collect().map(_.toSeq).toSet)
+    val first = snapshot()
+    SortedNeighborhood.ingestLocalStore(spark, st, pr, batch, "id", "k", 4, 1L)
+    assert(snapshot() == first, "replay changed the store")
+    // and the replayed store still equals the one-shot run
+    val pairs = SortedNeighborhood.readLocalPairs(spark, pr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = SortedNeighborhood.pairs(df, "id", "k", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == oneShot && pairs.nonEmpty)
   }
 
   test("curate compaction: state bounded, replay of the compaction batch is a marker no-op") {
