@@ -22,15 +22,30 @@ object Sweep100 {
     def want(n: String): Boolean = only.contains(n)
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle-record meter (the IncAb convention): local wall is
+    // job-latency-floor dominated; the 100 TB property is what MOVES
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      })
     def t1(name: String)(f: => DataFrame): Unit = {
       val keep = spark.sparkContext.getPersistentRDDs.keySet
+      Thread.sleep(500); val s0 = shuffled.get()
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
         if (!keep.contains(id)) r.unpersist(blocking = false)
       }
-      println(f"[sweep100] $name%-22s ${k}x $dt%8.2f s (single sample)")
+      Thread.sleep(500) // straggler listener events
+      println(f"[sweep100] $name%-22s ${k}x $dt%8.2f s  " +
+        f"shuffled=${shuffled.get() - s0} (single sample)")
     }
     if (want("editjoin2")) {
       // the SkewScale sparse-serial recipe: replicated custkeys respaced
@@ -117,6 +132,59 @@ object Sweep100 {
       t1("hh_cms")(graft.ops.HeavyHitters.heavyHitters(keyed, "k", thr))
       t1("hh_mg")(graft.ops.HeavyHitters.heavyHittersMg(keyed, "k", thr))
       t1("hh_auto")(graft.ops.HeavyHitters.heavyHittersAuto(keyed, "k", thr))
+    }
+    if (want("hh_near")) {
+      // the CMS-adversarial (still realistic: zipf mid-body) regime —
+      // most of the mass sits just BELOW the threshold: 400 heavy keys
+      // at 2T carry 40%, 2400 near keys at T/2 carry 60%. The default
+      // eps puts the CMS error at ~T/2 = a near key's true count, so a
+      // large share of the near keys (and all their ROWS) survive the
+      // estimate filter into the exact pass; the MG truncation keeps
+      // ≤ k counters and its broadcast prune discards the near rows
+      // before the exact aggregation.
+      val ev = spark.read.parquet(s"$sfDir/events.parquet").select("event_id")
+      val ebase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      val rep = (0 until k).map(i =>
+          ev.withColumn("event_id", col("event_id") + lit(i * ebase)))
+        .reduce(_ unionByName _)
+      val keyed = rep
+        .select(when(col("event_id") % 5 < 2, col("event_id") % 400)
+          .otherwise(lit(400L) + (col("event_id") % 2400)).as("k"))
+        .localCheckpoint(eager = true)
+      val n = keyed.count()
+      val thr = n / 2000L // heavy ≈ 2T each, near ≈ T/2 each
+      println(s"[sweep100] hh_near corpus: $n rows, threshold $thr, " +
+        s"mg candidate budget ${n / thr + 1L}")
+      t1("hh_near_cms")(graft.ops.HeavyHitters.heavyHitters(keyed, "k", thr))
+      t1("hh_near_mg")(graft.ops.HeavyHitters.heavyHittersMg(keyed, "k", thr))
+    }
+    if (want("hh_tight")) {
+      // the regime where the MG prune wins OUTRIGHT: tight threshold at
+      // DEFAULT sketch sizing. T = N/20000 puts the default-eps CMS
+      // error (0.0005·N = N/2000 = 10T) far above the threshold, so the
+      // estimate filter passes EVERY key and pass 2 degenerates to the
+      // full wide-domain exact aggregation the prune exists to avoid;
+      // the MG counters need no sizing decision at all (the guarantee
+      // is structural in k = N/T+1 = 20001, still broadcast-small).
+      // The third seat re-sizes eps to the threshold (width ×20, a
+      // 2.2 MB sketch/task) — what a CMS user must DO to recover.
+      val ev = spark.read.parquet(s"$sfDir/events.parquet").select("event_id")
+      val ebase = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+      val keyed = (0 until k).map(i =>
+          ev.withColumn("event_id", col("event_id") + lit(i * ebase)))
+        .reduce(_ unionByName _)
+        .select(when(col("event_id") % 2 === 0, col("event_id") % 1000)
+          .otherwise(lit(1000L) + col("event_id")).as("k"))
+        .localCheckpoint(eager = true)
+      val n = keyed.count()
+      val thr = math.max(1L, n / 20000L)
+      println(s"[sweep100] hh_tight corpus: $n rows, threshold $thr, " +
+        s"default-eps error ${(0.0005 * n).toLong}, " +
+        s"mg candidate budget ${n / thr + 1L}")
+      t1("hh_tight_mg")(graft.ops.HeavyHitters.heavyHittersMg(keyed, "k", thr))
+      t1("hh_tight_cms")(graft.ops.HeavyHitters.heavyHitters(keyed, "k", thr))
+      t1("hh_tight_cms_sized")(graft.ops.HeavyHitters.heavyHitters(
+        keyed, "k", thr, eps = thr.toDouble / (2.0 * n)))
     }
     spark.stop()
   }

@@ -12,4 +12,15 @@ object GraftBridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan):
       org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** InternalRow RDD → DataFrame without the per-row Row conversion the
+    * public createDataFrame pays — for partition-local operators whose
+    * input already comes from `queryExecution.toRdd`
+    * (graft.ops.MisraGries.summaryLocal's counter pass). */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -121,4 +121,36 @@ class MisraGriesSpec extends SparkSpec {
     assert(rows(HeavyHitters.heavyHittersAuto(d, "k", 30L)) == plain)
     assert(plain.nonEmpty)
   }
+
+  test("summaryLocal: per-partition counter law (retention + lower bound), null key counted") {
+    // one partition so the local law is checkable against exact counts:
+    // every key with count > N/(k+1) holds a counter, and every counter
+    // is a lower bound on its key's true count
+    val k = 4
+    val data: Seq[Option[Long]] =
+      occ.map(Option(_)) ++ Seq.fill(3)(None: Option[Long])
+    val df = data.toDF("k").coalesce(1)
+    val out = MisraGries.summaryLocal(df, "k", k).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+      .toMap
+    assert(out.size <= k)
+    val exact: Map[Option[Long], Long] =
+      data.groupBy(identity).map { case (x, v) => x -> v.size.toLong }
+    val n = data.size.toLong
+    exact.foreach { case (key, c) =>
+      if (c > n / (k + 1)) assert(out.contains(key), s"law-heavy $key dropped")
+    }
+    out.foreach { case (key, est) =>
+      assert(est >= 1L && est <= exact(key), s"counter $key=$est not a lower bound")
+    }
+    // and the pruned heavy-hitter route built on it stays exact across
+    // many partitions
+    import graft.ops.HeavyHitters
+    val d9 = occ.toDF("k").repartition(9)
+    val plain = d9.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 12L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(HeavyHitters.heavyHittersMg(d9, "k", 12L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == plain && plain.nonEmpty)
+  }
 }

@@ -162,16 +162,23 @@ class ScaleOpsSpec extends SparkSpec {
     // n/T+1 = 3501 ≤ 65536 → MG route
     val tight = ops.HeavyHitters.heavyHittersAuto(data, "k", threshold = 20L)
     assert(!usesCms(tight), "tight threshold should take the MG route")
-    // n/T+1 = 70001 > 65536 → CMS route
+    // n/T+1 = 70001 > 65536 → CMS route (the beyond-both-budgets arm)
     val loose = ops.HeavyHitters.heavyHittersAuto(data, "k", threshold = 1L)
     assert(usesCms(loose), "loose threshold should take the CMS route")
-    // both routes reduce to the exact GROUP BY ... HAVING
+    // T/(2N) = 0.14 ≥ the default eps → sized-eps CMS (r16 arm 1): a
+    // LOOSE threshold must not pay the MG passes when a smaller-than-
+    // default sketch already guarantees pruning
+    val sized = ops.HeavyHitters.heavyHittersAuto(data, "k", threshold = 20000L)
+    assert(usesCms(sized), "loose threshold should take the sized-eps CMS route")
+    // all routes reduce to the exact GROUP BY ... HAVING
     val exact = data.groupBy("k").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tm = tight.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tm == exact.filter(_._2 >= 20L) && tm.nonEmpty)
     val lm = loose.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lm == exact)
+    val sm = sized.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm == exact.filter(_._2 >= 20000L))
   }
 
   test("secondary sort: keys contiguous and ordered within one partition") {
