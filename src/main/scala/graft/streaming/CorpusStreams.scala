@@ -607,6 +607,19 @@ object CorpusStreams {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        editJoinBatch(batch, batchId, idCol, strCol, indexDir, pairsDir,
+          compactEvery)
+      }
+      .start()
+
+  /** One [[editJoinIngest]] trigger — extracted (r16, the curateBatch
+    * pattern) so StreamingSpec can REPLAY a compaction batch directly
+    * against the marker protocol: a replayed compaction batch that
+    * finds its own `_compacted_` marker only finishes the deletes and
+    * must leave index + pairs content-identical. */
+  private[graft] def editJoinBatch(batch: DataFrame, batchId: Long,
+      idCol: String, strCol: String, indexDir: String, pairsDir: String,
+      compactEvery: Int): Unit = {
         val sp = batch.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
@@ -639,8 +652,7 @@ object CorpusStreams {
         } else writePartition(batchIdx.select("id", "s", "v"), indexDir)
         }
         ()
-      }
-      .start()
+  }
 
   /** Streaming sorted-neighborhood ingest (r14 verdict item 3b; bounded
     * writes since r16, closing the r15 verdict's one wrong-at-scale

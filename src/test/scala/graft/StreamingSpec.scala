@@ -731,6 +731,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == streamed.toSet.size, "a pair was emitted twice")
     assert(streamed.toSet == batch && batch.nonEmpty,
       s"extra=${(streamed.toSet -- batch).take(3)} missing=${(batch -- streamed.toSet).take(3)}")
+    // FILE count stays bounded, not just partition count (r15 verdict
+    // item 6): the concatenation fold rewrites prior batches into one
+    // partition, so steady-state small-file growth is capped
+    import scala.jdk.CollectionConverters._
+    def dataFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filter(f => !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith("."))
+        .toSeq
+    // two surviving batch partitions × at most one file per task slot
+    // (+ slack): linear-in-batches growth would already exceed this here
+    val idxFiles = dataFiles(dir.resolve("index"))
+    assert(idxFiles.size <= 4 * spark.sparkContext.defaultParallelism,
+      s"index holds ${idxFiles.size} data files after compaction")
+    // replay-after-compaction (the marker protocol, driven directly —
+    // the curateBatch pattern): re-running the batch-2 compaction
+    // trigger finds its own `_compacted_2` marker, finishes the deletes
+    // and no-ops — index and pairs stay content-identical
+    def snapshot() = (
+      spark.read.parquet(dir.resolve("index").toString)
+        .select("id", "s", "v").collect().map(_.toSeq).toSet,
+      spark.read.parquet(dir.resolve("pairs").toString)
+        .select("id1", "id2", "dist").collect().map(_.toSeq).toSet)
+    val before = snapshot()
+    graft.streaming.CorpusStreams.editJoinBatch(
+      cust.filter(col("c_custkey") % 4 === 2), 2L, "c_custkey", "c_name",
+      dir.resolve("index").toString, dir.resolve("pairs").toString,
+      compactEvery = 2)
+    assert(snapshot() == before,
+      "replaying the compaction batch changed the store")
   }
 
   test("sn ingest: running pair store equals the one-shot blocking; writes are batch-proportional") {
