@@ -32,18 +32,24 @@ object AnalyticsQueries {
   // read-only steady-state face (built once, outside the clock)
   private lazy val snIdxRwScratch = graft.core.IO.scratchDir("graft-sn-idx-rw")
   private val snIdxRoStores =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
-  private def snIdxRoStore(s: SparkSession, d: String): (String, DataFrame) =
-    snIdxRoStores.computeIfAbsent(d, _ => {
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Build the read-only store once per (process, sfDir); stored pairs
+    * land in parquet next to the state (a localCheckpoint here would be
+    * swept by Bench's between-query unpersist and die on the second
+    * sample) — each invocation then READS both, the steady-state cost
+    * this face exists to price. */
+  private def snIdxRoStore(s: SparkSession, d: String): (String, DataFrame) = {
+    val dir = snIdxRoStores.computeIfAbsent(d, _ => {
       val existing = Tables.customer(s, d).filter(col("c_custkey") % 10 =!= 0)
-      val dir = graft.core.IO.scratchDir("graft-sn-idx-ro") + "/state"
+      val root = graft.core.IO.scratchDir("graft-sn-idx-ro")
       graft.ops.SortedNeighborhood.writeRankedState(existing,
-        "c_custkey", "c_name", dir)
-      val stored = graft.ops.SortedNeighborhood.pairs(existing,
-          "c_custkey", "c_name", 5)
-        .localCheckpoint(eager = true) // persisted at prior-ingest time
-      (dir, stored)
+        "c_custkey", "c_name", root + "/state")
+      graft.ops.SortedNeighborhood.pairs(existing, "c_custkey", "c_name", 5)
+        .write.mode("overwrite").parquet(root + "/pairs")
+      root
     })
+    (dir + "/state", s.read.parquet(dir + "/pairs"))
+  }
   // EWMA: trailing-window length (bounds per-user state; contributions
   // beyond ~53 halvings are below double ulp anyway)
   private val EwmaWindow = 32
