@@ -322,9 +322,16 @@ object Graphs {
     var i = 0
     var live = true
     while (i < rounds && live) {
+      // lazy checkpoints (r16 fusion): the stats head() below materializes
+      // deg — and, through deg's lineage, the previous round's lazy state
+      // checkpoint — so each round runs ONE job where the eager form ran
+      // three (deg checkpoint, stats, state checkpoint). All relations
+      // still persist via the checkpoint mark; the winning deg candidate
+      // is always materialized (its round's stats job), so the final
+      // orderBy reads cache.
       val deg = state.groupBy(col("src").as("vertex"))
         .agg(count(lit(1)).as("deg"))
-        .localCheckpoint(eager = true) // stats + keep filter + maybe output
+        .localCheckpoint(eager = false) // stats + keep filter + maybe output
       // one fused barrier: sum of degrees over the symmetric closure IS
       // the (directed-row) edge count 2m, so state never needs a second
       // scan — (2m, n) come off one aggregate of the vertex-sized deg
@@ -346,7 +353,7 @@ object Graphs {
         state = state
           .join(keep.withColumnRenamed("vertex", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("vertex", "dst"), Seq("dst"), "left_semi")
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false) // next round's stats job materializes it
       }
       i += 1
     }
@@ -731,10 +738,11 @@ object Graphs {
       .withColumn("round", lit(-1L))
     // convergence = empty frontier, NOT "no change": an unlucky coin
     // round legitimately changes nothing while actives remain, and the
-    // monotone-sum test would mistake that idle round for completion
+    // monotone-sum test would mistake that idle round for completion.
+    // noneMatch (full scan) rather than limit(1): the full scan fuses
+    // with the round's lazy-checkpoint materialization into one job
     val result = graft.iterate.Fixpoint.iterate(init, rounds,
-      converged = (_, next) =>
-        next.filter(col("status") === 0).limit(1).count() == 0L) { (state, i) =>
+      converged = graft.iterate.Fixpoint.noneMatch(col("status") === 0)) { (state, i) =>
       import org.apache.spark.sql.Column
       // round-salted hashes: same Mersenne-31 multiplicative mix as
       // priorityKey, salted by the round so every round re-draws roles

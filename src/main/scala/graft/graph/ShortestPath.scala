@@ -42,12 +42,8 @@ object ShortestPath {
         when(col("vertex") === col("s"), lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
         (col("vertex") === col("s")).as("changed"))
 
-    var frontierEmpty = false
     val result = Fixpoint.iterate(init, maxIter,
-      converged = (_, next) => {
-        frontierEmpty = next.filter(col("changed")).isEmpty
-        frontierEmpty
-      }) { (state, _) =>
+      converged = Fixpoint.noneMatch(col("changed"))) { (state, _) =>
       val frontier = state.filter(col("changed"))
       val candidates = frontier
         .join(e, frontier("vertex") === e("src"))
@@ -95,7 +91,7 @@ object ShortestPath {
     * src-partitioned and persisted by the caller. */
   private def weightedRelaxLoop(init: DataFrame, e: DataFrame, maxIter: Int): DataFrame =
     Fixpoint.iterate(init, maxIter,
-      converged = (_, next) => next.filter(col("changed")).isEmpty) { (state, _) =>
+      converged = Fixpoint.noneMatch(col("changed"))) { (state, _) =>
       val frontier = state.filter(col("changed"))
       val candidates = frontier
         .join(e, frontier("vertex") === e("src"))
@@ -180,7 +176,7 @@ object ShortestPath {
     val init = seeds.toDF("seed").select(col("seed"), col("seed").as("vertex"),
       lit(0L).as("dist"), lit(true).as("changed"))
     val result = Fixpoint.iterate(init, maxIter,
-      converged = (_, next) => next.filter(col("changed")).isEmpty) { (state, _) =>
+      converged = Fixpoint.noneMatch(col("changed"))) { (state, _) =>
       val frontier = state.filter(col("changed"))
       val candidates = frontier.join(e, frontier("vertex") === e("src"))
         .select(col("seed"), col("dst").as("vertex"), (col("dist") + 1L).as("cand"))
@@ -217,7 +213,7 @@ object ShortestPath {
         (col("vertex") === source).as("changed"))
 
     val result = Fixpoint.iterate(init, maxIter,
-      converged = (_, next) => next.filter(col("changed")).isEmpty) { (state, _) =>
+      converged = Fixpoint.noneMatch(col("changed"))) { (state, _) =>
       val frontier = state.filter(col("changed"))
       val candidates = frontier
         .join(e, frontier("vertex") === e("src"))

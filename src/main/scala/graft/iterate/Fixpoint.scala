@@ -81,25 +81,71 @@ object Fixpoint {
 
     // Re-bind the materialized seed to the loop session. Rows stream out of
     // the cached partitions, and the checkpoint makes the switch permanent,
-    // so this is a one-time state-sized copy, not a recompute.
+    // so this is a one-time state-sized copy, not a recompute. Lazy (r16):
+    // round 1's materialization computes the copy off the seed cache in the
+    // same job, so the entry pays ONE job (the sizing count) instead of two;
+    // the seed cache is released once the first round has materialized.
     var state = loop.createDataFrame(seeded.rdd, seeded.schema)
-      .localCheckpoint(eager = true)
-    seeded.unpersist(blocking = false)
+      .localCheckpoint(eager = false)
+    var seedHeld = true
 
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      var next = step(state, i)
-      next =
-        if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
-        else { val p = next.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
-      done = converged(state, next)
-      state.unpersist(blocking = false)
-      state = next
+      val stepped = step(state, i)
+      if ((i + 1) % checkpointEvery == 0) {
+        // Lazy checkpoint, materialized BY the convergence test (r16
+        // optimization, guide §2.4 "remove passes outright"): the
+        // convergence aggregates (monotoneSumUnchanged, countUnchanged,
+        // noneMatch) are full scans, so their one job computes the round
+        // AND caches the checkpoint blocks — fusing the former
+        // eager-checkpoint job and the convergence job into ONE barrier
+        // per round (measured: the per-round job latency floor is the
+        // dominant cost of every sf0.1 graph fixpoint). A test that scans
+        // nothing (the fixed-round default) or stops early (isEmpty-style
+        // probes) leaves partitions unmaterialized; Spark's
+        // LocalRDDCheckpointData then fills missing partitions after the
+        // probe job, and the isCheckpointed guard below runs the one
+        // materialization job the eager form would have run anyway — the
+        // fusion never ADDS a job, it only removes one where the test
+        // already scans everything.
+        val next = stepped.localCheckpoint(eager = false)
+        val cpRdd = next.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }
+        done = converged(state, next)
+        cpRdd match {
+          case Some(r) => if (!r.isCheckpointed) r.count()
+          case None => next.count() // defensive: unexpected checkpoint plan shape
+        }
+        state.unpersist(blocking = false)
+        state = next
+      } else {
+        val p = stepped.persist(StorageLevel.MEMORY_AND_DISK); p.count()
+        done = converged(state, p)
+        state.unpersist(blocking = false)
+        state = p
+      }
+      // round 1 has materialized (through the lazy seed checkpoint) — the
+      // seed cache is no longer the only copy and can go
+      if (seedHeld) { seeded.unpersist(blocking = false); seedHeld = false }
       i += 1
     }
+    if (seedHeld) seeded.unpersist(blocking = false) // maxIter == 0
     state
   }
+
+  /** Convergence for frontier-flag loops (`changed`/`status` columns):
+    * true when NO row satisfies `flag`. A full-scan aggregate rather than
+    * `filter(flag).isEmpty` — take(1) short-circuits and leaves the lazy
+    * checkpoint partially materialized (costing the fill-in job the
+    * fusion exists to remove), while the count scans every row in the
+    * SAME job that materializes the round's checkpoint. */
+  def noneMatch(flag: org.apache.spark.sql.Column): (DataFrame, DataFrame) => Boolean =
+    (_: DataFrame, next: DataFrame) => {
+      import org.apache.spark.sql.functions.{count, when, lit}
+      next.agg(count(when(flag, lit(1)))).first().getLong(0) == 0L
+    }
 
   /** Convergence test used by the reference's SSSP variants
     * (SingleSourceShortestPathRDD/src/main/scala/wc/FollowerCount.scala:42-44):

@@ -56,6 +56,41 @@ object Bpe {
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** One greedy left-to-right rewrite round over the position table (r16
+    * optimization, guide §2.4): positions are DENSE per word (0..len−1),
+    * so the matched-run structure needs no (word, grp) regroup, no `kept`
+    * materialization, and no join-back — the last NON-matched position
+    * before p locates p's run start, offset parity decides keep, and
+    * `lag(kept)` marks the consumed follower. The former per-round plan
+    * (matches window over (word, grp) = extra exchange; kept eager
+    * localCheckpoint = extra job; rewrite left-join + consumed anti-join
+    * = two more exchanges/broadcast builds) collapses to window column
+    * math under the ONE (word, pos) partitioning every round already
+    * pays. Same rewrite semantics, row for row: the per-round state is
+    * replayed CTE-for-CTE by every BPE oracle, so the unchanged hashes
+    * are the equivalence proof (plus PipelineSpec / BpeSpec).
+    *
+    * `flagged` must carry word, pos, tok, and `mb` — the merge's rhs on
+    * positions where (tok, next-tok) matches an accepted merge, NULL
+    * elsewhere (a literal test for the sequential trainer, a broadcast
+    * left-join against the batch for the batched faces; batch symbol-
+    * disjointness means at most one merge matches a position). `out`
+    * fixes the output column order. */
+  private def rewriteRound(flagged: DataFrame, out: Seq[String]): DataFrame = {
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    val runFrame = byWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("lnm", max(when(col("mb").isNull, col("pos"))).over(runFrame))
+      .withColumn("kept", col("mb").isNotNull &&
+        (col("pos") - coalesce(col("lnm"), lit(-1L)) - 1L) % 2 === 0)
+      .withColumn("gone", coalesce(lag("kept", 1).over(byWord), lit(false)))
+      .filter(!col("gone"))
+      .withColumn("tok",
+        when(col("kept"), concat(col("tok"), col("mb"))).otherwise(col("tok")))
+      .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+      .select(out.map(col): _*)
+  }
+
   /** (merges, finalState): merges as (rank, lhs, rhs, pair_count) rows in
     * merge order; finalState as the trained tokenization (word, freq,
     * pos, tok). */
@@ -91,27 +126,17 @@ object Bpe {
         case Some(top) =>
           val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
           learned += ((r.toLong, a, b, c))
-          // match positions, then the greedy left-to-right keep set: within a
-          // run of consecutive matches, keep even offsets from the run start
-          val matches = withNext
-            .filter(col("tok") === lit(a) && col("ntok") === lit(b))
-            .select(col("word"), col("pos"))
-            .withColumn("grp", col("pos") - row_number().over(byWord))
-          val kept = matches
-            .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
-            .filter(col("off") % 2 === 0)
-            .select(col("word").as("kw"), col("pos").as("kp"))
-            .localCheckpoint(eager = true) // consumed on both sides below
-          val merged = state
-            .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
-            .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), lit(b)))
-              .otherwise(col("tok")))
-            .select(col("word"), col("freq"), col("pos"), col("tok2").as("tok"))
-          val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
+          // greedy left-to-right keep set via window math (rewriteRound):
+          // within a run of consecutive matches, keep even offsets.
+          // Lazy checkpoint: the next round's argmax collect (or the
+          // caller's first action) materializes it in the SAME job — the
+          // round's one unavoidable barrier is the collect, so the eager
+          // checkpoint job was pure overhead (r16 fusion)
+          val flagged = withNext.withColumn("mb",
+            when(col("tok") === lit(a) && col("ntok") === lit(b), lit(b)))
           state = graft.iterate.Fixpoint.rebindStats(
-            merged.join(consumed, Seq("word", "pos"), "left_anti")
-              .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
-              .localCheckpoint(eager = true))
+            rewriteRound(flagged, Seq("word", "freq", "pos", "tok"))
+              .localCheckpoint(eager = false))
       }
       r += 1
     }
@@ -214,25 +239,13 @@ object Bpe {
         val mdf = broadcast(acc.toSeq.toDF("ma", "mb", "mc").select("ma", "mb"))
         // disjoint symbols => each position matches at most one merge;
         // the matched rhs travels with the row for the rewrite
-        val matches = withNext
-          .join(mdf, col("tok") === col("ma") && col("ntok") === col("mb"))
-          .select(col("word"), col("pos"), col("mb"))
-          .withColumn("grp", col("pos") - row_number().over(byWord))
-        val kept = matches
-          .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
-          .filter(col("off") % 2 === 0)
-          .select(col("word").as("kw"), col("pos").as("kp"), col("mb"))
-          .localCheckpoint(eager = true) // consumed on both sides below
-        val merged = state
-          .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
-          .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), col("mb")))
-            .otherwise(col("tok")))
-          .select(col("word"), col("freq"), col("pos"), col("tok2").as("tok"))
-        val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
+        val flagged = withNext
+          .join(mdf, col("tok") === col("ma") && col("ntok") === col("mb"), "left")
+        // lazy: the next round's B-row collect materializes it (train's
+        // single-merge path documents the fusion)
         state = graft.iterate.Fixpoint.rebindStats(
-          merged.join(consumed, Seq("word", "pos"), "left_anti")
-            .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
-            .localCheckpoint(eager = true))
+          rewriteRound(flagged, Seq("word", "freq", "pos", "tok"))
+            .localCheckpoint(eager = false))
       }
       r += 1
     }
@@ -275,23 +288,9 @@ object Bpe {
     for (group <- groups; if group.nonEmpty) {
       val mdf = broadcast(group.toDF("ma", "mb"))
       val withNext = state.withColumn("ntok", lead("tok", 1).over(byWord))
-      val matches = withNext
-        .join(mdf, col("tok") === col("ma") && col("ntok") === col("mb"))
-        .select(col("word"), col("pos"), col("mb"))
-        .withColumn("grp", col("pos") - row_number().over(byWord))
-      val kept = matches
-        .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
-        .filter(col("off") % 2 === 0)
-        .select(col("word").as("kw"), col("pos").as("kp"), col("mb"))
-        .localCheckpoint(eager = true)
-      val merged = state
-        .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
-        .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), col("mb")))
-          .otherwise(col("tok")))
-        .select(col("word"), col("pos"), col("tok2").as("tok"))
-      val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
-      state = merged.join(consumed, Seq("word", "pos"), "left_anti")
-        .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+      val flagged = withNext
+        .join(mdf, col("tok") === col("ma") && col("ntok") === col("mb"), "left")
+      state = rewriteRound(flagged, Seq("word", "pos", "tok"))
         .localCheckpoint(eager = true)
     }
     state
@@ -315,23 +314,9 @@ object Bpe {
     val byWord = Window.partitionBy("word").orderBy("pos")
     for ((a, b) <- merges) {
       val withNext = state.withColumn("ntok", lead("tok", 1).over(byWord))
-      val matches = withNext
-        .filter(col("tok") === lit(a) && col("ntok") === lit(b))
-        .select(col("word"), col("pos"))
-        .withColumn("grp", col("pos") - row_number().over(byWord))
-      val kept = matches
-        .withColumn("off", col("pos") - min("pos").over(Window.partitionBy("word", "grp")))
-        .filter(col("off") % 2 === 0)
-        .select(col("word").as("kw"), col("pos").as("kp"))
-        .localCheckpoint(eager = true)
-      val merged = state
-        .join(kept, state("word") === col("kw") && state("pos") === col("kp"), "left")
-        .withColumn("tok2", when(col("kp").isNotNull, concat(col("tok"), lit(b)))
-          .otherwise(col("tok")))
-        .select(col("word"), col("pos"), col("tok2").as("tok"))
-      val consumed = kept.select(col("kw").as("word"), (col("kp") + 1L).as("pos"))
-      state = merged.join(consumed, Seq("word", "pos"), "left_anti")
-        .withColumn("pos", row_number().over(byWord).cast("long") - 1L)
+      val flagged = withNext.withColumn("mb",
+        when(col("tok") === lit(a) && col("ntok") === lit(b), lit(b)))
+      state = rewriteRound(flagged, Seq("word", "pos", "tok"))
         .localCheckpoint(eager = true)
     }
     state
