@@ -1174,11 +1174,17 @@ object AnalyticsQueries {
     "q_events_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      // v and c each feed the next stage AND the final report join — the
+      // user-sized stage aggregates are checkpointed lazily (r16) so each
+      // funnel stage scans the event log exactly once (was: the v/c legs
+      // re-derived per consumer — 12 corpus scans in the plan, now 3)
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t_v"))
+        .localCheckpoint(eager = false)
       val c = ev.filter(col("event_type") === "click").join(v, "user_id")
         .filter(col("ts_us") > col("t_v"))
         .groupBy("user_id").agg(min("ts_us").as("t_c"))
+        .localCheckpoint(eager = false)
       val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
         .filter(col("ts_us") > col("t_c"))
         .groupBy("user_id").agg(min("ts_us").as("t_p"))
@@ -1537,7 +1543,11 @@ object AnalyticsQueries {
     // itself deterministic). Basket fan-out is bounded by basket size —
     // the same shuffle shape as q_copurchase, never all-pairs over parts.
     "q_assoc_rules" -> ((s, d) => {
+      // the distinct basket relation feeds four consumers (total, support,
+      // both self-join legs) — materialized lazily ONCE (r16, guide §2.4):
+      // the old plan re-ran the scan + distinct shuffle per consumer
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager = false)
       val tot = li.select(countDistinct("l_orderkey").as("n_t"))
       val supp = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
       val pairs = li.toDF("o", "p1").join(li.toDF("o2", "p2"),
