@@ -46,19 +46,7 @@ object RelQueries {
     * deterministic (fixed hashes, fixed data) and simply replayed. */
   private def bloomProbeFace(cells: DataFrame, allKeys: DataFrame): DataFrame = {
     val s = cells.sparkSession
-    // ONE scan of the (corpus-sized) key relation (r16, guide §2.4/§6):
-    // the distinct (grp, k) truth table is materialized once — it is
-    // distinct-key-sized, so the checkpoint is bounded at any scale —
-    // and every probe derivation below (present set, absent lattice,
-    // max(k)) reads it instead of re-scanning the key relation; the old
-    // face scanned allKeys four times (present, max, grps, truth),
-    // which on the cube faces compounded to 16 parquet scans per query.
-    // Derivations are order-insensitive rewrites (filter∘distinct =
-    // distinct∘filter; max over distinct = max), so results are
-    // bit-identical — the oracle hashes re-prove it.
-    val truth = allKeys.distinct().withColumn("present", lit(true))
-      .localCheckpoint(eager = true)
-    val present = truth.filter(col("k") % 50 === 0).select("grp", "k")
+    val present = allKeys.filter(col("k") % 50 === 0).distinct()
     // absent probes DERIVED from the data — strictly above max(k), so the
     // definite-reject path stays exercised at ANY scale factor (round-14
     // ADVICE: the old fixed literals 1e7+37i fall inside the partkey
@@ -67,10 +55,11 @@ object RelQueries {
     // ≡ 0 mod 50 (max(k)+37·(i+1) hits the lattice for some i), and that
     // is fine: the %50 filter only selects which PRESENT keys are probed.
     // max+1480 stays far under the ~2.8e9 affine-hash overflow bound.
-    val maxk = broadcast(truth.agg(max(col("k")).as("mk")))
-    val absent = truth.select("grp").distinct().crossJoin(maxk)
+    val maxk = broadcast(allKeys.agg(max(col("k")).as("mk")))
+    val absent = allKeys.select("grp").distinct().crossJoin(maxk)
       .crossJoin(s.range(40).toDF("i"))
       .select(col("grp"), (col("mk") + (col("i") + 1L) * 37L).as("k"))
+    val truth = allKeys.distinct().withColumn("present", lit(true))
     BloomSketch.contains(cells, Seq("grp"), present.unionByName(absent))
       .join(truth, Seq("grp", "k"), "left")
       .select(col("grp"), col("k"), col("hit"),
@@ -88,13 +77,8 @@ object RelQueries {
     * OCCURRENCE. The hash match proves the law held for every counter
     * the summary kept. */
   private def mgProbeFace(mg: DataFrame, allKeys: DataFrame): DataFrame = {
-    // ONE scan (r16): group totals are the sum of the per-key exact
-    // counts, so they derive from the materialized (distinct-key-sized)
-    // exact relation instead of a second corpus scan — identical values
-    // (Σ per-key counts per grp = row count per grp), cheaper at any scale
     val exact = allKeys.groupBy("grp", "k").agg(count(lit(1)).as("exact_cnt"))
-      .localCheckpoint(eager = true)
-    val tot = exact.groupBy("grp").agg(sum("exact_cnt").as("n"))
+    val tot = allKeys.groupBy("grp").agg(count(lit(1)).as("n"))
     mg.join(exact, Seq("grp", "k")).join(tot, Seq("grp"))
       .select(col("grp"), col("k"), col("est"), col("exact_cnt"), col("n"),
         (col("est") <= col("exact_cnt") &&
@@ -131,12 +115,8 @@ object RelQueries {
   private val mgKey = "CAST(floor(sqrt(l_partkey)) AS BIGINT)"
 
   private def cmsProbeFace(cells: DataFrame, allKeys: DataFrame): DataFrame = {
-    // ONE scan (r16): the probe set is the %50 slice of the exact
-    // relation's keys (filter∘distinct ≡ distinct∘filter), so it derives
-    // from the materialized exact counts instead of a second corpus scan
+    val probes = allKeys.filter(col("k") % 50 === 0).distinct()
     val exact = allKeys.groupBy("grp", "k").agg(count(lit(1)).as("exact_cnt"))
-      .localCheckpoint(eager = true)
-    val probes = exact.filter(col("k") % 50 === 0).select("grp", "k")
     CountMin.estimate(cells, Seq("grp"), probes)
       .join(exact, Seq("grp", "k"))
       .select(col("grp"), col("k"), col("est"), col("exact_cnt"),
