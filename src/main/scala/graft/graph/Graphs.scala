@@ -564,13 +564,7 @@ object Graphs {
     * Fixpoint seed re-bind trick) resets the estimate to the session
     * default, keeping per-round planning O(plan size). */
   private def cutStats(df: DataFrame): DataFrame = {
-    // lazy since r16: every call site's relation is consumed inside a job
-    // that already materializes the round (the fused convergence barrier
-    // or the next phase's first job), so the marked-persist blocks land
-    // there and multi-consumer plans read them via the block-manager's
-    // per-partition compute locks — the dedicated eager barrier job was
-    // pure overhead. Lineage stays cut and the estimate reset is unchanged.
-    val cut = df.localCheckpoint(eager = false)
+    val cut = df.localCheckpoint(eager = true)
     df.sparkSession.createDataFrame(cut.rdd, cut.schema)
   }
 
@@ -848,13 +842,11 @@ object Graphs {
       .localCheckpoint(eager = true)
     for (_ <- 1 to phases) {
       val active = state.filter(col("scc") < 0).select("vertex")
-      // the phase's active edge slice, materialized once — lazily (r16):
-      // the colors fixpoint's first job computes and caches it, both
-      // fixpoints' later rounds read the cached blocks; the former eager
-      // form paid a dedicated job per phase for the same materialization
+      // the phase's active edge slice, materialized once: both fixpoints
+      // scan it every round
       val ae = e.join(active.select(col("vertex").as("src")), "src")
         .join(active.select(col("vertex").as("dst")), "dst")
-        .select("src", "dst").localCheckpoint(eager = false)
+        .select("src", "dst").localCheckpoint(eager = true)
       // forward color propagation: max undecided id reaching each vertex
       val colors = graft.iterate.Fixpoint.iterate(
         active.withColumn("color", col("vertex")), rounds,

@@ -51,16 +51,11 @@ object Fixpoint {
     *   iterations (persist-only in between). 1 = every iteration, which is
     *   right for anything beyond a handful of iterations.
     */
-  /** The no-convergence sentinel (fixed-round loops). A stable reference —
-    * not a per-call lambda — so `iterate` can RECOGNIZE fixed-round loops
-    * and skip per-round materialization for them entirely (see below). */
-  val never: (DataFrame, DataFrame) => Boolean = (_, _) => false
-
   def iterate(
       init: DataFrame,
       maxIter: Int,
       checkpointEvery: Int = 1,
-      converged: (DataFrame, DataFrame) => Boolean = never)(
+      converged: (DataFrame, DataFrame) => Boolean = (_, _) => false)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     val seeded = init.persist(StorageLevel.MEMORY_AND_DISK)
     val n = seeded.count() // materialize so unpersist of inputs is safe
@@ -93,32 +88,6 @@ object Fixpoint {
     var state = loop.createDataFrame(seeded.rdd, seeded.schema)
       .localCheckpoint(eager = false)
     var seedHeld = true
-
-    // Fixed-round loops (converged eq never — PageRank, Hits) never read
-    // the state mid-loop, so no per-round job is needed AT ALL: every
-    // round's lazy checkpoint chains and the single materialization below
-    // the loop runs them all in one job (each round's marked RDD still
-    // caches and truncates when computed — per-round memory and lineage
-    // behavior is unchanged, only the per-round scheduling barrier goes).
-    // Convergence-tested loops must materialize each round to evaluate
-    // the test; their barrier is the fused convergence job.
-    val fixedRounds = (converged eq never) && checkpointEvery == 1
-
-    if (fixedRounds) {
-      for (i <- 0 until maxIter)
-        state = step(state, i).localCheckpoint(eager = false)
-      // ONE materialization for the whole loop — runs every round's chain
-      // in a single job, while the caller's input caches (edge relations
-      // etc.) are still alive, so nothing recomputes from source
-      state.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      } match {
-        case Some(r) => if (!r.isCheckpointed) r.count()
-        case None => state.count()
-      }
-      seeded.unpersist(blocking = false)
-      return state
-    }
 
     var i = 0
     var done = false

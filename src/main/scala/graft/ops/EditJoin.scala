@@ -83,7 +83,7 @@ object EditJoin {
       .groupBy("s").agg(min("id").as("rep"), count(lit(1)).as("n"))
       // (AQE coalesces this tiny agg output to one partition; the
       // fan-out defense lives in pairsWithin1, which re-spreads by id)
-      .localCheckpoint(eager = false) // one pass feeds blocking + sizes (lazy r16: the consumer job materializes)
+      .localCheckpoint(eager = true) // one pass feeds blocking + sizes
     val intra = g.filter(col("n") > 1)
       .select(col("rep").as("rep1"), col("rep").as("rep2"),
         lit(0L).as("dist"), expr("n * (n - 1) div 2").as("n_pairs"))
@@ -317,7 +317,7 @@ object EditJoin {
     val g = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) > 0)
       .groupBy("s").agg(min("id").as("rep"), count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // one pass feeds blocking + sizes (lazy r16: the consumer job materializes)
+      .localCheckpoint(eager = true) // one pass feeds blocking + sizes
     val intra = g.filter(col("n") > 1)
       .select(col("rep").as("rep1"), col("rep").as("rep2"),
         lit(0L).as("dist"), expr("n * (n - 1) div 2").as("n_pairs"))
